@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+write cost).  Timings include Catalyst planning but not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lakeforge.session import get_spark
+from lakeforge.workload import QUERIES
+
+HEADLINE = [
+    "pricing_summary",
+    "scd2_orders",
+    "temporal_fact_resolve",
+    "full_outer_totals",
+    "broadcast_enrich",
+    "cdc_merge_orders",
+    "latest_order_per_customer",
+    "dim_date",
+    "quality_summary_orders",
+    "top_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("lakeforge-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/code paths once on the smallest query so the measured
+    # numbers aren't first-action classloading noise.
+    QUERIES["top_orders"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Sources (reference: S1-S3 — bronze_to_silver.py:57-68,
+gold_sql_to_postgres.py:46-50; SURVEY.md §2.1).
+
+Scale notes:
+- Schemas are always enforced (no inference scan).
+- The existence probe is catalog-level (``try``/``AnalysisException``), not
+  ``os.path.exists`` — the reference's driver-side filesystem check
+  (bronze_to_silver.py:97) breaks on object stores (s3a/abfss).
+- Filters and projections applied on top of these scans push down to the
+  parquet/CSV reader via Catalyst (verify with
+  ``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Schema-enforced CSV scan (reference S1: bronze_to_silver.py:57-64)."""
+    return (
+        spark.read.option("header", header)
+        .option("mode", mode)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (reference S2: bronze_to_silver.py:66-68)."""
+    return spark.read.parquet(path)
+
+
+def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Object-store-safe existence probe (reference S3, fixed).
+
+    The reference branches initial-vs-incremental on ``os.path.exists``
+    (bronze_to_silver.py:97-100); that only works on local disk.  Attempting
+    the read and catching ``AnalysisException`` (PATH_NOT_FOUND /
+    UNABLE_TO_INFER_SCHEMA for an empty dir) works everywhere.
+    """
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force analysis
+        return df
+    except AnalysisException:
+        return None
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table, normalizing its TIMESTAMP(NANOS) column.
+
+    The driver's events.parquet stores ``ts`` as nanosecond timestamps,
+    which Spark's parquet reader rejects (PARQUET_TYPE_ILLEGAL).  With
+    ``legacy.parquet.nanosAsLong`` the column arrives as bigint nanos; we
+    convert to a proper microsecond timestamp (same truncation DuckDB
+    applies when casting timestamp_ns -> timestamp).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # `ts div 1000`: integer division — a double roundtrip would lose
+    # precision above 2^53 ns (~104 days after epoch).
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load driver testdata tables from ``{sf_dir}/{name}.parquet``."""
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

@@ -1,0 +1,53 @@
+"""Deduplication (reference: D1-D2 — bronze_to_silver.py:106,146,
+gold_sql_to_postgres.py:68,175; SURVEY.md §2.3).
+
+The reference's ``dropDuplicates(keys)`` keeps a NONDETERMINISTIC survivor
+when duplicates differ in non-key columns.  ``dedup_keep_first`` makes the
+survivor explicit: rank rows inside each key group under a total order and
+keep rank 1.  Physically this is one hash-shuffle by key + in-partition sort
+— the same cost as dropDuplicates' hash aggregate, and AQE splits skewed key
+groups.  No global sort anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Row-distinct (keys=None) or key-distinct dedup.
+
+    Safe (deterministic) when ``keys`` covers all columns — which is how the
+    reference uses it (key set == full column set, SURVEY.md §2.3 D1).
+    """
+    return df.distinct() if keys is None else df.dropDuplicates(keys)
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: list[str], order_by: list[Column | str]
+) -> DataFrame:
+    """Deterministic dedup: keep the first row per key under ``order_by``.
+
+    ``order_by`` must be a total order within each key group (include a
+    unique tiebreak column) or the survivor is still ambiguous.
+    """
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def latest_per_key(
+    df: DataFrame, keys: list[str], ts_col: str, tiebreak: list[str] | None = None
+) -> DataFrame:
+    """Keep the most recent row per key — the "rank latest rows per key"
+    capability the reference README declares (README.md:200) but implements
+    as dropDuplicates (SURVEY.md §2.5)."""
+    order: list[Column] = [F.col(ts_col).desc()]
+    for c in tiebreak or []:
+        order.append(F.col(c).desc())
+    return dedup_keep_first(df, keys, order)

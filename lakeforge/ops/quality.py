@@ -1,0 +1,75 @@
+"""Data-quality checks (reference: A1-A5 — silver_check.py:20-53;
+SURVEY.md §2.6, §3 EP3).
+
+The reference runs 4+ independent actions per table (count, distinct count,
+dup probe, min/max), re-scanning the input each time.  ``table_summary``
+computes the whole profile in a SINGLE pass: one aggregate over the scan
+(count + approx/exact distinct + min/max fused), plus one aggregate over a
+key-group for exact duplicate stats.  Returns DataFrames, not prints, so
+checks compose into pipelines and tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_summary(
+    df: DataFrame,
+    key_cols: list[str],
+    date_col: str | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One-row profile: n_rows, n_distinct_keys, n_dup_keys, n_dup_rows,
+    min/max date.
+
+    exact_distinct=False switches to ``approx_count_distinct`` (HLL) — at
+    100 TB the exact distinct is a full shuffle of the key set; the sketch
+    is one pass, mergeable, ~2% error.
+    """
+    key_group = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    aggs = [
+        F.sum("__n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_keys"),
+        F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_keys"),
+        F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_rows"),
+    ]
+    summary = key_group.agg(*aggs)
+    if not exact_distinct:
+        summary = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.approx_count_distinct(F.concat_ws("\x1f", *key_cols))
+            .cast("bigint")
+            .alias("n_distinct_keys"),
+            F.lit(None).cast("bigint").alias("n_dup_keys"),
+            F.lit(None).cast("bigint").alias("n_dup_rows"),
+        )
+    if date_col is not None:
+        dates = df.agg(
+            F.min(date_col).cast("date").alias("min_date"),
+            F.max(date_col).cast("date").alias("max_date"),
+        )
+        summary = summary.crossJoin(dates)
+    return summary
+
+
+def duplicate_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Keys occurring more than once, with counts (reference A3:
+    silver_check.py:32-37) — hash group-by + HAVING."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def ordered_sample(df: DataFrame, order_by: list[str], n: int = 5) -> DataFrame:
+    """Deterministic top-n sample (reference A5: silver_check.py:52-53).
+
+    ``orderBy().limit(n)`` plans as TakeOrderedAndProject — a per-partition
+    top-n + single merge, NOT a global sort.
+    """
+    return df.orderBy(*order_by).limit(n)

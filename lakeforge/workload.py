@@ -1,0 +1,485 @@
+"""Driver-facing workload: one named query per implemented operator
+(SURVEY.md §2), each paired with a DuckDB oracle SQL string.
+
+Conventions that make the driver's hash-compare pass:
+- Every computed column is aliased IDENTICALLY in the Spark query and the
+  oracle SQL.
+- Money/measure aggregates are computed in DECIMAL (exact), never double —
+  float summation order would otherwise differ between engines.
+- Surrogate keys use the md5-based 60-bit hash (functions/keys.py), which
+  DuckDB reproduces bit-for-bit.
+- Timestamp outputs are cast to date or string; the Spark session runs UTC.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakeforge.functions.dates import parse_date_multi
+from lakeforge.io.sources import read_events
+from lakeforge.ops.dedup import dedup_keep_first, latest_per_key
+from lakeforge.ops.joins import broadcast_left_join, full_outer_coalesce
+from lakeforge.ops.quality import table_summary
+from lakeforge.ops.scd2 import scd2
+from lakeforge.ops.star import build_bridge, build_dim_date, build_snapshot_fact
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+DEC = "decimal(18,2)"
+
+# DuckDB rendering of functions/keys.py::md5_int over (custkey, start_date).
+_SK_SQL = (
+    "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || chr(31) || "
+    "strftime(effective_start_date, '%Y-%m-%d')), 1, 15)) AS UBIGINT)::BIGINT"
+)
+
+# Shared oracle CTE: the SCD2-over-orders dimension (flagship).
+_SCD2_ORDERS_CTE = f"""
+WITH base AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date, o_orderstatus,
+           row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+), tl AS (
+    SELECT o_custkey, order_date, o_orderstatus FROM base WHERE rn = 1
+), ch AS (
+    SELECT tl.*, lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY order_date) AS prev_status
+    FROM tl
+), keep AS (
+    SELECT * FROM ch WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+), iv AS (
+    SELECT o_custkey, o_orderstatus, order_date AS effective_start_date,
+           lead(order_date) OVER (PARTITION BY o_custkey ORDER BY order_date) AS next_start
+    FROM keep
+), dim AS (
+    SELECT {_SK_SQL} AS cust_status_sk,
+           o_custkey, o_orderstatus, effective_start_date,
+           COALESCE(next_start - 1, DATE '9999-12-31') AS effective_end_date,
+           next_start IS NULL AS is_current
+    FROM iv
+)
+"""
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: SCD2 dimension over orders (W1+W2+W3+P5+P6+P7 in one query).
+# Mirrors the reference's dim_account build (gold_sql_to_postgres.py:94-125)
+# over the driver's orders table: key=o_custkey, tracked=o_orderstatus,
+# timeline=o_orderdate.
+# ---------------------------------------------------------------------------
+
+def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    tl = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "o_orderstatus",
+        "o_orderkey",
+    )
+    # One row per (key, date): deterministic survivor = highest orderkey.
+    tl = dedup_keep_first(
+        tl, ["o_custkey", "order_date"], [F.col("o_orderkey").desc()]
+    ).drop("o_orderkey")
+    return scd2(
+        tl,
+        key_cols=["o_custkey"],
+        tracked_cols=["o_orderstatus"],
+        order_col="order_date",
+        sk_name="cust_status_sk",
+    )
+
+
+SQL_SCD2_ORDERS = _SCD2_ORDERS_CTE + "SELECT * FROM dim"
+
+
+# ---------------------------------------------------------------------------
+# P3: multi-format date normalization (bronze_to_silver.py:80-88).
+# 4-digit-year variant here because Java's 'yy' pivots to 20xx while
+# strptime's %y pivots at 69 — the 2-digit reference behavior is covered by
+# the golden-fixture test (2022 dates) instead.
+# ---------------------------------------------------------------------------
+
+_MFD_FORMATS = ("dd-MMM-yyyy", "yyyy-MM-dd", "dd/MM/yyyy", "MM/dd/yyyy")
+
+
+def q_multi_format_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir).select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    k = F.col("o_orderkey") % 4
+    raw = (
+        F.when(k == 0, F.date_format("d", "dd-MMM-yyyy"))
+        .when(k == 1, F.date_format("d", "yyyy-MM-dd"))
+        .when(k == 2, F.date_format("d", "dd/MM/yyyy"))
+        .otherwise(F.date_format("d", "MM/dd/yyyy"))
+    )
+    out = o.select("o_orderkey", raw.alias("raw"))
+    return out.select(
+        "o_orderkey", "raw", parse_date_multi("raw", _MFD_FORMATS).alias("parsed_date")
+    )
+
+
+SQL_MULTI_FORMAT_DATES = """
+WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+raws AS (
+    SELECT o_orderkey,
+           CASE o_orderkey % 4
+             WHEN 0 THEN strftime(d, '%d-%b-%Y')
+             WHEN 1 THEN strftime(d, '%Y-%m-%d')
+             WHEN 2 THEN strftime(d, '%d/%m/%Y')
+             ELSE strftime(d, '%m/%d/%Y')
+           END AS raw
+    FROM o)
+SELECT o_orderkey, raw,
+       CAST(COALESCE(try_strptime(raw, '%d-%b-%Y'), try_strptime(raw, '%Y-%m-%d'),
+                     try_strptime(raw, '%d/%m/%Y'), try_strptime(raw, '%m/%d/%Y')) AS DATE)
+         AS parsed_date
+FROM raws
+"""
+
+
+# ---------------------------------------------------------------------------
+# D1+D4+D5: CDC merge semantics as a query — stale snapshot ∪ updated batch,
+# deterministic survivor = the incoming row (bronze_to_silver.py:94-108).
+# ---------------------------------------------------------------------------
+
+def q_cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    existing = orders.filter(F.col("o_orderkey") % 10 < 8).select(
+        "o_orderkey", "o_orderstatus", F.lit(0).alias("src")
+    )
+    incoming = orders.filter(F.col("o_orderkey") % 10 >= 5).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"), F.lit(1).alias("src")
+    )
+    merged = existing.unionByName(incoming)
+    return dedup_keep_first(merged, ["o_orderkey"], [F.col("src").desc()])
+
+
+SQL_CDC_MERGE_ORDERS = """
+WITH existing AS (
+    SELECT o_orderkey, o_orderstatus, 0 AS src FROM orders WHERE o_orderkey % 10 < 8),
+incoming AS (
+    SELECT o_orderkey, 'U' AS o_orderstatus, 1 AS src FROM orders WHERE o_orderkey % 10 >= 5),
+merged AS (SELECT * FROM existing UNION ALL SELECT * FROM incoming),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn FROM merged)
+SELECT o_orderkey, o_orderstatus, src FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# D1 deterministic / "rank latest per key" (README.md:200; SURVEY.md §2.5).
+# ---------------------------------------------------------------------------
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").cast(DEC).alias("total_price"),
+    )
+    return latest_per_key(
+        orders, ["o_custkey"], "order_date", tiebreak=["o_orderkey"]
+    )
+
+
+SQL_LATEST_ORDER_PER_CUSTOMER = """
+WITH ranked AS (
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS rn
+    FROM orders)
+SELECT o_custkey, o_orderkey, order_date, total_price FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1: broadcast left equi-join enrichment (gold_sql_to_postgres.py:82-92).
+# ---------------------------------------------------------------------------
+
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = broadcast_left_join(
+        orders.select(
+            "o_orderkey",
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_totalprice").cast(DEC).alias("total_price"),
+        ),
+        customer.select("c_custkey", "c_name", "c_nationkey"),
+        on=["c_custkey"],
+    )
+    return broadcast_left_join(
+        cust.select(
+            "o_orderkey", "total_price", "c_name",
+            F.col("c_nationkey").alias("n_nationkey"),
+        ),
+        nation.select("n_nationkey", "n_name"),
+        on=["n_nationkey"],
+    ).select("o_orderkey", "c_name", "n_name", "total_price")
+
+
+SQL_BROADCAST_ENRICH = """
+SELECT o.o_orderkey, c.c_name, n.n_name,
+       CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2: full-outer join with coalesced keys (gold_sql_to_postgres.py:128-138).
+# ---------------------------------------------------------------------------
+
+def q_full_outer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", F.col("o_totalprice").cast(DEC).alias("header_total")
+    )
+    li = (
+        _lineitem(spark, sf_dir)
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("lineitem_total"))
+    )
+    return full_outer_coalesce(orders, li, on=["o_orderkey"])
+
+
+SQL_FULL_OUTER_TOTALS = """
+WITH o AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS header_total FROM orders),
+li AS (SELECT l_orderkey AS o_orderkey,
+              SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS lineitem_total
+       FROM lineitem GROUP BY l_orderkey)
+SELECT COALESCE(o.o_orderkey, li.o_orderkey) AS o_orderkey, o.header_total, li.lineitem_total
+FROM o FULL OUTER JOIN li ON o.o_orderkey = li.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3: temporal interval (as-of) join — fact snapshots resolved against the
+# SCD2 dim (gold_sql_to_postgres.py:185-195).
+# ---------------------------------------------------------------------------
+
+def q_temporal_fact_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = q_scd2_orders(spark, sf_dir)
+    base = _orders(spark, sf_dir).select(
+        F.col("o_orderdate").cast("date").alias("snapshot_date"), "o_custkey"
+    )
+    return build_snapshot_fact(
+        base, dim, key=["o_custkey"], snapshot_col="snapshot_date",
+        sk_col="cust_status_sk",
+    )
+
+
+SQL_TEMPORAL_FACT_RESOLVE = _SCD2_ORDERS_CTE + """
+, grain AS (
+    SELECT DISTINCT CAST(o_orderdate AS DATE) AS snapshot_date, o_custkey
+    FROM orders WHERE o_orderdate IS NOT NULL)
+SELECT g.snapshot_date, g.o_custkey, d.cust_status_sk
+FROM grain g
+LEFT JOIN dim d
+  ON g.o_custkey = d.o_custkey
+ AND g.snapshot_date BETWEEN d.effective_start_date AND d.effective_end_date
+"""
+
+
+# ---------------------------------------------------------------------------
+# D2+D3: dim_date — UNION ALL of date columns → DISTINCT
+# (gold_sql_to_postgres.py:67-79).
+# ---------------------------------------------------------------------------
+
+def q_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    li = _lineitem(spark, sf_dir)
+    events = read_events(spark, sf_dir)
+    return build_dim_date(
+        [(orders, "o_orderdate"), (li, "l_shipdate"), (events, "ts")]
+    )
+
+
+SQL_DIM_DATE = """
+SELECT DISTINCT dt FROM (
+    SELECT CAST(o_orderdate AS DATE) AS dt FROM orders WHERE o_orderdate IS NOT NULL
+    UNION ALL
+    SELECT CAST(l_shipdate AS DATE) FROM lineitem WHERE l_shipdate IS NOT NULL
+    UNION ALL
+    SELECT CAST(ts AS DATE) FROM events WHERE ts IS NOT NULL
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# D2: bridge = DISTINCT projection (gold_sql_to_postgres.py:174-176).
+# ---------------------------------------------------------------------------
+
+def q_bridge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_bridge(_orders(spark, sf_dir), ["o_custkey", "o_orderpriority"])
+
+
+SQL_BRIDGE_DISTINCT = "SELECT DISTINCT o_custkey, o_orderpriority FROM orders"
+
+
+# ---------------------------------------------------------------------------
+# A1-A4: single-pass table profile (silver_check.py:20-49).
+# ---------------------------------------------------------------------------
+
+def q_quality_summary_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir).withColumn(
+        "order_date", F.col("o_orderdate").cast("date")
+    )
+    return table_summary(
+        orders, key_cols=["o_custkey", "order_date"], date_col="order_date"
+    )
+
+
+SQL_QUALITY_SUMMARY_ORDERS = """
+WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date FROM orders),
+g AS (SELECT o_custkey, order_date, count(*) AS n FROM o GROUP BY 1, 2)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+       CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_rows,
+       (SELECT MIN(order_date) FROM o) AS min_date,
+       (SELECT MAX(order_date) FROM o) AS max_date
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# P9+P4: partition-key derivation + month-scoped pruning filter
+# (gold_sql_to_postgres.py:46-50).
+# ---------------------------------------------------------------------------
+
+def q_month_scoped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir).withColumn(
+        "p_ym", F.date_format(F.col("o_orderdate").cast("date"), "yyyyMM")
+    )
+    return (
+        orders.where(F.col("p_ym") == "199503")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("month_total"),
+        )
+    )
+
+
+SQL_MONTH_SCOPED_AGG = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS month_total
+FROM orders
+WHERE strftime(CAST(o_orderdate AS DATE), '%Y%m') = '199503'
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# A-class showcase: TPC-H Q1-style pricing summary over lineitem — partial
+# (map-side) aggregation + exact DECIMAL measures.
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc)).alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc) * (F.lit(1).cast(DEC) + tax)).alias(
+                "sum_charge"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS sum_charge,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5: deterministic top-n (TakeOrderedAndProject, not a global sort)
+# (silver_check.py:52-53).
+# ---------------------------------------------------------------------------
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _orders(spark, sf_dir)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast(DEC).alias("total_price"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+FROM orders ORDER BY total_price DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "scd2_orders": q_scd2_orders,
+    "multi_format_dates": q_multi_format_dates,
+    "cdc_merge_orders": q_cdc_merge_orders,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "broadcast_enrich": q_broadcast_enrich,
+    "full_outer_totals": q_full_outer_totals,
+    "temporal_fact_resolve": q_temporal_fact_resolve,
+    "dim_date": q_dim_date,
+    "bridge_distinct": q_bridge_distinct,
+    "quality_summary_orders": q_quality_summary_orders,
+    "month_scoped_agg": q_month_scoped_agg,
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "scd2_orders": SQL_SCD2_ORDERS,
+    "multi_format_dates": SQL_MULTI_FORMAT_DATES,
+    "cdc_merge_orders": SQL_CDC_MERGE_ORDERS,
+    "latest_order_per_customer": SQL_LATEST_ORDER_PER_CUSTOMER,
+    "broadcast_enrich": SQL_BROADCAST_ENRICH,
+    "full_outer_totals": SQL_FULL_OUTER_TOTALS,
+    "temporal_fact_resolve": SQL_TEMPORAL_FACT_RESOLVE,
+    "dim_date": SQL_DIM_DATE,
+    "bridge_distinct": SQL_BRIDGE_DISTINCT,
+    "quality_summary_orders": SQL_QUALITY_SUMMARY_ORDERS,
+    "month_scoped_agg": SQL_MONTH_SCOPED_AGG,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_orders": SQL_TOP_ORDERS,
+}

@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+from pyspark.sql import functions as F
+
+from lakeforge.functions.dates import month_key, parse_date_multi
+from lakeforge.functions.keys import duckdb_md5_int_sql, hash_sk
+
+
+def test_parse_date_multi_all_reference_formats(spark):
+    rows = [
+        ("01-jan-22", dt.date(2022, 1, 1)),
+        ("01-Mar-22", dt.date(2022, 3, 1)),
+        ("2022-01-05", dt.date(2022, 1, 5)),
+        ("05/01/2022", dt.date(2022, 1, 5)),  # dd/MM wins over MM/dd
+        ("01/13/1998", dt.date(1998, 1, 13)),  # only MM/dd parses
+        ("not a date", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], ["s"])
+    got = {
+        r["s"]: r["d"]
+        for r in df.select("s", parse_date_multi("s").alias("d")).collect()
+    }
+    for s, want in rows:
+        assert got[s] == want, (s, got[s], want)
+
+
+def test_month_key(spark):
+    df = spark.createDataFrame([(dt.date(2022, 3, 9),)], ["d"])
+    assert df.select(month_key("d").alias("m")).collect()[0]["m"] == "202203"
+
+
+def test_hash_sk_matches_duckdb(spark):
+    df = spark.createDataFrame(
+        [(123, dt.date(2022, 1, 1)), (456, dt.date(2022, 2, 1))], ["k", "d"]
+    )
+    got = {r["k"]: r["sk"] for r in df.select("k", hash_sk("k", "d").alias("sk")).collect()}
+    sql = duckdb_md5_int_sql(["k", "strftime(d, '%Y-%m-%d')"])
+    duck = duckdb.sql(
+        f"SELECT k, {sql} AS sk FROM (VALUES (123, DATE '2022-01-01'),"
+        "(456, DATE '2022-02-01')) AS t(k, d)"
+    ).fetchall()
+    assert {k: sk for k, sk in duck} == got
+
+
+def test_hash_sk_is_deterministic_and_distinct(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["k"])
+    out = df.select(hash_sk("k").alias("sk"))
+    assert out.distinct().count() == 1000
+    a = sorted(r["sk"] for r in out.collect())
+    b = sorted(r["sk"] for r in out.collect())
+    assert a == b

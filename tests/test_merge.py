@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from lakeforge.io.sources import read_parquet_if_exists
+from lakeforge.ops.merge import merge_full_history
+
+
+def _rows(spark, path):
+    df = read_parquet_if_exists(spark, path)
+    return sorted(tuple(r) for r in df.select("k", "d", "v", "p").collect())
+
+
+def test_initial_load_then_incremental(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    batch1 = spark.createDataFrame(
+        [("a", "2022-01-01", "v1", "202201"), ("b", "2022-02-01", "v1", "202202")],
+        ["k", "d", "v", "p"],
+    )
+    merge_full_history(spark, batch1, path, keys=["k", "d", "v", "p"], partition_cols=["p"])
+    assert len(_rows(spark, path)) == 2
+
+    # Incremental: one exact duplicate (collapses), one new row in an
+    # existing partition, one new partition.
+    batch2 = spark.createDataFrame(
+        [
+            ("a", "2022-01-01", "v1", "202201"),  # dup
+            ("c", "2022-02-15", "v1", "202202"),  # new row, existing month
+            ("d", "2022-03-01", "v1", "202203"),  # new partition
+        ],
+        ["k", "d", "v", "p"],
+    )
+    merge_full_history(spark, batch2, path, keys=["k", "d", "v", "p"], partition_cols=["p"])
+    got = _rows(spark, path)
+    assert got == sorted(
+        [
+            ("a", "2022-01-01", "v1", "202201"),
+            ("b", "2022-02-01", "v1", "202202"),
+            ("c", "2022-02-15", "v1", "202202"),
+            ("d", "2022-03-01", "v1", "202203"),
+        ]
+    )
+    # Full history preserved: b survived even though batch2 didn't carry it.
+
+
+def test_merge_untouched_partition_files_not_rewritten(spark, tmp_path):
+    """Dynamic partition overwrite: a partition absent from the batch keeps
+    its original data files (the scale property README.md:213 claims)."""
+    path = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame([("a", "x", "p1"), ("b", "x", "p2")], ["k", "v", "p"])
+    merge_full_history(spark, b1, path, keys=["k", "v", "p"], partition_cols=["p"])
+    p1_files = set(os.listdir(f"{path}/p=p1"))
+    b2 = spark.createDataFrame([("c", "x", "p2")], ["k", "v", "p"])
+    merge_full_history(spark, b2, path, keys=["k", "v", "p"], partition_cols=["p"])
+    assert set(os.listdir(f"{path}/p=p1")) == p1_files
+
+
+def test_merge_deterministic_survivor(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame([("a", 1, "old", "p1")], ["k", "seq", "v", "p"])
+    merge_full_history(spark, b1, path, keys=["k"], partition_cols=["p"],
+                       order_by=[F.col("seq").desc()])
+    b2 = spark.createDataFrame([("a", 2, "new", "p1")], ["k", "seq", "v", "p"])
+    merge_full_history(spark, b2, path, keys=["k"], partition_cols=["p"],
+                       order_by=[F.col("seq").desc()])
+    df = read_parquet_if_exists(spark, path)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["v"] == "new"
+
+
+def test_probe_missing_path(spark, tmp_path):
+    assert read_parquet_if_exists(spark, str(tmp_path / "nope")) is None

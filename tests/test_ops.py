@@ -1,0 +1,136 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lakeforge.ops.dedup import dedup_exact, dedup_keep_first, latest_per_key
+from lakeforge.ops.joins import full_outer_coalesce, resolve_interval_key
+from lakeforge.ops.quality import duplicate_keys, ordered_sample, table_summary
+from lakeforge.ops.scd2 import scd2
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 5, "z")], ["k", "v", "payload"]
+    )
+    out = dedup_keep_first(df, ["k"], [F.col("v").desc()]).collect()
+    got = {r["k"]: (r["v"], r["payload"]) for r in out}
+    assert got == {"a": (2, "y"), "b": (5, "z")}
+
+
+def test_latest_per_key_with_tiebreak(spark):
+    d = dt.date
+    df = spark.createDataFrame(
+        [
+            ("a", d(2022, 1, 1), 1),
+            ("a", d(2022, 2, 1), 2),
+            ("a", d(2022, 2, 1), 3),  # same date, higher id wins
+        ],
+        ["k", "ts", "id"],
+    )
+    out = latest_per_key(df, ["k"], "ts", tiebreak=["id"]).collect()
+    assert len(out) == 1 and out[0]["id"] == 3
+
+
+def test_dedup_exact_row_distinct(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 1), ("b", 2)], ["k", "v"])
+    assert dedup_exact(df).count() == 2
+
+
+def test_scd2_reference_null_semantics(spark):
+    """The golden-proven NULL-drop (FIXTURES.md §1): a transition INTO NULL
+    under NULL-unsafe `<>` is silently dropped."""
+    d = dt.date
+    rows = [
+        ("Z", d(2022, 2, 1), "Rana", "ID3"),
+        ("Z", d(2022, 3, 1), "Rana Ali", None),
+        ("Z", d(2022, 4, 1), None, "ID4"),  # must be dropped in compat mode
+    ]
+    df = spark.createDataFrame(rows, ["person", "date", "name", "id"])
+    compat = scd2(df, ["person"], ["name", "id"], "date", sk_name="sk").collect()
+    assert [r["effective_start_date"] for r in sorted(compat, key=lambda r: r["effective_start_date"])] == [
+        d(2022, 2, 1),
+        d(2022, 3, 1),
+    ]
+    current = [r for r in compat if r["is_current"]]
+    assert len(current) == 1 and current[0]["name"] == "Rana Ali"
+    assert current[0]["effective_end_date"] == d(9999, 12, 31)
+
+    strict = scd2(df, ["person"], ["name", "id"], "date", null_safe=True).collect()
+    assert len(strict) == 3  # NULL transition is a real change in safe mode
+
+
+def test_scd2_intervals_and_flags(spark):
+    d = dt.date
+    rows = [
+        ("123", d(2022, 1, 1), "Active"),
+        ("123", d(2022, 2, 1), "Active"),  # no change -> absorbed
+        ("123", d(2022, 3, 1), "In Active"),
+        ("456", d(2022, 2, 1), "Active"),
+    ]
+    df = spark.createDataFrame(rows, ["acc_no", "date", "status"])
+    out = {
+        (r["acc_no"], r["effective_start_date"]): r
+        for r in scd2(df, ["acc_no"], ["status"], "date").collect()
+    }
+    assert set(out) == {("123", d(2022, 1, 1)), ("123", d(2022, 3, 1)), ("456", d(2022, 2, 1))}
+    first = out[("123", d(2022, 1, 1))]
+    assert first["effective_end_date"] == d(2022, 2, 28)
+    assert first["is_current"] is False
+    assert out[("123", d(2022, 3, 1))]["is_current"] is True
+
+
+def test_resolve_interval_key_picks_valid_version(spark):
+    d = dt.date
+    dim = spark.createDataFrame(
+        [
+            (1, "123", d(2022, 1, 1), d(2022, 2, 28)),
+            (2, "123", d(2022, 3, 1), d(9999, 12, 31)),
+        ],
+        ["sk", "acc_no", "effective_start_date", "effective_end_date"],
+    )
+    fact = spark.createDataFrame(
+        [("123", d(2022, 1, 15)), ("123", d(2022, 3, 1)), ("999", d(2022, 1, 1))],
+        ["acc_no", "at"],
+    )
+    out = {(r["acc_no"], r["at"]): r["sk"] for r in
+           resolve_interval_key(fact, dim, ["acc_no"], "at").collect()}
+    assert out == {("123", d(2022, 1, 15)): 1, ("123", d(2022, 3, 1)): 2, ("999", d(2022, 1, 1)): None}
+
+
+def test_full_outer_coalesce_keys(spark):
+    a = spark.createDataFrame([("x", 1)], ["k", "va"])
+    b = spark.createDataFrame([("y", 2)], ["k", "vb"])
+    out = {r["k"]: (r["va"], r["vb"]) for r in full_outer_coalesce(a, b, ["k"]).collect()}
+    assert out == {"x": (1, None), "y": (None, 2)}
+
+
+def test_table_summary_single_pass(spark):
+    d = dt.date
+    df = spark.createDataFrame(
+        [
+            ("a", d(2022, 1, 1)),
+            ("a", d(2022, 1, 1)),
+            ("b", d(2022, 2, 1)),
+        ],
+        ["k", "date"],
+    )
+    row = table_summary(df, ["k", "date"], date_col="date").collect()[0]
+    assert row["n_rows"] == 3
+    assert row["n_distinct_keys"] == 2
+    assert row["n_dup_keys"] == 1
+    assert row["n_dup_rows"] == 2
+    assert row["min_date"] == d(2022, 1, 1)
+    assert row["max_date"] == d(2022, 2, 1)
+
+
+def test_duplicate_keys(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
+    out = duplicate_keys(df, ["k"]).collect()
+    assert len(out) == 1 and out[0]["k"] == "a" and out[0]["n"] == 2
+
+
+def test_ordered_sample(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], ["v"])
+    assert [r["v"] for r in ordered_sample(df, ["v"], 3).collect()] == [0, 1, 2]

@@ -1,0 +1,126 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB against the same parquet tables, then compares row count, column
+names, and an order-insensitive multiset of normalized rows (columns sorted
+by name — the driver's documented comparison).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from lakeforge.io.sources import TESTDATA_TABLES
+from lakeforge.session import get_spark
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", round(v, 9))
+    if isinstance(v, dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat(sep=" "))
+    if isinstance(v, dt.date):
+        return ("d", v.isoformat())
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
+    problems = []
+    if sorted(spark_cols) != sorted(duck_cols):
+        problems.append(f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        return problems
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"row count differs: spark={len(spark_rows)} duck={len(duck_rows)}")
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    s = sorted(tuple(_norm(r[i]) for i in order) for r in spark_rows)
+    d = sorted(tuple(_norm(r[i]) for i in dorder) for r in duck_rows)
+    if s != d:
+        n_bad = sum(1 for a, b in zip(s, d) if a != b) + abs(len(s) - len(d))
+        problems.append(f"values differ ({n_bad} mismatched rows of {max(len(s), len(d))})")
+        for a, b in list(zip(s, d))[:2000]:
+            if a != b:
+                problems.append(f"  first diff:\n   spark={a}\n   duck ={b}")
+                break
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = df.collect()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        t1 = time.time()
+        if name not in oracles:
+            print(f"SKIP-ORACLE {name}: rows={len(spark_rows)} ({t1 - t0:.1f}s) [rows-only check]")
+            if len(spark_rows) == 0:
+                print(f"  WARNING: zero rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [c[0] for c in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        if problems:
+            print(f"FAIL {name} (spark {t1 - t0:.1f}s):")
+            for p in problems:
+                print(f"  {p}")
+            failed.append(name)
+        else:
+            print(f"OK   {name}: rows={len(spark_rows)} (spark {t1 - t0:.1f}s, duck {time.time() - t1:.1f}s)")
+    spark.stop()
+    if failed:
+        print(f"\n{len(failed)} FAILED: {failed}")
+        return 1
+    print("\nall queries match oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
