@@ -29,6 +29,14 @@ HEADLINE = [
     "dim_date",
     "quality_summary_orders",
     "top_orders",
+    "events_hourly",
+    "events_sessionize",
+    "text_stats",
+    "docs_exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "embedding_cosine_topk",
+    "rp_lsh_buckets",
 ]
 
 

@@ -49,6 +49,14 @@ def hash_sk(*cols: Column | str) -> Column:
     return md5_int(*cols)
 
 
+def md5_int32(col: Column | str) -> Column:
+    """32-bit variant (first 8 hex digits) — used where downstream modular
+    arithmetic must stay inside signed-64 range under ANSI overflow checks
+    (minhash, simhash).  DuckDB: ``('0x'||substr(md5(x),1,8))::UBIGINT``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+
 def duckdb_md5_int_sql(expr_parts: list[str]) -> str:
     """The DuckDB SQL text equivalent of ``md5_int`` over the given SQL
     expressions — used to build oracle queries that hash-match Spark."""

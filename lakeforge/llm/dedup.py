@@ -1,0 +1,211 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of these operators at 100 TB):
+- **Exact**: hash-groupBy on a 60-bit content fingerprint — one shuffle of
+  (fingerprint, id), never of the text itself.
+- **MinHash+LSH**: per-doc signature is one shuffle (explode shingles ->
+  groupBy doc); banding turns the O(n^2) pair space into equi-joins on
+  (band, band_hash) — only docs sharing a band bucket ever meet.  Shuffle
+  volume is O(docs * bands), not O(docs^2).
+- **SimHash**: one explode + one groupBy; near-dup buckets are exact-match
+  on the fingerprint (or prefix buckets for hamming<=k).
+- **Jaccard**: inverted-index self-join on shingles with a document-
+  frequency cap (df_cap) — the classic hot-shingle guard: a shingle shared
+  by 10^5 docs would alone create 10^10 pairs; capping df bounds the join
+  fan-out while keeping rare (discriminative) shingles.
+
+Determinism: all hashing derives from md5 (cross-engine reproducible); the
+minhash permutation constants are fixed at import time from md5 as well, so
+Python, Spark SQL, and the DuckDB oracle all agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakeforge.functions.keys import md5_int, md5_int32
+from lakeforge.llm.text import tokens_col
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+_A_MOD = 1 << 30  # keep a*h inside signed-64 under ANSI overflow checks
+
+
+def _const(tag: str, i: int, mod: int) -> int:
+    return int(hashlib.md5(f"{tag}{i}".encode()).hexdigest()[:8], 16) % mod
+
+
+def minhash_constants(k: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) for h_i(x) = (a_i * x + b_i) mod P — md5-derived, shared
+    verbatim by the Spark queries and the DuckDB oracle SQL."""
+    return [(_const("a", i, _A_MOD) | 1, _const("b", i, MINHASH_P)) for i in range(k)]
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup groups: canonical (min) id + copy count per normalized
+    content fingerprint."""
+    fp = df.select(
+        F.col(id_col), md5_int(F.array_join(tokens_col(text_col), " ")).alias("fp")
+    )
+    return fp.groupBy("fp").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+
+
+def shingles_col(tokens: str, n: int) -> Column:
+    """Distinct word n-grams of an already-tokenized array column.
+
+    DuckDB twin: unnest(range(1, greatest(len(toks)-n+2, 1))) + list slice.
+    """
+    return F.expr(
+        f"CASE WHEN size({tokens}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({tokens}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({tokens}, i, {n})))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks"))
+        .select("doc_id", F.explode(shingles_col("__toks", n)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature as columns m0..m{k-1}.
+
+    One shuffle: explode shingles -> hash -> groupBy(doc) with k ``min``
+    aggregates (all map-side combined).
+    """
+    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    h = sh.select("doc_id", md5_int32("shingle").alias("h"))
+    consts = minhash_constants(k)
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    return h.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, k: int = 32, bands: int = 8, min_match: int = 16
+) -> DataFrame:
+    """LSH banding: docs sharing any (band, band-hash) bucket become
+    candidates; candidates are scored by # of equal signature components.
+
+    Returns (doc_a, doc_b, n_match) with n_match >= min_match.
+    """
+    rows = k // bands
+    sig_arr = sig.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    )
+    band_structs = []
+    for j in range(bands):
+        cols = [F.col("sig")[i] for i in range(j * rows, (j + 1) * rows)]
+        bh = F.conv(
+            F.substring(F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])), 1, 15),
+            16, 10,
+        ).cast("bigint")
+        band_structs.append(F.struct(F.lit(j).alias("band"), bh.alias("bh")))
+    banded = sig_arr.select(
+        "doc_id", "sig", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    n_match = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("bigint")
+    return (
+        pairs.select("doc_a", "doc_b", n_match.alias("n_match"))
+        .filter(F.col("n_match") >= min_match)
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash over distinct tokens: bit b of the fingerprint is the
+    sign of sum over tokens of (+1 if bit b of md5_32(token) else -1)."""
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks"))
+        .select("doc_id", F.explode(F.array_distinct("__toks")).alias("tok"))
+    )
+    h = toks.select("doc_id", md5_int32("tok").alias("h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = h.groupBy("doc_id").agg(*sums)
+    fp: Column = F.lit(0).cast("bigint")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("bigint")).otherwise(0)
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    df_cap: int = 50,
+    min_permille: int = 300,
+) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index self-join.
+
+    Shingles with document frequency > df_cap are dropped BEFORE the join
+    (both from the index and from the per-doc set sizes) — the hot-key
+    guard that keeps the self-join fan-out bounded at scale.
+    Jaccard is reported as integer per-mille of the capped shingle sets.
+    """
+    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(dfreq.filter(F.col("df") <= df_cap), "shingle")
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = rare.alias("a"), rare.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_union", (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("bigint"))
+        .withColumn("jaccard_permille", F.expr("(n_inter * 1000) div n_union"))
+    )
+    return out.filter(F.col("jaccard_permille") >= min_permille).select(
+        "doc_a", "doc_b", "n_inter", "n_union", "jaccard_permille"
+    )

@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed via Arrow-batched ``mapInPandas``.
+
+The media decode itself is STUBBED (this container ships no image/audio
+libs — see ``decode_image_stub``); everything Spark-side is real and
+tested: the schema contract, the batch iteration shape, the partitioning
+strategy, and the deterministic fake feature extractor used by tests.
+
+Scale notes:
+- Media bytes NEVER shuffle: featurize before any groupBy/join and carry
+  only (id, features, metadata) forward.
+- ``repartition`` before mapInPandas controls batch memory: payload_bytes
+  x rows_per_batch must fit the Python worker
+  (``spark.sql.execution.arrow.maxRecordsPerBatch`` caps rows per batch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# The media-table contract: payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("content", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def decode_image_stub(content: bytes) -> "np.ndarray":
+    """Real image decode (PIL/opencv) — NOT AVAILABLE in this container.
+
+    Raises so callers can't silently ship fake decodes to production;
+    ``extract_features`` uses the deterministic byte-histogram fake
+    instead, which exercises the identical Spark plumbing.
+    """
+    raise NotImplementedError(
+        "media decode requires an image library not present in this "
+        "environment; wire PIL/torchvision here on a real cluster"
+    )
+
+
+def _fake_features(content: bytes) -> np.ndarray:
+    """Deterministic stand-in featurizer: 16-bin byte histogram, L1-normed."""
+    if content is None or len(content) == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    arr = np.frombuffer(content, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float32)
+    return hist / max(len(arr), 1)
+
+
+def extract_features(media: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Featurize media payloads via Arrow-batched mapInPandas.
+
+    Drops the payload column on output — bytes never travel past this op.
+    """
+    if partitions:
+        media = media.repartition(partitions)
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_features(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [
+                        len(c) if c is not None else 0 for c in pdf["content"]
+                    ],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(featurize, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled timestamp.
+
+    The frame grab itself is stubbed (no codec libs); the explode shape,
+    schema, and timestamp arithmetic are the real operator.
+    """
+    n_frames = (F.coalesce(F.col("duration_ms"), F.lit(0)) / F.lit(every_ms)).cast(
+        "long"
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias(
+                "frame_idx"
+            ),
+        )
+        .withColumn("ts_ms", F.col("frame_idx") * F.lit(every_ms))
+    )

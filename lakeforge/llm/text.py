@@ -1,0 +1,78 @@
+"""Text analysis operators: tokenization, quality stats, language ID,
+document fingerprinting.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` (no Python in
+the hot path): at 100 TB a row-at-a-time Python UDF tokenizer would be the
+pipeline bottleneck; ``split``/``filter``/``transform`` run inside
+whole-stage codegen.
+
+Ratios are integer per-mille (value * 1000 // n) rather than floats so
+results are exact and engine-portable (DuckDB oracle checks them
+bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakeforge.functions.keys import md5_int
+
+# Tiny English function-word list for the stopword-ratio heuristic.
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "for", "on", "it")
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def tokens_col(text_col: str) -> Column:
+    """Whitespace tokenization, lowercased, empty tokens removed.
+
+    DuckDB twin: ``list_filter(regexp_split_to_array(lower(x), '\\s+'),
+    t -> t <> '')``.
+    """
+    return F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality profile: char/token/unique-token/stopword
+    counts and stopword per-mille."""
+    with_toks = df.select(
+        id_col, F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+        tokens_col(text_col).alias("__toks"),
+    )
+    n_stop = F.expr(f"size(filter(__toks, t -> t IN ({_STOP_SQL})))").cast("bigint")
+    out = with_toks.select(
+        id_col,
+        "n_chars",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).cast("bigint").alias("n_uniq_tokens"),
+        n_stop.alias("n_stop"),
+    )
+    return out.withColumn(
+        "stop_permille",
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint")).otherwise(
+            F.expr("(n_stop * 1000) div n_tokens")
+        ),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str, permille_threshold: int = 30) -> DataFrame:
+    """N-gram-free language-ID heuristic: English iff the stopword ratio
+    clears the threshold.  (A real model would be a Pandas-UDF fastText
+    call; the Spark plumbing — project, score, threshold — is identical.)"""
+    stats = text_stats(df, text_col, id_col)
+    return stats.select(
+        id_col,
+        F.when(F.col("stop_permille") >= permille_threshold, F.lit("en"))
+        .otherwise(F.lit("unk"))
+        .alias("lang_pred"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic 60-bit content fingerprint over the normalized
+    (lowercased, whitespace-collapsed) token stream."""
+    return df.select(
+        id_col,
+        md5_int(F.array_join(tokens_col(text_col), " ")).alias("fingerprint"),
+    )

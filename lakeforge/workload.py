@@ -449,8 +449,92 @@ FROM orders ORDER BY total_price DESC, o_orderkey ASC LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# Events: windowed aggregation, sessionization, JSON extraction (streaming
+# extension surface, SURVEY.md §2.8 — batch twins of streaming/events.py,
+# which tests prove equivalent to the availableNow streaming run).
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.streaming.events import windowed_counts
+
+    return windowed_counts(read_events(spark, sf_dir), window="1 hour")
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+_SESSION_GAP_US = 1800 * 1_000_000  # 30 min
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a >30min silence starts a new
+    session.  One shuffle by user_id; both windows share its sort."""
+    ev = read_events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    sess = ev.withColumn(
+        "__new", F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("__new").over(wsum).cast("bigint"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).alias("total_value"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+WITH ev AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM ev
+),
+sess AS (
+    SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: pull a typed value out of the JSON props
+    column (JVM-side get_json_object, no Python)."""
+    return read_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+SQL_EVENTS_JSON_EXTRACT = """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
+
+from lakeforge import workload_llm  # noqa: E402  (registered below)
 
 QUERIES: dict[str, QueryFn] = {
     "scd2_orders": q_scd2_orders,
@@ -466,6 +550,9 @@ QUERIES: dict[str, QueryFn] = {
     "month_scoped_agg": q_month_scoped_agg,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+    "events_json_extract": q_events_json_extract,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -482,4 +569,10 @@ ORACLE_SQL: dict[str, str] = {
     "month_scoped_agg": SQL_MONTH_SCOPED_AGG,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders": SQL_TOP_ORDERS,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
 }
+
+QUERIES.update(workload_llm.QUERIES)
+ORACLE_SQL.update(workload_llm.ORACLE_SQL)

@@ -1,0 +1,360 @@
+"""LLM-pipeline workload queries + DuckDB oracle SQL.
+
+The oracles for minhash/simhash/LSH are generated programmatically from the
+SAME md5-derived constants the Spark operators use (llm/dedup.py,
+llm/similarity.py) — approximate algorithms, exactly reproduced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeforge.llm.dedup import (
+    MINHASH_P,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_constants,
+    minhash_signatures,
+    simhash_fingerprints,
+)
+from lakeforge.llm.similarity import cosine_topk, lsh_planes, rp_lsh_buckets
+from lakeforge.llm.text import STOPWORDS, doc_fingerprint, lang_id, text_stats
+
+# --------------------------------------------------------------------------
+# DuckDB SQL fragments
+# --------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _md5_60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS UBIGINT)::BIGINT"
+
+
+def _md5_32(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS UBIGINT)::BIGINT"
+
+
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+)
+
+# Near-dup corpus: every 5th doc gets a mutated twin (id + 1_000_000).
+_NEARDUP_CORPUS = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' zzz mutation tail' AS text
+    FROM documents WHERE doc_id % 5 = 0
+)"""
+
+# Exact-dup corpus: every 7th doc gets a verbatim copy (id + 2_000_000).
+_EXACTDUP_CORPUS = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)"""
+
+
+def _shingle_ctes(n: int = 3) -> str:
+    """corpus -> distinct (doc_id, shingle) pairs, DuckDB side."""
+    return f"""
+toks AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+pos AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - {n} + 2, 1))) AS i, toks
+        FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+       FROM pos)"""
+
+
+# --------------------------------------------------------------------------
+# Spark-side corpora (must mirror the CTEs above exactly)
+# --------------------------------------------------------------------------
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz mutation tail")).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+def _exactdup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# Queries
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_documents(spark, sf_dir), "text", "doc_id")
+
+
+SQL_TEXT_STATS = f"""
+WITH t AS (SELECT doc_id, length(text) AS n_chars, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+       CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop,
+       CAST(CASE WHEN len(toks) = 0 THEN 0
+                 ELSE (len(list_filter(toks, t -> t IN ({_STOP_SQL}))) * 1000) // len(toks)
+            END AS BIGINT) AS stop_permille
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_documents(spark, sf_dir), "text", "doc_id")
+
+
+SQL_LANG_ID = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN 0
+                  ELSE (len(list_filter(toks, t -> t IN ({_STOP_SQL}))) * 1000) // len(toks)
+             END AS pm
+      FROM t)
+SELECT doc_id, CASE WHEN pm >= 30 THEN 'en' ELSE 'unk' END AS lang_pred FROM s
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(_documents(spark, sf_dir), "text", "doc_id")
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id, {_md5_60("array_to_string(toks, ' ')")} AS fingerprint FROM t
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_exactdup_corpus(spark, sf_dir), "text", "doc_id")
+
+
+SQL_EXACT_DEDUP = f"""
+WITH {_EXACTDUP_CORPUS},
+t AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+fp AS (SELECT doc_id, {_md5_60("array_to_string(toks, ' ')")} AS fp FROM t)
+SELECT fp, MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM fp GROUP BY fp
+"""
+
+
+_K, _BANDS, _ROWS, _MIN_MATCH = 32, 8, 4, 16
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(
+        _neardup_corpus(spark, sf_dir), "text", "doc_id", k=_K, shingle_n=3
+    )
+    return lsh_candidate_pairs(sig, k=_K, bands=_BANDS, min_match=_MIN_MATCH)
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    consts = minhash_constants(_K)
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_selects = []
+    for j in range(_BANDS):
+        cols = [f"m{i}" for i in range(j * _ROWS, (j + 1) * _ROWS)]
+        concat = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {j} AS band, {_md5_60(concat)} AS bh FROM sig"
+        )
+    bands_sql = "\n    UNION ALL\n    ".join(band_selects)
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(_K)
+    )
+    return f"""
+WITH {_NEARDUP_CORPUS},
+{_shingle_ctes(3)},
+h AS (SELECT doc_id, {_md5_32("shingle")} AS h FROM sh),
+sig AS (SELECT doc_id,
+           {mins}
+        FROM h GROUP BY doc_id),
+bands AS (
+    {bands_sql}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+scored AS (
+    SELECT c.doc_a, c.doc_b, CAST({match_sum} AS BIGINT) AS n_match
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_match FROM scored WHERE n_match >= {_MIN_MATCH}
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(
+        _neardup_corpus(spark, sf_dir), "text", "doc_id",
+        shingle_n=3, df_cap=50, min_permille=300,
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH {_NEARDUP_CORPUS},
+{_shingle_ctes(3)},
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle) WHERE df <= 50),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+    FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+out AS (
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           CAST(sa.n_sh + sb.n_sh - i.n_inter AS BIGINT) AS n_union
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, n_inter, n_union,
+       CAST((n_inter * 1000) // n_union AS BIGINT) AS jaccard_permille
+FROM out WHERE (n_inter * 1000) // n_union >= 300
+"""
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(_documents(spark, sf_dir), "text", "doc_id")
+
+
+def _sql_simhash() -> str:
+    bits = 32
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+toks AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+u AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+dt AS (SELECT DISTINCT doc_id, tok FROM u),
+h AS (SELECT doc_id, {_md5_32("tok")} AS h FROM dt),
+agg AS (SELECT doc_id,
+           {sums}
+        FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg
+"""
+
+
+_N_QUERIES, _TOPK = 20, 10
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk(queries, emb, "embedding", "vec_id", k=_TOPK)
+
+
+SQL_EMBEDDING_COSINE_TOPK = f"""
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000000) AS BIGINT)) AS ie
+    FROM embeddings
+),
+n AS (SELECT vec_id, ie, CAST(list_sum(list_transform(ie, x -> x * x)) AS BIGINT) AS n2 FROM e),
+q AS (SELECT vec_id AS query_id, ie AS qv, n2 AS qn FROM n WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(q.qv, c.ie), s -> s[1] * s[2])) AS BIGINT) AS dot,
+           q.qn, c.n2
+    FROM q, n c WHERE c.vec_id <> q.query_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           round(CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS sim
+    FROM pairs
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+_N_PLANES, _DIM = 16, 64
+
+
+def q_rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rp_lsh_buckets(
+        _embeddings(spark, sf_dir), "embedding", "vec_id",
+        n_planes=_N_PLANES, dim=_DIM,
+    )
+
+
+def _sql_rp_lsh_buckets() -> str:
+    w = lsh_planes(_N_PLANES, _DIM)
+    terms = []
+    for p in range(_N_PLANES):
+        lit = "[" + ", ".join(str(int(v)) for v in w[p]) + "]"
+        terms.append(
+            f"(CASE WHEN CAST(list_sum(list_transform(list_zip(ie, {lit}), "
+            f"s -> s[1] * s[2])) AS BIGINT) >= 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = "\n         + ".join(terms)
+    return f"""
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000000) AS BIGINT)) AS ie
+    FROM embeddings
+)
+SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM e
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "docs_exact_dedup": q_exact_dedup,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "rp_lsh_buckets": q_rp_lsh_buckets,
+}
+
+ORACLE_SQL = {
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "docs_exact_dedup": SQL_EXACT_DEDUP,
+    "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "simhash_fingerprints": _sql_simhash(),
+    "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
+    "rp_lsh_buckets": _sql_rp_lsh_buckets(),
+}
