@@ -3,10 +3,11 @@ SURVEY.md §2.6, §3 EP3).
 
 The reference runs 4+ independent actions per table (count, distinct count,
 dup probe, min/max), re-scanning the input each time.  ``table_summary``
-computes the whole profile in a SINGLE pass: one aggregate over the scan
-(count + approx/exact distinct + min/max fused), plus one aggregate over a
-key-group for exact duplicate stats.  Returns DataFrames, not prints, so
-checks compose into pipelines and tests.
+computes the whole profile in a SINGLE scan: the key-group aggregate carries
+the date min/max through (min-of-mins / max-of-maxes), so duplicates,
+distinct keys, row counts, and the date range all come out of one pass —
+at 100 TB each extra pass is a full re-read of the table.
+Returns DataFrames, not prints, so checks compose into pipelines and tests.
 """
 
 from __future__ import annotations
@@ -28,17 +29,16 @@ def table_summary(
     100 TB the exact distinct is a full shuffle of the key set; the sketch
     is one pass, mergeable, ~2% error.
     """
-    key_group = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
-    aggs = [
-        F.sum("__n").cast("bigint").alias("n_rows"),
-        F.count(F.lit(1)).cast("bigint").alias("n_distinct_keys"),
-        F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_keys"),
-        F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0))
-        .cast("bigint")
-        .alias("n_dup_rows"),
-    ]
-    summary = key_group.agg(*aggs)
+    date_aggs = (
+        [
+            F.min(date_col).cast("date").alias("__mind"),
+            F.max(date_col).cast("date").alias("__maxd"),
+        ]
+        if date_col is not None
+        else []
+    )
     if not exact_distinct:
+        # HLL path: no key-group shuffle at all — one partial+final agg.
         summary = df.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.approx_count_distinct(F.concat_ws("\x1f", *key_cols))
@@ -46,13 +46,35 @@ def table_summary(
             .alias("n_distinct_keys"),
             F.lit(None).cast("bigint").alias("n_dup_keys"),
             F.lit(None).cast("bigint").alias("n_dup_rows"),
+            *date_aggs,
+        )
+    else:
+        key_group = df.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("__n"), *date_aggs
+        )
+        summary = key_group.agg(
+            F.sum("__n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_keys"),
+            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_keys"),
+            F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_rows"),
+            *(
+                [
+                    F.min("__mind").alias("__mind2"),
+                    F.max("__maxd").alias("__maxd2"),
+                ]
+                if date_col is not None
+                else []
+            ),
         )
     if date_col is not None:
-        dates = df.agg(
-            F.min(date_col).cast("date").alias("min_date"),
-            F.max(date_col).cast("date").alias("max_date"),
+        summary = summary.withColumnsRenamed(
+            {"__mind": "min_date", "__maxd": "max_date",
+             "__mind2": "min_date", "__maxd2": "max_date"}
         )
-        summary = summary.crossJoin(dates)
     return summary
 
 
