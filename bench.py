@@ -37,6 +37,13 @@ HEADLINE = [
     "simhash_fingerprints",
     "embedding_cosine_topk",
     "rp_lsh_buckets",
+    "shipping_priority",
+    "region_revenue",
+    "returned_top_customers",
+    "rollup_revenue",
+    "rank_orders_top3",
+    "asof_purchase_view",
+    "salted_skew_revenue",
 ]
 
 

@@ -14,7 +14,7 @@ Only semantics that aren't a bare ``df.join`` get a wrapper:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -78,3 +78,97 @@ def resolve_interval_key(
         *[F.col(f"f.{c}") for c in fact.columns],
         *[F.col(f"d.{c}").alias(c) for c in dim_payload],
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the payload of the
+    latest right row with the same key and ``right_ts <= left_ts``
+    (``<`` when strict=True).  Equivalent of DuckDB/pandas ASOF JOIN —
+    an operator Spark lacks natively.
+
+    Scalable union+window formulation: instead of an interval join (which
+    would explode or need per-key sorting on the driver), tag both inputs,
+    union them, and carry the last non-null right payload forward with a
+    running window.  ONE shuffle by key — at 100 TB this is a single
+    sort-merge pass, no broadcast or skew-sensitive range join, and it
+    handles unbounded lookback without an interval-bucketing heuristic.
+
+    Ties (right_ts == left_ts): the right row sorts before the left row
+    (tag 0 < 1), so an exact-timestamp match IS visible — same as ASOF's
+    ``>=`` convention.  strict=True sorts the left row first instead.
+    Right rows must be unique per (key, ts) for deterministic payloads —
+    pre-aggregate if not.
+    """
+    clash = set(right_payload) & set(left.columns)
+    if clash:
+        raise ValueError(f"right_payload collides with left columns: {clash}")
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__tag", F.lit(1))
+    for c in right_payload:
+        lt = lt.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    rt = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *right_payload,
+    )
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = lt.select(rt.columns).unionByName(rt.select(rt.columns))
+    order = [F.col("__ts"), F.col("__tag").desc() if strict else F.col("__tag")]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}") for c in right_payload],
+    )
+    if strict:
+        # The left row sorted before same-ts right rows, so last() already
+        # excludes exact-ts matches.
+        pass
+    return (
+        filled.filter(F.col("__tag") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"__f_{c}").alias(c) for c in right_payload],
+        )
+    )
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the large side's key with a random
+    shard in [0, salt) and replicate the small side ``salt`` times, so one
+    hot key spreads over ``salt`` reducers instead of melting a single task.
+
+    Result is identical to ``large.join(small, on, how)`` — salting is an
+    execution strategy, not a semantic change.  AQE's skewJoin handles
+    moderate skew automatically; explicit salting is for the pathological
+    single-key case (a null-heavy FK, one whale customer) where even a
+    split task's probe side is one value.  Supports inner/left joins
+    (the salted key never loses large-side rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    lg = large.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    sm = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = lg.join(sm, on=[*on, "__salt"], how=how)
+    return out.drop("__salt")

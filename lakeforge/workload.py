@@ -534,7 +534,7 @@ FROM events
 # Registry
 # ---------------------------------------------------------------------------
 
-from lakeforge import workload_llm  # noqa: E402  (registered below)
+from lakeforge import workload_llm, workload_rel  # noqa: E402  (registered below)
 
 QUERIES: dict[str, QueryFn] = {
     "scd2_orders": q_scd2_orders,
@@ -576,3 +576,5 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES.update(workload_llm.QUERIES)
 ORACLE_SQL.update(workload_llm.ORACLE_SQL)
+QUERIES.update(workload_rel.QUERIES)
+ORACLE_SQL.update(workload_rel.ORACLE_SQL)

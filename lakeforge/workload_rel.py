@@ -1,0 +1,535 @@
+"""Extended relational workload: operators beyond reference parity that any
+general analytics engine must cover (SURVEY.md §2.4 note — semi/anti "fall
+out of the same join operator" — plus rollup/cube, distinct aggregates,
+ranking windows, running frames, set ops, pivot, as-of join, salted skew
+join, and multi-join TPC-H-shaped analytics).
+
+Same conventions as workload.py: identical aliases Spark-vs-oracle, exact
+DECIMAL money math, deterministic orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakeforge.io.sources import read_events
+from lakeforge.ops.joins import asof_join, salted_join
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _revenue() -> F.Column:
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    return price * (F.lit(1).cast(DEC) - disc)
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins.  Plan note: both shuffle only the key columns of orders
+# (column pruning) and never materialize order payloads — at scale these are
+# the cheapest join shapes there are, and AQE can broadcast the filtered
+# orders key set.
+# ---------------------------------------------------------------------------
+
+def q_semi_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SQL_SEMI_HIGH_VALUE = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+"""
+
+
+def q_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
+SQL_ANTI_NO_ORDERS = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation: ROLLUP / CUBE with grouping_id.  Spark
+# plans these as a single Expand + hash-aggregate — one shuffle regardless
+# of how many grouping sets, which is the right physical shape at scale.
+# ---------------------------------------------------------------------------
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(_revenue()).alias("sum_rev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+SQL_ROLLUP_REVENUE = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM({_REV_SQL}) AS sum_rev,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("sum_price"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+SQL_CUBE_ORDER_STATS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregates (partial-agg + distinct-expand in one pass).
+# ---------------------------------------------------------------------------
+
+def q_distinct_agg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+    )
+
+
+SQL_DISTINCT_AGG_PRIORITY = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       MIN(CAST(o_orderdate AS DATE)) AS first_order,
+       MAX(CAST(o_orderdate AS DATE)) AS last_order
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ranking windows: rank / dense_rank / ntile / row_number in one window
+# (one shuffle+sort by o_custkey).
+# ---------------------------------------------------------------------------
+
+def q_rank_orders_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast(DEC).alias("total_price"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+SQL_RANK_ORDERS_TOP3 = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+         CAST(rank()       OVER w AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+         CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
+         CAST(row_number() OVER w AS BIGINT) AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+SELECT * FROM r WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Running-frame window: cumulative + sliding sums with explicit rowsBetween.
+# ---------------------------------------------------------------------------
+
+def q_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    order = [F.col("order_date").asc(), F.col("o_orderkey").asc()]
+    cum = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last3 = Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(-2, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").cast(DEC).alias("total_price"),
+    ).select(
+        "*",
+        F.sum("total_price").over(cum).alias("cum_spend"),
+        F.sum("total_price").over(last3).alias("spend_last3"),
+    )
+
+
+SQL_RUNNING_ORDER_TOTALS = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+         (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_spend,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+         (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS spend_last3
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT (both distinct-semantics).
+# ---------------------------------------------------------------------------
+
+def _custkeys_in_year(df: DataFrame, year: int) -> DataFrame:
+    return df.filter(F.year("o_orderdate") == year).select("o_custkey")
+
+
+def q_active_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return _custkeys_in_year(o, 1996).intersect(_custkeys_in_year(o, 1997))
+
+
+SQL_ACTIVE_BOTH_YEARS = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+def q_churned_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    # subtract == EXCEPT DISTINCT (exceptAll would keep surplus multiplicity).
+    return _custkeys_in_year(o, 1996).subtract(_custkeys_in_year(o, 1997))
+
+
+SQL_CHURNED_CUSTKEYS = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot (explicit value list -> no extra distinct job at plan time).
+# ---------------------------------------------------------------------------
+
+_STATUSES = ["F", "O", "P"]
+
+
+def q_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(s) for s in _STATUSES],
+    )
+
+
+SQL_PIVOT_PRIORITY_STATUS = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F",
+       CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O",
+       CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase event matched to the user's latest view event at
+# or before the purchase (ops/joins.py::asof_join — single shuffle by
+# user_id, no interval explosion).  Oracle: DuckDB native ASOF JOIN.
+# ---------------------------------------------------------------------------
+
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").cast(DEC).alias("purchase_value")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.col("value").cast(DEC)).alias("view_value"))
+        .select("user_id", "ts", F.col("ts").alias("view_ts"), "view_value")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["view_ts", "view_value"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        "purchase_value",
+        F.date_format("view_ts", fmt).alias("view_ts"),
+        "view_value",
+    )
+
+
+SQL_ASOF_PURCHASE_VIEW = """
+WITH v AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(ts AS TIMESTAMP) AS view_ts,
+         MAX(CAST(value AS DECIMAL(18,2))) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2, 3
+), p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(value AS DECIMAL(18,2)) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       p.purchase_value, strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       v.view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join: semantically a plain inner join (the oracle IS the plain
+# join) — the salt only changes the physical shuffle distribution.
+# ---------------------------------------------------------------------------
+
+def q_salted_skew_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", _revenue().alias("rev"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = salted_join(
+        li.withColumnRenamed("l_suppkey", "s_suppkey"), supp, on=["s_suppkey"], salt=8
+    )
+    return joined.groupBy("s_name").agg(F.sum("rev").alias("sum_rev"))
+
+
+SQL_SALTED_SKEW_REVENUE = f"""
+SELECT s_name, SUM({_REV_SQL}) AS sum_rev
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join analytics (Q3 / Q5 / Q10 adapted to the driver's
+# schema).  Plan shape at scale: dims (customer/supplier/nation/region)
+# broadcast; the single big shuffle is lineitem⋈orders on orderkey; date and
+# segment filters push to the parquet scans.
+# ---------------------------------------------------------------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue per order for one segment."""
+    cutoff = F.lit("1998-07-01").cast("date")
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < cutoff
+    ).select("o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("order_date"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > cutoff
+    ).select("l_orderkey", _revenue().alias("rev"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "order_date")
+        .agg(F.sum("rev").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       SUM({_REV_SQL}) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND CAST(o_orderdate AS DATE) < DATE '1998-07-01'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-07-01'
+GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where customer and supplier share
+    the nation, one region, one year."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1997
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _revenue().alias("rev")
+    )
+    nations_in_region = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nations_in_region), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+SQL_REGION_REVENUE = f"""
+SELECT n_name, SUM({_REV_SQL}) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA' AND year(o_orderdate) = 1997
+GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter."""
+    lo = F.lit("1997-01-01").cast("date")
+    hi = F.lit("1997-04-01").cast("date")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= lo)
+        & (F.col("o_orderdate").cast("date") < hi)
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", _revenue().alias("rev"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("revenue"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_RETURNED_TOP_CUSTOMERS = f"""
+SELECT c_custkey, c_name, c_mktsegment, SUM({_REV_SQL}) AS revenue
+FROM customer, orders, lineitem
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches (no exact oracle possible — different HLL/KLL
+# implementations give different estimates; the driver records a rows-only
+# check, which is the honest contract for approximate operators).
+# ---------------------------------------------------------------------------
+
+def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
+QUERIES = {
+    "semi_high_value_customers": q_semi_high_value_customers,
+    "anti_customers_no_orders": q_anti_customers_no_orders,
+    "rollup_revenue": q_rollup_revenue,
+    "cube_order_stats": q_cube_order_stats,
+    "distinct_agg_priority": q_distinct_agg_priority,
+    "rank_orders_top3": q_rank_orders_top3,
+    "running_order_totals": q_running_order_totals,
+    "active_both_years": q_active_both_years,
+    "churned_custkeys": q_churned_custkeys,
+    "pivot_priority_status": q_pivot_priority_status,
+    "asof_purchase_view": q_asof_purchase_view,
+    "salted_skew_revenue": q_salted_skew_revenue,
+    "shipping_priority": q_shipping_priority,
+    "region_revenue": q_region_revenue,
+    "returned_top_customers": q_returned_top_customers,
+    "sketch_profile": q_sketch_profile,
+}
+
+ORACLE_SQL = {
+    "semi_high_value_customers": SQL_SEMI_HIGH_VALUE,
+    "anti_customers_no_orders": SQL_ANTI_NO_ORDERS,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "cube_order_stats": SQL_CUBE_ORDER_STATS,
+    "distinct_agg_priority": SQL_DISTINCT_AGG_PRIORITY,
+    "rank_orders_top3": SQL_RANK_ORDERS_TOP3,
+    "running_order_totals": SQL_RUNNING_ORDER_TOTALS,
+    "active_both_years": SQL_ACTIVE_BOTH_YEARS,
+    "churned_custkeys": SQL_CHURNED_CUSTKEYS,
+    "pivot_priority_status": SQL_PIVOT_PRIORITY_STATUS,
+    "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
+    "salted_skew_revenue": SQL_SALTED_SKEW_REVENUE,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "region_revenue": SQL_REGION_REVENUE,
+    "returned_top_customers": SQL_RETURNED_TOP_CUSTOMERS,
+    # sketch_profile: intentionally no oracle (approximate results).
+}

@@ -134,3 +134,68 @@ def test_duplicate_keys(spark):
 def test_ordered_sample(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], ["v"])
     assert [r["v"] for r in ordered_sample(df, ["v"], 3).collect()] == [0, 1, 2]
+
+
+def test_asof_join_backward_with_exact_tie(spark):
+    from lakeforge.ops.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 25, "p2"), (2, 5, "p3")], ["uid", "t", "ev"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "v@10"), (1, 20, "v@20"), (1, 30, "v@30"), (3, 1, "vX")],
+        ["uid", "t", "seen"],
+    )
+    out = asof_join(
+        left, right, on=["uid"], left_ts="t", right_ts="t", right_payload=["seen"]
+    ).collect()
+    got = {r["ev"]: r["seen"] for r in out}
+    # exact-ts match visible (>= convention); no right row for uid=2 -> null
+    assert got == {"p1": "v@10", "p2": "v@20", "p3": None}
+    assert len(out) == 3  # left row count preserved
+
+
+def test_asof_join_strict_excludes_exact_tie(spark):
+    from lakeforge.ops.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10, "p1")], ["uid", "t", "ev"])
+    right = spark.createDataFrame(
+        [(1, 10, "v@10"), (1, 9, "v@9")], ["uid", "t", "seen"]
+    )
+    out = asof_join(
+        left, right, on=["uid"], left_ts="t", right_ts="t",
+        right_payload=["seen"], strict=True,
+    ).collect()
+    assert out[0]["seen"] == "v@9"
+
+
+def test_asof_join_payload_clash_raises(spark):
+    import pytest
+
+    from lakeforge.ops.joins import asof_join
+
+    df = spark.createDataFrame([(1, 1, "x")], ["uid", "t", "seen"])
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(df, df, on=["uid"], left_ts="t", right_ts="t",
+                  right_payload=["seen"])
+
+
+def test_salted_join_matches_plain_join(spark):
+    from lakeforge.ops.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ("hot", "cold")], ["k", "v"]
+    )
+    small = spark.createDataFrame([("hot", "H"), ("cold", "C")], ["k", "tag"])
+    out = salted_join(big, small, on=["k"], salt=4).orderBy("k", "v").collect()
+    plain = big.join(small, "k").orderBy("k", "v").collect()
+    assert out == plain
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from lakeforge.ops.joins import salted_join
+
+    big = spark.createDataFrame([("a", 1), ("zzz", 2)], ["k", "v"])
+    small = spark.createDataFrame([("a", "A")], ["k", "tag"])
+    rows = {r["k"]: r["tag"] for r in salted_join(big, small, ["k"], salt=3, how="left").collect()}
+    assert rows == {"a": "A", "zzz": None}
