@@ -44,6 +44,8 @@ HEADLINE = [
     "rank_orders_top3",
     "asof_purchase_view",
     "salted_skew_revenue",
+    "ivf_topk",
+    "embedding_neardup",
 ]
 
 

@@ -129,3 +129,128 @@ def rp_lsh_buckets(
     return df.select(
         F.col(id_col).alias("vec_id"), bucket_of(F.col(vec_col)).alias("bucket")
     )
+
+
+def _nano_with_norm(df: DataFrame, vec_col: str, id_col: str, id_out: str,
+                    vec_out: str, n2_out: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(id_out), nano_embedding(vec_col).alias(vec_out)
+    ).withColumn(n2_out, _norm2(vec_out))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``n_cells`` cells around centroid vectors, then search each query only
+    in its ``nprobe`` most-similar cells.
+
+    Centroid choice is deterministic (the vectors with id < n_cells) so the
+    whole operator is exactly reproducible — the oracle replays the same
+    index, making an *approximate* ANN structure value-checkable.  A
+    production variant would swap in k-means centroids; everything
+    downstream (assign/probe/re-rank) is unchanged.
+
+    Scale path vs cosine_topk's O(Q*N): centroids broadcast (tiny), cell
+    assignment is one corpus scan, and the probe join shuffles by cell_id
+    only — the exact kernel runs on ~(nprobe/n_cells) of the corpus per
+    query.  Hot cells (skewed clusters) are the known hazard; raise
+    n_cells or salt the probe join if one cell dominates.
+    """
+    e = _nano_with_norm(corpus, vec_col, id_col, "vec_id", "vec", "n2")
+    cents = (
+        e.filter(F.col("vec_id") < n_cells)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("vec").alias("c_vec"),
+            F.col("n2").alias("c_n2"),
+        )
+    )
+    csim = F.round(
+        _dot("vec", "c_vec").cast("double")
+        / F.sqrt(F.col("n2").cast("double") * F.col("c_n2").cast("double")),
+        6,
+    )
+    scored_cells = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "vec", "n2", "cell_id", csim.alias("csim")
+    )
+    by_sim = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cell_id").asc()
+    )
+    ranked_cells = scored_cells.withColumn("crank", F.row_number().over(by_sim))
+    assign = ranked_cells.filter(F.col("crank") == 1).select(
+        "vec_id", "vec", "n2", "cell_id"
+    )
+    probe = (
+        ranked_cells.filter(
+            (F.col("vec_id") < n_queries) & (F.col("crank") <= nprobe)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("q_vec"),
+            F.col("n2").alias("q_n2"),
+            "cell_id",
+        )
+    )
+    cand = probe.join(assign, "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = F.round(
+        _dot("q_vec", "vec").cast("double")
+        / F.sqrt(F.col("q_n2").cast("double") * F.col("n2").cast("double")),
+        6,
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: RP-LSH bucket join for
+    candidate generation, exact cosine re-rank, keep pairs >= threshold.
+
+    The bucket join prunes the O(N^2) pair space to same-bucket pairs
+    (recall is bounded by the LSH: near-identical vectors agree on all
+    sign bits with high probability).  Output (a, b, sim), a < b.
+    """
+    buckets = rp_lsh_buckets(corpus, vec_col, id_col, n_planes, dim)
+    e = _nano_with_norm(corpus, vec_col, id_col, "vec_id", "vec", "n2")
+    v = e.join(buckets, "vec_id")
+    a = v.select(
+        F.col("vec_id").alias("a"), F.col("vec").alias("a_vec"),
+        F.col("n2").alias("a_n2"), "bucket",
+    )
+    b = v.select(
+        F.col("vec_id").alias("b"), F.col("vec").alias("b_vec"),
+        F.col("n2").alias("b_n2"), "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+    sim = F.round(
+        _dot("a_vec", "b_vec").cast("double")
+        / F.sqrt(F.col("a_n2").cast("double") * F.col("b_n2").cast("double")),
+        6,
+    )
+    # Each vector lands in exactly one bucket, so a pair can only arise
+    # once — no dedup shuffle needed (multi-band variants would need one).
+    return pairs.select("a", "b", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )

@@ -88,15 +88,110 @@ def windowed_counts(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drain all available input into an in-memory table (tests only) and
     return it as a batch DataFrame."""
+    try:  # idempotent re-runs: the memory sink registers a temp view
+        stream_df.sparkSession.catalog.dropTempView(query_name)
+    except Exception:
+        pass
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: session windows via applyInPandasWithState.
+# ---------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_value double"
+)
+_SESSION_STATE_SCHEMA = "start bigint, last bigint, n bigint, total double"
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Session windows per user as a CUSTOM stateful streaming operator
+    (applyInPandasWithState + event-time timeout) — the Spark surface for
+    operators whose state machine the built-ins can't express.
+
+    Semantics: a session closes when a gap > ``gap_seconds`` separates two
+    events of the same user.  Closed sessions are emitted either when the
+    closing event arrives (gap observed in-stream) or when the event-time
+    watermark passes last_ts + gap (timeout).  State per user is O(1)
+    (4 scalars), so total state is bounded by |active users| — the property
+    that keeps this viable on an unbounded 100 TB stream; the watermark
+    timeout is what guarantees eviction for users that go quiet.
+
+    Works only on a streaming DataFrame; the batch twin (same semantics,
+    LAG + cumulative-sum formulation) is workload.q_events_sessionize,
+    which the DuckDB oracle checks.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        user_id = key[0]
+        closed: list[tuple] = []
+
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = n = 0
+            total = 0.0
+
+        if state.hasTimedOut:
+            if n:
+                closed.append((user_id, start, last, n, total))
+            state.remove()
+        else:
+            rows = []
+            for pdf in pdfs:
+                ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+                rows.extend(zip(ts_us.tolist(), pdf["value"].tolist()))
+            rows.sort()
+            for ts, val in rows:
+                if n and ts - last > gap_us:
+                    closed.append((user_id, start, last, n, total))
+                    start, n, total = ts, 0, 0.0
+                elif not n:
+                    start = ts
+                last = ts
+                n += 1
+                total += val if val == val else 0.0  # NaN-safe
+            state.update((start, last, n, total))
+            state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+
+        out = pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+        )
+        if len(out):
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        yield out
+
+    return (
+        events.withWatermark("ts", f"{gap_seconds} seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

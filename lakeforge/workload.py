@@ -578,3 +578,41 @@ QUERIES.update(workload_llm.QUERIES)
 ORACLE_SQL.update(workload_llm.ORACLE_SQL)
 QUERIES.update(workload_rel.QUERIES)
 ORACLE_SQL.update(workload_rel.ORACLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState sessionizer,
+# streaming/events.py).  Genuinely non-SQL-expressible as a stream -> no
+# oracle entry; the driver records the weaker rows-only check, and
+# tests/test_streaming.py proves the semantics against a batch pass.
+# ---------------------------------------------------------------------------
+
+def q_events_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from lakeforge.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        sessionize_stateful,
+    )
+
+    stage = tempfile.mkdtemp(prefix="lf_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-000.parquet")
+    stream = read_events_stream(spark, stage)
+    out = run_available_now(
+        sessionize_stateful(stream, gap_seconds=1800),
+        "events_sessions_stateful",
+        output_mode="append",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+QUERIES["events_sessions_stateful"] = q_events_sessions_stateful

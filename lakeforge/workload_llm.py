@@ -314,17 +314,22 @@ def q_rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_rp_lsh_buckets() -> str:
+def _bucket_expr(var: str) -> str:
+    """DuckDB expression for the RP-LSH bucket of nano-list column ``var``."""
     w = lsh_planes(_N_PLANES, _DIM)
     terms = []
     for p in range(_N_PLANES):
         lit = "[" + ", ".join(str(int(v)) for v in w[p]) + "]"
         terms.append(
-            f"(CASE WHEN CAST(list_sum(list_transform(list_zip(ie, {lit}), "
+            f"(CASE WHEN CAST(list_sum(list_transform(list_zip({var}, {lit}), "
             f"s -> s[1] * s[2])) AS BIGINT) >= 0 "
             f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
         )
-    bucket = "\n         + ".join(terms)
+    return "\n         + ".join(terms)
+
+
+def _sql_rp_lsh_buckets() -> str:
+    bucket = _bucket_expr("ie")
     return f"""
 WITH e AS (
     SELECT vec_id,
@@ -358,3 +363,140 @@ ORACLE_SQL = {
     "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
     "rp_lsh_buckets": _sql_rp_lsh_buckets(),
 }
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate nearest neighbors (llm/similarity.py::ivf_topk).  The
+# oracle replays the identical deterministic index (seed centroids =
+# vec_id < n_cells), so approximate recall is value-checked exactly.
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS, _IVF_PROBE = 16, 4
+
+_NANO_CTE = """
+WITH e0 AS (
+    SELECT vec_id,
+           list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000000) AS BIGINT)) AS vec
+    FROM embeddings
+),
+e AS (SELECT vec_id, vec, CAST(list_sum(list_transform(vec, x -> x * x)) AS BIGINT) AS n2 FROM e0)
+"""
+
+_LIST_DOT = "CAST(list_sum(list_transform(list_zip({a}, {b}), s -> s[1] * s[2])) AS BIGINT)"
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.similarity import ivf_topk
+
+    return ivf_topk(
+        _embeddings(spark, sf_dir), "embedding", "vec_id",
+        n_cells=_IVF_CELLS, nprobe=_IVF_PROBE, n_queries=_N_QUERIES, k=_TOPK,
+    )
+
+
+def _sql_ivf_topk() -> str:
+    dot_c = _LIST_DOT.format(a="e.vec", b="c.c_vec")
+    dot_q = _LIST_DOT.format(a="p.q_vec", b="a.vec")
+    return f"""{_NANO_CTE},
+cents AS (
+    SELECT vec_id AS cell_id, vec AS c_vec, n2 AS c_n2 FROM e
+    WHERE vec_id < {_IVF_CELLS}
+),
+scored_cells AS (
+    SELECT e.vec_id, e.vec, e.n2, c.cell_id,
+           round(CAST({dot_c} AS DOUBLE) / sqrt(CAST(e.n2 AS DOUBLE) * CAST(c.c_n2 AS DOUBLE)), 6) AS csim
+    FROM e, cents c
+),
+ranked_cells AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id ASC) AS crank
+    FROM scored_cells
+),
+assign AS (SELECT vec_id, vec, n2, cell_id FROM ranked_cells WHERE crank = 1),
+probe AS (
+    SELECT vec_id AS query_id, vec AS q_vec, n2 AS q_n2, cell_id
+    FROM ranked_cells WHERE vec_id < {_N_QUERIES} AND crank <= {_IVF_PROBE}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round(CAST({dot_q} AS DOUBLE) / sqrt(CAST(p.q_n2 AS DOUBLE) * CAST(a.n2 AS DOUBLE)), 6) AS sim
+    FROM probe p JOIN assign a USING (cell_id)
+    WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM cand
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs: LSH-bucket candidates + exact
+# re-rank (llm/similarity.py::embedding_neardup_pairs).
+# ---------------------------------------------------------------------------
+
+_NEARDUP_T = 0.99
+_NEARDUP_N = 20  # vectors that get a perturbed twin (vec_id + 10000)
+
+
+def _neardup_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings + near-duplicate twins: vec_id < N copied to vec_id+10000
+    with +0.01 on the first coordinate.  The testdata embeddings are
+    near-orthogonal randoms (no natural near-dups), so the twins are what
+    give the near-dup operator true positives to find — deterministically
+    reproduced in the oracle."""
+    emb = _embeddings(spark, sf_dir)
+    as_double = F.transform("embedding", lambda v: v.cast("double"))
+    base = emb.select("vec_id", as_double.alias("embedding"))
+    pert = emb.filter(F.col("vec_id") < _NEARDUP_N).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0].cast("double") + F.lit(0.01)),
+            F.slice(as_double, 2, _DIM - 1),
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _neardup_embedding_corpus(spark, sf_dir), "embedding", "vec_id",
+        threshold=_NEARDUP_T, n_planes=_N_PLANES, dim=_DIM,
+    )
+
+
+def _sql_embedding_neardup() -> str:
+    dot = _LIST_DOT.format(a="a.vec", b="b.vec")
+    return f"""
+WITH emb2 AS (
+    SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000,
+           list_concat([CAST(embedding[1] AS DOUBLE) + 0.01],
+                       list_transform(embedding[2:], v -> CAST(v AS DOUBLE)))
+    FROM embeddings WHERE vec_id < {_NEARDUP_N}
+),
+e0 AS (
+    SELECT vec_id,
+           list_transform(embedding, v -> CAST(round(v * 1000000000) AS BIGINT)) AS vec
+    FROM emb2
+),
+e AS (SELECT vec_id, vec, CAST(list_sum(list_transform(vec, x -> x * x)) AS BIGINT) AS n2 FROM e0),
+v AS (SELECT vec_id, vec, n2, CAST({_bucket_expr("vec")} AS BIGINT) AS bucket FROM e),
+pairs AS (
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(CAST({dot} AS DOUBLE) / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6) AS sim
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT a, b, sim FROM pairs WHERE sim >= {_NEARDUP_T}
+"""
+
+
+QUERIES["ivf_topk"] = q_ivf_topk
+ORACLE_SQL["ivf_topk"] = _sql_ivf_topk()
+QUERIES["embedding_neardup"] = q_embedding_neardup
+ORACLE_SQL["embedding_neardup"] = _sql_embedding_neardup()

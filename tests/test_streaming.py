@@ -59,3 +59,54 @@ def test_stream_incremental_files_accumulate(spark, tmp_path):
         (r["w_start"], r["event_type"]): 2 * r["n_events"] for r in batch.collect()
     }
     assert got == want
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_sessionize_stateful_matches_batch_sessions(spark, tmp_path):
+    """The applyInPandasWithState sessionizer's closed sessions must agree
+    with a pandas-computed batch sessionization: every emitted session is a
+    true session, and every non-final session per user is emitted (final
+    sessions may stay open in state if no timeout batch fires)."""
+    import pandas as pd
+
+    from lakeforge.streaming.events import sessionize_stateful
+
+    stream_dir = tmp_path / "events_sess"
+    stream_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", stream_dir / "part-000.parquet")
+
+    gap_s = 1800
+    stream = read_events_stream(spark, str(stream_dir))
+    out = run_available_now(
+        sessionize_stateful(stream, gap_seconds=gap_s),
+        "sessionize_stateful_test",
+        output_mode="append",
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out.collect()
+    }
+
+    # Expected sessions from a plain pandas pass over the same data.
+    pdf = read_events(spark, SF_DIR).select("user_id", "ts", "value").toPandas()
+    pdf = pdf.sort_values(["user_id", "ts"])
+    expected_all = set()
+    expected_nonfinal = set()
+    for uid, g in pdf.groupby("user_id"):
+        ts = g["ts"].tolist()
+        sessions = []
+        start = prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if (t - prev).total_seconds() > gap_s:
+                sessions.append((uid, start, prev, n))
+                start, n = t, 0
+            prev = t
+            n += 1
+        sessions.append((uid, start, prev, n))
+        expected_all.update(sessions)
+        expected_nonfinal.update(sessions[:-1])
+
+    assert got, "no sessions emitted"
+    assert got <= expected_all, "emitted a session that batch logic rejects"
+    assert expected_nonfinal <= got, "missed an in-stream-closed session"

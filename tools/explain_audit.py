@@ -39,10 +39,12 @@ def main() -> None:
         if only and name not in only:
             continue
         p = plan_of(fn(spark, sf_dir))
-        n_exchange = len(re.findall(r"\bExchange\b", p))
-        n_bhj = len(re.findall(r"BroadcastHashJoin", p))
-        n_smj = len(re.findall(r"SortMergeJoin", p))
-        n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", p))
+        # Count only the numbered detail headers ("(6) Exchange") — each node
+        # appears twice in formatted output (tree + details).
+        n_exchange = len(re.findall(r"\(\d+\) Exchange\b", p))
+        n_bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", p))
+        n_smj = len(re.findall(r"\(\d+\) SortMergeJoin", p))
+        n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
         pushed_nonempty = [x for x in pushed if x.strip()]
         schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
