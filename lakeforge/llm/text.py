@@ -76,3 +76,26 @@ def doc_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         id_col,
         md5_int(F.array_join(tokens_col(text_col), " ")).alias("fingerprint"),
     )
+
+
+# GPT-2-style pretokenizer, simplified to the subset Java regex and RE2
+# (DuckDB) evaluate identically — no lookahead (RE2 has none), no
+# contraction alternates.  Chunks = optional-space + letters | digits |
+# punctuation runs.
+BPE_REGEX = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace and BPE-ish token counts per document.
+
+    The BPE-ish count approximates LLM token budgets ~2-4x better than
+    whitespace counts on prose (punctuation and numbers split off), while
+    staying JVM-side (regexp_extract_all inside codegen — no Python).
+    """
+    return df.select(
+        id_col,
+        F.size(tokens_col(text_col)).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )

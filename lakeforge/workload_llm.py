@@ -500,3 +500,24 @@ QUERIES["ivf_topk"] = q_ivf_topk
 ORACLE_SQL["ivf_topk"] = _sql_ivf_topk()
 QUERIES["embedding_neardup"] = q_embedding_neardup
 ORACLE_SQL["embedding_neardup"] = _sql_embedding_neardup()
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish regex (llm/text.py::token_counts).
+# ---------------------------------------------------------------------------
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.text import token_counts
+
+    return token_counts(_documents(spark, sf_dir), "text", "doc_id")
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(length(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(length(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+QUERIES["token_counts"] = q_token_counts
+ORACLE_SQL["token_counts"] = SQL_TOKEN_COUNTS
