@@ -533,3 +533,134 @@ ORACLE_SQL = {
     "returned_top_customers": SQL_RETURNED_TOP_CUSTOMERS,
     # sketch_profile: intentionally no oracle (approximate results).
 }
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (beyond rollup/cube: an explicit set list) — Spark SQL API;
+# same single Expand + one-shuffle physical shape as rollup.
+# ---------------------------------------------------------------------------
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(grouping_id() AS INT) AS gid
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# String scalar-function profile (split/extract/pad/replace/concat — the
+# string surface the reference never needed but an engine must have; all
+# JVM-side, codegen'd).
+# ---------------------------------------------------------------------------
+
+def q_string_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.element_at(words, 1).alias("color"),
+        F.element_at(words, 2).alias("object"),
+        F.upper("p_type").alias("type_uc"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).cast("int").alias("brand_num"),
+        F.lpad(F.regexp_extract("p_brand", r"(\d+)", 1), 3, "0").alias("brand_pad"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+SQL_STRING_PROFILE = r"""
+SELECT p_partkey,
+       string_split(p_name, ' ')[1] AS color,
+       string_split(p_name, ' ')[2] AS object,
+       upper(p_type) AS type_uc,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       CAST(regexp_extract(p_brand, '(\d+)', 1) AS INTEGER) AS brand_num,
+       lpad(regexp_extract(p_brand, '(\d+)', 1), 3, '0') AS brand_pad,
+       regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+       concat_ws('|', p_brand, p_type) AS brand_type
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# first_value / last_value / nth_value over an unbounded frame.
+# ---------------------------------------------------------------------------
+
+def q_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("d").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first_value("o_orderkey").over(w).alias("first_order"),
+        F.last_value("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    ).distinct()
+
+
+SQL_FIRST_LAST_ORDERS = """
+SELECT DISTINCT o_custkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey)  OVER w AS last_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles (percentile_cont semantics — distinct from
+# the approximate sketch in q_sketch_profile).
+# ---------------------------------------------------------------------------
+
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+SQL_EXACT_PERCENTILES = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+for _n, _f, _s in [
+    ("grouping_sets_revenue", q_grouping_sets_revenue, SQL_GROUPING_SETS_REVENUE),
+    ("string_profile", q_string_profile, SQL_STRING_PROFILE),
+    ("first_last_orders", q_first_last_orders, SQL_FIRST_LAST_ORDERS),
+    ("exact_percentiles", q_exact_percentiles, SQL_EXACT_PERCENTILES),
+]:
+    QUERIES[_n] = _f
+    ORACLE_SQL[_n] = _s
