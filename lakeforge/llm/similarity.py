@@ -198,7 +198,11 @@ def ivf_topk(
             "cell_id",
         )
     )
-    cand = probe.join(assign, "cell_id").filter(
+    # Broadcast the probe side (queries x nprobe rows — tiny): joining BY
+    # cell_id would shuffle the whole corpus onto <= n_cells reducers (low
+    # cardinality => capped parallelism + skew).  Broadcasting keeps the
+    # corpus scan shuffle-free end-to-end.
+    cand = assign.join(F.broadcast(probe), "cell_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
     sim = F.round(
