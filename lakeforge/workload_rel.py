@@ -664,3 +664,72 @@ for _n, _f, _s in [
 ]:
     QUERIES[_n] = _f
     ORACLE_SQL[_n] = _s
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: pure filtered scan-aggregate — the predicate-pushdown /
+# column-pruning showcase (the scan should read 4 columns and push all 3
+# range predicates; verify via tools/explain_audit.py).
+# ---------------------------------------------------------------------------
+
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+SQL_REVENUE_FORECAST = """
+SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: orders-per-customer histogram (left outer + two-level
+# aggregation — the grouped-count-of-counts pattern).
+# ---------------------------------------------------------------------------
+
+def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
+SQL_CUSTOMER_ORDER_HISTOGRAM = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+QUERIES["revenue_forecast"] = q_revenue_forecast
+ORACLE_SQL["revenue_forecast"] = SQL_REVENUE_FORECAST
+QUERIES["customer_order_histogram"] = q_customer_order_histogram
+ORACLE_SQL["customer_order_histogram"] = SQL_CUSTOMER_ORDER_HISTOGRAM

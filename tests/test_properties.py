@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the semantically-hard operators.
+
+Each example spins Spark jobs, so max_examples is kept small; the point is
+shrinkable counterexamples on the interval/ordering edge cases that
+hand-written fixtures miss.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lakeforge.ops.joins import asof_join
+from lakeforge.ops.scd2 import scd2
+
+_SETTINGS = dict(max_examples=12, deadline=None)
+
+_DATES = st.dates(min_value=dt.date(2020, 1, 1), max_value=dt.date(2020, 3, 1))
+
+# (key, date, status) rows; duplicates on (key, date) excluded by unique key.
+_TIMELINES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        _DATES,
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_TIMELINES)
+def test_scd2_intervals_partition_each_key_timeline(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "d", "status"])
+    out = scd2(
+        df, key_cols=["k"], tracked_cols=["status"], order_col="d", sk_name="sk"
+    ).collect()
+
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    keys_in = {r[0] for r in rows}
+    assert set(by_key) == keys_in
+
+    sentinel = dt.date(9999, 12, 31)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["effective_start_date"])
+        dates_k = sorted(d for kk, d, _ in rows if kk == k)
+        # first version starts at the key's first observation
+        assert versions[0]["effective_start_date"] == dates_k[0]
+        # consecutive versions tile the timeline: end = next_start - 1 day
+        for a, b in zip(versions, versions[1:]):
+            assert a["effective_end_date"] == b["effective_start_date"] - dt.timedelta(days=1)
+            assert not a["is_current"]
+            # adjacent versions must differ in the tracked column
+            assert a["status"] != b["status"]
+        assert versions[-1]["effective_end_date"] == sentinel
+        assert versions[-1]["is_current"]
+        # surrogate keys unique
+        sks = [v["sk"] for v in versions]
+        assert len(sks) == len(set(sks))
+
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # key
+        st.integers(min_value=0, max_value=30),  # ts
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@settings(**_SETTINGS)
+@given(left=_EVENTS, right=_EVENTS)
+def test_asof_join_matches_naive_python(spark, left, right):
+    lf = spark.createDataFrame(
+        [(k, t, f"L{k}:{t}") for k, t in left], ["k", "t", "lbl"]
+    ) if left else spark.createDataFrame([], "k int, t int, lbl string")
+    rf = spark.createDataFrame(
+        [(k, t, f"R{k}:{t}") for k, t in right], ["k", "t", "payload"]
+    ) if right else spark.createDataFrame([], "k int, t int, payload string")
+
+    got = {
+        (r["k"], r["t"]): r["payload"]
+        for r in asof_join(
+            lf, rf, on=["k"], left_ts="t", right_ts="t", right_payload=["payload"]
+        ).collect()
+    }
+
+    want = {}
+    for k, t in left:
+        cands = [(rt, f"R{k}:{rt}") for rk, rt in right if rk == k and rt <= t]
+        want[(k, t)] = max(cands)[1] if cands else None
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(rows=_TIMELINES)
+def test_scd2_null_safe_vs_reference_mode_on_nulls(spark, rows):
+    """Inject NULL statuses: null_safe=True must register null<->value
+    transitions as changes; reference mode collapses them (SURVEY.md W3)."""
+    with_nulls = [
+        (k, d, None if (k + d.day) % 3 == 0 else s) for k, d, s in rows
+    ]
+    df = spark.createDataFrame(with_nulls, "k int, d date, status string")
+    safe = scd2(
+        df, key_cols=["k"], tracked_cols=["status"], order_col="d",
+        sk_name="sk", null_safe=True,
+    ).collect()
+    # null-safe mode: adjacent versions always differ (null-aware)
+    by_key: dict[int, list] = {}
+    for r in safe:
+        by_key.setdefault(r["k"], []).append(r)
+    for versions in by_key.values():
+        versions.sort(key=lambda r: r["effective_start_date"])
+        for a, b in zip(versions, versions[1:]):
+            assert a["status"] != b["status"]  # None != str in Python too
