@@ -46,6 +46,11 @@ HEADLINE = [
     "salted_skew_revenue",
     "ivf_topk",
     "embedding_neardup",
+    "revenue_forecast",
+    "customer_order_histogram",
+    "orders_above_cust_avg",
+    "rolling_7day_spend",
+    "token_counts",
 ]
 
 

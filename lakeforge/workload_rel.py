@@ -733,3 +733,85 @@ QUERIES["revenue_forecast"] = q_revenue_forecast
 ORACLE_SQL["revenue_forecast"] = SQL_REVENUE_FORECAST
 QUERIES["customer_order_histogram"] = q_customer_order_histogram
 ORACLE_SQL["customer_order_histogram"] = SQL_CUSTOMER_ORDER_HISTOGRAM
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (Catalyst decorrelates it into an aggregate +
+# join — no per-row re-execution; .explain shows a plain Aggregate⋈join).
+# ---------------------------------------------------------------------------
+
+def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ord_corr")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        FROM ord_corr o
+        WHERE o_totalprice > 2 * (
+            SELECT AVG(o_totalprice) FROM ord_corr i
+            WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+SQL_ORDERS_ABOVE_CUST_AVG = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+FROM orders o
+WHERE o_totalprice > 2 * (
+    SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# RANGE frame window: rolling 7-day spend per customer (value-based frame —
+# distinct from the ROWS frames in q_running_order_totals).  Spark's
+# rangeBetween needs a numeric ordering column, so the date becomes
+# epoch-days; the oracle uses the identical integer frame.
+# ---------------------------------------------------------------------------
+
+def q_rolling_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("epoch_day"),
+        F.col("o_totalprice").cast(DEC).alias("total_price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_day")
+        .rangeBetween(-6, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "epoch_day",
+        "total_price",
+        F.sum("total_price").over(w).alias("spend_7d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_orders_7d"),
+    )
+
+
+SQL_ROLLING_7DAY_SPEND = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, epoch_day, total_price,
+       SUM(total_price) OVER w AS spend_7d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_7d
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES["orders_above_cust_avg"] = q_orders_above_cust_avg
+ORACLE_SQL["orders_above_cust_avg"] = SQL_ORDERS_ABOVE_CUST_AVG
+QUERIES["rolling_7day_spend"] = q_rolling_7day_spend
+ORACLE_SQL["rolling_7day_spend"] = SQL_ROLLING_7DAY_SPEND

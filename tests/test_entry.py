@@ -29,3 +29,30 @@ def test_queries_and_oracles_align():
     assert qs, "no queries registered"
     for name in oracles:
         assert name in qs, f"oracle {name} has no query"
+
+
+def test_registry_is_complete_and_callable():
+    """Every query is a 2-arg callable; only genuinely non-SQL ops may lack
+    an oracle (each must be justified here)."""
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    no_oracle = set(qs) - set(oracles)
+    # approximate sketches + stateful streaming: rows-only by design
+    assert no_oracle <= {"sketch_profile", "events_sessions_stateful"}, no_oracle
+    import inspect
+
+    for name, fn in qs.items():
+        assert callable(fn), name
+        assert len(inspect.signature(fn).parameters) == 2, name
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/testdata/sf0.001"), reason="driver testdata absent"
+)
+def test_all_queries_run_at_smallest_sf(spark):
+    """Every registered query must at least plan+execute at sf0.001 with
+    unique column names (the driver's compare sorts columns by name)."""
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert len(set(df.columns)) == len(df.columns), f"{name}: dup columns"
+        df.limit(5).collect()

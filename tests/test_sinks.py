@@ -69,3 +69,41 @@ def test_export_parquet_roundtrip(spark, tmp_path):
 
 def test_read_parquet_if_exists_missing_path(spark, tmp_path):
     assert read_parquet_if_exists(spark, str(tmp_path / "nope")) is None
+
+
+def test_write_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Real JDBC sink test against Derby (embedded, ships with Spark) —
+    exercises the same codepath as the reference's Postgres bulk load
+    (driver/batchsize/numPartitions options), no external DB needed."""
+    from lakeforge.io.sinks import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/dwh;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", 20.25), (3, "c", 30.0)], ["id", "name", "val"]
+    )
+    write_jdbc(
+        df, url=url, table="dim_test", user="", password="",
+        driver=driver, num_partitions=2, batchsize=100,
+        mode="overwrite", truncate=False,
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "dim_test")
+        .option("driver", driver).load()
+    )
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+    # Overwrite replaces, not appends.
+    write_jdbc(
+        df.limit(1), url=url, table="dim_test", user="", password="",
+        driver=driver, num_partitions=1, mode="overwrite", truncate=False,
+    )
+    assert (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "dim_test")
+        .option("driver", driver).load().count()
+        == 1
+    )
