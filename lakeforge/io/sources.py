@@ -90,3 +90,24 @@ def load_tables(
 ) -> dict[str, DataFrame]:
     """Load driver testdata tables from ``{sf_dir}/{name}.parquet``."""
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines scan with (strongly recommended) enforced schema.
+
+    Without an explicit schema Spark runs a full inference pass over the
+    input — at 100 TB that is a second read of the dataset before the real
+    one.  multiline=True parses whole-file JSON arrays (no line splitting,
+    not splittable across tasks — keep files small if used).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if multiline:
+        reader = reader.option("multiLine", True)
+    return reader.json(path)

@@ -815,3 +815,48 @@ QUERIES["orders_above_cust_avg"] = q_orders_above_cust_avg
 ORACLE_SQL["orders_above_cust_avg"] = SQL_ORDERS_ABOVE_CUST_AVG
 QUERIES["rolling_7day_spend"] = q_rolling_7day_spend
 ORACLE_SQL["rolling_7day_spend"] = SQL_ROLLING_7DAY_SPEND
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample: per-customer daily spend grid, forward-filled
+# (ops/timeseries.py — native sequence+explode+ffill path).  Scoped to
+# custkeys < 50 to keep the oracle compare tractable.
+# ---------------------------------------------------------------------------
+
+def q_resample_daily_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.timeseries import resample_daily_ffill
+
+    obs = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .groupBy("o_custkey", F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("day_spend"))
+    )
+    return resample_daily_ffill(obs, ["o_custkey"], "day", ["day_spend"])
+
+
+SQL_RESAMPLE_DAILY_SPEND = """
+WITH obs AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_spend
+    FROM orders WHERE o_custkey < 50
+    GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+),
+bounds AS (SELECT o_custkey, MIN(day) AS mn, MAX(day) AS mx FROM obs GROUP BY o_custkey),
+grid AS (
+    SELECT o_custkey, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+),
+j AS (
+    SELECT g.o_custkey, g.day, o.day_spend
+    FROM grid g LEFT JOIN obs o ON g.o_custkey = o.o_custkey AND g.day = o.day
+)
+SELECT o_custkey, day,
+       last_value(day_spend IGNORE NULLS) OVER
+         (PARTITION BY o_custkey ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_spend
+FROM j
+"""
+
+QUERIES["resample_daily_spend"] = q_resample_daily_spend
+ORACLE_SQL["resample_daily_spend"] = SQL_RESAMPLE_DAILY_SPEND

@@ -199,3 +199,48 @@ def test_salted_join_left_keeps_unmatched(spark):
     small = spark.createDataFrame([("a", "A")], ["k", "tag"])
     rows = {r["k"]: r["tag"] for r in salted_join(big, small, ["k"], salt=3, how="left").collect()}
     assert rows == {"a": "A", "zzz": None}
+
+
+def test_resample_daily_ffill_native_fills_gaps(spark):
+    from lakeforge.ops.timeseries import resample_daily_ffill
+
+    d = dt.date
+    df = spark.createDataFrame(
+        [
+            ("a", d(2022, 1, 1), 10.0),
+            ("a", d(2022, 1, 4), 40.0),   # 2-day gap -> ffill 10.0
+            ("b", d(2022, 1, 2), 7.0),
+        ],
+        ["k", "day", "v"],
+    )
+    out = resample_daily_ffill(df, ["k"], "day", ["v"])
+    got = {(r["k"], r["day"]): r["v"] for r in out.collect()}
+    assert got == {
+        ("a", d(2022, 1, 1)): 10.0,
+        ("a", d(2022, 1, 2)): 10.0,
+        ("a", d(2022, 1, 3)): 10.0,
+        ("a", d(2022, 1, 4)): 40.0,
+        ("b", d(2022, 1, 2)): 7.0,
+    }
+
+
+def test_resample_native_and_pandas_paths_agree(spark):
+    from lakeforge.ops.timeseries import resample_daily_ffill
+
+    d = dt.date
+    rows = [
+        ("x", d(2022, 3, 1), 1.0),
+        ("x", d(2022, 3, 5), 5.0),
+        ("x", d(2022, 3, 8), 8.0),
+        ("y", d(2022, 3, 3), 3.0),
+        ("y", d(2022, 3, 4), 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "day", "v"])
+    native = sorted(
+        tuple(r) for r in resample_daily_ffill(df, ["k"], "day", ["v"], how="native").collect()
+    )
+    pandas_ = sorted(
+        tuple(r) for r in resample_daily_ffill(df, ["k"], "day", ["v"], how="pandas").collect()
+    )
+    assert native == pandas_
+    assert len(native) == 8 + 2  # x: 8 days, y: 2 days

@@ -107,3 +107,19 @@ def test_write_jdbc_roundtrip_embedded_derby(spark, tmp_path):
         .option("driver", driver).load().count()
         == 1
     )
+
+
+def test_read_json_with_enforced_schema(spark, tmp_path):
+    from lakeforge.io.sources import read_json
+
+    p = tmp_path / "j"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"id": 1, "name": "x", "score": 1.5}\n'
+        '{"id": 2, "name": "y", "score": null}\n'
+        '{"id": 3, "name": null, "score": 2.25, "extra": "dropped"}\n'
+    )
+    df = read_json(spark, str(p), schema="id bigint, name string, score double")
+    assert df.columns == ["id", "name", "score"]
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [(1, "x", 1.5), (2, "y", None), (3, None, 2.25)]
