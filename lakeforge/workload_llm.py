@@ -521,3 +521,44 @@ FROM documents
 
 QUERIES["token_counts"] = q_token_counts
 ORACLE_SQL["token_counts"] = SQL_TOKEN_COUNTS
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup clusters: minhash-LSH pairs -> connected components
+# (ops/graph.py) -> per-doc cluster id (= min doc id in component).  The
+# iterative Spark loop is value-checked against DuckDB's recursive CTE
+# transitive closure.
+# ---------------------------------------------------------------------------
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.graph import connected_components
+
+    sig = minhash_signatures(
+        _neardup_corpus(spark, sf_dir), "text", "doc_id", k=_K, shingle_n=3
+    )
+    pairs = lsh_candidate_pairs(sig, k=_K, bands=_BANDS, min_match=_MIN_MATCH)
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _sql_neardup_clusters() -> str:
+    pairs_sql = _sql_minhash_lsh_pairs()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(v, r) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.v
+)
+SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+"""
+
+
+QUERIES["neardup_clusters"] = q_neardup_clusters
+ORACLE_SQL["neardup_clusters"] = _sql_neardup_clusters()

@@ -244,3 +244,22 @@ def test_resample_native_and_pandas_paths_agree(spark):
     )
     assert native == pandas_
     assert len(native) == 8 + 2  # x: 8 days, y: 2 days
+
+
+def test_connected_components_chain_and_islands(spark):
+    from lakeforge.ops.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, pair 10-11, triangle 20-21-22 (+redundant edge)
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["src", "dst"],
+    )
+    out = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }

@@ -110,3 +110,36 @@ def test_sessionize_stateful_matches_batch_sessions(spark, tmp_path):
     assert got, "no sessions emitted"
     assert got <= expected_all, "emitted a session that batch logic rejects"
     assert expected_nonfinal <= got, "missed an in-stream-closed session"
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_stream_checkpoint_exactly_once_across_restarts(spark, tmp_path):
+    """Checkpointed file-source -> parquet-sink stream, run twice: files
+    already committed in the checkpoint are NOT reprocessed after restart
+    (exactly-once incremental ingest — the production pattern for
+    continuously-landing data)."""
+    src = tmp_path / "in"
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+
+    def run_once():
+        q = (
+            read_events_stream(spark, str(src))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    n = read_events(spark, SF_DIR).count()
+    run_once()
+    assert spark.read.parquet(sink).count() == n
+
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "b.parquet")
+    run_once()
+    # a.parquet not reprocessed: exactly 2n, not 3n
+    assert spark.read.parquet(sink).count() == 2 * n
