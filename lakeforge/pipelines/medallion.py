@@ -112,6 +112,11 @@ def build_gold(
         null_safe=null_safe,
     )
 
+    # C1 (gold_sql_to_postgres.py:115): dim_account feeds both the returned
+    # dimension and the fact's interval SK resolve below — cache the staging
+    # so its SCD2 plan (two window shuffles) executes once, not per sink.
+    dim_account = dim_account.cache()
+
     dim_date = build_dim_date(
         [(accounts, "date"), (details, "date"), (profile, "date"), (iden, "date")]
     )

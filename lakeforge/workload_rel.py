@@ -860,3 +860,68 @@ FROM j
 
 QUERIES["resample_daily_spend"] = q_resample_daily_spend
 ORACLE_SQL["resample_daily_spend"] = SQL_RESAMPLE_DAILY_SPEND
+
+
+# ---------------------------------------------------------------------------
+# Distribution windows: percent_rank / cume_dist (completing the ranking
+# window family; same single shuffle as q_rank_orders_top3).
+# ---------------------------------------------------------------------------
+
+def q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).filter(F.col("pct_rank") >= 0.999)
+
+
+SQL_PERCENTILE_RANKS = """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist()    OVER w, 6) AS cume
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+)
+SELECT * FROM r WHERE pct_rank >= 0.999
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF (Arrow-batched UDAF — the API surface for
+# aggregates SQL lacks; geometric mean stands in for the pattern).
+# ---------------------------------------------------------------------------
+
+def q_geo_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from pyspark.sql.functions import PandasUDFType
+
+    def _geo(v):
+        return float(np.exp(np.log(v).mean()))
+
+    # functionType passed explicitly: `from __future__ import annotations`
+    # stringifies type hints, which breaks pandas_udf signature inference.
+    geo_mean = F.pandas_udf(_geo, "double", PandasUDFType.GROUPED_AGG)
+
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(geo_mean("o_totalprice"), 4).alias("geo_mean_price")
+    )
+
+
+SQL_GEO_MEAN_PRICE = """
+SELECT o_orderpriority, round(exp(avg(ln(o_totalprice))), 4) AS geo_mean_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+QUERIES["percentile_ranks"] = q_percentile_ranks
+ORACLE_SQL["percentile_ranks"] = SQL_PERCENTILE_RANKS
+QUERIES["geo_mean_price"] = q_geo_mean_price
+ORACLE_SQL["geo_mean_price"] = SQL_GEO_MEAN_PRICE
