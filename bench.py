@@ -51,6 +51,9 @@ HEADLINE = [
     "orders_above_cust_avg",
     "rolling_7day_spend",
     "token_counts",
+    "resample_daily_spend",
+    "grouping_sets_revenue",
+    "percentile_ranks",
 ]
 
 

@@ -123,3 +123,55 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .withColumn("ts_ms", F.col("frame_idx") * F.lit(every_ms))
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int, target_h: int, partitions: int | None = None
+) -> DataFrame:
+    """Image resize plumbing via mapInPandas: metadata is recomputed for
+    real; the pixel transform is the deterministic byte-subsample fake (a
+    real cluster swaps PIL's ``resize`` into ``_fake_resize``).
+
+    Same scale contract as extract_features: payloads stream through one
+    Arrow batch at a time and the op is the LAST place bytes exist at full
+    size — downstream sees the (smaller) resized payloads only.
+    """
+    if partitions:
+        media = media.repartition(partitions)
+
+    def _fake_resize(content, w0, h0):
+        if content is None or not w0 or not h0 or w0 <= 0 or h0 <= 0:
+            return None
+        # Keep a deterministic byte subsample proportional to the pixel
+        # ratio — preserves "output smaller than input" without a codec.
+        ratio = min(1.0, (target_w * target_h) / float(w0 * h0))
+        n = max(1, int(len(content) * ratio))
+        return bytes(content[:n])
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [target_w if c is not None else None for c in pdf["content"]],
+                    "height": [target_h if c is not None else None for c in pdf["content"]],
+                    "content": [
+                        _fake_resize(c, w, h)
+                        for c, w, h in zip(pdf["content"], pdf["width"], pdf["height"])
+                    ],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
