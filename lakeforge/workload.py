@@ -582,9 +582,14 @@ ORACLE_SQL.update(workload_rel.ORACLE_SQL)
 
 # ---------------------------------------------------------------------------
 # Custom stateful streaming operator (applyInPandasWithState sessionizer,
-# streaming/events.py).  Genuinely non-SQL-expressible as a stream -> no
-# oracle entry; the driver records the weaker rows-only check, and
-# tests/test_streaming.py proves the semantics against a batch pass.
+# streaming/events.py).  The STREAM itself isn't SQL, but for a one-file
+# availableNow run its emitted set is exactly characterizable, so it gets a
+# full value oracle: every non-final session per user (closed in-stream by
+# the next event) plus final sessions whose event-time timeout
+# (last_ts + gap) fell strictly below the terminal watermark
+# (max_ts - gap).  total_value is intentionally excluded — a Python float
+# sum vs SQL sum would differ in rounding order; the deterministic columns
+# (bounds + counts) are the semantics under test.
 # ---------------------------------------------------------------------------
 
 def q_events_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,8 +616,40 @@ def q_events_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_start", fmt).alias("session_start"),
         F.date_format("session_end", fmt).alias("session_end"),
         "n_events",
-        F.round("total_value", 2).alias("total_value"),
     )
 
 
+SQL_EVENTS_SESSIONS_STATEFUL = """
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, sid
+),
+wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS watermark FROM ev),
+marked AS (
+  SELECT a.*, a.sid = MAX(a.sid) OVER (PARTITION BY a.user_id) AS is_final
+  FROM agg a
+)
+SELECT user_id,
+       strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(s_end,   '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_events
+FROM marked, wm
+WHERE NOT is_final OR s_end + INTERVAL 30 MINUTE < watermark
+"""
+
+
 QUERIES["events_sessions_stateful"] = q_events_sessions_stateful
+ORACLE_SQL["events_sessions_stateful"] = SQL_EVENTS_SESSIONS_STATEFUL

@@ -37,8 +37,9 @@ def test_registry_is_complete_and_callable():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     no_oracle = set(qs) - set(oracles)
-    # approximate sketches + stateful streaming: rows-only by design
-    assert no_oracle <= {"sketch_profile", "events_sessions_stateful"}, no_oracle
+    # approximate sketches: rows-only by design (HLL/KLL estimates are
+    # implementation-specific; everything else is value-checked)
+    assert no_oracle <= {"sketch_profile"}, no_oracle
     import inspect
 
     for name, fn in qs.items():
