@@ -925,3 +925,51 @@ QUERIES["percentile_ranks"] = q_percentile_ranks
 ORACLE_SQL["percentile_ranks"] = SQL_PERCENTILE_RANKS
 QUERIES["geo_mean_price"] = q_geo_mean_price
 ORACLE_SQL["geo_mean_price"] = SQL_GEO_MEAN_PRICE
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) keys: the clustering key behind ops/layout.py's
+# multi-dimensional file-skipping writes — pure integer bit math, so the
+# oracle reproduces it exactly.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10
+
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.layout import zorder_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("xq"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            )
+            % 1024
+        ).cast("bigint").alias("yq"),
+    )
+    return o.select(
+        "o_orderkey", "xq", "yq", zorder_key(["xq", "yq"], bits=_Z_BITS).alias("zval")
+    )
+
+
+def _sql_zorder_keys() -> str:
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"(((xq >> {b}) & 1) << {b * 2})")
+        terms.append(f"(((yq >> {b}) & 1) << {b * 2 + 1})")
+    zexpr = " + ".join(terms)  # disjoint bits: addition == OR
+    return f"""
+WITH o AS (
+  SELECT o_orderkey,
+         o_custkey % 1024 AS xq,
+         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS yq
+  FROM orders
+)
+SELECT o_orderkey, xq, yq, CAST({zexpr} AS BIGINT) AS zval FROM o
+"""
+
+
+QUERIES["zorder_keys"] = q_zorder_keys
+ORACLE_SQL["zorder_keys"] = _sql_zorder_keys()

@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from lakeforge.ops.layout import zorder_key, zorder_write
+
+
+def _file_ranges(path, col_idx):
+    """(min, max) of a column across each parquet file, from footer stats."""
+    out = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mn = min(md.row_group(i).column(col_idx).statistics.min for i in range(md.num_row_groups))
+        mx = max(md.row_group(i).column(col_idx).statistics.max for i in range(md.num_row_groups))
+        out.append((mn, mx))
+    return out
+
+
+def test_zorder_key_interleaves_bits(spark):
+    df = spark.createDataFrame([(0b101, 0b011)], ["x", "y"])
+    # x=101, y=011 -> z bits (y2 x2 y1 x1 y0 x0) = 0 1 1 0 1 1 = 0b011011
+    got = df.select(zorder_key(["x", "y"], bits=3).alias("z")).collect()[0]["z"]
+    assert got == 0b011011
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered files must each cover a small sub-range of BOTH columns;
+    a lexicographic sort by x covers the full y-range in every file."""
+    n, grid = 4096, 64
+    df = spark.range(n).select(
+        (F.col("id") % grid).alias("x"),
+        ((F.col("id") * 2654435761) % grid).alias("y"),  # decorrelate dims
+    )
+    zpath = str(tmp_path / "z")
+    xpath = str(tmp_path / "x")
+    zorder_write(df, zpath, ["x", "y"], bits=6, n_files=16)
+    (
+        df.repartitionByRange(16, "x", "y").sortWithinPartitions("x", "y")
+        .write.mode("overwrite").parquet(xpath)
+    )
+
+    # Average per-file y-extent: z-ordered files should cover far less of
+    # the y domain than x-sorted files (which span nearly all of it).
+    def avg_extent(path):
+        rngs = _file_ranges(path, col_idx=1)  # y is 2nd column
+        return sum(mx - mn for mn, mx in rngs) / len(rngs)
+
+    z_y = avg_extent(zpath)
+    x_y = avg_extent(xpath)
+    assert z_y < x_y * 0.6, (z_y, x_y)
+
+    # And the data itself round-trips unchanged.
+    assert spark.read.parquet(zpath).count() == n
