@@ -95,3 +95,28 @@ def ordered_sample(df: DataFrame, order_by: list[str], n: int = 5) -> DataFrame:
     top-n + single merge, NOT a global sort.
     """
     return df.orderBy(*order_by).limit(n)
+
+
+def observe_metrics(
+    df: DataFrame, name: str, metrics: dict[str, "F.Column"] | None = None
+):
+    """Attach zero-cost inline quality metrics via ``df.observe``.
+
+    Unlike ``table_summary`` (a separate aggregation job), observed metrics
+    piggyback on whatever action the pipeline already runs — at 100 TB the
+    quality numbers come out of the SAME scan that wrote the output, not a
+    second read.
+
+    Returns (instrumented_df, Observation); after any action on the
+    returned frame, ``observation.get`` yields the metric dict (production
+    streams use a QueryExecutionListener instead).
+    """
+    from pyspark.sql import Observation
+
+    metrics = metrics or {
+        "n_rows": F.count(F.lit(1)),
+        "n_null_keys": F.count(F.when(F.col(df.columns[0]).isNull(), 1)),
+    }
+    obs = Observation(name)
+    exprs = [c.alias(n) for n, c in metrics.items()]
+    return df.observe(obs, *exprs), obs

@@ -263,3 +263,18 @@ def test_connected_components_chain_and_islands(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_observe_metrics_piggyback_on_action(spark):
+    from lakeforge.ops.quality import observe_metrics
+
+    df = spark.createDataFrame([(1, "a"), (None, "b"), (3, None)], "k int, v string")
+    inst, obs = observe_metrics(
+        df, "probe",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_k": F.count(F.when(F.col("k").isNull(), 1)),
+        },
+    )
+    inst.write.format("noop").mode("overwrite").save()
+    assert obs.get == {"n_rows": 3, "null_k": 1}
