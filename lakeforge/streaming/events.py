@@ -195,3 +195,46 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_merge_to_silver(
+    stream_df: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint: str,
+    partition_cols: list[str] | None = None,
+    order_by=None,
+    query_name: str = "stream_merge",
+):
+    """Streaming CDC ingest: every micro-batch runs the SAME
+    ``merge_full_history`` the batch pipeline uses, via ``foreachBatch`` —
+    streaming and batch silver are one code path, not two
+    implementations to keep in sync.
+
+    Exactly-once composition: the checkpoint makes batch delivery
+    at-least-once across restarts, and the key-based merge is idempotent
+    (replaying a batch re-collapses to the same survivors) — together,
+    effectively-once silver.  Returns the started StreamingQuery; callers
+    ``awaitTermination`` (tests use trigger availableNow upstream).
+    """
+    from lakeforge.ops.merge import merge_full_history
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_full_history(
+            batch_df.sparkSession,
+            batch_df,
+            path,
+            keys=keys,
+            partition_cols=partition_cols,
+            order_by=order_by,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -143,3 +143,37 @@ def test_stream_checkpoint_exactly_once_across_restarts(spark, tmp_path):
     run_once()
     # a.parquet not reprocessed: exactly 2n, not 3n
     assert spark.read.parquet(sink).count() == 2 * n
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_stream_merge_foreachbatch_idempotent_silver(spark, tmp_path):
+    """foreachBatch + merge_full_history: two batches containing the SAME
+    file must leave silver identical to one batch (idempotent key-merge on
+    at-least-once delivery = effectively-once silver)."""
+    from pyspark.sql import functions as F
+
+    from lakeforge.streaming.events import stream_merge_to_silver
+
+    src = tmp_path / "in"
+    silver = str(tmp_path / "silver")
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+
+    def run(name):
+        q = stream_merge_to_silver(
+            read_events_stream(spark, str(src)),
+            silver,
+            keys=["event_id"],
+            checkpoint=str(tmp_path / f"ckpt_{name}"),
+            order_by=[F.col("ts").desc()],
+            query_name=name,
+        )
+        q.awaitTermination()
+
+    run("m1")
+    n1 = spark.read.parquet(silver).count()
+
+    # Fresh checkpoint -> the same file is redelivered and re-merged.
+    run("m2")
+    n2 = spark.read.parquet(silver).count()
+    assert n1 == n2 == read_events(spark, SF_DIR).select("event_id").distinct().count()

@@ -55,8 +55,10 @@ def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str
         problems.append(f"row count differs: spark={len(spark_rows)} duck={len(duck_rows)}")
     order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
-    s = sorted(tuple(_norm(r[i]) for i in order) for r in spark_rows)
-    d = sorted(tuple(_norm(r[i]) for i in dorder) for r in duck_rows)
+    # repr-keyed sort: None vs tuple has no <, but both sides use the
+    # same normalization so any consistent total order works.
+    s = sorted((tuple(_norm(r[i]) for i in order) for r in spark_rows), key=repr)
+    d = sorted((tuple(_norm(r[i]) for i in dorder) for r in duck_rows), key=repr)
     if s != d:
         n_bad = sum(1 for a, b in zip(s, d) if a != b) + abs(len(s) - len(d))
         problems.append(f"values differ ({n_bad} mismatched rows of {max(len(s), len(d))})")
