@@ -562,3 +562,37 @@ SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
 
 QUERIES["neardup_clusters"] = q_neardup_clusters
 ORACLE_SQL["neardup_clusters"] = _sql_neardup_clusters()
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation: JVM-side split + posexplode (the Spark-first path;
+# a Python UDTF would move every byte through the interpreter).
+# ---------------------------------------------------------------------------
+
+def q_doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).filter(F.col("doc_id") < 50)
+    parts = F.split(F.col("text"), r"[.!?]+\s*")
+    return (
+        d.select("doc_id", F.posexplode(parts).alias("sent_idx", "sentence"))
+        .filter(F.length(F.trim(F.col("sentence"))) > 0)
+        .select(
+            "doc_id",
+            F.col("sent_idx").cast("bigint").alias("sent_idx"),
+            F.trim(F.col("sentence")).alias("sentence"),
+        )
+    )
+
+
+SQL_DOC_SENTENCES = r"""
+WITH s AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, '[.!?]+\s*')) AS sentence,
+         generate_subscripts(regexp_split_to_array(text, '[.!?]+\s*'), 1) - 1 AS sent_idx
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, trim(sentence) AS sentence
+FROM s WHERE length(trim(sentence)) > 0
+"""
+
+QUERIES["doc_sentences"] = q_doc_sentences
+ORACLE_SQL["doc_sentences"] = SQL_DOC_SENTENCES

@@ -163,3 +163,30 @@ def test_resize_images_shrinks_payload_and_sets_dims(spark):
     # 32x32 -> 8x8 is a 1/16 pixel ratio: payload shrinks accordingly
     assert len(r1["content"]) == 1024 // 16
     assert out[2]["content"] is None and out[2]["width"] is None
+
+
+def test_python_udtf_lateral_join_surface(spark):
+    """Python UDTF (Spark 4 API): table-function surface for row-exploding
+    Python logic.  Kept as an API demonstration — hot-path segmentation
+    uses the JVM-side posexplode query (q_doc_sentences) instead."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word string, n int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in (text or "").split():
+                yield (w, len(w))
+
+    rows = SplitWords(lit("alpha bb c")).collect()
+    assert [(r["word"], r["n"]) for r in rows] == [("alpha", 5), ("bb", 2), ("c", 1)]
+
+    # lateral-join form over a table
+    spark.udtf.register("split_words", SplitWords)
+    df = spark.createDataFrame([(1, "x yy"), (2, "zzz")], ["id", "txt"])
+    df.createOrReplaceTempView("docs_udtf")
+    out = spark.sql(
+        "SELECT id, word, n FROM docs_udtf, LATERAL split_words(txt)"
+    ).collect()
+    assert sorted((r["id"], r["word"], r["n"]) for r in out) == [
+        (1, "x", 1), (1, "yy", 2), (2, "zzz", 3)
+    ]
