@@ -973,3 +973,97 @@ SELECT o_orderkey, xq, yq, CAST({zexpr} AS BIGINT) AS zval FROM o
 
 QUERIES["zorder_keys"] = q_zorder_keys
 ORACLE_SQL["zorder_keys"] = _sql_zorder_keys()
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates: stddev/variance/correlation/covariance (Welford
+# single-pass on both engines; rounded to absorb last-ulp differences).
+# ---------------------------------------------------------------------------
+
+def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("double")
+        .alias("day_num"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("price_sd"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("price_var"),
+        F.round(F.corr("o_totalprice", "day_num"), 6).alias("price_day_corr"),
+        F.round(F.covar_samp("o_totalprice", "day_num"), 2).alias("price_day_covar"),
+    )
+
+
+SQL_STATS_PROFILE = """
+WITH o AS (
+  SELECT o_orderpriority, o_totalprice,
+         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS day_num
+  FROM orders
+)
+SELECT o_orderpriority,
+       round(stddev_samp(o_totalprice), 4) AS price_sd,
+       round(var_samp(o_totalprice), 2) AS price_var,
+       round(corr(o_totalprice, day_num), 6) AS price_day_corr,
+       round(covar_samp(o_totalprice, day_num), 2) AS price_day_covar
+FROM o GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic array collection: sort_array(collect_list) per group.
+# ---------------------------------------------------------------------------
+
+def q_order_ids_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_ids"),
+        F.size(F.collect_list("o_orderkey")).cast("bigint").alias("n_orders"),
+    )
+
+
+SQL_ORDER_IDS_PER_CUSTOMER = """
+SELECT o_custkey,
+       list_sort(list(o_orderkey)) AS order_ids,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders WHERE o_custkey < 100 GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram via width_bucket (dataviz/profiling prep).
+# ---------------------------------------------------------------------------
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # width_bucket semantics spelled as explicit floor arithmetic so the
+    # oracle (DuckDB has no width_bucket) uses bit-identical math.
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 0.0, F.lit(0))
+        .when(F.col("o_totalprice") >= 600000.0, F.lit(21))
+        .otherwise(F.floor(F.col("o_totalprice") / 30000.0) + 1)
+    ).cast("bigint")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+SQL_PRICE_HISTOGRAM = """
+SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                 WHEN o_totalprice >= 600000.0 THEN 21
+                 ELSE floor(o_totalprice / 30000.0) + 1 END AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+for _n2, _f2, _s2 in [
+    ("stats_profile", q_stats_profile, SQL_STATS_PROFILE),
+    ("order_ids_per_customer", q_order_ids_per_customer, SQL_ORDER_IDS_PER_CUSTOMER),
+    ("price_histogram", q_price_histogram, SQL_PRICE_HISTOGRAM),
+]:
+    QUERIES[_n2] = _f2
+    ORACLE_SQL[_n2] = _s2
