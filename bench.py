@@ -54,6 +54,10 @@ HEADLINE = [
     "resample_daily_spend",
     "grouping_sets_revenue",
     "percentile_ranks",
+    "promo_revenue",
+    "large_orders",
+    "rich_inactive_customers",
+    "simhash_neardup",
 ]
 
 

@@ -14,6 +14,7 @@ from lakeforge.llm.dedup import (
     minhash_signatures,
     shingles_col,
     simhash_fingerprints,
+    simhash_neardup_pairs,
 )
 from lakeforge.llm.similarity import cosine_topk, nano_embedding, rp_lsh_buckets
 
@@ -25,6 +26,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash_fingerprints",
+    "simhash_neardup_pairs",
     "MINHASH_P",
     "nano_embedding",
     "cosine_topk",

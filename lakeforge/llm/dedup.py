@@ -173,6 +173,67 @@ def simhash_fingerprints(
     return agg.select("doc_id", fp.alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance <= max_hamming between
+    SimHash fingerprints, found without an O(n^2) self-join.
+
+    Pigeonhole banding: split the fingerprint into ``bands`` contiguous
+    bit-bands; two fingerprints within ``max_hamming <= bands - 1`` bit
+    flips must agree exactly on at least one band, so an equi-join on
+    (band_index, band_value) has **exact recall** while only docs sharing
+    a band bucket ever meet in the shuffle — O(docs * bands) exchange
+    volume, same physical shape as MinHash LSH banding.
+    """
+    if max_hamming >= bands:
+        raise ValueError("exact recall needs max_hamming <= bands - 1")
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = simhash_fingerprints(df, text_col, id_col, bits)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,

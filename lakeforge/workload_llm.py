@@ -18,6 +18,7 @@ from lakeforge.llm.dedup import (
     minhash_constants,
     minhash_signatures,
     simhash_fingerprints,
+    simhash_neardup_pairs,
 )
 from lakeforge.llm.similarity import cosine_topk, lsh_planes, rp_lsh_buckets
 from lakeforge.llm.text import STOPWORDS, doc_fingerprint, lang_id, text_stats
@@ -596,3 +597,29 @@ FROM s WHERE length(trim(sentence)) > 0
 
 QUERIES["doc_sentences"] = q_doc_sentences
 ORACLE_SQL["doc_sentences"] = SQL_DOC_SENTENCES
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs: pigeonhole banding (hamming <= bands-1 implies one
+# identical band) makes the equi-join exact-recall; the oracle brute-forces
+# the O(n^2) pair space, which only the oracle can afford.
+# ---------------------------------------------------------------------------
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_neardup_pairs(
+        _documents(spark, sf_dir), "text", "doc_id", bands=4, max_hamming=3
+    )
+
+
+def _sql_simhash_neardup() -> str:
+    return f"""
+WITH fp AS ({_sql_simhash()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+QUERIES["simhash_neardup"] = q_simhash_neardup
+ORACLE_SQL["simhash_neardup"] = _sql_simhash_neardup()

@@ -1067,3 +1067,172 @@ for _n2, _f2, _s2 in [
 ]:
     QUERIES[_n2] = _f2
     ORACLE_SQL[_n2] = _s2
+
+
+# ---------------------------------------------------------------------------
+# Conditional-ratio aggregate (TPC-H Q14 shape): promo revenue share per
+# ship month.  The part side broadcasts; the ratio is reported alongside its
+# exact-decimal numerator/denominator so the strong value check does not
+# hinge on engine-specific decimal-division scale rules.
+# ---------------------------------------------------------------------------
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(
+            F.lit(0).cast(DEC)
+        )
+    ).alias("promo_rev")
+    total = F.sum(_revenue()).alias("total_rev")
+    return (
+        joined.groupBy(
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM").alias(
+                "ship_month"
+            )
+        )
+        .agg(promo, total)
+        .select(
+            "ship_month",
+            "promo_rev",
+            "total_rev",
+            F.round(
+                F.lit(100.0)
+                * F.col("promo_rev").cast("double")
+                / F.col("total_rev").cast("double"),
+                4,
+            ).alias("promo_pct"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE = f"""
+WITH j AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+         {_REV_SQL} AS rev, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+)
+SELECT ship_month,
+       SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_rev,
+       SUM(rev) AS total_rev,
+       round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   / CAST(SUM(rev) AS DOUBLE), 4) AS promo_pct
+FROM j GROUP BY ship_month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Group-HAVING then join back (TPC-H Q18 shape): orders whose total ordered
+# quantity clears a threshold, re-joined to their order/customer detail.
+# The HAVING aggregate runs FIRST and shrinks the probe side to a handful
+# of keys, so the join back to orders is a broadcast at any scale where
+# the threshold is selective.
+# ---------------------------------------------------------------------------
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("tot_qty"))
+        .filter(F.col("tot_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").cast(DEC).alias("total_price"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "order_date",
+            "total_price", "tot_qty",
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
+
+
+SQL_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tot_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS total_price, tot_qty
+FROM orders JOIN big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+ORDER BY total_price DESC, o_orderkey ASC LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global-scalar-aggregate comparison + anti join (TPC-H Q22 shape):
+# above-average-balance customers with no recent orders.  The scalar
+# (n, sum) broadcasts as a 1-row cross join, and the threshold test is
+# spelled multiplicatively (bal * n > total) in exact decimals — no
+# division, so no engine-specific float/decimal-scale boundary cases.
+# The recency filter pushes down to the orders scan before the anti join.
+# ---------------------------------------------------------------------------
+
+def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    scalar = pos.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("total_bal"),
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").cast("date") >= F.lit("1999-01-01").cast("date")
+        )
+        .select("o_custkey")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(scalar))
+        .filter(
+            F.col("c_acctbal").cast(DEC) * F.col("n_pos") > F.col("total_bal")
+        )
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("sum_bal"),
+    )
+
+
+SQL_RICH_INACTIVE = """
+WITH scalar AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+FROM customer, scalar
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > total_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+for _n3, _f3, _s3 in [
+    ("promo_revenue", q_promo_revenue, SQL_PROMO_REVENUE),
+    ("large_orders", q_large_orders, SQL_LARGE_ORDERS),
+    ("rich_inactive_customers", q_rich_inactive_customers, SQL_RICH_INACTIVE),
+]:
+    QUERIES[_n3] = _f3
+    ORACLE_SQL[_n3] = _s3

@@ -8,6 +8,7 @@ from lakeforge.llm.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     simhash_fingerprints,
+    simhash_neardup_pairs,
 )
 from lakeforge.llm.multimodal import MEDIA_SCHEMA, extract_features, sample_frames
 from lakeforge.llm.similarity import cosine_topk, rp_lsh_buckets
@@ -80,6 +81,36 @@ def test_simhash_identical_docs_equal_fingerprints(spark):
     assert fps[1] == fps[2]
     assert fps[1] != fps[4]
     assert all(0 <= v < (1 << 32) for v in fps.values())
+
+
+def test_simhash_neardup_pairs_match_bruteforce(spark):
+    """Banding must have exact recall at hamming <= bands-1: the banded
+    join's pair set equals the O(n^2) brute force on the same corpus."""
+    docs = _docs(spark).union(
+        spark.createDataFrame(
+            [(5, "the quick brown fox leaps over the lazy dog")],
+            ["doc_id", "text"],
+        )
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(
+            docs, "text", "doc_id", bands=4, max_hamming=3
+        ).collect()
+    }
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(docs, "text", "doc_id").collect()
+    }
+    ids = sorted(fps)
+    brute = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert got == brute
+    assert (1, 2) in got and got[(1, 2)] == 0  # exact dups at distance 0
 
 
 def _vecs(spark):
