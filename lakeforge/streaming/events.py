@@ -108,6 +108,53 @@ def run_available_now(
     return stream_df.sparkSession.table(query_name)
 
 
+def user_value_profiles(events_batch: DataFrame) -> DataFrame:
+    """Static enrichment side for the stream-static join: per-user lifetime
+    value tier, computed in batch (the nightly-job side of the pattern)."""
+    dec = "decimal(18,2)"
+    return (
+        events_batch.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast(dec)).alias("user_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lifetime"),
+        )
+        .select(
+            "user_id",
+            "user_value",
+            "n_lifetime",
+            F.when(F.col("user_value") > 3600, "gold")
+            .when(F.col("user_value") > 3000, "silver")
+            .otherwise("bronze")
+            .alias("tier"),
+        )
+    )
+
+
+def enrich_with_profiles(events: DataFrame, profiles: DataFrame) -> DataFrame:
+    """Stream-static broadcast join: every micro-batch joins against the
+    static (or slowly refreshed) profile table.  Stateless — no watermark,
+    no store — and the broadcast keeps the streaming side shuffle-free,
+    which is the only sane physical shape for a high-rate stream at scale.
+    Works identically on a batch frame (the oracle-checked twin)."""
+    return events.join(F.broadcast(profiles), "user_id", "left")
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """At-least-once -> effectively-once: drop event_id duplicates whose
+    duplicates arrive within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys state by event_id but, unlike
+    plain streaming ``dropDuplicates``, EVICTS each key once the watermark
+    passes it — bounded state on an unbounded stream.  Batch mode falls
+    back to plain ``dropDuplicates`` (whole-input scope, same semantics
+    when the input fits one horizon)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: session windows via applyInPandasWithState.
 # ---------------------------------------------------------------------------

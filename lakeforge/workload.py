@@ -530,6 +530,70 @@ FROM events
 """
 
 
+def q_events_tier_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join
+    (streaming/events.py::enrich_with_profiles): events joined to a
+    broadcast per-user value-tier profile, then the tier/type mix."""
+    from lakeforge.streaming.events import enrich_with_profiles, user_value_profiles
+
+    ev = read_events(spark, sf_dir)
+    profiles = user_value_profiles(ev)
+    return (
+        enrich_with_profiles(ev, profiles)
+        .groupBy("tier", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_TIER_MIX = """
+WITH profiles AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS user_value
+  FROM events GROUP BY user_id
+),
+tiered AS (
+  SELECT user_id,
+         CASE WHEN user_value > 3600 THEN 'gold'
+              WHEN user_value > 3000 THEN 'silver'
+              ELSE 'bronze' END AS tier
+  FROM profiles
+)
+SELECT tier, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+FROM events LEFT JOIN tiered USING (user_id)
+GROUP BY tier, event_type
+"""
+
+
+def q_events_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/events.py::dedup_within_watermark: an
+    at-least-once redelivery (the input unioned with itself) collapsed
+    back to one row per event_id before aggregation."""
+    from lakeforge.streaming.events import dedup_within_watermark
+
+    ev = read_events(spark, sf_dir)
+    redelivered = ev.unionByName(ev)
+    return (
+        dedup_within_watermark(redelivered)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+
+
+SQL_EVENTS_DEDUP_INGEST = """
+WITH redelivered AS (
+  SELECT * FROM events UNION ALL SELECT * FROM events
+),
+deduped AS (
+  SELECT DISTINCT ON (event_id) * FROM redelivered
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM deduped GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -553,6 +617,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
+    "events_tier_mix": q_events_tier_mix,
+    "events_dedup_ingest": q_events_dedup_ingest,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -572,6 +638,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
+    "events_tier_mix": SQL_EVENTS_TIER_MIX,
+    "events_dedup_ingest": SQL_EVENTS_DEDUP_INGEST,
 }
 
 QUERIES.update(workload_llm.QUERIES)

@@ -7,8 +7,11 @@ import pytest
 
 from lakeforge.io.sources import read_events
 from lakeforge.streaming.events import (
+    dedup_within_watermark,
+    enrich_with_profiles,
     read_events_stream,
     run_available_now,
+    user_value_profiles,
     windowed_counts,
 )
 
@@ -59,6 +62,56 @@ def test_stream_incremental_files_accumulate(spark, tmp_path):
         (r["w_start"], r["event_type"]): 2 * r["n_events"] for r in batch.collect()
     }
     assert got == want
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stream-static broadcast join: each micro-batch enriched against a
+    static profile table equals the batch join of the same inputs."""
+    stream_dir = tmp_path / "events_enrich"
+    stream_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", stream_dir / "part-000.parquet")
+
+    batch_ev = read_events(spark, SF_DIR)
+    profiles = user_value_profiles(batch_ev)
+
+    stream = read_events_stream(spark, str(stream_dir), max_files_per_trigger=1)
+    streamed = run_available_now(
+        enrich_with_profiles(stream, profiles).select(
+            "event_id", "user_id", "tier"
+        ),
+        "events_enrich_test",
+        output_mode="append",
+    )
+    batch = enrich_with_profiles(batch_ev, profiles).select(
+        "event_id", "user_id", "tier"
+    )
+    s = sorted(tuple(r) for r in streamed.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert s == b
+    assert len(s) > 0
+    assert {r[2] for r in s} >= {"gold", "bronze"}  # tiers actually vary
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_stream_dedup_within_watermark_collapses_redelivery(spark, tmp_path):
+    """At-least-once redelivery (same file landing twice) collapses to one
+    row per event_id; batch-mode dedup over the doubled input agrees."""
+    stream_dir = tmp_path / "events_dup"
+    stream_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", stream_dir / "a.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", stream_dir / "b.parquet")
+
+    stream = read_events_stream(spark, str(stream_dir), max_files_per_trigger=1)
+    streamed = run_available_now(
+        dedup_within_watermark(stream).select("event_id"),
+        "events_dedup_test",
+        output_mode="append",
+    )
+    n_unique = read_events(spark, SF_DIR).select("event_id").distinct().count()
+    got = streamed.collect()
+    assert len(got) == n_unique
+    assert len({r["event_id"] for r in got}) == n_unique
 
 
 @pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
