@@ -106,7 +106,16 @@ def lsh_candidate_pairs(
     candidates; candidates are scored by # of equal signature components.
 
     Returns (doc_a, doc_b, n_match) with n_match >= min_match.
+
+    The signature table is persisted before the self-join: both join sides
+    reference the same plan, and without the persist Spark computes the
+    full signature pipeline (explode shingles -> hash -> groupBy) twice.
+    Signatures are k ints per doc — orders of magnitude smaller than the
+    text — so MEMORY_AND_DISK caching is safe at any scale.
     """
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     rows = k // bands
     sig_arr = sig.select(
         "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
@@ -193,9 +202,16 @@ def simhash_neardup_pairs(
     """
     if max_hamming >= bands:
         raise ValueError("exact recall needs max_hamming <= bands - 1")
+    from pyspark import StorageLevel
+
     width = bits // bands
     mask = (1 << width) - 1
-    fp = simhash_fingerprints(df, text_col, id_col, bits)
+    # Persist: both sides of the self-join reference this plan; without the
+    # persist the whole fingerprint pipeline runs twice.  (doc_id, simhash)
+    # is ~16 bytes/doc — cacheable at any corpus size.
+    fp = simhash_fingerprints(df, text_col, id_col, bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = fp.select(
         "doc_id",
         "simhash",

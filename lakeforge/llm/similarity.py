@@ -236,9 +236,13 @@ def embedding_neardup_pairs(
     (recall is bounded by the LSH: near-identical vectors agree on all
     sign bits with high probability).  Output (a, b, sim), a < b.
     """
+    from pyspark import StorageLevel
+
     buckets = rp_lsh_buckets(corpus, vec_col, id_col, n_planes, dim)
     e = _nano_with_norm(corpus, vec_col, id_col, "vec_id", "vec", "n2")
-    v = e.join(buckets, "vec_id")
+    # Persist: both sides of the bucket self-join reference this plan —
+    # without it the RP-LSH pandas-UDF projection runs twice.
+    v = e.join(buckets, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
     a = v.select(
         F.col("vec_id").alias("a"), F.col("vec").alias("a_vec"),
         F.col("n2").alias("a_n2"), "bucket",

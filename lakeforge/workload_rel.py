@@ -82,13 +82,23 @@ GROUP BY c_mktsegment
 # ---------------------------------------------------------------------------
 
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-phase rollup: because SUM/COUNT re-aggregate, the Expand operator
+    # can run over the tiny pre-aggregate (|distinct groups| rows) instead
+    # of tripling every input row — at 100 TB that removes 2/3 of the
+    # map-side aggregation work.  cube_order_stats keeps the direct
+    # single-phase shape for comparison.
     li = _t(spark, sf_dir, "lineitem")
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("_qty"),
+        F.sum(_revenue()).alias("_rev"),
+        F.count(F.lit(1)).alias("_n"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        pre.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
-            F.sum(_revenue()).alias("sum_rev"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("_qty").alias("sum_qty"),
+            F.sum("_rev").alias("sum_rev"),
+            F.sum("_n").cast("bigint").alias("n_rows"),
             F.grouping_id().cast("int").alias("gid"),
         )
     )
@@ -542,13 +552,21 @@ ORACLE_SQL = {
 
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    # Same two-phase rewrite as q_rollup_revenue: Expand runs over the
+    # pre-aggregate, not over every lineitem row.
     return spark.sql(
         """
+        WITH pre AS (
+          SELECT l_returnflag, l_linestatus,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS _qty,
+                 COUNT(*) AS _n
+          FROM li_gs GROUP BY l_returnflag, l_linestatus
+        )
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               SUM(_qty) AS sum_qty,
+               CAST(SUM(_n) AS BIGINT) AS n_rows,
                CAST(grouping_id() AS INT) AS gid
-        FROM li_gs
+        FROM pre
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
