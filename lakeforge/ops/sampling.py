@@ -1,0 +1,67 @@
+"""Deterministic sampling and splits for training-data pipelines.
+
+``df.sample()`` draws from a seeded RNG over the *partitioning* — the
+sample changes whenever file layout, partition count, or engine changes,
+which makes pipelines unreproducible and train/test splits leak across
+reruns.  These operators hash stable KEYS instead:
+
+- **Reproducible anywhere**: md5-based (functions/keys.py), so the same
+  row lands on the same side of the cut in Spark, DuckDB, or Postgres —
+  which also makes every operator here oracle-checkable.
+- **Key-scoped, not row-scoped**: sampling by document/user key keeps all
+  rows of an entity together — the property you need so a user's events
+  don't straddle the train/test boundary (leakage).
+- **No shuffle**: a row-local filter on a projected hash; pushes into the
+  scan stage and composes with partition pruning.
+
+The salt namespaces each use: different salts give independent samples
+from the same keys; a FIXED salt is what makes the split stable release
+to release.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakeforge.functions.keys import md5_int
+
+
+def sample_permille_col(key: Column | str, salt: str) -> Column:
+    """Uniform [0, 1000) bucket for a key under a salt."""
+    k = F.col(key) if isinstance(key, str) else key
+    return md5_int(F.lit(salt), k) % 1000
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, permille: int, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~permille/1000 of the keys, stably: the same key is always in
+    (or always out) regardless of engine, run, or data layout."""
+    return df.filter(sample_permille_col(key, salt) < permille)
+
+
+def train_test_split_col(
+    key: Column | str, test_permille: int, salt: str = "split"
+) -> Column:
+    """'test' for ~test_permille/1000 of keys, else 'train' — as a column,
+    so both halves come from one scan (filter twice, or groupBy the tag)."""
+    return F.when(
+        sample_permille_col(key, salt) < test_permille, F.lit("test")
+    ).otherwise(F.lit("train"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    class_col: str,
+    key: str,
+    rates_permille: dict[str, int],
+    default_permille: int = 0,
+    salt: str = "stratified",
+) -> DataFrame:
+    """Per-class sampling rates (e.g. downsample the majority class,
+    keep all of a rare one).  Unlisted classes get default_permille."""
+    rate: Column = F.lit(default_permille)
+    for cls, p in sorted(rates_permille.items()):
+        rate = F.when(F.col(class_col) == cls, F.lit(p)).otherwise(rate)
+    return df.filter(sample_permille_col(key, salt) < rate)

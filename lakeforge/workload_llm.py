@@ -20,8 +20,14 @@ from lakeforge.llm.dedup import (
     simhash_fingerprints,
     simhash_neardup_pairs,
 )
+from lakeforge.functions.keys import duckdb_md5_int_sql
 from lakeforge.llm.similarity import cosine_topk, lsh_planes, rp_lsh_buckets
 from lakeforge.llm.text import STOPWORDS, doc_fingerprint, lang_id, text_stats
+from lakeforge.ops.sampling import (
+    deterministic_sample,
+    stratified_sample,
+    train_test_split_col,
+)
 
 # --------------------------------------------------------------------------
 # DuckDB SQL fragments
@@ -623,3 +629,81 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 QUERIES["simhash_neardup"] = q_simhash_neardup
 ORACLE_SQL["simhash_neardup"] = _sql_simhash_neardup()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits (ops/sampling.py): md5-keyed, so the same
+# row lands on the same side in Spark and in the oracle — df.sample() could
+# never be value-checked like this.
+# ---------------------------------------------------------------------------
+
+def _bucket_sql(salt: str, key_expr: str) -> str:
+    return f"{duckdb_md5_int_sql([repr(salt), key_expr])} % 1000"
+
+
+def q_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    return deterministic_sample(d, "doc_id", 100, salt="sample").select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+
+
+SQL_DOCS_SAMPLE = f"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents WHERE {_bucket_sql('sample', 'doc_id')} < 100
+"""
+
+
+def q_events_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.io.sources import read_events
+
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.withColumn("split", train_test_split_col("user_id", 200))
+        .groupBy("split", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+
+
+SQL_EVENTS_TRAIN_TEST = f"""
+SELECT CASE WHEN {_bucket_sql('split', 'user_id')} < 200
+            THEN 'test' ELSE 'train' END AS split,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.io.sources import read_events
+
+    ev = read_events(spark, sf_dir)
+    return (
+        stratified_sample(
+            ev,
+            "event_type",
+            "event_id",
+            {"purchase": 1000, "click": 100, "view": 50},
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+
+
+SQL_EVENTS_STRATIFIED = f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+WHERE {_bucket_sql('stratified', 'event_id')} <
+      CASE event_type WHEN 'purchase' THEN 1000
+                      WHEN 'click' THEN 100
+                      WHEN 'view' THEN 50 ELSE 0 END
+GROUP BY event_type
+"""
+
+
+for _n4, _f4, _s4 in [
+    ("docs_sample", q_docs_sample, SQL_DOCS_SAMPLE),
+    ("events_train_test", q_events_train_test, SQL_EVENTS_TRAIN_TEST),
+    ("events_stratified", q_events_stratified, SQL_EVENTS_STRATIFIED),
+]:
+    QUERIES[_n4] = _f4
+    ORACLE_SQL[_n4] = _s4

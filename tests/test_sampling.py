@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeforge.io.sources import read_events
+from lakeforge.ops.sampling import (
+    deterministic_sample,
+    stratified_sample,
+    train_test_split_col,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_sample_is_deterministic_and_near_rate(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    s1 = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(docs, "doc_id", 250).select("doc_id").collect()
+    )
+    s2 = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(docs, "doc_id", 250).select("doc_id").collect()
+    )
+    assert s1 == s2  # same keys every run
+    assert 0.10 * n < len(s1) < 0.45 * n  # ~25% within loose tolerance
+
+    # a different salt is an independent draw, not a subset
+    other = {
+        r["doc_id"]
+        for r in deterministic_sample(docs, "doc_id", 250, salt="other")
+        .select("doc_id")
+        .collect()
+    }
+    assert other != set(s1)
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_split_never_straddles_a_key(spark):
+    ev = read_events(spark, SF_DIR)
+    tagged = ev.withColumn("split", train_test_split_col("user_id", 300))
+    straddlers = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_sides"))
+        .filter(F.col("n_sides") > 1)
+        .count()
+    )
+    assert straddlers == 0  # no user leaks across train/test
+    sides = {r["split"] for r in tagged.select("split").distinct().collect()}
+    assert sides == {"train", "test"}
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_stratified_rates_apply_per_class(spark):
+    ev = read_events(spark, SF_DIR)
+    out = stratified_sample(
+        ev, "event_type", "event_id", {"purchase": 1000, "click": 0}
+    )
+    by_type = {
+        r["event_type"]: r["n"]
+        for r in out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_purchase = ev.filter(F.col("event_type") == "purchase").count()
+    assert by_type.get("purchase") == n_purchase  # rate 1000 keeps all
+    assert "click" not in by_type  # rate 0 drops all
+    assert set(by_type) == {"purchase"}  # default rate drops the rest
