@@ -95,3 +95,21 @@ def export_parquet(df: DataFrame, path: str, single_file: bool = False) -> None:
     """Gold parquet export (reference S7 — README.md:190, script absent)."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").parquet(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink with optional hive partitioning (zlib default codec).
+
+    Same single-writer-per-partition discipline as the parquet sink: when
+    partitioning, repartition by the partition columns first so each hive
+    directory gets one file instead of tasks-x-partitions fragments.
+    """
+    writer = df
+    if partition_by:
+        writer = df.repartition(*partition_by)
+    w = writer.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

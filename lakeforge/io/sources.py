@@ -111,3 +111,15 @@ def read_json(
     if multiline:
         reader = reader.option("multiLine", True)
     return reader.json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (predicate pushdown into stripe/row-group statistics, column
+    projection), for lakes standardized on ORC instead."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

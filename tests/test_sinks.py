@@ -109,6 +109,25 @@ def test_write_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     )
 
 
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    from lakeforge.io.sinks import write_orc
+    from lakeforge.io.sources import read_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", "2022-01"), (2, "b", "2022-01"), (3, "c", "2022-02")],
+        ["id", "v", "p_ym"],
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_orc(df, path, partition_by=["p_ym"])
+    # one file per hive partition (single-writer discipline)
+    for ym in ("2022-01", "2022-02"):
+        files = glob.glob(f"{path}/p_ym={ym}/*.orc")
+        assert len(files) == 1, files
+    back = read_orc(spark, path)
+    got = sorted((r["id"], r["v"], r["p_ym"]) for r in back.collect())
+    assert got == [(1, "a", "2022-01"), (2, "b", "2022-01"), (3, "c", "2022-02")]
+
+
 def test_read_json_with_enforced_schema(spark, tmp_path):
     from lakeforge.io.sources import read_json
 
