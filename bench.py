@@ -58,6 +58,11 @@ HEADLINE = [
     "large_orders",
     "rich_inactive_customers",
     "simhash_neardup",
+    "events_tier_mix",
+    "events_dedup_ingest",
+    "docs_sample",
+    "events_train_test",
+    "events_stratified",
 ]
 
 

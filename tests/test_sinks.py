@@ -128,6 +128,34 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     assert got == [(1, "a", "2022-01"), (2, "b", "2022-01"), (3, "c", "2022-02")]
 
 
+def test_csv_permissive_corrupt_record_capture(spark, tmp_path):
+    """Reference S1 parity: PERMISSIVE mode nulls unparseable fields rather
+    than failing the job; adding the corrupt-record column to the schema
+    quarantines the raw bad line for later inspection (the bronze-layer
+    pattern: never lose input, never fail ingest on one bad row)."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from lakeforge.io.sources import read_csv
+
+    p = tmp_path / "c"
+    p.mkdir()
+    (p / "a.csv").write_text("id,qty\n1,10\n2,notanumber\n3,30\n")
+    schema = StructType(
+        [
+            StructField("id", IntegerType(), True),
+            StructField("qty", IntegerType(), True),
+            StructField("_corrupt_record", StringType(), True),
+        ]
+    )
+    df = read_csv(spark, str(p), schema).cache()  # cache: corrupt col needs it
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["qty"] == 10 and rows[1]["_corrupt_record"] is None
+    assert rows[2]["qty"] is None  # unparseable field nulled, row kept
+    assert rows[2]["_corrupt_record"] == "2,notanumber"  # raw line preserved
+    assert rows[3]["qty"] == 30
+    df.unpersist()
+
+
 def test_read_json_with_enforced_schema(spark, tmp_path):
     from lakeforge.io.sources import read_json
 
