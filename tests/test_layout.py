@@ -54,3 +54,30 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
 
     # And the data itself round-trips unchanged.
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_join(spark, tmp_path):
+    """A join whose dim-side filter implies a fact-partition subset must
+    plan a dynamicpruning subquery on the fact scan — at 100 TB this is
+    the difference between scanning one month and scanning the table."""
+    fact_path = str(tmp_path / "fact_part")
+    fact = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 12).cast("int").alias("month"),
+        (F.col("id") * 2).alias("v"),
+    )
+    fact.repartition("month").write.partitionBy("month").parquet(fact_path)
+
+    dim = spark.createDataFrame(
+        [(m, "keep" if m == 3 else "drop") for m in range(12)],
+        ["month", "tag"],
+    )
+    fact_r = spark.read.parquet(fact_path)
+    q = fact_r.join(dim.filter(F.col("tag") == "keep"), "month").groupBy(
+        "month"
+    ).agg(F.sum("v").alias("sv"))
+
+    plan = q._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan
+    rows = q.collect()
+    assert len(rows) == 1 and rows[0]["month"] == "3"
