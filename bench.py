@@ -63,6 +63,7 @@ HEADLINE = [
     "docs_sample",
     "events_train_test",
     "events_stratified",
+    "docs_training_pipeline",
 ]
 
 

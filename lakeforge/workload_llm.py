@@ -251,7 +251,7 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(_documents(spark, sf_dir), "text", "doc_id")
 
 
-def _sql_simhash() -> str:
+def _sql_simhash(src: str = "documents") -> str:
     bits = 32
     sums = ",\n           ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
@@ -262,7 +262,7 @@ def _sql_simhash() -> str:
         for b in range(bits)
     )
     return f"""
-WITH corpus AS (SELECT doc_id, text FROM documents),
+WITH corpus AS (SELECT doc_id, text FROM {src}),
 toks AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
 u AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
 dt AS (SELECT DISTINCT doc_id, tok FROM u),
@@ -707,3 +707,61 @@ for _n4, _f4, _s4 in [
 ]:
     QUERIES[_n4] = _f4
     ORACLE_SQL[_n4] = _s4
+
+
+# ---------------------------------------------------------------------------
+# Flagship training-data prep pipeline: quality filter -> language gate ->
+# exact dedup -> near-dup removal -> deterministic sample, composed from
+# the same operators a user would chain.  Every stage is the scale-shape
+# version (broadcastable key sets, banded near-dup join, shuffle-free
+# sampling filter); the oracle recomputes the whole chain in SQL.
+# ---------------------------------------------------------------------------
+
+def q_docs_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    stats = text_stats(d, "text", "doc_id")
+    keep = stats.filter(
+        (F.col("n_tokens") >= 20) & (F.col("stop_permille") >= 30)
+    ).select("doc_id", "n_tokens")
+    docs = d.join(keep, "doc_id")  # quality+language survivors, stats kept
+
+    fp = doc_fingerprint(docs, "text", "doc_id")
+    canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    docs = docs.join(canon.select("doc_id"), "doc_id")  # exact-dedup canon
+
+    pairs = simhash_neardup_pairs(docs, "text", "doc_id", bands=4, max_hamming=3)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    docs = docs.join(dropped, "doc_id", "left_anti")  # near-dup removal
+
+    return deterministic_sample(docs, "doc_id", 500, salt="train").select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+
+
+def _sql_docs_training_pipeline() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+q AS (SELECT doc_id, text, toks, len(toks) AS n_tokens,
+             CASE WHEN len(toks) = 0 THEN 0
+                  ELSE (len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1000) // len(toks)
+             END AS pm
+      FROM t),
+keep AS (SELECT * FROM q WHERE n_tokens >= 20 AND pm >= 30),
+fp AS (SELECT doc_id, {_md5_60("array_to_string(toks, ' ')")} AS fp FROM keep),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+surv AS (SELECT k.* FROM keep k JOIN canon c ON k.doc_id = c.doc_id),
+shp AS ({_sql_simhash("surv")}),
+dropped AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM shp a JOIN shp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+)
+SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens
+FROM surv s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
+  AND {_bucket_sql('train', 's.doc_id')} < 500
+"""
+
+
+QUERIES["docs_training_pipeline"] = q_docs_training_pipeline
+ORACLE_SQL["docs_training_pipeline"] = _sql_docs_training_pipeline()
