@@ -125,6 +125,64 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+AUDIO_CHUNK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("chunk_idx", LongType(), False),
+        StructField("start_ms", LongType(), False),
+        StructField("end_ms", LongType(), False),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+
+def chunk_audio(
+    media: DataFrame, chunk_ms: int = 10_000, partitions: int | None = None
+) -> DataFrame:
+    """Audio chunking plumbing via mapInPandas: split each clip into
+    fixed-duration windows (the ASR/embedding pre-step).
+
+    The codec is stubbed — chunk payloads are byte slices proportional to
+    the time window — but the chunk-boundary arithmetic (ceil division,
+    ragged last chunk), the one-in/many-out batch shape, and the contract
+    that downstream sees bounded-size payloads are the real operator.
+    Chunks inherit the parent's partition: no shuffle is introduced, and
+    each output payload is <= chunk_ms worth of bytes — the property that
+    keeps per-row memory flat no matter how long the input clips are.
+    """
+    if partitions:
+        media = media.repartition(partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "chunk_idx": [], "start_ms": [], "end_ms": [],
+                "content": [],
+            }
+            for mid, content, dur in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                if content is None or dur is None or dur <= 0:
+                    continue
+                n_chunks = -(-int(dur) // chunk_ms)  # ceil
+                for i in range(n_chunks):
+                    start = i * chunk_ms
+                    end = min((i + 1) * chunk_ms, int(dur))
+                    # stub slice: bytes proportional to the time window
+                    b0 = len(content) * start // int(dur)
+                    b1 = len(content) * end // int(dur)
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(i)
+                    out["start_ms"].append(start)
+                    out["end_ms"].append(end)
+                    out["content"].append(bytes(content[b0:b1]))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=AUDIO_CHUNK_SCHEMA
+    )
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

@@ -165,6 +165,30 @@ def test_multimodal_feature_extraction(spark):
     assert feats[1]["features"] == feats2[1]["features"]
 
 
+def test_chunk_audio_boundaries_and_payload_bound(spark):
+    from lakeforge.llm.multimodal import chunk_audio
+
+    rows = [
+        # 25s clip, 100 bytes -> chunks [0,10s),[10,20s),[20,25s)
+        (1, "audio", bytes(range(100)), "audio/wav", None, None, 25000),
+        (2, "audio", None, "audio/wav", None, None, 5000),  # no payload
+        (3, "image", b"\xff" * 10, "image/png", 2, 5, None),  # not audio
+        (4, "audio", b"\x01" * 8, "audio/wav", None, None, 10000),  # exact 1
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = chunk_audio(media, chunk_ms=10_000).collect()
+    by_key = {(r["media_id"], r["chunk_idx"]): r for r in out}
+    assert {m for m, _ in by_key} == {1, 4}  # null payload + non-audio skipped
+    c1 = [by_key[(1, i)] for i in range(3)]
+    assert [(r["start_ms"], r["end_ms"]) for r in c1] == [
+        (0, 10000), (10000, 20000), (20000, 25000),  # ragged last chunk
+    ]
+    # byte slices partition the payload in order, proportional to time
+    assert b"".join(bytes(r["content"]) for r in c1) == bytes(range(100))
+    assert len(c1[0]["content"]) == 40  # 10s/25s of 100 bytes
+    assert (4, 0) in by_key and len(by_key) == 4  # exact-multiple: 1 chunk
+
+
 def test_sample_frames(spark):
     rows = [(3, "video", None, "video/mp4", None, None, 3500),
             (4, "image", None, "image/png", None, None, None)]
