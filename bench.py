@@ -64,6 +64,7 @@ HEADLINE = [
     "events_train_test",
     "events_stratified",
     "docs_training_pipeline",
+    "nation_trade_volume",
 ]
 
 

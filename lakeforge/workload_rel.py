@@ -1254,3 +1254,70 @@ for _n3, _f3, _s3 in [
 ]:
     QUERIES[_n3] = _f3
     ORACLE_SQL[_n3] = _s3
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive cross-dimension join predicate (TPC-H Q7 shape): bilateral
+# trade volume between two nations, either direction.  Both nation lookups
+# broadcast; the OR-of-conjunctions predicate applies AFTER the equi-joins
+# resolve names, so the join keys stay simple hashes.  Filtering each
+# broadcast nation frame to the two names FIRST means non-participating
+# rows drop at the earliest join, not at the final filter.
+# ---------------------------------------------------------------------------
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na, nb = "NATION_1", "NATION_2"
+    nations = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(na, nb))
+        .select("n_nationkey", "n_name")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.year("l_shipdate").cast("int").alias("ship_year"),
+        _revenue().alias("rev"),
+    )
+    n1 = nations.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nations.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .filter(
+            ((F.col("cust_nation") == na) & (F.col("supp_nation") == nb))
+            | ((F.col("cust_nation") == nb) & (F.col("supp_nation") == na))
+        )
+        .groupBy("cust_nation", "supp_nation", "ship_year")
+        .agg(
+            F.sum("rev").alias("volume"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+SQL_NATION_TRADE_VOLUME = f"""
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       SUM({_REV_SQL}) AS volume,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["nation_trade_volume"] = q_nation_trade_volume
+ORACLE_SQL["nation_trade_volume"] = SQL_NATION_TRADE_VOLUME
