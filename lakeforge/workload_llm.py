@@ -718,16 +718,26 @@ for _n4, _f4, _s4 in [
 # ---------------------------------------------------------------------------
 
 def q_docs_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     d = _documents(spark, sf_dir)
     stats = text_stats(d, "text", "doc_id")
     keep = stats.filter(
         (F.col("n_tokens") >= 20) & (F.col("stop_permille") >= 30)
     ).select("doc_id", "n_tokens")
-    docs = d.join(keep, "doc_id")  # quality+language survivors, stats kept
+    # Persist at each fan-out: the survivor frames feed 2-3 downstream
+    # branches (fingerprint, near-dup, final projection) — without the
+    # persist every branch re-reads and re-tokenizes the full corpus
+    # (the plan showed 8 text scans; with persists, one).  Measured cost
+    # at sf0.1 is ~0.3-0.5s of job barriers in a warm session — a fixed
+    # overhead, while the scans it removes grow with the corpus.
+    docs = d.join(keep, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
 
     fp = doc_fingerprint(docs, "text", "doc_id")
     canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    docs = docs.join(canon.select("doc_id"), "doc_id")  # exact-dedup canon
+    docs = docs.join(canon.select("doc_id"), "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # exact-dedup canonical survivors
 
     pairs = simhash_neardup_pairs(docs, "text", "doc_id", bands=4, max_hamming=3)
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
