@@ -65,6 +65,7 @@ HEADLINE = [
     "events_stratified",
     "docs_training_pipeline",
     "nation_trade_volume",
+    "extreme_order_by_segment",
 ]
 
 

@@ -1321,3 +1321,47 @@ GROUP BY 1, 2, 3
 
 QUERIES["nation_trade_volume"] = q_nation_trade_volume
 ORACLE_SQL["nation_trade_volume"] = SQL_NATION_TRADE_VOLUME
+
+
+# ---------------------------------------------------------------------------
+# Argmax/argmin WITHOUT a window (max_by/min_by): the per-group extreme row
+# as a plain hash aggregate — one shuffle, no partition-wide sort.  The
+# window formulation (row_number + filter) sorts every group; max_by keeps
+# a single running champion per group, which is the right physical shape
+# when you want one row per group from billions.  Ties are broken through
+# a composite ordering value (price cents * 1e8 + orderkey) so both
+# engines pick the identical row deterministically.
+# ---------------------------------------------------------------------------
+
+def q_extreme_order_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    up = cents * F.lit(100_000_000) + F.col("o_orderkey")
+    down = cents * F.lit(100_000_000) + (F.lit(100_000_000) - F.col("o_orderkey"))
+    return (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("o_orderkey", up).alias("top_orderkey"),
+            F.max(F.col("o_totalprice").cast(DEC)).alias("top_price"),
+            F.min_by("o_orderkey", down).alias("bottom_orderkey"),
+            F.min(F.col("o_totalprice").cast(DEC)).alias("bottom_price"),
+        )
+    )
+
+
+SQL_EXTREME_ORDER_BY_SEGMENT = """
+SELECT c_mktsegment,
+       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS top_orderkey,
+       MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS top_price,
+       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + (100000000 - o_orderkey)) AS bottom_orderkey,
+       MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS bottom_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+QUERIES["extreme_order_by_segment"] = q_extreme_order_by_segment
+ORACLE_SQL["extreme_order_by_segment"] = SQL_EXTREME_ORDER_BY_SEGMENT
