@@ -66,6 +66,7 @@ HEADLINE = [
     "docs_training_pipeline",
     "nation_trade_volume",
     "extreme_order_by_segment",
+    "docs_scrub_pii",
 ]
 
 

@@ -99,3 +99,33 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .cast("bigint")
         .alias("n_bpe_tokens"),
     )
+
+
+# PII patterns chosen from the RE2-compatible subset (no lookaround, no
+# backrefs) so Spark (Java regex) and oracle engines evaluate identically.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"[0-9]{3}-[0-9]{3,8}"
+
+
+def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Redact emails/phone numbers from a text column (training-data
+    hygiene pre-step), entirely JVM-side inside codegen — the redaction
+    runs at scan speed with no Python in the path.
+
+    Returns (doc_id, n_emails, n_phones, text) with matches replaced by
+    typed placeholders; counts let a pipeline route high-PII documents to
+    quarantine instead of training.
+    """
+    email = F.lit(PII_EMAIL_RE)
+    phone = F.lit(PII_PHONE_RE)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), email, "<EMAIL>"),
+        phone,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(F.col(text_col), email).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col(text_col), phone).cast("bigint").alias("n_phones"),
+        cleaned.alias("text"),
+    )

@@ -775,3 +775,54 @@ WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
 
 QUERIES["docs_training_pipeline"] = q_docs_training_pipeline
 ORACLE_SQL["docs_training_pipeline"] = _sql_docs_training_pipeline()
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (llm/text.py::scrub_pii).  The synthetic corpus contains no
+# contact strings, so the query first APPENDS a deterministic one per doc
+# (identically in both engines) — making the redaction counts and the
+# cleaned-text hash discriminating rather than vacuously zero.
+# ---------------------------------------------------------------------------
+
+def q_docs_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.text import scrub_pii
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            (F.col("doc_id") % 10000).cast("string"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    out = scrub_pii(d, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_emails", "n_phones", F.md5("text").alias("clean_md5")
+    )
+
+
+SQL_DOCS_SCRUB_PII = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-'
+              || CAST(doc_id % 10000 AS VARCHAR) || ' now' AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3,8}')) AS BIGINT) AS n_phones,
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{3,8}', '<PHONE>', 'g') AS text
+  FROM aug
+)
+SELECT doc_id, n_emails, n_phones, md5(text) AS clean_md5 FROM scrubbed
+"""
+
+QUERIES["docs_scrub_pii"] = q_docs_scrub_pii
+ORACLE_SQL["docs_scrub_pii"] = SQL_DOCS_SCRUB_PII

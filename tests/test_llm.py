@@ -165,6 +165,25 @@ def test_multimodal_feature_extraction(spark):
     assert feats[1]["features"] == feats2[1]["features"]
 
 
+def test_scrub_pii_redacts_and_counts(spark):
+    from lakeforge.llm.text import scrub_pii
+
+    rows = [
+        (1, "mail a@b.co and c.d+x@e-f.org, call 555-1234 or 555-99"),
+        (2, "no contact info here"),
+        (3, "edge: @not-an-email, 12-34 not a phone, x@y.z short tld"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in scrub_pii(df, "text", "doc_id").collect()}
+    # 555-99 is too short for the phone pattern ({3,8} after the dash)
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 1
+    assert out[1]["text"] == "mail <EMAIL> and <EMAIL>, call <PHONE> or 555-99"
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+    assert out[2]["text"] == "no contact info here"
+    # single-letter TLD doesn't match ({2,}), bare @ doesn't match
+    assert out[3]["n_emails"] == 0 and out[3]["n_phones"] == 0
+
+
 def test_chunk_audio_boundaries_and_payload_bound(spark):
     from lakeforge.llm.multimodal import chunk_audio
 
