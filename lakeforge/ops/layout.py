@@ -58,3 +58,54 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_partitions(
+    spark, path: str, target_mb: int = 128, partition_by: list[str] | None = None
+) -> dict:
+    """Small-file compaction: rewrite a parquet table so each output file
+    approaches ``target_mb`` (lakehouse OPTIMIZE).
+
+    Streaming ingest and per-trigger writes accumulate thousands of tiny
+    files; every query then pays per-file open/footer costs and the
+    driver pays listing time.  Compaction is one read + one write sized
+    from the table's actual on-disk bytes — no shuffle beyond the
+    repartition, and with ``partition_by`` the hive layout is preserved
+    (repartitioned BY the partition columns: one writer per partition).
+
+    Returns {files_before, files_after, bytes} for observability.
+    """
+    import glob as _glob
+    import os as _os
+
+    files = [
+        f
+        for f in _glob.glob(f"{path}/**/*.parquet", recursive=True)
+        if _os.path.isfile(f)
+    ]
+    total_bytes = sum(_os.path.getsize(f) for f in files)
+    df = spark.read.parquet(path)
+    if partition_by:
+        out = df.repartition(*partition_by)
+    else:
+        n = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))  # ceil
+        out = df.repartition(n)
+    tmp = f"{path}__compacting"
+    w = out.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    # atomic-ish swap (object stores: write to a new versioned prefix and
+    # flip a manifest/pointer instead)
+    import shutil as _shutil
+
+    _shutil.rmtree(path)
+    _os.rename(tmp, path)
+    files_after = len(
+        [f for f in _glob.glob(f"{path}/**/*.parquet", recursive=True)]
+    )
+    return {
+        "files_before": len(files),
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

@@ -81,3 +81,41 @@ def test_dynamic_partition_pruning_fires_on_partitioned_join(spark, tmp_path):
     assert "dynamicpruning" in plan
     rows = q.collect()
     assert len(rows) == 1 and rows[0]["month"] == "3"
+
+
+def test_compact_partitions_reduces_file_count(spark, tmp_path):
+    from lakeforge.ops.layout import compact_partitions
+
+    path = str(tmp_path / "fragmented")
+    # simulate per-trigger micro-batch writes: 20 fragments
+    spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("p")
+    ).repartition(20).write.parquet(path)
+    import glob as g
+    assert len(g.glob(f"{path}/*.parquet")) == 20
+
+    stats = compact_partitions(spark, path, target_mb=128)
+    assert stats["files_before"] == 20
+    assert stats["files_after"] == 1  # tiny table -> one right-sized file
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(2000))
+
+
+def test_compact_preserves_hive_partitions(spark, tmp_path):
+    from lakeforge.ops.layout import compact_partitions
+
+    path = str(tmp_path / "frag_hive")
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("p")
+    )
+    df.repartition(10).write.partitionBy("p").parquet(path)
+    import glob as g
+    assert len(g.glob(f"{path}/p=*/*.parquet")) > 3
+
+    compact_partitions(spark, path, partition_by=["p"])
+    for v in ("0", "1", "2"):
+        assert len(g.glob(f"{path}/p={v}/*.parquet")) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    assert back.select("p").distinct().count() == 3
