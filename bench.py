@@ -67,6 +67,8 @@ HEADLINE = [
     "nation_trade_volume",
     "extreme_order_by_segment",
     "docs_scrub_pii",
+    "mode_status_by_flag",
+    "events_funnel",
 ]
 
 

@@ -567,6 +567,55 @@ GROUP BY tier, event_type
 """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal conversion funnel: per-user first-signup -> first-purchase
+    within 7 days.  One conditional-min aggregate per user (a single
+    shuffle on user_id) then a global rollup — no self-join of the event
+    stream, which is the naive funnel shape that explodes at scale."""
+    ev = read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    secs = F.unix_timestamp("p") - F.unix_timestamp("s")
+    converted = (
+        F.col("s").isNotNull()
+        & F.col("p").isNotNull()
+        & (secs >= 0)
+        & (secs <= 7 * 86400)
+    )
+    return per_user.agg(
+        F.count("s").cast("bigint").alias("n_signup_users"),
+        F.count("p").cast("bigint").alias("n_purchase_users"),
+        F.sum(F.when(converted, 1).otherwise(0)).cast("bigint").alias("n_converted_7d"),
+        F.sum(F.when(converted, F.floor(secs / 60)).otherwise(0))
+        .cast("bigint")
+        .alias("total_minutes_to_convert"),
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT s, p, date_diff('second', s, p) AS secs,
+         (s IS NOT NULL AND p IS NOT NULL
+          AND date_diff('second', s, p) >= 0
+          AND date_diff('second', s, p) <= 7 * 86400) AS converted
+  FROM per_user
+)
+SELECT CAST(COUNT(s) AS BIGINT) AS n_signup_users,
+       CAST(COUNT(p) AS BIGINT) AS n_purchase_users,
+       CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_7d,
+       CAST(SUM(CASE WHEN converted THEN secs // 60 ELSE 0 END) AS BIGINT) AS total_minutes_to_convert
+FROM c
+"""
+
+
 def q_events_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming/events.py::dedup_within_watermark: an
     at-least-once redelivery (the input unioned with itself) collapsed
@@ -619,6 +668,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_json_extract": q_events_json_extract,
     "events_tier_mix": q_events_tier_mix,
     "events_dedup_ingest": q_events_dedup_ingest,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -640,6 +690,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
     "events_tier_mix": SQL_EVENTS_TIER_MIX,
     "events_dedup_ingest": SQL_EVENTS_DEDUP_INGEST,
+    "events_funnel": SQL_EVENTS_FUNNEL,
 }
 
 QUERIES.update(workload_llm.QUERIES)

@@ -1365,3 +1365,37 @@ GROUP BY c_mktsegment
 
 QUERIES["extreme_order_by_segment"] = q_extreme_order_by_segment
 ORACLE_SQL["extreme_order_by_segment"] = SQL_EXTREME_ORDER_BY_SEGMENT
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode (most frequent value per group): two hash aggregates,
+# with ties broken toward the lexicographically smallest value via a
+# composite (count, -ascii) argmax — built-in mode() leaves ties
+# engine-defined, which would never oracle-match.
+# ---------------------------------------------------------------------------
+
+def q_mode_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pick = F.col("cnt") * 256 - F.ascii("l_linestatus")
+    return counts.groupBy("l_returnflag").agg(
+        F.max_by("l_linestatus", pick).alias("mode_status"),
+        F.max("cnt").cast("bigint").alias("mode_count"),
+    )
+
+
+SQL_MODE_STATUS_BY_FLAG = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       arg_max(l_linestatus, cnt * 256 - ascii(l_linestatus)) AS mode_status,
+       CAST(MAX(cnt) AS BIGINT) AS mode_count
+FROM c GROUP BY l_returnflag
+"""
+
+QUERIES["mode_status_by_flag"] = q_mode_status_by_flag
+ORACLE_SQL["mode_status_by_flag"] = SQL_MODE_STATUS_BY_FLAG
