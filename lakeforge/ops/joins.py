@@ -163,10 +163,20 @@ def salted_join(
     single-key case (a null-heavy FK, one whale customer) where even a
     split task's probe side is one value.  Supports inner/left joins
     (the salted key never loses large-side rows).
+
+    The shard assignment hashes the large side's full row (xxhash64 of all
+    columns, mod salt) rather than ``F.rand`` — rand is seeded
+    per-partition, so its output (and anything sampled from it) changes
+    whenever the input's partitioning changes; the hash keeps the engine's
+    determinism guarantee while still spreading a hot key's rows uniformly
+    (identical duplicate rows land on one shard, which only matters if a
+    single key's rows are ALSO mostly byte-identical).
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins only")
-    lg = large.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    lg = large.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt)).cast("int")
+    )
     sm = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

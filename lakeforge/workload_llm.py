@@ -826,3 +826,84 @@ SELECT doc_id, n_emails, n_phones, md5(text) AS clean_md5 FROM scrubbed
 
 QUERIES["docs_scrub_pii"] = q_docs_scrub_pii
 ORACLE_SQL["docs_scrub_pii"] = SQL_DOCS_SCRUB_PII
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing, driver-checkable (llm/multimodal.py): no media table
+# exists in testdata, so the query synthesizes one in-query from documents
+# (text bytes as the opaque payload, deterministic metadata), runs the REAL
+# Arrow-batched mapInPandas featurizer + the audio-chunk / frame-sample
+# operators, and oracles every deterministic output column in DuckDB:
+#   n_bytes   — flows through the featurizer's output batch (proves the
+#               mapInPandas stage executed),
+#   feat_l1   — sum over the Python-computed L1-normed feature histogram
+#               (1.0 for any non-empty payload),
+#   n_chunks  — ceil(duration/10s) audio chunk-boundary arithmetic,
+#   n_frames  — 1s frame-sampling row count.
+# ---------------------------------------------------------------------------
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.multimodal import chunk_audio, extract_features, sample_frames
+
+    docs = _documents(spark, sf_dir)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    nb = F.octet_length("text").cast("long")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit(None).cast("string").alias("mime"),
+        F.when(kind == "image", nb % 640 + 1).cast("long").alias("width"),
+        F.when(kind == "image", nb % 480 + 1).cast("long").alias("height"),
+        F.when(kind != "image", (nb * 7) % 45000 + 500)
+        .cast("long")
+        .alias("duration_ms"),
+    )
+    feats = extract_features(media).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("feat_l1"),
+    )
+    chunks = chunk_audio(media, chunk_ms=10_000).groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    frames = sample_frames(media, every_ms=1_000).groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames")
+    )
+    return (
+        feats.join(chunks, "media_id", "left")
+        .join(frames, "media_id", "left")
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            "feat_l1",
+            F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+            F.coalesce("n_frames", F.lit(0)).cast("bigint").alias("n_frames"),
+        )
+    )
+
+
+SQL_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+d AS (SELECT *, (n_bytes * 7) % 45000 + 500 AS dur FROM m)
+SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN n_bytes > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS feat_l1,
+       CAST(CASE WHEN kind = 'audio' THEN CAST(ceil(dur / 10000.0) AS BIGINT) ELSE 0 END AS BIGINT) AS n_chunks,
+       CAST(CASE WHEN kind = 'video' THEN GREATEST((dur // 1000) - 1, 0) + 1 ELSE 0 END AS BIGINT) AS n_frames
+FROM d
+"""
+
+QUERIES["media_features"] = q_media_features
+ORACLE_SQL["media_features"] = SQL_MEDIA_FEATURES

@@ -122,3 +122,22 @@ def test_scd2_null_safe_vs_reference_mode_on_nulls(spark, rows):
         versions.sort(key=lambda r: r["effective_start_date"])
         for a, b in zip(versions, versions[1:]):
             assert a["status"] != b["status"]  # None != str in Python too
+
+
+def test_salted_join_deterministic_under_repartition(spark):
+    """Salt assignment must be a pure function of row content: repartitioning
+    the input (which reshuffles rand()'s per-partition seeds) may not change
+    the result multiset — the determinism guarantee VERDICT r1 flagged."""
+    from lakeforge.ops.joins import salted_join
+
+    big = spark.range(0, 500).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame([(i, f"t{i}") for i in range(7)], ["k", "tag"])
+
+    def run(frame):
+        return sorted(
+            tuple(r) for r in salted_join(frame, small, ["k"], salt=5).collect()
+        )
+
+    assert run(big) == run(big.repartition(13)) == run(big.repartition(3, "v"))

@@ -46,6 +46,62 @@ def _norm(v):
     return v
 
 
+def _strict_norm(v):
+    """Driver-sim normalization (tools/diag_hash.py evidence, r01):
+    the driver extracts Spark rows as Python objects (Decimal survives)
+    and DuckDB rows via pandas (DECIMAL -> float64), tolerates temporal
+    representation differences (date vs midnight-datetime passed), and is
+    STRICT on numeric rendering (Decimal('134.60') vs 134.6 failed).  So:
+    normalize temporal + containers, render everything else with str()."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return "<null>"
+    if isinstance(v, float) and math.isnan(v):
+        return "<null>"  # outer-join NaN from pandas == SQL NULL
+    if isinstance(v, (pd.Timestamp, dt.datetime)):
+        v = v.to_pydatetime() if isinstance(v, pd.Timestamp) else v
+        v = v.replace(tzinfo=None)
+        if v.time() == dt.time(0, 0):
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_strict_norm(x) for x in v) + "]"
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
+    if isinstance(v, np.generic):
+        return str(v.item())
+    return str(v)
+
+
+def compare_strict(spark_pdf, duck_pdf) -> list[str]:
+    """Order-insensitive strict comparison of the two pandas frames,
+    columns sorted by name — the driver-hash simulation."""
+    cols = sorted(spark_pdf.columns)
+    if sorted(duck_pdf.columns) != cols:
+        return [f"strict: columns differ {cols} vs {sorted(duck_pdf.columns)}"]
+    s = sorted(
+        tuple(_strict_norm(v) for v in row)
+        for row in spark_pdf[cols].itertuples(index=False, name=None)
+    )
+    d = sorted(
+        tuple(_strict_norm(v) for v in row)
+        for row in duck_pdf[cols].itertuples(index=False, name=None)
+    )
+    if s != d:
+        n_bad = sum(1 for a, b in zip(s, d) if a != b) + abs(len(s) - len(d))
+        out = [f"STRICT values differ ({n_bad} rows)"]
+        for a, b in zip(s, d):
+            if a != b:
+                out.append(f"  strict first diff:\n   spark={a}\n   duck ={b}")
+                break
+        return out
+    return []
+
+
 def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
     problems = []
     if sorted(spark_cols) != sorted(duck_cols):
@@ -90,6 +146,7 @@ def main() -> int:
             df = fn(spark, sf_dir)
             spark_cols = df.columns
             spark_rows = df.collect()
+            spark_pdf = df.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
@@ -104,11 +161,13 @@ def main() -> int:
             res = con.execute(oracles[name])
             duck_cols = [c[0] for c in res.description]
             duck_rows = res.fetchall()
+            duck_pdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)
             continue
         problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        problems += compare_strict(spark_pdf, duck_pdf)
         if problems:
             print(f"FAIL {name} (spark {t1 - t0:.1f}s):")
             for p in problems:
