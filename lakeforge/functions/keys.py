@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 # ASCII unit separator — never appears in the data; prevents ("ab","c") and
 # ("a","bc") from colliding.
 _SEP = "\x1f"
+# ASCII record separator — NULL sentinel, distinct from _SEP and from any
+# empty string, so hash(NULL, 'x') != hash('x', NULL) != hash('', 'x').
+_NULL = "\x1e"
 
 
 def md5_int(*cols: Column | str) -> Column:
@@ -38,9 +41,16 @@ def md5_int(*cols: Column | str) -> Column:
 
     Exactly reproducible in DuckDB/Postgres/anything with md5():
     ``('0x' || substr(md5(concat_ws(chr(31), ...)), 1, 15))::UBIGINT``.
+
+    NULL columns hash as the chr(30) sentinel: ``concat_ws`` alone SKIPS
+    nulls (making (NULL,'x'), ('x',NULL) and ('x',) collide), and the
+    DuckDB twin's ``||`` would return NULL for the whole key — the
+    coalesce keeps both engines total and position-sensitive on NULLs.
     """
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
-    concat = F.concat_ws(_SEP, *[c.cast("string") for c in cs])
+    concat = F.concat_ws(
+        _SEP, *[F.coalesce(c.cast("string"), F.lit(_NULL)) for c in cs]
+    )
     return F.conv(F.substring(F.md5(concat), 1, 15), 16, 10).cast("bigint")
 
 
@@ -60,7 +70,9 @@ def md5_int32(col: Column | str) -> Column:
 def duckdb_md5_int_sql(expr_parts: list[str]) -> str:
     """The DuckDB SQL text equivalent of ``md5_int`` over the given SQL
     expressions — used to build oracle queries that hash-match Spark."""
-    concat = " || chr(31) || ".join(f"CAST({p} AS VARCHAR)" for p in expr_parts)
+    concat = " || chr(31) || ".join(
+        f"COALESCE(CAST({p} AS VARCHAR), chr(30))" for p in expr_parts
+    )
     return f"CAST(('0x' || substr(md5({concat}), 1, 15)) AS UBIGINT)::BIGINT"
 
 

@@ -28,8 +28,17 @@ def write_partitioned_parquet(
     mode: str = "overwrite",
     files_per_partition: int = 1,
     compression: str = "snappy",
+    partition_overwrite: str = "dynamic",
 ) -> None:
-    """Partitioned Snappy-Parquet sink (reference S4: bronze_to_silver.py:70-78)."""
+    """Partitioned Snappy-Parquet sink (reference S4: bronze_to_silver.py:70-78).
+
+    ``partition_overwrite`` is set PER-WRITER (not session config): the
+    partition-scoped merge is only correct under dynamic overwrite, and a
+    caller may hand us a SparkSession that wasn't built by ``get_spark`` —
+    with the session-level default static, an overwrite would silently
+    truncate every untouched partition.  Pass "static" explicitly to
+    replace the whole table.
+    """
     if partition_cols:
         if files_per_partition > 1:
             salt = (F.xxhash64(*[F.col(c) for c in df.columns]) % files_per_partition)
@@ -39,6 +48,7 @@ def write_partitioned_parquet(
         (
             df.write.mode(mode)
             .option("compression", compression)
+            .option("partitionOverwriteMode", partition_overwrite)
             .partitionBy(*partition_cols)
             .parquet(path)
         )

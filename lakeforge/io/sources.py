@@ -77,8 +77,14 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``legacy.parquet.nanosAsLong`` the column arrives as bigint nanos; we
     convert to a proper microsecond timestamp (same truncation DuckDB
     applies when casting timestamp_ns -> timestamp).
+
+    The conf is a ``get_spark`` session default (session.py); the guarded
+    set below is a fallback for externally-built sessions (the driver
+    constructs its own) — skipped entirely when already configured, so a
+    lakeforge session sees no config mutation at call time.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     # `ts div 1000`: integer division — a double roundtrip would lose
     # precision above 2^53 ns (~104 days after epoch).

@@ -95,12 +95,23 @@ def compact_partitions(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
-    # atomic-ish swap (object stores: write to a new versioned prefix and
-    # flip a manifest/pointer instead)
+    # Crash-safe swap: move the live table ASIDE (rename, instant), promote
+    # the compacted copy, delete the old data LAST — at no point is the
+    # table lost; a crash mid-swap leaves it recoverable at ``path`` or
+    # ``path__old``.  (Object stores have no atomic rename: there, write to
+    # a new versioned prefix and flip a manifest/pointer instead.)
     import shutil as _shutil
 
-    _shutil.rmtree(path)
-    _os.rename(tmp, path)
+    old = f"{path}__old"
+    if _os.path.exists(old):
+        _shutil.rmtree(old)
+    _os.rename(path, old)
+    try:
+        _os.rename(tmp, path)
+    except BaseException:
+        _os.rename(old, path)  # roll back: the original table returns live
+        raise
+    _shutil.rmtree(old)
     files_after = len(
         [f for f in _glob.glob(f"{path}/**/*.parquet", recursive=True)]
     )

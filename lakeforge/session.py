@@ -57,6 +57,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Incremental merge rewrites only changed partitions (SURVEY.md §4).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # TIMESTAMP(NANOS) parquet columns surface as bigint nanos instead
+        # of a read error (io/sources.py::read_events converts to micros).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for every pandas<->Spark boundary (LLM ops use pandas UDFs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")

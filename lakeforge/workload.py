@@ -105,21 +105,26 @@ SQL_SCD2_ORDERS = _SCD2_ORDERS_CTE + "SELECT * FROM dim"
 
 # ---------------------------------------------------------------------------
 # P3: multi-format date normalization (bronze_to_silver.py:80-88).
-# 4-digit-year variant here because Java's 'yy' pivots to 20xx while
-# strptime's %y pivots at 69 — the 2-digit reference behavior is covered by
-# the golden-fixture test (2022 dates) instead.
+# The reference's FIRST format is two-digit 'dd-MMM-yy' — included here with
+# the pivot pinned: Java's reduced 'yy' maps to 2000-2099 while strptime's
+# %y pivots at 69, so the 2-digit rows are generated only for years >= 2000
+# (orders span 1995-2001 => yy in 00..01, inside the engines' agreement
+# zone 2000-2068).  'dd-MMM-yy' leads the chain exactly as in the
+# reference; a 4-digit year fails its strict 2-digit 'yy' and falls
+# through to 'dd-MMM-yyyy' on both engines.
 # ---------------------------------------------------------------------------
 
-_MFD_FORMATS = ("dd-MMM-yyyy", "yyyy-MM-dd", "dd/MM/yyyy", "MM/dd/yyyy")
+_MFD_FORMATS = ("dd-MMM-yy", "dd-MMM-yyyy", "yyyy-MM-dd", "dd/MM/yyyy", "MM/dd/yyyy")
 
 
 def q_multi_format_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _orders(spark, sf_dir).select(
         "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
     )
-    k = F.col("o_orderkey") % 4
+    k = F.col("o_orderkey") % 5
     raw = (
-        F.when(k == 0, F.date_format("d", "dd-MMM-yyyy"))
+        F.when((k == 4) & (F.year("d") >= 2000), F.date_format("d", "dd-MMM-yy"))
+        .when((k == 0) | (k == 4), F.date_format("d", "dd-MMM-yyyy"))
         .when(k == 1, F.date_format("d", "yyyy-MM-dd"))
         .when(k == 2, F.date_format("d", "dd/MM/yyyy"))
         .otherwise(F.date_format("d", "MM/dd/yyyy"))
@@ -134,15 +139,16 @@ SQL_MULTI_FORMAT_DATES = """
 WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders),
 raws AS (
     SELECT o_orderkey,
-           CASE o_orderkey % 4
-             WHEN 0 THEN strftime(d, '%d-%b-%Y')
-             WHEN 1 THEN strftime(d, '%Y-%m-%d')
-             WHEN 2 THEN strftime(d, '%d/%m/%Y')
-             ELSE strftime(d, '%m/%d/%Y')
+           CASE WHEN o_orderkey % 5 = 4 AND year(d) >= 2000 THEN strftime(d, '%d-%b-%y')
+                WHEN o_orderkey % 5 IN (0, 4) THEN strftime(d, '%d-%b-%Y')
+                WHEN o_orderkey % 5 = 1 THEN strftime(d, '%Y-%m-%d')
+                WHEN o_orderkey % 5 = 2 THEN strftime(d, '%d/%m/%Y')
+                ELSE strftime(d, '%m/%d/%Y')
            END AS raw
     FROM o)
 SELECT o_orderkey, raw,
-       CAST(COALESCE(try_strptime(raw, '%d-%b-%Y'), try_strptime(raw, '%Y-%m-%d'),
+       CAST(COALESCE(try_strptime(raw, '%d-%b-%y'), try_strptime(raw, '%d-%b-%Y'),
+                     try_strptime(raw, '%Y-%m-%d'),
                      try_strptime(raw, '%d/%m/%Y'), try_strptime(raw, '%m/%d/%Y')) AS DATE)
          AS parsed_date
 FROM raws

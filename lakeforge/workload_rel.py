@@ -1400,9 +1400,12 @@ ORACLE_SQL["nation_trade_volume"] = SQL_NATION_TRADE_VOLUME
 # as a plain hash aggregate — one shuffle, no partition-wide sort.  The
 # window formulation (row_number + filter) sorts every group; max_by keeps
 # a single running champion per group, which is the right physical shape
-# when you want one row per group from billions.  Ties are broken through
-# a composite ordering value (price cents * 1e8 + orderkey) so both
-# engines pick the identical row deterministically.
+# when you want one row per group from billions.  Ties break toward the
+# larger orderkey via a lexicographic composite: Spark compares a
+# (cents, orderkey) struct; DuckDB's arg_max can't order by struct, so its
+# twin is the same ordering packed into a HUGEINT with a 2^63 multiplier —
+# above any BIGINT orderkey at ANY scale factor (the old 1e8 multiplier
+# overflowed into the price digits past ~SF100).
 # ---------------------------------------------------------------------------
 
 def q_extreme_order_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1411,8 +1414,8 @@ def q_extreme_order_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    up = cents * F.lit(100_000_000) + F.col("o_orderkey")
-    down = cents * F.lit(100_000_000) + (F.lit(100_000_000) - F.col("o_orderkey"))
+    up = F.struct(cents.alias("p"), F.col("o_orderkey").alias("k"))
+    down = F.struct(cents.alias("p"), (-F.col("o_orderkey")).alias("k"))
     return (
         o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
@@ -1427,9 +1430,9 @@ def q_extreme_order_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EXTREME_ORDER_BY_SEGMENT = """
 SELECT c_mktsegment,
-       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS top_orderkey,
+       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS HUGEINT) * 9223372036854775808 + o_orderkey) AS top_orderkey,
        MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS top_price,
-       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + (100000000 - o_orderkey)) AS bottom_orderkey,
+       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS HUGEINT) * 9223372036854775808 - o_orderkey) AS bottom_orderkey,
        MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS bottom_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment

@@ -53,3 +53,30 @@ def test_hash_sk_is_deterministic_and_distinct(spark):
     a = sorted(r["sk"] for r in out.collect())
     b = sorted(r["sk"] for r in out.collect())
     assert a == b
+
+
+def test_hash_sk_null_handling_matches_duckdb(spark):
+    """NULL key columns: concat_ws alone would collapse (NULL,'x'),
+    ('x',NULL) and ('x') to one hash, and the DuckDB `||` twin would go
+    NULL — both sides now coalesce NULLs to a chr(30) sentinel (ADVICE r1,
+    keys.py)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from lakeforge.functions.keys import duckdb_md5_int_sql, md5_int
+
+    df = spark.createDataFrame(
+        [("x", None), (None, "x"), ("x", "y"), (None, None)], ["a", "b"]
+    )
+    got = [
+        r["sk"]
+        for r in df.select(md5_int("a", "b").alias("sk")).collect()
+    ]
+    assert len(set(got)) == 4  # no NULL-position collisions
+    assert all(v is not None for v in got)
+
+    sql = duckdb_md5_int_sql(["a", "b"])
+    duck = duckdb.connect().execute(
+        f"SELECT {sql} FROM (VALUES ('x', NULL), (NULL, 'x'), ('x', 'y'), (NULL, NULL)) t(a, b)"
+    ).fetchall()
+    assert [d[0] for d in duck] == got

@@ -72,3 +72,34 @@ def test_merge_deterministic_survivor(spark, tmp_path):
 
 def test_probe_missing_path(spark, tmp_path):
     assert read_parquet_if_exists(spark, str(tmp_path / "nope")) is None
+
+
+def test_merge_safe_under_static_overwrite_session(spark, tmp_path):
+    """The partition-scoped merge prunes `existing` to the batch's
+    partitions before overwriting — ONLY correct under dynamic partition
+    overwrite.  The writer pins the mode per-write, so even a session
+    configured static (e.g. one not built by get_spark) must not truncate
+    untouched partitions (ADVICE r1, merge.py)."""
+    import pyspark.sql.functions as F
+
+    from lakeforge.ops.merge import merge_full_history
+
+    path = str(tmp_path / "silver_static")
+    base = spark.createDataFrame(
+        [(1, "a", "202201"), (2, "b", "202202")], ["k", "v", "p_ym"]
+    )
+    merge_full_history(spark, base, path, keys=["k"], partition_cols=["p_ym"])
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        batch = spark.createDataFrame([(3, "c", "202202")], ["k", "v", "p_ym"])
+        merge_full_history(spark, batch, path, keys=["k"], partition_cols=["p_ym"])
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    got = {
+        tuple(r) for r in spark.read.parquet(path).select("k", "v", "p_ym").collect()
+    }
+    # 202201 must survive the 202202-only batch under a static session.
+    assert got == {(1, "a", "202201"), (2, "b", "202202"), (3, "c", "202202")}
