@@ -69,6 +69,12 @@ HEADLINE = [
     "docs_scrub_pii",
     "mode_status_by_flag",
     "events_funnel",
+    "multi_format_dates",
+    "ngram_jaccard_pairs",
+    "neardup_clusters",
+    "media_features",
+    "sketch_profile",
+    "geo_mean_price",
 ]
 
 

@@ -37,9 +37,9 @@ def test_registry_is_complete_and_callable():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     no_oracle = set(qs) - set(oracles)
-    # approximate sketches: rows-only by design (HLL/KLL estimates are
-    # implementation-specific; everything else is value-checked)
-    assert no_oracle <= {"sketch_profile"}, no_oracle
+    # every registry entry is oracle-checked (sketch_profile emits exact
+    # answers + error-bound assertions precisely so it can be)
+    assert not no_oracle, no_oracle
     import inspect
 
     for name, fn in qs.items():
