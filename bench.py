@@ -75,6 +75,9 @@ HEADLINE = [
     "media_features",
     "sketch_profile",
     "geo_mean_price",
+    "docs_decontaminate",
+    "docs_pack_sequences",
+    "docs_repetition_score",
 ]
 
 

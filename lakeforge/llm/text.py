@@ -129,3 +129,31 @@ def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.regexp_count(F.col(text_col), phone).cast("bigint").alias("n_phones"),
         cleaned.alias("text"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Within-document repetition profile (the Gopher-style quality rule):
+    bigram totals, distinct bigrams, the top bigram's share, and a
+    ``repetitive`` flag when one bigram dominates (> 10% of all bigrams).
+
+    Two hash aggregates — (doc, bigram) counts, then per-doc max/sum —
+    both with map-side partial aggregation; the exchanges carry bigram
+    counters, never text.  Docs with < 2 tokens emit no bigrams and are
+    absent from the output (same contract in the DuckDB twin).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks")
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1), i -> concat_ws(' ', slice(__toks, i, 2))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    bg = toks.select("doc_id", F.explode(bigrams).alias("bg"))
+    counts = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_bigrams"),
+        F.max("c").cast("bigint").alias("top_bigram_count"),
+        (F.max("c") * 10 > F.sum("c")).alias("repetitive"),
+    )

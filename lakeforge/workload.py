@@ -832,10 +832,12 @@ PRIORITY: list[str] = [
     "embedding_cosine_topk",
     "ivf_topk",
     "embedding_neardup",
-    # sampling + composed pipeline + multimodal
+    # sampling + composed pipeline + multimodal + pretraining hygiene
     "events_train_test",
     "docs_training_pipeline",
     "media_features",
+    "docs_decontaminate",
+    "docs_pack_sequences",
     # relational operator families
     "semi_high_value_customers",
     "anti_customers_no_orders",
@@ -849,8 +851,6 @@ PRIORITY: list[str] = [
     "resample_daily_spend",
     "salted_skew_revenue",
     "region_revenue",
-    "pivot_priority_status",
-    "active_both_years",
     "extreme_order_by_segment",
     "sketch_profile",
     "zorder_keys",

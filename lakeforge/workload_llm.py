@@ -907,3 +907,101 @@ FROM d
 
 QUERIES["media_features"] = q_media_features
 ORACLE_SQL["media_features"] = SQL_MEDIA_FEATURES
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (llm/decontam.py): the benchmark set is
+# synthesized in-query (every 97th doc) so the overlap is non-trivial —
+# benchmark docs self-hit 100%, and the small synthetic vocabulary makes
+# chance 5-gram collisions exercise the min_hits threshold.  The oracle
+# mirrors the md5-32 shingle hashing exactly (collisions included).
+# ---------------------------------------------------------------------------
+
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.decontam import contamination_check
+
+    docs = _documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_check(
+        docs, bench, "text", "doc_id", shingle_n=5, min_hits=3
+    )
+
+
+SQL_DOCS_DECONTAMINATE = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{_shingle_ctes(5)},
+h AS (SELECT doc_id, {_md5_32("shingle")} AS h FROM sh),
+bh AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0),
+marked AS (SELECT h.doc_id, CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM h LEFT JOIN bh ON h.h = bh.h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       SUM(hit) >= 3 AS contaminated
+FROM marked GROUP BY doc_id
+"""
+
+QUERIES["docs_decontaminate"] = q_docs_decontaminate
+ORACLE_SQL["docs_decontaminate"] = SQL_DOCS_DECONTAMINATE
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (llm/packing.py): the oracle is the NAIVE global-window
+# cumsum — the Spark side must reproduce it exactly through the
+# distributed two-level prefix sum (per-chunk window + chunk-offset
+# rollup + broadcast join).
+# ---------------------------------------------------------------------------
+
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.packing import pack_sequences
+    from lakeforge.llm.text import tokens_col
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.size(tokens_col("text")).alias("n_tokens")
+    )
+    return pack_sequences(d, "n_tokens", "doc_id", seq_len=512, chunk_size=64)
+
+
+SQL_DOCS_PACK_SEQUENCES = f"""
+WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tok_start
+      FROM t)
+SELECT doc_id, n_tokens, tok_start,
+       CAST(tok_start // 512 AS BIGINT) AS bin_id,
+       CAST(tok_start % 512 AS BIGINT) AS bin_offset
+FROM c
+"""
+
+QUERIES["docs_pack_sequences"] = q_docs_pack_sequences
+ORACLE_SQL["docs_pack_sequences"] = SQL_DOCS_PACK_SEQUENCES
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition profile (llm/text.py::repetition_stats) —
+# the Gopher-style "one bigram dominates" quality rule.
+# ---------------------------------------------------------------------------
+
+def q_docs_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.text import repetition_stats
+
+    return repetition_stats(_documents(spark, sf_dir), "text", "doc_id")
+
+
+SQL_DOCS_REPETITION_SCORE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+       CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+       MAX(c) * 10 > SUM(c) AS repetitive
+FROM c GROUP BY doc_id
+"""
+
+QUERIES["docs_repetition_score"] = q_docs_repetition_score
+ORACLE_SQL["docs_repetition_score"] = SQL_DOCS_REPETITION_SCORE

@@ -264,3 +264,71 @@ def test_python_udtf_lateral_join_surface(spark):
     assert sorted((r["id"], r["word"], r["n"]) for r in out) == [
         (1, "x", 1), (1, "yy", 2), (2, "zzz", 3)
     ]
+
+
+def test_pack_sequences_matches_global_window_any_chunking(spark):
+    """The distributed two-level prefix sum must equal the naive global
+    cumsum for every chunk_size (including one doc per chunk and one
+    chunk total)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from lakeforge.llm.packing import pack_sequences
+
+    rows = [(i, (i * 37) % 90 + 1) for i in range(0, 300, 3)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r["doc_id"]: r["start"]
+        for r in df.select(
+            "doc_id", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start")
+        ).collect()
+    }
+    for chunk in (1, 7, 64, 10_000):
+        got = pack_sequences(df, "n_tokens", "doc_id", seq_len=128, chunk_size=chunk)
+        for r in got.collect():
+            assert r["tok_start"] == naive[r["doc_id"]], (chunk, r)
+            assert r["bin_id"] * 128 + r["bin_offset"] == r["tok_start"]
+            assert 0 <= r["bin_offset"] < 128
+
+
+def test_contamination_check_flags_benchmark_overlap(spark):
+    from lakeforge.llm.decontam import contamination_check
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # = benchmark doc
+            (2, "alpha beta gamma delta epsilon other"),  # shares 2 5-grams? no — 1
+            (3, "totally different words here now folks"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = corpus.filter("doc_id = 1")
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_hits"], r["contaminated"])
+        for r in contamination_check(
+            corpus, bench, "text", "doc_id", shingle_n=5, min_hits=1
+        ).collect()
+    }
+    # doc1: 2 shingles, both hit. doc2 shares exactly the first 5-gram.
+    assert out[1] == (2, 2, True)
+    assert out[2] == (2, 1, True)
+    assert out[3] == (2, 0, False)
+
+
+def test_repetition_stats_flags_dominant_bigram(spark):
+    from lakeforge.llm.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam ok"),
+            (2, "a b c d e f g h i j k"),
+            (3, "solo"),  # < 2 tokens: no bigrams, absent from output
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "text", "doc_id").collect()}
+    assert out[1]["repetitive"] and out[1]["top_bigram_count"] == 9
+    assert not out[2]["repetitive"]
+    assert out[2]["n_bigrams"] == out[2]["n_distinct_bigrams"] == 10
+    assert 3 not in out
