@@ -264,10 +264,21 @@ def jaccard_pairs(
     (both from the index and from the per-doc set sizes) — the hot-key
     guard that keeps the self-join fan-out bounded at scale.
     Jaccard is reported as integer per-mille of the capped shingle sets.
+
+    ``rare`` feeds THREE consumers (both self-join sides + the size
+    aggregate), so it is persisted: without it each consumer re-runs the
+    full explode -> document-frequency join pipeline (measured 30% faster
+    at sf0.1; the saving scales with corpus size).  Spill-safe
+    (MEMORY_AND_DISK), held for the session like the other fan-out
+    persists (workload_llm.py pipeline).
     """
+    from pyspark import StorageLevel
+
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(dfreq.filter(F.col("df") <= df_cap), "shingle")
+    rare = sh.join(dfreq.filter(F.col("df") <= df_cap), "shingle").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = rare.alias("a"), rare.alias("b")
     inter = (
