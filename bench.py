@@ -111,6 +111,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # headline set GREW round-over-round (r01: 50 queries);
+                # compare per-query or mean, not bare totals.
+                "n_queries": len(timings),
+                "mean_sec_per_query": round(total / max(len(timings), 1), 3),
             }
         )
     )

@@ -1,0 +1,74 @@
+"""Physical-plan contracts for documented scale claims.
+
+These tests pin the plan SHAPE, not timings: if a refactor silently turns
+a broadcast into a corpus-wide shuffle or reintroduces a global window,
+the documented 100-TB story breaks long before a benchmark notices at
+test scale.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast — the corpus is never
+    shuffled by shingle (llm/decontam.py scale contract)."""
+    from lakeforge.workload_llm import q_docs_decontaminate
+
+    plan = _plan(q_docs_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_has_no_corpus_wide_global_window(spark):
+    """The only unpartitioned window may run over per-chunk TOTALS (rows =
+    corpus/chunk_size), never over the docs frame itself: the doc-level
+    cumsum must be partitioned by chunk."""
+    from lakeforge.llm.packing import pack_sequences
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50 + 1).alias("n_tokens")
+    )
+    plan = _plan(pack_sequences(df, "n_tokens", "doc_id", 128, chunk_size=64))
+    # doc-level window: partitioned by __chunk (parallel)
+    assert "partitionBy=[__chunk" in plan.replace(" ", "").replace('"', "") or (
+        "__chunk" in plan and "Window" in plan
+    )
+    # the global (unpartitioned) window input is the per-chunk aggregate,
+    # which sits under a HashAggregate of __chunk — i.e. the serial stage
+    # consumes chunk totals, not docs.  Verify by checking the single
+    # partition exchange feeds from an aggregate.
+    assert "SinglePartition" in plan
+    idx = plan.index("SinglePartition")
+    assert "HashAggregate" in plan[:idx]
+
+
+def test_broadcast_enrich_broadcasts_both_dims(spark):
+    from lakeforge.workload import QUERIES
+
+    plan = _plan(QUERIES["broadcast_enrich"](spark, SF))
+    # tree lines only ("formatted" repeats operators in the detail list)
+    assert plan.count("BroadcastHashJoin LeftOuter") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_score_aggregates_are_partial(spark):
+    """Both aggregates must run map-side partials (partial_count/sum in
+    the plan) so exchanges carry counters, not raw bigrams per row."""
+    from lakeforge.workload_llm import q_docs_repetition_score
+
+    plan = _plan(q_docs_repetition_score(spark, SF))
+    assert "partial_count" in plan
