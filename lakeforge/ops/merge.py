@@ -31,6 +31,24 @@ from lakeforge.io.sources import read_parquet_if_exists
 from lakeforge.ops.dedup import dedup_exact, dedup_keep_first
 
 
+def _prune_to_touched(
+    existing: DataFrame, new_df: DataFrame, partition_cols: list[str]
+) -> DataFrame:
+    """Prune the read-back to partitions the batch touches: the join-free
+    way is an IN-list of the batch's (small) distinct partition tuples."""
+    touched = [
+        tuple(r) for r in new_df.select(*partition_cols).distinct().collect()
+    ]
+    pred = None
+    for t in touched:
+        term = None
+        for c, v in zip(partition_cols, t):
+            cmp = F.col(c) == F.lit(v)
+            term = cmp if term is None else (term & cmp)
+        pred = term if pred is None else (pred | term)
+    return existing.filter(pred) if pred is not None else existing
+
+
 def merge_full_history(
     spark: SparkSession,
     new_df: DataFrame,
@@ -62,21 +80,60 @@ def merge_full_history(
         return
 
     if partition_cols:
-        # Prune the read-back to partitions the batch touches: the join-free
-        # way is an IN-list of the batch's (small) distinct partition tuples.
-        touched = [
-            tuple(r) for r in new_df.select(*partition_cols).distinct().collect()
-        ]
-        pred = None
-        for t in touched:
-            term = None
-            for c, v in zip(partition_cols, t):
-                cmp = F.col(c) == F.lit(v)
-                term = cmp if term is None else (term & cmp)
-            pred = term if pred is None else (pred | term)
-        existing = existing.filter(pred) if pred is not None else existing
+        existing = _prune_to_touched(existing, new_df, partition_cols)
 
     merged = dedup(existing.select(*new_df.columns).unionByName(new_df))
     # Break the read->overwrite lineage; eager, executor-local, O(batch).
+    merged = merged.localCheckpoint(eager=True)
+    write_partitioned_parquet(merged, path, partition_cols, mode="overwrite")
+
+
+def merge_upsert(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    keys: list[str],
+    order_by: list[Column | str] | None = None,
+    partition_cols: list[str] | None = None,
+    evolve_schema: bool = False,
+) -> None:
+    """SCD1 keyed upsert: ONE row per key survives, batch beats existing
+    (``MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``
+    semantics, without requiring a table format).
+
+    Same partition-scoped rewrite + dynamic partition overwrite as
+    ``merge_full_history``: only partitions present in the batch are read
+    back and rewritten, so a batch touching one month rewrites one month.
+    NOTE: a key UPDATE that moves a row to a new partition value leaves the
+    old version in the untouched partition — keep partition columns
+    immutable per key (the standard lakehouse upsert contract).
+
+    order_by: version order WITHIN each source (newest first); the batch
+    always outranks existing rows regardless of order_by.
+
+    evolve_schema=True unions by name with missing columns null-filled
+    (both directions), so a batch with added or dropped columns widens the
+    table instead of failing — parquet-native schema evolution.
+    """
+    existing = read_parquet_if_exists(spark, path)
+    order: list[Column | str] = [F.col("__src").desc(), *(order_by or [])]
+
+    if existing is None:
+        merged = dedup_keep_first(
+            new_df.withColumn("__src", F.lit(1)), keys, order
+        ).drop("__src")
+        write_partitioned_parquet(merged, path, partition_cols, mode="overwrite")
+        return
+
+    if partition_cols:
+        existing = _prune_to_touched(existing, new_df, partition_cols)
+
+    ex = existing.withColumn("__src", F.lit(0))
+    nw = new_df.withColumn("__src", F.lit(1))
+    if evolve_schema:
+        unioned = ex.unionByName(nw, allowMissingColumns=True)
+    else:
+        unioned = ex.select(*nw.columns).unionByName(nw)
+    merged = dedup_keep_first(unioned, keys, order).drop("__src")
     merged = merged.localCheckpoint(eager=True)
     write_partitioned_parquet(merged, path, partition_cols, mode="overwrite")

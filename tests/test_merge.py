@@ -103,3 +103,45 @@ def test_merge_safe_under_static_overwrite_session(spark, tmp_path):
     }
     # 202201 must survive the 202202-only batch under a static session.
     assert got == {(1, "a", "202201"), (2, "b", "202202"), (3, "c", "202202")}
+
+
+def test_merge_upsert_batch_wins_and_schema_evolves(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from lakeforge.ops.merge import merge_upsert
+
+    path = str(tmp_path / "scd1")
+    base = spark.createDataFrame(
+        [(1, "old", "202201"), (2, "keep", "202201"), (3, "x", "202202")],
+        ["k", "v", "p_ym"],
+    )
+    merge_upsert(spark, base, path, keys=["k"], partition_cols=["p_ym"])
+
+    # batch updates k=1, inserts k=9, adds a new column; touches 202201 only
+    batch = spark.createDataFrame(
+        [(1, "new", "202201", "extra1"), (9, "ins", "202201", "extra9")],
+        ["k", "v", "p_ym", "note"],
+    )
+    merge_upsert(
+        spark, batch, path, keys=["k"], partition_cols=["p_ym"], evolve_schema=True
+    )
+
+    got = {r["k"]: (r["v"], r["note"]) for r in spark.read.parquet(path).collect()}
+    assert got[1] == ("new", "extra1")   # matched -> updated
+    assert got[9] == ("ins", "extra9")   # not matched -> inserted
+    assert got[2] == ("keep", None)      # untouched key, null-filled new col
+    assert got[3][0] == "x"              # untouched partition survives
+
+
+def test_merge_upsert_order_by_picks_latest_within_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from lakeforge.ops.merge import merge_upsert
+
+    path = str(tmp_path / "scd1b")
+    batch = spark.createDataFrame(
+        [(1, 1, "v1"), (1, 3, "v3"), (1, 2, "v2")], ["k", "version", "v"]
+    )
+    merge_upsert(spark, batch, path, keys=["k"], order_by=[F.col("version").desc()])
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1 and rows[0]["v"] == "v3"
