@@ -120,3 +120,124 @@ def compact_partitions(
         "files_after": files_after,
         "bytes": total_bytes,
     }
+
+
+# ---------------------------------------------------------------------------
+# Versioned-table pointer protocol: the object-store-safe commit pattern
+# (what Delta/Iceberg do with a transaction log, reduced to its essential
+# single-writer form).  Data lands under immutable version prefixes
+# `{table}/v{N}/`; a tiny pointer file names the current version and is
+# swapped by writing `_VERSION.tmp` then renaming over `_VERSION` — the
+# one operation that is atomic on POSIX and a single-object PUT on object
+# stores.  Readers resolve the pointer, then read an immutable prefix, so
+# a reader can NEVER observe a half-written table; a crashed writer leaves
+# only an orphaned (unreferenced) version prefix, cleaned by vacuum.
+# ---------------------------------------------------------------------------
+
+_POINTER = "_VERSION"
+
+
+def current_version(table_root: str) -> int | None:
+    """Version named by the pointer file, or None for an empty table."""
+    import os as _os
+
+    p = _os.path.join(table_root, _POINTER)
+    if not _os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return int(fh.read().strip())
+
+
+def versioned_path(table_root: str, version: int | None = None) -> str:
+    """Resolve the data prefix for a version (default: current)."""
+    import os as _os
+
+    v = current_version(table_root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {table_root}")
+    return _os.path.join(table_root, f"v{v}")
+
+
+def read_versioned(spark, table_root: str):
+    """Read the current committed version (time travel: pass
+    ``versioned_path(root, n)`` to ``spark.read.parquet`` directly)."""
+    return spark.read.parquet(versioned_path(table_root))
+
+
+def commit_version(df, table_root: str, partition_by: list[str] | None = None) -> int:
+    """Write ``df`` as the next version and atomically flip the pointer.
+
+    The data write happens entirely under the NEW prefix; the commit is
+    the pointer swap at the end — readers see the old version until that
+    instant, the new one after, never a mixture.
+    """
+    import os as _os
+
+    _os.makedirs(table_root, exist_ok=True)
+    cur = current_version(table_root)
+    nxt = 0 if cur is None else cur + 1
+    target = versioned_path(table_root, nxt)
+    w = df.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(target)
+    tmp = _os.path.join(table_root, _POINTER + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(nxt))
+    _os.replace(tmp, _os.path.join(table_root, _POINTER))  # the commit point
+    return nxt
+
+
+def vacuum_versions(table_root: str, keep: int = 2) -> list[int]:
+    """Delete version prefixes older than the newest ``keep`` (never the
+    current pointer's target).  Returns the removed version numbers."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    cur = current_version(table_root)
+    versions = sorted(
+        int(m.group(1))
+        for e in _os.listdir(table_root)
+        if (m := _re.fullmatch(r"v(\d+)", e))
+    )
+    doomed = [v for v in versions[:-keep] if v != cur] if keep > 0 else []
+    for v in doomed:
+        _shutil.rmtree(_os.path.join(table_root, f"v{v}"))
+    return doomed
+
+
+def compact_versioned(
+    spark, table_root: str, target_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE for a versioned table: read current, rewrite right-sized
+    into the next version, flip the pointer.  Fully crash-safe on any
+    filesystem: an interrupted compaction leaves an orphan prefix and the
+    pointer still naming the old, intact version."""
+    import glob as _glob
+    import os as _os
+
+    src = versioned_path(table_root)
+    files = [
+        f
+        for f in _glob.glob(f"{src}/**/*.parquet", recursive=True)
+        if _os.path.isfile(f)
+    ]
+    total_bytes = sum(_os.path.getsize(f) for f in files)
+    df = spark.read.parquet(src)
+    if partition_by:
+        out = df.repartition(*partition_by)
+    else:
+        n = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))  # ceil
+        out = df.repartition(n)
+    v = commit_version(out, table_root, partition_by)
+    files_after = len(
+        _glob.glob(f"{versioned_path(table_root, v)}/**/*.parquet", recursive=True)
+    )
+    return {
+        "files_before": len(files),
+        "files_after": files_after,
+        "bytes": total_bytes,
+        "version": v,
+    }

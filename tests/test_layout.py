@@ -119,3 +119,59 @@ def test_compact_preserves_hive_partitions(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 300
     assert back.select("p").distinct().count() == 3
+
+
+def test_versioned_commit_flip_and_time_travel(spark, tmp_path):
+    from lakeforge.ops.layout import (
+        commit_version,
+        current_version,
+        read_versioned,
+        vacuum_versions,
+        versioned_path,
+    )
+
+    root = str(tmp_path / "vtab")
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    assert commit_version(df1, root) == 0
+    df2 = spark.range(0, 25).withColumnRenamed("id", "k")
+    assert commit_version(df2, root) == 1
+
+    assert current_version(root) == 1
+    assert read_versioned(spark, root).count() == 25
+    # time travel to v0 through the resolved prefix
+    assert spark.read.parquet(versioned_path(root, 0)).count() == 10
+
+    df3 = spark.range(0, 3).withColumnRenamed("id", "k")
+    commit_version(df3, root)
+    assert vacuum_versions(root, keep=2) == [0]
+    assert read_versioned(spark, root).count() == 3
+    assert spark.read.parquet(versioned_path(root, 1)).count() == 25
+
+
+def test_compact_versioned_reduces_files_and_preserves_rows(spark, tmp_path):
+    from lakeforge.ops.layout import (
+        commit_version,
+        compact_versioned,
+        read_versioned,
+    )
+
+    root = str(tmp_path / "vtab2")
+    # fragment: 16 files for a tiny table
+    commit_version(spark.range(0, 1000).repartition(16), root)
+    stats = compact_versioned(spark, root, target_mb=128)
+    assert stats["files_before"] == 16
+    assert stats["files_after"] == 1
+    assert stats["version"] == 1
+    assert read_versioned(spark, root).count() == 1000
+
+
+def test_versioned_reader_unaffected_by_crashed_writer(spark, tmp_path):
+    """An interrupted commit (data written, pointer never flipped) must be
+    invisible to readers — the pointer still names the intact version."""
+    from lakeforge.ops.layout import commit_version, read_versioned, versioned_path
+
+    root = str(tmp_path / "vtab3")
+    commit_version(spark.range(0, 7), root)
+    # simulate a writer that died after writing data, before the flip
+    spark.range(0, 999).write.parquet(versioned_path(root, 1))
+    assert read_versioned(spark, root).count() == 7
