@@ -78,6 +78,7 @@ HEADLINE = [
     "docs_decontaminate",
     "docs_pack_sequences",
     "docs_repetition_score",
+    "events_session_window",
 ]
 
 

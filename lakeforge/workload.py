@@ -781,6 +781,61 @@ ORACLE_SQL["events_sessions_stateful"] = SQL_EVENTS_SESSIONS_STATEFUL
 
 
 # ---------------------------------------------------------------------------
+# Native session windows (F.session_window): Spark's built-in gap-based
+# sessionization — one shuffle by (user, session), planned as a merging
+# session aggregate; the idiomatic twin of the gaps-and-islands
+# formulation above (q_events_sessionize) and of the stateful streaming
+# sessionizer.  Session semantics are half-open [start, last + gap): an
+# event arriving at EXACTLY gap after the previous one starts a NEW
+# session — hence `>= gap` (not >) in the oracle's island rule.
+# ---------------------------------------------------------------------------
+
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "value")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", fmt).alias("session_start"),
+            F.date_format("session_window.end", fmt).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_EVENTS_SESSION_WINDOW = f"""
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+flagged AS (
+    SELECT *, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_SESSION_GAP_US}
+                   THEN 1 ELSE 0 END AS is_new
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+FROM sess GROUP BY user_id, sid
+"""
+
+QUERIES["events_session_window"] = q_events_session_window
+ORACLE_SQL["events_session_window"] = SQL_EVENTS_SESSION_WINDOW
+
+
+
+# ---------------------------------------------------------------------------
 # Boundary canonicalization + driver-facing registry order.
 #
 # 1. Terminal DECIMAL columns are cast to DOUBLE on both engines (see
