@@ -65,3 +65,17 @@ def stratified_sample(
     for cls, p in sorted(rates_permille.items()):
         rate = F.when(F.col(class_col) == cls, F.lit(p)).otherwise(rate)
     return df.filter(sample_permille_col(key, salt) < rate)
+
+
+def epoch_shuffle_key(key: Column | str, epoch: int, salt: str = "epoch") -> Column:
+    """Deterministic per-epoch global shuffle order for training readers.
+
+    Order by this column to get a reproducible pseudo-random permutation
+    of keys; different epochs give independent permutations from the same
+    data.  Materialize the order scalably with
+    ``repartitionByRange(n, col).sortWithinPartitions(col)`` — a range
+    shuffle, never a single-task global sort.  Engine-portable like every
+    hash here (oracle-checkable in DuckDB).
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    return md5_int(F.lit(salt), F.lit(str(epoch)), k)

@@ -1005,3 +1005,67 @@ FROM c GROUP BY doc_id
 
 QUERIES["docs_repetition_score"] = q_docs_repetition_score
 ORACLE_SQL["docs_repetition_score"] = SQL_DOCS_REPETITION_SCORE
+
+
+# ---------------------------------------------------------------------------
+# Reproducible training order + mixture weighting (ops/sampling.py): the
+# per-epoch shuffle key is a pure hash (any engine, any layout -> same
+# permutation), and source mixture weights are per-class keep rates.
+# ---------------------------------------------------------------------------
+
+def q_docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.sampling import epoch_shuffle_key
+
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        epoch_shuffle_key("doc_id", 1).alias("ord_epoch1"),
+        epoch_shuffle_key("doc_id", 2).alias("ord_epoch2"),
+        (epoch_shuffle_key("doc_id", 1) % 32).cast("bigint").alias("reader_shard"),
+    )
+
+
+def _epoch_sql(epoch: int) -> str:
+    return duckdb_md5_int_sql(["'epoch'", f"'{epoch}'", "doc_id"])
+
+
+SQL_DOCS_EPOCH_SHUFFLE = f"""
+SELECT doc_id,
+       {_epoch_sql(1)} AS ord_epoch1,
+       {_epoch_sql(2)} AS ord_epoch2,
+       CAST({_epoch_sql(1)} % 32 AS BIGINT) AS reader_shard
+FROM documents
+"""
+
+QUERIES["docs_epoch_shuffle"] = q_docs_epoch_shuffle
+ORACLE_SQL["docs_epoch_shuffle"] = SQL_DOCS_EPOCH_SHUFFLE
+
+
+def q_docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture weighting: per-source keep rates (the pretraining
+    recipe knob), keyed by doc so the sample is stable across runs."""
+    d = _documents(spark, sf_dir)
+    return (
+        stratified_sample(
+            d, "source", "doc_id",
+            {"src0": 1000, "src1": 500, "src2": 250},
+            default_permille=100,
+            salt="mixture",
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+SQL_DOCS_MIXTURE_SAMPLE = f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE {_bucket_sql('mixture', 'doc_id')} <
+      CASE source WHEN 'src0' THEN 1000
+                  WHEN 'src1' THEN 500
+                  WHEN 'src2' THEN 250 ELSE 100 END
+GROUP BY source
+"""
+
+QUERIES["docs_mixture_sample"] = q_docs_mixture_sample
+ORACLE_SQL["docs_mixture_sample"] = SQL_DOCS_MIXTURE_SAMPLE

@@ -69,3 +69,29 @@ def test_stratified_rates_apply_per_class(spark):
     assert by_type.get("purchase") == n_purchase  # rate 1000 keeps all
     assert "click" not in by_type  # rate 0 drops all
     assert set(by_type) == {"purchase"}  # default rate drops the rest
+
+
+def test_epoch_shuffle_is_a_stable_independent_permutation(spark):
+    import pyspark.sql.functions as F
+
+    from lakeforge.ops.sampling import epoch_shuffle_key
+
+    df = spark.range(0, 200).withColumnRenamed("id", "k")
+    e1 = [r["o"] for r in df.select(epoch_shuffle_key("k", 1).alias("o")).collect()]
+    e1b = [r["o"] for r in df.repartition(7).select(
+        epoch_shuffle_key("k", 1).alias("o")).orderBy("o").collect()]
+    e2 = [r["o"] for r in df.select(epoch_shuffle_key("k", 2).alias("o")).collect()]
+    assert sorted(e1) == e1b                  # layout-independent
+    assert len(set(e1)) == 200                # injective here (no ties)
+    assert sorted(e1) != sorted(e2) or e1 != e2   # epochs differ
+
+    # scalable materialization: range partition + local sort = global order
+    ordered = (
+        df.select("k", epoch_shuffle_key("k", 1).alias("o"))
+        .repartitionByRange(4, "o")
+        .sortWithinPartitions("o")
+        .select("o", F.spark_partition_id().alias("p"))
+        .collect()
+    )
+    seen = [r["o"] for r in sorted(ordered, key=lambda r: (r["p"], r["o"]))]
+    assert seen == sorted(seen)  # partition-major read order IS global order

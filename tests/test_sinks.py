@@ -170,3 +170,27 @@ def test_read_json_with_enforced_schema(spark, tmp_path):
     assert df.columns == ["id", "name", "score"]
     got = sorted(tuple(r) for r in df.collect())
     assert got == [(1, "x", 1.5), (2, "y", None), (3, None, 2.25)]
+
+
+def test_postgres_ddl_from_gold_schema(spark):
+    """DDL generation closes the reference's declared-but-absent
+    db/init/01_ddl.sql (README.md:186-191): types mirror Spark's JDBC
+    Postgres dialect so hand-applied DDL matches what write_jdbc creates."""
+    from decimal import Decimal
+
+    from lakeforge.io.ddl import postgres_ddl, star_schema_ddl
+
+    df = spark.createDataFrame(
+        [(1, "x", Decimal("1.50"), True)],
+        "account_sk bigint, acc_no string, bal decimal(18,2), is_current boolean",
+    )
+    ddl = postgres_ddl(df, "dim_account", primary_key=["account_sk"])
+    assert "CREATE TABLE IF NOT EXISTS dim_account" in ddl
+    assert "account_sk BIGINT" in ddl
+    assert "acc_no TEXT" in ddl
+    assert "bal NUMERIC(18,2)" in ddl
+    assert "is_current BOOLEAN" in ddl
+    assert "PRIMARY KEY (account_sk)" in ddl
+
+    full = star_schema_ddl({"dim_account": df, "bridge": df.select("acc_no")})
+    assert full.count("CREATE TABLE") == 2
