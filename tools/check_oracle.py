@@ -126,8 +126,15 @@ def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -168,6 +175,13 @@ def main() -> int:
             continue
         problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
         problems += compare_strict(spark_pdf, duck_pdf)
+        results[name] = {
+            "rows": len(spark_rows),
+            "oracle_rows": len(duck_rows),
+            "values_match": not problems,
+            "strict_match": not any("STRICT" in p or "strict" in p for p in problems),
+            "spark_sec": round(t1 - t0, 2),
+        }
         if problems:
             print(f"FAIL {name} (spark {t1 - t0:.1f}s):")
             for p in problems:
@@ -176,6 +190,11 @@ def main() -> int:
         else:
             print(f"OK   {name}: rows={len(spark_rows)} (spark {t1 - t0:.1f}s, duck {time.time() - t1:.1f}s)")
     spark.stop()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": results}, fh, indent=1, sort_keys=True)
     if failed:
         print(f"\n{len(failed)} FAILED: {failed}")
         return 1
