@@ -836,6 +836,70 @@ ORACLE_SQL["events_session_window"] = SQL_EVENTS_SESSION_WINDOW
 
 
 # ---------------------------------------------------------------------------
+# W3 null-safe mode: the engine's IS DISTINCT FROM change filter (the
+# idiomatic fix for the reference's NULL-unsafe `<>`, which silently drops
+# transitions into/out of NULL — SURVEY.md §2.5).  Same dimension build as
+# q_scd2_orders but with a NULL injected into the tracked column so the
+# two modes genuinely diverge, and the oracle using IS DISTINCT FROM.
+# ---------------------------------------------------------------------------
+
+def q_scd2_orders_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    tl = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        # status -> NULL on every 7th order: exercises NULL transitions
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ).alias("o_orderstatus"),
+        "o_orderkey",
+    )
+    tl = dedup_keep_first(
+        tl, ["o_custkey", "order_date"], [F.col("o_orderkey").desc()]
+    ).drop("o_orderkey")
+    return scd2(
+        tl,
+        key_cols=["o_custkey"],
+        tracked_cols=["o_orderstatus"],
+        order_col="order_date",
+        sk_name="cust_status_sk",
+        null_safe=True,
+    )
+
+
+SQL_SCD2_ORDERS_NULLSAFE = f"""
+WITH base AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+           row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+), tl AS (
+    SELECT o_custkey, order_date, o_orderstatus FROM base WHERE rn = 1
+), ch AS (
+    SELECT tl.*, lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY order_date) AS prev_status,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY order_date) AS rnk
+    FROM tl
+), keep AS (
+    SELECT * FROM ch WHERE rnk = 1 OR o_orderstatus IS DISTINCT FROM prev_status
+), iv AS (
+    SELECT o_custkey, o_orderstatus, order_date AS effective_start_date,
+           lead(order_date) OVER (PARTITION BY o_custkey ORDER BY order_date) AS next_start
+    FROM keep
+)
+SELECT {{SK}} AS cust_status_sk,
+       o_custkey, o_orderstatus, effective_start_date,
+       COALESCE(next_start - 1, DATE '9999-12-31') AS effective_end_date,
+       next_start IS NULL AS is_current
+FROM iv
+""".replace("{SK}", _SK_SQL)
+
+QUERIES["scd2_orders_nullsafe"] = q_scd2_orders_nullsafe
+ORACLE_SQL["scd2_orders_nullsafe"] = SQL_SCD2_ORDERS_NULLSAFE
+
+
+
+# ---------------------------------------------------------------------------
 # Boundary canonicalization + driver-facing registry order.
 #
 # 1. Terminal DECIMAL columns are cast to DOUBLE on both engines (see
