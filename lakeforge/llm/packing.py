@@ -37,7 +37,22 @@ def pack_sequences(
     chunk_size: int = 4096,
 ) -> DataFrame:
     """Assign (tok_start, bin_id, bin_offset) to every doc, packing in
-    ``id_col`` order.  ``df`` needs one row per doc with a token count."""
+    ``id_col`` order.  ``df`` needs one row per doc with a token count.
+
+    ``id_col`` must be an integral type: chunking CASTs it to bigint (a
+    string id would chunk as NULL and be silently dropped by the join)
+    and the within-chunk ordering must agree with the numeric chunk
+    order (lexicographic string order would not).
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"pack_sequences needs an integral id_col; {id_col} is "
+            f"{id_type.simpleString()} — derive one first (e.g. "
+            f"xxhash64(id) via functions/keys, or zipWithIndex-style ids)"
+        )
     d = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(n_tokens_col).cast("bigint").alias("n_tokens"),

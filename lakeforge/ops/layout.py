@@ -164,18 +164,39 @@ def read_versioned(spark, table_root: str):
     return spark.read.parquet(versioned_path(table_root))
 
 
+def _existing_versions(table_root: str) -> list[int]:
+    import os as _os
+    import re as _re
+
+    if not _os.path.isdir(table_root):
+        return []
+    return sorted(
+        int(m.group(1))
+        for e in _os.listdir(table_root)
+        if (m := _re.fullmatch(r"v(\d+)", e))
+    )
+
+
 def commit_version(df, table_root: str, partition_by: list[str] | None = None) -> int:
     """Write ``df`` as the next version and atomically flip the pointer.
 
     The data write happens entirely under the NEW prefix; the commit is
     the pointer swap at the end — readers see the old version until that
     instant, the new one after, never a mixture.
+
+    The next version number is allocated PAST any existing prefix, not
+    just past the pointer: a writer that died after writing data but
+    before the flip leaves an orphan prefix, and allocating ``cur + 1``
+    would collide with it forever (mode errorifexists) — write-bricking
+    the table.  Orphans above the pointer are reclaimed by vacuum.
     """
     import os as _os
 
     _os.makedirs(table_root, exist_ok=True)
     cur = current_version(table_root)
-    nxt = 0 if cur is None else cur + 1
+    on_disk = _existing_versions(table_root)
+    floor = max([cur if cur is not None else -1, *(on_disk or [-1])])
+    nxt = floor + 1
     target = versioned_path(table_root, nxt)
     w = df.write.mode("errorifexists")
     if partition_by:
@@ -189,22 +210,24 @@ def commit_version(df, table_root: str, partition_by: list[str] | None = None) -
 
 
 def vacuum_versions(table_root: str, keep: int = 2) -> list[int]:
-    """Delete version prefixes older than the newest ``keep`` (never the
-    current pointer's target).  Returns the removed version numbers."""
+    """Delete old and orphaned version prefixes; never the pointer's target.
+
+    Removes (a) committed versions older than the newest ``keep`` at or
+    below the pointer, and (b) orphan prefixes ABOVE the pointer — data
+    from writers that died before their pointer flip (never visible to
+    readers, but they hold disk and, before the allocation fix in
+    commit_version, blocked version reuse).  Returns removed versions."""
     import os as _os
-    import re as _re
     import shutil as _shutil
 
     cur = current_version(table_root)
-    versions = sorted(
-        int(m.group(1))
-        for e in _os.listdir(table_root)
-        if (m := _re.fullmatch(r"v(\d+)", e))
-    )
-    doomed = [v for v in versions[:-keep] if v != cur] if keep > 0 else []
+    versions = _existing_versions(table_root)
+    committed = [v for v in versions if cur is not None and v <= cur]
+    orphans = [v for v in versions if cur is None or v > cur]
+    doomed = ([v for v in committed[:-keep] if v != cur] if keep > 0 else []) + orphans
     for v in doomed:
         _shutil.rmtree(_os.path.join(table_root, f"v{v}"))
-    return doomed
+    return sorted(doomed)
 
 
 def compact_versioned(

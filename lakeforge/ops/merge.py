@@ -109,14 +109,19 @@ def merge_upsert(
     immutable per key (the standard lakehouse upsert contract).
 
     order_by: version order WITHIN each source (newest first); the batch
-    always outranks existing rows regardless of order_by.
+    always outranks existing rows regardless of order_by.  A content-hash
+    tiebreak is always appended so same-key same-rank rows (e.g. a batch
+    carrying two rows for one key with no order_by) resolve to the SAME
+    survivor under any partitioning — without it row_number ties would be
+    broken arbitrarily per run.
 
     evolve_schema=True unions by name with missing columns null-filled
     (both directions), so a batch with added or dropped columns widens the
     table instead of failing — parquet-native schema evolution.
     """
     existing = read_parquet_if_exists(spark, path)
-    order: list[Column | str] = [F.col("__src").desc(), *(order_by or [])]
+    tiebreak = F.xxhash64(*[F.col(c) for c in new_df.columns])
+    order: list[Column | str] = [F.col("__src").desc(), *(order_by or []), tiebreak]
 
     if existing is None:
         merged = dedup_keep_first(

@@ -913,6 +913,11 @@ ORACLE_SQL["scd2_orders_nullsafe"] = SQL_SCD2_ORDERS_NULLSAFE
 
 from lakeforge.canon import apply_canonicalization  # noqa: E402
 
+# Pre-canonicalization registry: the wrapped QUERIES can never show a
+# DecimalType again, so MONEY_DOUBLE coverage checks (tests/test_canon.py)
+# and tools/list_decimal_cols.py must inspect these raw functions.
+RAW_QUERIES: dict[str, QueryFn] = dict(QUERIES)
+
 apply_canonicalization(QUERIES, ORACLE_SQL)
 
 PRIORITY: list[str] = [

@@ -47,6 +47,23 @@ def test_registry_queries_emit_no_decimal(spark):
     assert not any(isinstance(f.dataType, DecimalType) for f in df.schema.fields)
 
 
+def test_money_double_covers_all_decimals(spark):
+    """THE coverage guard: every terminal DECIMAL column of every RAW
+    (pre-canonicalization) query must be listed in MONEY_DOUBLE — a new
+    decimal-emitting query without an oracle-side cast would reproduce the
+    exact r01 hash-mismatch class.  Streaming/stateful queries that
+    execute eagerly at schema time are exercised too (they're cheap at
+    sf0.001)."""
+    missing: list[tuple[str, str]] = []
+    for name, fn in workload.RAW_QUERIES.items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, DecimalType):
+                if f.name not in MONEY_DOUBLE.get(name, []):
+                    missing.append((name, f.name))
+    assert not missing, f"decimal columns missing from MONEY_DOUBLE: {missing}"
+
+
 def test_canonical_sql_wraps_with_replace():
     out = canonical_sql("SELECT 1 AS a, CAST(2 AS DECIMAL(4,2)) AS b", ["b"])
     assert out.startswith("SELECT * REPLACE (CAST(b AS DOUBLE) AS b)")
@@ -61,3 +78,25 @@ def test_priority_families_lead_registry():
     # every priority entry is oracle-checked (no rows-only flagships)
     missing = [n for n in workload.PRIORITY if n not in workload.ORACLE_SQL]
     assert not missing, missing
+
+
+def test_strict_comparator_discriminates():
+    """The driver-sim comparator must flag Decimal-vs-float rendering and
+    tolerate date-vs-midnight-datetime — the r01-diagnosed behavior."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from tools.check_oracle import compare_strict
+
+    d = pd.DataFrame({"k": [1], "v": [1.5]})
+    s_dec = pd.DataFrame([(1, Decimal("1.50"))], columns=["k", "v"], dtype=object)
+    assert compare_strict(s_dec, d)  # Decimal('1.50') vs 1.5 must fail
+
+    s_dbl = pd.DataFrame([(1, 1.5)], columns=["k", "v"], dtype=object)
+    assert not compare_strict(s_dbl, d)
+
+    s_date = pd.DataFrame([(dt.date(2020, 1, 2),)], columns=["d"], dtype=object)
+    d_ts = pd.DataFrame({"d": [pd.Timestamp("2020-01-02 00:00:00")]})
+    assert not compare_strict(s_date, d_ts)

@@ -167,11 +167,32 @@ def test_compact_versioned_reduces_files_and_preserves_rows(spark, tmp_path):
 
 def test_versioned_reader_unaffected_by_crashed_writer(spark, tmp_path):
     """An interrupted commit (data written, pointer never flipped) must be
-    invisible to readers — the pointer still names the intact version."""
-    from lakeforge.ops.layout import commit_version, read_versioned, versioned_path
+    invisible to readers, must NOT block future commits (version allocation
+    skips orphan prefixes), and vacuum reclaims the orphan."""
+    import os
+
+    from lakeforge.ops.layout import (
+        commit_version,
+        current_version,
+        read_versioned,
+        vacuum_versions,
+        versioned_path,
+    )
 
     root = str(tmp_path / "vtab3")
     commit_version(spark.range(0, 7), root)
     # simulate a writer that died after writing data, before the flip
     spark.range(0, 999).write.parquet(versioned_path(root, 1))
     assert read_versioned(spark, root).count() == 7
+
+    # next commit allocates PAST the orphan instead of colliding with it
+    v = commit_version(spark.range(0, 11), root)
+    assert v == 2 and current_version(root) == 2
+    assert read_versioned(spark, root).count() == 11
+
+    # vacuum reclaims old versions (incl. the skipped orphan v1) AND
+    # uncommitted orphans above the pointer
+    spark.range(0, 5).write.parquet(versioned_path(root, 3))  # fresh orphan
+    assert vacuum_versions(root, keep=1) == [0, 1, 3]
+    assert read_versioned(spark, root).count() == 11
+    assert not os.path.exists(versioned_path(root, 3))

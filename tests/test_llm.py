@@ -332,3 +332,13 @@ def test_repetition_stats_flags_dominant_bigram(spark):
     assert not out[2]["repetitive"]
     assert out[2]["n_bigrams"] == out[2]["n_distinct_bigrams"] == 10
     assert 3 not in out
+
+
+def test_pack_sequences_rejects_string_ids(spark):
+    import pytest
+
+    from lakeforge.llm.packing import pack_sequences
+
+    df = spark.createDataFrame([("doc-1", 5)], ["doc_id", "n_tokens"])
+    with pytest.raises(TypeError, match="integral id_col"):
+        pack_sequences(df, "n_tokens", "doc_id")

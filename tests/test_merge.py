@@ -145,3 +145,19 @@ def test_merge_upsert_order_by_picks_latest_within_batch(spark, tmp_path):
     merge_upsert(spark, batch, path, keys=["k"], order_by=[F.col("version").desc()])
     rows = spark.read.parquet(path).collect()
     assert len(rows) == 1 and rows[0]["v"] == "v3"
+
+
+def test_merge_upsert_deterministic_on_in_batch_duplicates(spark, tmp_path):
+    """Two same-key rows in one batch with no order_by: the content-hash
+    tiebreak must pick the same survivor under any partitioning."""
+    from lakeforge.ops.merge import merge_upsert
+
+    rows = [(1, f"v{i}") for i in range(6)]
+
+    def run(parts, sub):
+        path = str(tmp_path / f"dupe{sub}")
+        batch = spark.createDataFrame(rows, ["k", "v"]).repartition(parts)
+        merge_upsert(spark, batch, path, keys=["k"])
+        return spark.read.parquet(path).collect()[0]["v"]
+
+    assert run(1, "a") == run(8, "b") == run(3, "c")

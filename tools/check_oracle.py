@@ -150,10 +150,18 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
+            import pandas as pd
+
             df = fn(spark, sf_dir)
             spark_cols = df.columns
             spark_rows = df.collect()
-            spark_pdf = df.toPandas()
+            # Build the strict-compare frame from the SAME collected rows
+            # (one Spark job, not two): object dtypes keep Decimal/ date
+            # values as Python objects, which is exactly the discriminating
+            # representation the driver sees on the Spark side.
+            spark_pdf = pd.DataFrame(
+                [tuple(r) for r in spark_rows], columns=spark_cols, dtype=object
+            )
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)

@@ -9,14 +9,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql.types import DecimalType
 
-import __spark_entry__ as entrymod
+from lakeforge import workload
 from lakeforge.session import get_spark
 
 
 def main():
     spark = get_spark("schema-scan")
     out = {}
-    for name, fn in entrymod.queries().items():
+    # RAW (pre-canonicalization) queries: the driver-facing registry has
+    # already had its decimals cast to double, so scanning it finds nothing.
+    for name, fn in workload.RAW_QUERIES.items():
         try:
             df = fn(spark, "/root/testdata/sf0.001")
             decs = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
