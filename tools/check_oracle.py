@@ -156,11 +156,13 @@ def main() -> int:
             spark_cols = df.columns
             spark_rows = df.collect()
             # Build the strict-compare frame from the SAME collected rows
-            # (one Spark job, not two): object dtypes keep Decimal/ date
-            # values as Python objects, which is exactly the discriminating
-            # representation the driver sees on the Spark side.
+            # (one Spark job, not two).  Pandas' default inference mirrors
+            # the arrow toPandas path where it matters: ints-with-NULLs
+            # become float64 (both engines render 11415.0), ints without
+            # stay int64, and Decimal/date/bool columns stay objects — the
+            # discriminating representations the driver sees.
             spark_pdf = pd.DataFrame(
-                [tuple(r) for r in spark_rows], columns=spark_cols, dtype=object
+                [tuple(r) for r in spark_rows], columns=spark_cols
             )
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
