@@ -514,16 +514,17 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_custkey", "o_totalprice"
     )
-    from pyspark import StorageLevel
-
     agg = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.countDistinct("o_custkey").cast("bigint").alias("exact_customers"),
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
         F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("pq"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # persisted: consumed twice (broadcast into fracs + the final join) —
-    # without it the countDistinct/sketch aggregation over orders runs twice.
+    )
+    # Deliberately NOT persisted despite the dual consumption (broadcast
+    # into fracs + final join): caching forces the InMemoryRelation to
+    # materialize eagerly outside AQE and measured ~10x SLOWER than simply
+    # recomputing the 5-row aggregate (18s vs 2s at sf0.1) — the sketch
+    # agg is cheap, the cache machinery is not.
     fracs = (
         o.join(F.broadcast(agg.select("o_orderpriority", "pq")), "o_orderpriority")
         .groupBy("o_orderpriority")
