@@ -1,20 +1,34 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints ONE JSON line.
 
-Each query is forced end-to-end with the noop sink (full computation, no
-write cost).  Timings include Catalyst planning but not session startup.
+Methodology (round-3 fixes per VERDICT r02):
+- Each query is forced end-to-end with the noop sink (full computation,
+  no write cost); the query is REBUILT each run so planning is included.
+- **Median of N runs** (default 3, $SPARK_GRAFT_BENCH_RUNS) — round-2's
+  single-run timings could not separate a real regression from noise.
+- **Caches released between runs** (lakeforge.cache.release_all +
+  catalog.clearCache): round-2 never unpersisted, so MEMORY_AND_DISK
+  frames accumulated across the 60-query session — a plausible driver of
+  its uniform 1.30x slowdown.  ``cache_leaks`` in the output is the
+  max number of still-cached RDDs observed AFTER a release (want 0).
+- **Self-reporting trend**: compares against the newest BENCH_r*.json in
+  the repo root and emits common-set totals + per-query deltas, so a
+  regression shows up in the artifact instead of waiting for the judge.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from lakeforge import cache
 from lakeforge.session import get_spark
 from lakeforge.workload import QUERIES
 
@@ -82,10 +96,39 @@ HEADLINE = [
 ]
 
 
+def _prior_bench() -> tuple[str | None, dict[str, float]]:
+    """Newest BENCH_r*.json in the repo root -> (filename, per-query secs)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best_path = -1, None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), p
+    if best_path is None:
+        return None, {}
+    try:
+        with open(best_path) as f:
+            data = json.load(f)
+        # Driver format: {"parsed": {...}, "tail": "...<json line>"}; also
+        # accept our own raw one-line output for local comparisons.
+        out = data.get("parsed") or data
+        if not isinstance(out, dict) or "queries" not in out:
+            tail = data.get("tail", "")
+            for line in reversed(tail.strip().splitlines()):
+                if line.startswith("{"):
+                    out = json.loads(line)
+                    break
+        q = out.get("queries", {}) if isinstance(out, dict) else {}
+        return os.path.basename(best_path), {k: float(v) for k, v in q.items()}
+    except Exception:
+        return os.path.basename(best_path), {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     spark = get_spark("lakeforge-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -93,17 +136,41 @@ def main() -> None:
     # Warm the JVM/code paths once on the smallest query so the measured
     # numbers aren't first-action classloading noise.
     QUERIES["top_orders"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    cache.release_all()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    leaks = 0
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+            # Query boundary: release operator persists so no run benefits
+            # from (or pays cache pressure for) a previous run's caches.
+            cache.release_all()
+            spark.catalog.clearCache()
+        leaks = max(leaks, cache.n_cached_rdds(spark))
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    prev_file, prev = _prior_bench()
+    common = sorted(set(timings) & set(prev))
+    trend = {
+        "prev_file": prev_file,
+        "runs": runs,
+        "common_n": len(common),
+        "common_prev_total": round(sum(prev[n] for n in common), 3),
+        "common_cur_total": round(sum(timings[n] for n in common), 3),
+        "delta_sec": {n: round(timings[n] - prev[n], 3) for n in common},
+        "regressed_2x": sorted(
+            n for n in common if prev[n] > 0 and timings[n] > 2 * prev[n]
+        ),
+    }
     print(
         json.dumps(
             {
@@ -113,9 +180,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 # headline set GREW round-over-round (r01: 50 queries);
-                # compare per-query or mean, not bare totals.
+                # compare per-query or via trend.common_*, not bare totals.
                 "n_queries": len(timings),
                 "mean_sec_per_query": round(total / max(len(timings), 1), 3),
+                "cache_leaks": leaks,
+                "trend": trend,
             }
         )
     )

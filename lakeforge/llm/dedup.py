@@ -111,11 +111,13 @@ def lsh_candidate_pairs(
     reference the same plan, and without the persist Spark computes the
     full signature pipeline (explode shingles -> hash -> groupBy) twice.
     Signatures are k ints per doc — orders of magnitude smaller than the
-    text — so MEMORY_AND_DISK caching is safe at any scale.
+    text — so MEMORY_AND_DISK caching is safe at any scale.  The persist is
+    registered with lakeforge.cache so the caller releases it at the query
+    boundary (round-2 review: untracked persists lived for the session).
     """
-    from pyspark import StorageLevel
+    from lakeforge.cache import persist_tracked
 
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = persist_tracked(sig)
     rows = k // bands
     sig_arr = sig.select(
         "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
@@ -202,16 +204,15 @@ def simhash_neardup_pairs(
     """
     if max_hamming >= bands:
         raise ValueError("exact recall needs max_hamming <= bands - 1")
-    from pyspark import StorageLevel
+    from lakeforge.cache import persist_tracked
 
     width = bits // bands
     mask = (1 << width) - 1
     # Persist: both sides of the self-join reference this plan; without the
     # persist the whole fingerprint pipeline runs twice.  (doc_id, simhash)
-    # is ~16 bytes/doc — cacheable at any corpus size.
-    fp = simhash_fingerprints(df, text_col, id_col, bits).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # is ~16 bytes/doc — cacheable at any corpus size.  Tracked: released
+    # by the caller at the query boundary (lakeforge/cache.py).
+    fp = persist_tracked(simhash_fingerprints(df, text_col, id_col, bits))
     banded = fp.select(
         "doc_id",
         "simhash",
@@ -269,16 +270,14 @@ def jaccard_pairs(
     aggregate), so it is persisted: without it each consumer re-runs the
     full explode -> document-frequency join pipeline (measured 30% faster
     at sf0.1; the saving scales with corpus size).  Spill-safe
-    (MEMORY_AND_DISK), held for the session like the other fan-out
-    persists (workload_llm.py pipeline).
+    (MEMORY_AND_DISK), tracked for query-boundary release
+    (lakeforge/cache.py).
     """
-    from pyspark import StorageLevel
+    from lakeforge.cache import persist_tracked
 
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(dfreq.filter(F.col("df") <= df_cap), "shingle").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    rare = persist_tracked(sh.join(dfreq.filter(F.col("df") <= df_cap), "shingle"))
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = rare.alias("a"), rare.alias("b")
     inter = (

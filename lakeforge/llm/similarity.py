@@ -58,18 +58,37 @@ def _norm2(a: Column | str) -> Column:
     )
 
 
+MAX_BROADCAST_QUERIES = 100_000  # ~100k x 64-dim int64 ≈ 50 MB serialized
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
     vec_col: str,
     id_col: str,
     k: int = 10,
+    max_queries: int = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """Exact cosine top-k of each query vector against the corpus.
 
     Returns (query_id, neighbor_id, rank, sim) — sim rounded to 6dp; rank
     ordered by (sim desc, neighbor_id) so ties break deterministically.
+
+    The query side is BROADCAST — correct only while it is small.  A
+    corpus-sized ``queries`` frame would OOM every executor, so the size
+    is asserted up front (round-2 review #6): callers over the limit get
+    an actionable error instead of a mid-job executor death.  For large
+    query sets use ``ivf_topk`` (probe join, no broadcast of all queries)
+    or ``embedding_neardup_pairs`` (bucketed all-pairs).
     """
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"cosine_topk broadcasts the query side: got {n_q} queries > "
+            f"max_queries={max_queries}. Use ivf_topk / "
+            f"embedding_neardup_pairs for corpus-sized query sets, or "
+            f"raise max_queries explicitly if executors have the memory."
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         nano_embedding(vec_col).alias("q_vec"),
@@ -236,13 +255,14 @@ def embedding_neardup_pairs(
     (recall is bounded by the LSH: near-identical vectors agree on all
     sign bits with high probability).  Output (a, b, sim), a < b.
     """
-    from pyspark import StorageLevel
+    from lakeforge.cache import persist_tracked
 
     buckets = rp_lsh_buckets(corpus, vec_col, id_col, n_planes, dim)
     e = _nano_with_norm(corpus, vec_col, id_col, "vec_id", "vec", "n2")
     # Persist: both sides of the bucket self-join reference this plan —
-    # without it the RP-LSH pandas-UDF projection runs twice.
-    v = e.join(buckets, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
+    # without it the RP-LSH pandas-UDF projection runs twice.  Tracked for
+    # query-boundary release (lakeforge/cache.py).
+    v = persist_tracked(e.join(buckets, "vec_id"))
     a = v.select(
         F.col("vec_id").alias("a"), F.col("vec").alias("a_vec"),
         F.col("n2").alias("a_n2"), "bucket",

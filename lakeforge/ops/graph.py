@@ -27,15 +27,29 @@ def connected_components(
 ) -> DataFrame:
     """(vertex, component) for every vertex appearing in ``edges``;
     component id = min vertex id in the component."""
+    if max_iter < 1:
+        # >=1 iteration guarantees the returned frame is checkpointed
+        # (self-contained) before und's blocks are released below.
+        raise ValueError("max_iter must be >= 1")
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    from lakeforge import cache
+
+    spark = edges.sparkSession
+    # localCheckpoint blocks are RDD-level caches the SQL CacheManager
+    # never sees (DataFrame.unpersist is a no-op on them) — track the RDD
+    # ids each eager checkpoint creates and release by id.  Round-2
+    # review: every iteration's blocks lived for the whole session.
+    seen = cache.rdd_ids(spark)
     und = und.localCheckpoint()
+    und_ids = cache.rdd_ids(spark) - seen
     labels = und.select("a").distinct().select(
         F.col("a").alias("v"), F.col("a").alias("lbl")
     )
+    prev_ids: set[int] = set()
 
     for _ in range(max_iter):
         # Candidate label for each vertex: min over its neighbors' labels.
@@ -55,7 +69,21 @@ def connected_components(
             )
         )
         changed = new_labels.filter(F.col("new_lbl") != F.col("lbl")).count()
+        seen = cache.rdd_ids(spark)
         labels = new_labels.select("v", F.col("new_lbl").alias("lbl")).localCheckpoint()
+        new_ids = cache.rdd_ids(spark) - seen
+        # The new checkpoint is materialized — the previous iteration's
+        # blocks are dead weight; release them immediately.
+        cache.unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
         if changed == 0:
             break
+    # und's blocks are only needed while iterating; the returned labels
+    # frame is self-contained (checkpointed).  Its own blocks release at
+    # the caller's query boundary via the registered callback.
+    cache.unpersist_rdd_ids(spark, und_ids)
+    final_ids = prev_ids
+    cache.track_releaser(
+        lambda blocking=False: cache.unpersist_rdd_ids(spark, final_ids, blocking)
+    )
     return labels.select(F.col("v").alias("vertex"), F.col("lbl").alias("component"))

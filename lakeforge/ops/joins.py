@@ -164,18 +164,21 @@ def salted_join(
     split task's probe side is one value.  Supports inner/left joins
     (the salted key never loses large-side rows).
 
-    The shard assignment hashes the large side's full row (xxhash64 of all
-    columns, mod salt) rather than ``F.rand`` — rand is seeded
-    per-partition, so its output (and anything sampled from it) changes
-    whenever the input's partitioning changes; the hash keeps the engine's
-    determinism guarantee while still spreading a hot key's rows uniformly
-    (identical duplicate rows land on one shard, which only matters if a
-    single key's rows are ALSO mostly byte-identical).
+    Shard assignment is ``floor(rand(seed) * salt)`` — ONE cheap PRNG draw
+    per row.  rand() is per-partition seeded, so the shard a given row gets
+    is partitioning-dependent; that is harmless HERE because the join
+    result is shard-invariant: the small side carries every shard value in
+    [0, salt), so a large row joins (or left-joins null) identically no
+    matter which shard it drew.  (Round-2 used xxhash64 over every
+    large-side column for a "deterministic" shard — determinism the result
+    never needed, at the cost of hashing the whole row: the one >2x bench
+    regression of that round.  Shard determinism only matters for ops whose
+    OUTPUT depends on the draw, e.g. sampling — see ops/sampling.py.)
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins only")
     lg = large.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt)).cast("int")
+        "__salt", F.floor(F.rand(42) * F.lit(salt)).cast("int")
     )
     sm = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

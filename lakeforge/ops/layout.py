@@ -73,10 +73,36 @@ def compact_partitions(
     repartition, and with ``partition_by`` the hive layout is preserved
     (repartitioned BY the partition columns: one writer per partition).
 
+    Dispatch (round-2 review: the in-place swap silently assumed POSIX):
+
+    - ``path`` is a **versioned table root** (has a ``_VERSION`` pointer)
+      -> delegates to :func:`compact_versioned`: crash-safe and
+      reader-safe on ANY filesystem, including object stores.
+    - ``path`` has a **non-local URI scheme** (s3/gs/abfs/hdfs/...) ->
+      raises: the in-place rename swap needs atomic directory rename,
+      which object stores don't have.  Use a versioned table
+      (:func:`commit_version` + :func:`compact_versioned`).
+    - plain **local** parquet dir -> in-place rename-aside swap.
+      Single-writer, no-concurrent-reader contract: between the two
+      renames the table path briefly does not exist, so a concurrent
+      reader errors; a crash in that window leaves the data at
+      ``path__old`` (manual recovery).  Versioned tables have neither
+      problem — prefer them for anything shared.
+
     Returns {files_before, files_after, bytes} for observability.
     """
     import glob as _glob
     import os as _os
+
+    if _os.path.exists(_os.path.join(path, _POINTER)):
+        return compact_versioned(spark, path, target_mb, partition_by)
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"compact_partitions: in-place swap is POSIX-only, got scheme "
+            f"'{scheme}://'. Use a versioned table (commit_version + "
+            f"compact_versioned) — object stores have no atomic rename."
+        )
 
     files = [
         f

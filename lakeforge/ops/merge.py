@@ -43,7 +43,14 @@ def _prune_to_touched(
     for t in touched:
         term = None
         for c, v in zip(partition_cols, t):
-            cmp = F.col(c) == F.lit(v)
+            # eqNullSafe, not ==: a batch row with a NULL partition value
+            # targets the __HIVE_DEFAULT_PARTITION__ directory, which reads
+            # back as NULL.  With `==` the predicate is NULL -> existing
+            # rows of that partition are NOT read back, yet dynamic
+            # overwrite still rewrites it from the batch alone — silently
+            # dropping all prior rows in the NULL partition (round-2
+            # ADVICE, medium).
+            cmp = F.col(c).eqNullSafe(F.lit(v))
             term = cmp if term is None else (term & cmp)
         pred = term if pred is None else (pred | term)
     return existing.filter(pred) if pred is not None else existing
@@ -120,10 +127,12 @@ def merge_upsert(
     table instead of failing — parquet-native schema evolution.
     """
     existing = read_parquet_if_exists(spark, path)
-    tiebreak = F.xxhash64(*[F.col(c) for c in new_df.columns])
-    order: list[Column | str] = [F.col("__src").desc(), *(order_by or []), tiebreak]
 
     if existing is None:
+        tiebreak = F.xxhash64(*[F.col(c) for c in new_df.columns])
+        order: list[Column | str] = [
+            F.col("__src").desc(), *(order_by or []), tiebreak
+        ]
         merged = dedup_keep_first(
             new_df.withColumn("__src", F.lit(1)), keys, order
         ).drop("__src")
@@ -139,6 +148,13 @@ def merge_upsert(
         unioned = ex.unionByName(nw, allowMissingColumns=True)
     else:
         unioned = ex.select(*nw.columns).unionByName(nw)
+    # Tiebreak over the UNION's full column set: under evolve_schema two
+    # existing same-key rows can differ only in a column absent from the
+    # batch — hashing just new_df's columns would leave their rank tied
+    # and the survivor partitioning-dependent (round-2 ADVICE, low).
+    payload = [c for c in unioned.columns if c != "__src"]
+    tiebreak = F.xxhash64(*[F.col(c) for c in payload])
+    order = [F.col("__src").desc(), *(order_by or []), tiebreak]
     merged = dedup_keep_first(unioned, keys, order).drop("__src")
     merged = merged.localCheckpoint(eager=True)
     write_partitioned_parquet(merged, path, partition_cols, mode="overwrite")

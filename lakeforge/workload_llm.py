@@ -718,7 +718,7 @@ for _n4, _f4, _s4 in [
 # ---------------------------------------------------------------------------
 
 def q_docs_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
+    from lakeforge.cache import persist_tracked
 
     d = _documents(spark, sf_dir)
     stats = text_stats(d, "text", "doc_id")
@@ -730,14 +730,14 @@ def q_docs_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist every branch re-reads and re-tokenizes the full corpus
     # (the plan showed 8 text scans; with persists, one).  Measured cost
     # at sf0.1 is ~0.3-0.5s of job barriers in a warm session — a fixed
-    # overhead, while the scans it removes grow with the corpus.
-    docs = d.join(keep, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    # overhead, while the scans it removes grow with the corpus.  Both
+    # persists are tracked for query-boundary release (lakeforge/cache.py).
+    docs = persist_tracked(d.join(keep, "doc_id"))
 
     fp = doc_fingerprint(docs, "text", "doc_id")
     canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    docs = docs.join(canon.select("doc_id"), "doc_id").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )  # exact-dedup canonical survivors
+    # exact-dedup canonical survivors
+    docs = persist_tracked(docs.join(canon.select("doc_id"), "doc_id"))
 
     pairs = simhash_neardup_pairs(docs, "text", "doc_id", bands=4, max_hamming=3)
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()

@@ -196,3 +196,32 @@ def test_versioned_reader_unaffected_by_crashed_writer(spark, tmp_path):
     assert vacuum_versions(root, keep=1) == [0, 1, 3]
     assert read_versioned(spark, root).count() == 11
     assert not os.path.exists(versioned_path(root, 3))
+
+
+def test_compact_partitions_routes_versioned_root_through_pointer(spark, tmp_path):
+    """compact_partitions on a versioned table root must use the pointer
+    protocol (new committed version, no rename-aside of the root)."""
+    from lakeforge.ops.layout import (
+        compact_partitions,
+        commit_version,
+        current_version,
+        read_versioned,
+    )
+
+    root = str(tmp_path / "vtbl")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    v0 = commit_version(df.repartition(8), root)
+    stats = compact_partitions(spark, root, target_mb=128)
+    assert stats["version"] == v0 + 1
+    assert current_version(root) == v0 + 1
+    assert stats["files_after"] <= stats["files_before"]
+    assert read_versioned(spark, root).count() == 1000
+
+
+def test_compact_partitions_rejects_object_store_scheme(spark):
+    from lakeforge.ops.layout import compact_partitions
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="POSIX-only"):
+        compact_partitions(spark, "s3://bucket/table")

@@ -342,3 +342,22 @@ def test_pack_sequences_rejects_string_ids(spark):
     df = spark.createDataFrame([("doc-1", 5)], ["doc_id", "n_tokens"])
     with pytest.raises(TypeError, match="integral id_col"):
         pack_sequences(df, "n_tokens", "doc_id")
+
+
+def test_cosine_topk_rejects_corpus_sized_query_side(spark):
+    """The broadcast guard must trip BEFORE launching the join (round-2
+    review #6: an unconditional broadcast of a huge query side is an
+    executor OOM, not an error)."""
+    import pytest as _pytest
+
+    vecs = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(((F.col("id") + i) % 10) / 10.0).cast("float") for i in range(4)]
+        ).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="broadcasts the query side"):
+        cosine_topk(vecs, vecs, "embedding", "vec_id", k=3, max_queries=10)
+    # At or under the limit it runs.
+    out = cosine_topk(vecs.limit(5), vecs, "embedding", "vec_id", k=3, max_queries=10)
+    assert out.count() == 15

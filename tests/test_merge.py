@@ -161,3 +161,58 @@ def test_merge_upsert_deterministic_on_in_batch_duplicates(spark, tmp_path):
         return spark.read.parquet(path).collect()[0]["v"]
 
     assert run(1, "a") == run(8, "b") == run(3, "c")
+
+
+def test_merge_null_partition_value_preserves_prior_rows(spark, tmp_path):
+    """A batch row with a NULL partition value must MERGE with the existing
+    NULL partition (__HIVE_DEFAULT_PARTITION__), not silently replace it.
+    Round-2 ADVICE: `==` made the touched-partition predicate NULL, so the
+    partition's prior rows were never read back yet still overwritten."""
+    path = str(tmp_path / "nullpart")
+    batch1 = spark.createDataFrame(
+        [("a", "2022-01-01", "v1", None), ("b", "2022-01-02", "v1", "202201")],
+        "k string, d string, v string, p string",
+    )
+    merge_full_history(spark, batch1, path, keys=["k", "d", "v", "p"], partition_cols=["p"])
+    batch2 = spark.createDataFrame(
+        [("c", "2022-01-03", "v1", None)],
+        "k string, d string, v string, p string",
+    )
+    merge_full_history(spark, batch2, path, keys=["k", "d", "v", "p"], partition_cols=["p"])
+    got = _rows(spark, path)
+    assert got == sorted(
+        [
+            ("a", "2022-01-01", "v1", None),  # prior NULL-partition row kept
+            ("b", "2022-01-02", "v1", "202201"),
+            ("c", "2022-01-03", "v1", None),
+        ]
+    )
+
+
+def test_merge_upsert_evolved_tiebreak_covers_existing_only_columns(spark, tmp_path):
+    """Two existing same-key rows differing ONLY in a column absent from the
+    evolving batch must resolve to one deterministic survivor (round-2
+    ADVICE: the tiebreak hashed only new_df's columns, leaving them tied)."""
+    from lakeforge.ops.merge import merge_upsert
+
+    path = str(tmp_path / "evolve_tb")
+    existing = spark.createDataFrame(
+        [("k1", "x", "extraA"), ("k1", "x", "extraB")], ["k", "v", "extra"]
+    )
+    # Seed the table directly so BOTH same-key rows exist on disk.
+    existing.write.mode("overwrite").parquet(path)
+    batch = spark.createDataFrame([("k2", "y")], ["k", "v"])  # no 'extra' col
+    merge_upsert(spark, batch, path, keys=["k"], evolve_schema=True)
+    df = read_parquet_if_exists(spark, path)
+    rows = sorted(tuple(r) for r in df.select("k", "v", "extra").collect())
+    # k1 resolved deterministically: xxhash64('extraA'...) vs 'extraB' —
+    # the winner is fixed by the hash, not by partitioning.
+    k1 = [r for r in rows if r[0] == "k1"]
+    assert len(k1) == 1
+    expected_extra = k1[0][2]
+    # Re-run the same merge from the same seed: survivor must be identical.
+    existing.write.mode("overwrite").parquet(path)
+    merge_upsert(spark, batch, path, keys=["k"], evolve_schema=True)
+    df2 = read_parquet_if_exists(spark, path)
+    k1b = [tuple(r) for r in df2.select("k", "v", "extra").collect() if r[0] == "k1"]
+    assert len(k1b) == 1 and k1b[0][2] == expected_extra

@@ -168,6 +168,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
             continue
+        finally:
+            # Query boundary: release operator persists (lakeforge/cache.py)
+            # so an 86-query run doesn't accumulate session-lifetime caches.
+            from lakeforge.cache import release_all
+
+            release_all()
         t1 = time.time()
         if name not in oracles:
             print(f"SKIP-ORACLE {name}: rows={len(spark_rows)} ({t1 - t0:.1f}s) [rows-only check]")
