@@ -115,7 +115,11 @@ def build_gold(
     # C1 (gold_sql_to_postgres.py:115): dim_account feeds both the returned
     # dimension and the fact's interval SK resolve below — cache the staging
     # so its SCD2 plan (two window shuffles) executes once, not per sink.
-    dim_account = dim_account.cache()
+    # Tracked: the caller releases it after materializing the gold sinks
+    # (lakeforge/cache.py query-boundary discipline).
+    from lakeforge.cache import persist_tracked
+
+    dim_account = persist_tracked(dim_account)
 
     dim_date = build_dim_date(
         [(accounts, "date"), (details, "date"), (profile, "date"), (iden, "date")]
