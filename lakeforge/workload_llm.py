@@ -1069,3 +1069,83 @@ GROUP BY source
 
 QUERIES["docs_mixture_sample"] = q_docs_mixture_sample
 ORACLE_SQL["docs_mixture_sample"] = SQL_DOCS_MIXTURE_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# Lexical relevance: tf-idf term salience and BM25 search (llm/ranking.py).
+# Scores are doubles rounded to 4 places in BOTH engines (geo_mean_price
+# convention) so the driver's value hash is stable; BM25's k1/b are
+# exactly-representable binary fractions so every constant is the same
+# double on both sides.
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ["spark", "join", "window"]
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.ranking import tfidf_top_terms
+
+    return tfidf_top_terms(_documents(spark, sf_dir), k=3)
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 4) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+    FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.ranking import bm25_topk
+
+    return bm25_topk(_documents(spark, sf_dir), BM25_QUERY_TERMS, topk=20)
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+SQL_BM25_SEARCH = f"""
+WITH toks AS (
+    SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl, unnest({_TOKS}) AS term
+    FROM documents
+),
+hits AS (SELECT * FROM toks WHERE term IN ({_BM25_TERMS_SQL})),
+tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+        FROM hits GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY term),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           avg(CAST(len({_TOKS}) AS BIGINT)) AS avgdl
+    FROM documents
+),
+scored AS (
+    SELECT t.doc_id,
+           round(sum(
+               ln(1.0 + CAST(s.n_docs - d.df + 0.5 AS DOUBLE)
+                        / CAST(d.df + 0.5 AS DOUBLE))
+               * (CAST(t.tf AS DOUBLE) * 2.5)
+                 / (CAST(t.tf AS DOUBLE)
+                    + 1.5 * (0.25 + 0.75 * CAST(t.dl AS DOUBLE) / s.avgdl))
+           ), 4) AS bm25
+    FROM tfq t JOIN dfq d USING (term) CROSS JOIN stats s
+    GROUP BY t.doc_id
+)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
+ORACLE_SQL["tfidf_top_terms"] = SQL_TFIDF_TOP_TERMS
+QUERIES["bm25_search"] = q_bm25_search
+ORACLE_SQL["bm25_search"] = SQL_BM25_SEARCH

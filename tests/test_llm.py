@@ -361,3 +361,45 @@ def test_cosine_topk_rejects_corpus_sized_query_side(spark):
     # At or under the limit it runs.
     out = cosine_topk(vecs.limit(5), vecs, "embedding", "vec_id", k=3, max_queries=10)
     assert out.count() == 15
+
+
+def test_tfidf_top_terms_salience(spark):
+    import pytest
+
+    from lakeforge.llm.ranking import bm25_topk, tfidf_top_terms
+
+    rows = [
+        (1, "apple apple apple banana"),
+        (2, "banana cherry cherry"),
+        (3, "banana dates"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'banana' is in every doc -> idf = ln(1) = 0, never the salient term
+    assert top == {1: "apple", 2: "cherry", 3: "dates"}
+    r1 = next(r for r in out if r["doc_id"] == 1)
+    assert (r1["tf"], r1["df"], r1["rk"]) == (3, 1, 1)
+
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
+
+
+def test_bm25_ranks_term_coverage_and_density(spark):
+    from lakeforge.llm.ranking import bm25_topk
+
+    rows = [
+        (1, "spark join window"),  # all query terms, short
+        (2, "spark spark filler filler filler filler filler filler"),
+        (3, "join"),  # one hit, shortest doc
+        (4, "nothing relevant here"),  # zero hits -> never scored
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(df, ["spark", "join", "window"], topk=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 4 not in ids  # inverted-index probe: non-hit docs are absent
+    assert ids[0] == 1  # full term coverage wins
+    assert all(r["bm25"] > 0 for r in out)
+    # length normalization: doc 3 (tf=1 in a 1-token doc) beats doc 2
+    # (tf=2 diluted across an 8-token doc)
+    assert ids.index(3) < ids.index(2)
