@@ -68,10 +68,14 @@ def connected_components(
                 "lbl",
             )
         )
-        changed = new_labels.filter(F.col("new_lbl") != F.col("lbl")).count()
+        # Checkpoint BEFORE the convergence count: the count then scans the
+        # materialized blocks instead of re-running the iteration's joins
+        # (counting first ran every join twice — measured ~2x per iter).
         seen = cache.rdd_ids(spark)
-        labels = new_labels.select("v", F.col("new_lbl").alias("lbl")).localCheckpoint()
+        mat = new_labels.localCheckpoint()
         new_ids = cache.rdd_ids(spark) - seen
+        changed = mat.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = mat.select("v", F.col("new_lbl").alias("lbl"))
         # The new checkpoint is materialized — the previous iteration's
         # blocks are dead weight; release them immediately.
         cache.unpersist_rdd_ids(spark, prev_ids)
