@@ -155,6 +155,52 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     return events.dropDuplicates(["event_id"])
 
 
+def attribute_purchases(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to every view
+    by the same user in the preceding ``max_gap``.
+
+    The canonical two-stream join shape: equi-key (user_id) plus a time
+    bound on the event-time columns.  With watermarks on BOTH inputs the
+    range condition lets Spark evict join state older than
+    watermark + max_gap, which is what keeps two unbounded streams
+    joinable with finite memory.  On batch frames the watermark is a
+    no-op and the same expression is a plain range-bounded equi-join
+    (shuffle by user_id; per-user fan-out is bounded by the gap window,
+    never all-pairs) — that batch twin is what the DuckDB oracle checks.
+    """
+    v = views.withWatermark("ts", watermark) if views.isStreaming else views
+    p = purchases.withWatermark("ts", watermark) if purchases.isStreaming else purchases
+    v = v.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = p.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = v.join(
+        p,
+        (v.user_id == p.p_user_id)
+        & (p.purchase_ts >= v.view_ts)
+        & (p.purchase_ts <= F.expr(f"view_ts + INTERVAL {max_gap}")),
+    )
+    return joined.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        (F.col("purchase_ts").cast("long") - F.col("view_ts").cast("long"))
+        .cast("bigint")
+        .alias("gap_seconds"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: session windows via applyInPandasWithState.
 # ---------------------------------------------------------------------------

@@ -649,6 +649,30 @@ FROM deduped GROUP BY event_type
 """
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/events.py::attribute_purchases — the
+    stream-stream interval join (purchase attributed to same-user views
+    in the preceding 30 minutes) run over the batch events table."""
+    from lakeforge.streaming.events import attribute_purchases
+
+    ev = read_events(spark, sf_dir)
+    return attribute_purchases(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        max_gap="30 minutes",
+    )
+
+
+SQL_EVENTS_ATTRIBUTION = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_seconds
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -675,6 +699,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_tier_mix": q_events_tier_mix,
     "events_dedup_ingest": q_events_dedup_ingest,
     "events_funnel": q_events_funnel,
+    "events_attribution": q_events_attribution,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -697,6 +722,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_tier_mix": SQL_EVENTS_TIER_MIX,
     "events_dedup_ingest": SQL_EVENTS_DEDUP_INGEST,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_attribution": SQL_EVENTS_ATTRIBUTION,
 }
 
 QUERIES.update(workload_llm.QUERIES)

@@ -230,3 +230,39 @@ def test_stream_merge_foreachbatch_idempotent_silver(spark, tmp_path):
     run("m2")
     n2 = spark.read.parquet(silver).count()
     assert n1 == n2 == read_events(spark, SF_DIR).select("event_id").distinct().count()
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """attribute_purchases over TWO readStream inputs (a genuine
+    stream-stream interval join with watermarks on both sides) emits the
+    same pairs as the batch twin the oracle checks."""
+    from lakeforge.streaming.events import attribute_purchases
+
+    stream_dir = tmp_path / "events_in"
+    stream_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", stream_dir / "part-000.parquet")
+
+    views_s = read_events_stream(spark, str(stream_dir)).filter(
+        "event_type = 'view'"
+    )
+    purchases_s = read_events_stream(spark, str(stream_dir)).filter(
+        "event_type = 'purchase'"
+    )
+    joined = attribute_purchases(views_s, purchases_s, max_gap="30 minutes")
+    assert joined.isStreaming
+    streamed = run_available_now(
+        joined, "events_attribution_test", output_mode="append"
+    )
+
+    ev = read_events(spark, SF_DIR)
+    batch = attribute_purchases(
+        ev.filter("event_type = 'view'"),
+        ev.filter("event_type = 'purchase'"),
+        max_gap="30 minutes",
+    )
+
+    s = sorted(tuple(r) for r in streamed.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert len(s) > 0
+    assert s == b
