@@ -93,6 +93,11 @@ HEADLINE = [
     "docs_pack_sequences",
     "docs_repetition_score",
     "events_session_window",
+    "tfidf_top_terms",
+    "bm25_search",
+    "events_attribution",
+    "boilerplate_ngrams",
+    "docs_boilerplate",
 ]
 
 

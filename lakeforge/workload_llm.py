@@ -1149,3 +1149,70 @@ QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
 ORACLE_SQL["tfidf_top_terms"] = SQL_TFIDF_TOP_TERMS
 QUERIES["bm25_search"] = q_bm25_search
 ORACLE_SQL["bm25_search"] = SQL_BM25_SEARCH
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate (llm/boilerplate.py): bigrams shared by >= 8%
+# of the corpus, and each document's boilerplate coverage.  Thresholds are
+# integer per-mille math so both engines compute the identical cutoff.
+# ---------------------------------------------------------------------------
+
+_BOILER_GRAMS = f"""
+toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+grams AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i:i+1], ' ') AS ngram
+    FROM toks, UNNEST(range(1, greatest(len(w), 1))) AS t(i)
+),
+dfreq AS (SELECT ngram, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY ngram),
+cut AS (
+    SELECT CAST((count(*) * 80 + 999) // 1000 AS BIGINT) AS min_df
+    FROM documents
+)
+"""
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.boilerplate import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        _documents(spark, sf_dir), "text", "doc_id", n=2, min_df_permille=80
+    )
+
+
+SQL_BOILERPLATE_NGRAMS = f"""
+WITH {_BOILER_GRAMS}
+SELECT ngram, df FROM dfreq, cut WHERE df >= min_df
+"""
+
+
+def q_docs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.boilerplate import boilerplate_coverage
+
+    return boilerplate_coverage(
+        _documents(spark, sf_dir), "text", "doc_id", n=2, min_df_permille=80
+    )
+
+
+SQL_DOCS_BOILERPLATE = f"""
+WITH {_BOILER_GRAMS},
+boiler AS (SELECT ngram FROM dfreq, cut WHERE df >= min_df),
+per_doc AS (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(b.ngram) AS BIGINT) AS n_boiler
+    FROM grams g LEFT JOIN boiler b USING (ngram)
+    GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CAST(CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0
+                 ELSE (p.n_boiler * 1000) // p.n_grams END AS BIGINT)
+           AS boiler_permille
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+QUERIES["boilerplate_ngrams"] = q_boilerplate_ngrams
+ORACLE_SQL["boilerplate_ngrams"] = SQL_BOILERPLATE_NGRAMS
+QUERIES["docs_boilerplate"] = q_docs_boilerplate
+ORACLE_SQL["docs_boilerplate"] = SQL_DOCS_BOILERPLATE

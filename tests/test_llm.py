@@ -403,3 +403,77 @@ def test_bm25_ranks_term_coverage_and_density(spark):
     # length normalization: doc 3 (tf=1 in a 1-token doc) beats doc 2
     # (tf=2 diluted across an 8-token doc)
     assert ids.index(3) < ids.index(2)
+
+
+def _boiler_corpus(spark):
+    # Four docs share the footer "subscribe to our newsletter today"; two
+    # have unique bodies, one is footer-only, one has no footer at all.
+    rows = [
+        (1, "alpha beta gamma delta subscribe to our newsletter today"),
+        (2, "epsilon zeta eta theta subscribe to our newsletter today"),
+        (3, "iota kappa lambda mu subscribe to our newsletter today"),
+        (4, "subscribe to our newsletter today"),
+        (5, "nu xi omicron pi rho sigma tau upsilon"),
+        (6, "x"),  # single token: zero bigrams
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_boilerplate_ngrams_finds_shared_footer(spark):
+    from lakeforge.llm.boilerplate import boilerplate_ngrams
+
+    # 6 docs, permille=500 -> min_df = ceil(3.0) = 3: footer bigrams (df=4)
+    # qualify, body bigrams (df=1) don't.
+    got = {
+        r["ngram"]: r["df"]
+        for r in boilerplate_ngrams(
+            _boiler_corpus(spark), "text", "doc_id", n=2, min_df_permille=500
+        ).collect()
+    }
+    assert got == {
+        "subscribe to": 4,
+        "to our": 4,
+        "our newsletter": 4,
+        "newsletter today": 4,
+    }
+
+
+def test_boilerplate_coverage_permille_and_short_doc(spark):
+    from lakeforge.llm.boilerplate import boilerplate_coverage
+
+    cov = {
+        r["doc_id"]: (r["n_grams"], r["n_boiler"], r["boiler_permille"])
+        for r in boilerplate_coverage(
+            _boiler_corpus(spark), "text", "doc_id", n=2, min_df_permille=500
+        ).collect()
+    }
+    assert cov[1] == (8, 4, 500)   # 4 body + 4 footer bigrams
+    assert cov[4] == (4, 4, 1000)  # footer-only
+    assert cov[5] == (7, 0, 0)     # no footer
+    assert cov[6] == (0, 0, 0)     # too short for any bigram
+    assert len(cov) == 6           # every doc present, including gram-less
+
+
+def test_strip_boilerplate_drops_dominated_docs(spark):
+    from lakeforge.llm.boilerplate import strip_boilerplate_docs
+
+    kept = sorted(
+        r["doc_id"]
+        for r in strip_boilerplate_docs(
+            _boiler_corpus(spark), "text", "doc_id",
+            n=2, min_df_permille=500, max_boiler_permille=500,
+        ).collect()
+    )
+    assert kept == [1, 2, 3, 5, 6]  # doc 4 (1000 permille) dropped
+
+
+def test_boilerplate_broadcast_guard_trips(spark, monkeypatch):
+    import pytest
+
+    from lakeforge.llm import boilerplate
+
+    monkeypatch.setattr(boilerplate, "MAX_BROADCAST_GRAMS", 2)
+    with pytest.raises(ValueError, match="boilerplate set exceeds"):
+        boilerplate.boilerplate_coverage(
+            _boiler_corpus(spark), "text", "doc_id", n=2, min_df_permille=500
+        )
