@@ -98,6 +98,7 @@ HEADLINE = [
     "events_attribution",
     "boilerplate_ngrams",
     "docs_boilerplate",
+    "key_skew_orders",
 ]
 
 

@@ -88,6 +88,36 @@ def duplicate_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
+def key_skew_profile(
+    df: DataFrame, key_cols: list[str], k: int = 20
+) -> DataFrame:
+    """Heavy-hitter profile of a join/aggregation key: the top ``k`` keys
+    by row count with their integer per-mille share of the table.
+
+    This is the measurement that decides a skew strategy BEFORE a job
+    melts: a key above ~50-100 permille of a 100 TB table means one
+    reducer gets TBs — route that join through ``ops/joins.py::
+    salted_join`` (or AQE skew-split for moderate cases).
+
+    Scale shape: one map-side-combinable groupBy(key) shuffle to the count
+    table, then ``orderBy().limit(k)`` plans as TakeOrderedAndProject
+    (per-partition top-k + single merge — never a global sort), and the
+    total is a broadcast one-row aggregate.  Ties broken by key for a
+    deterministic answer.
+    """
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("permille", F.expr("(n_rows * 1000) div __total"))
+        .drop("__total")
+        .orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(k)
+    )
+
+
 def ordered_sample(df: DataFrame, order_by: list[str], n: int = 5) -> DataFrame:
     """Deterministic top-n sample (reference A5: silver_check.py:52-53).
 

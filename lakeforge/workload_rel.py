@@ -1479,3 +1479,34 @@ FROM c GROUP BY l_returnflag
 
 QUERIES["mode_status_by_flag"] = q_mode_status_by_flag
 ORACLE_SQL["mode_status_by_flag"] = SQL_MODE_STATUS_BY_FLAG
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiling (ops/quality.py::key_skew_profile): the heavy-hitter
+# measurement that decides between a plain join, AQE skew-split, and
+# salted_join.  Deterministic: ties at the top-k boundary break by key in
+# both engines.
+# ---------------------------------------------------------------------------
+
+
+def q_key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.quality import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "orders"), ["o_custkey"], k=20)
+
+
+SQL_KEY_SKEW_ORDERS = """
+WITH c AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY o_custkey
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM orders)
+SELECT o_custkey, n_rows,
+       CAST((n_rows * 1000) // total AS BIGINT) AS permille
+FROM c, t
+ORDER BY n_rows DESC, o_custkey
+LIMIT 20
+"""
+
+QUERIES["key_skew_orders"] = q_key_skew_orders
+ORACLE_SQL["key_skew_orders"] = SQL_KEY_SKEW_ORDERS

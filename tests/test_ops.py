@@ -278,3 +278,17 @@ def test_observe_metrics_piggyback_on_action(spark):
     )
     inst.write.format("noop").mode("overwrite").save()
     assert obs.get == {"n_rows": 3, "null_k": 1}
+
+
+def test_key_skew_profile_heavy_hitters(spark):
+    from lakeforge.ops.quality import key_skew_profile
+
+    # Key "whale" holds 6 of 10 rows (600 permille); ties below it break
+    # by key ascending.
+    rows = [("whale",)] * 6 + [("a",), ("b",), ("c",), ("d",)]
+    df = spark.createDataFrame(rows, ["k"])
+    got = [
+        (r["k"], r["n_rows"], r["permille"])
+        for r in key_skew_profile(df, ["k"], k=3).collect()
+    ]
+    assert got == [("whale", 6, 600), ("a", 1, 100), ("b", 1, 100)]
