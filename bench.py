@@ -99,6 +99,7 @@ HEADLINE = [
     "boilerplate_ngrams",
     "docs_boilerplate",
     "key_skew_orders",
+    "docs_chunks",
 ]
 
 

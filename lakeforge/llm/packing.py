@@ -82,3 +82,56 @@ def pack_sequences(
         .withColumn("bin_offset", F.pmod("tok_start", F.lit(seq_len)).cast("bigint"))
     )
     return out.select("doc_id", "n_tokens", "tok_start", "bin_id", "bin_offset")
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking: split each document's token stream into
+    overlapping chunks of ``window`` tokens every ``stride`` tokens — the
+    long-document complement to :func:`pack_sequences` (which packs SHORT
+    docs into fixed bins): context-window preparation for training and
+    retrieval corpora.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + window)``; the last
+    chunk may be short; a document shorter than ``window`` yields exactly
+    one chunk; an empty document yields none.  Chunk count is
+    ``1 + ceil(max(n - window, 0) / stride)``.
+
+    Zero shuffles: tokenize → per-row ``transform(sequence(...))`` →
+    ``explode`` all happen inside the row's projection (whole-stage
+    codegen).  At 100 TB this is a map-only pass; the output is
+    write-partitioned however the sink needs.  The ``CASE WHEN`` guard
+    matters: Spark's ``sequence(0, -1)`` is DESCENDING ``[0, -1]``, not
+    empty (see the n-gram builders in llm/dedup.py).
+
+    Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    from lakeforge.llm.text import tokens_col
+
+    w, s = window, stride
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    chunks = F.expr(
+        f"CASE WHEN __n > 0 THEN "
+        f"transform(sequence(0, CASE WHEN __n > {w} THEN "
+        f"(__n - {w} + {s} - 1) div {s} ELSE 0 END), "
+        f"i -> slice(__toks, i * {s} + 1, {w})) "
+        f"ELSE CAST(array() AS ARRAY<ARRAY<STRING>>) END"
+    )
+    return (
+        toks.select("doc_id", F.posexplode(chunks).alias("chunk_id", "__c"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.size("__c").cast("bigint").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "__c").alias("chunk_text"),
+        )
+    )

@@ -1216,3 +1216,37 @@ QUERIES["boilerplate_ngrams"] = q_boilerplate_ngrams
 ORACLE_SQL["boilerplate_ngrams"] = SQL_BOILERPLATE_NGRAMS
 QUERIES["docs_boilerplate"] = q_docs_boilerplate
 ORACLE_SQL["docs_boilerplate"] = SQL_DOCS_BOILERPLATE
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (llm/packing.py::chunk_documents):
+# context-window prep for long docs.  Map-only (zero shuffles).
+# ---------------------------------------------------------------------------
+
+
+def q_docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.packing import chunk_documents
+
+    return chunk_documents(
+        _documents(spark, sf_dir), "text", "doc_id", window=16, stride=12
+    )
+
+
+SQL_DOCS_CHUNKS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+c AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           w[i*12+1 : i*12+16] AS ch
+    FROM toks,
+         UNNEST(range(0, CASE WHEN len(w) > 16
+                              THEN (len(w) - 16 + 11) // 12
+                              ELSE 0 END + 1)) AS t(i)
+    WHERE len(w) > 0
+)
+SELECT doc_id, chunk_id, CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(ch, ' ') AS chunk_text
+FROM c
+"""
+
+QUERIES["docs_chunks"] = q_docs_chunks
+ORACLE_SQL["docs_chunks"] = SQL_DOCS_CHUNKS

@@ -477,3 +477,42 @@ def test_boilerplate_broadcast_guard_trips(spark, monkeypatch):
         boilerplate.boilerplate_coverage(
             _boiler_corpus(spark), "text", "doc_id", n=2, min_df_permille=500
         )
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from lakeforge.llm.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks: 3 chunks
+            (2, "a b"),  # shorter than window: 1 chunk
+            (3, ""),  # empty: no chunks
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, window=4, stride=3).collect()
+    )
+    assert got == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 4, "t6 t7 t8 t9"),
+        (2, 0, 2, "a b"),
+    ]
+    # Exact-fit boundary: n == window -> exactly one chunk, not two.
+    exact = chunk_documents(
+        spark.createDataFrame([(9, "w x y z")], ["doc_id", "text"]),
+        window=4, stride=3,
+    ).collect()
+    assert [(r["chunk_id"], r["chunk_text"]) for r in exact] == [(0, "w x y z")]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest
+
+    from lakeforge.llm.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="window and stride"):
+        chunk_documents(df, window=0, stride=3)
