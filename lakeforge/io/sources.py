@@ -70,25 +70,36 @@ def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table, normalizing its TIMESTAMP(NANOS) column.
+    """Read the events table, normalizing ``ts`` to a microsecond timestamp.
 
-    The driver's events.parquet stores ``ts`` as nanosecond timestamps,
-    which Spark's parquet reader rejects (PARQUET_TYPE_ILLEGAL).  With
-    ``legacy.parquet.nanosAsLong`` the column arrives as bigint nanos; we
-    convert to a proper microsecond timestamp (same truncation DuckDB
-    applies when casting timestamp_ns -> timestamp).
+    The driver's events.parquet has shipped ``ts`` two ways across rounds:
 
-    The conf is a ``get_spark`` session default (session.py); the guarded
-    set below is a fallback for externally-built sessions (the driver
-    constructs its own) — skipped entirely when already configured, so a
-    lakeforge session sees no config mutation at call time.
+    - TIMESTAMP(NANOS), which Spark's parquet reader rejects
+      (PARQUET_TYPE_ILLEGAL) unless ``legacy.parquet.nanosAsLong`` makes it
+      arrive as bigint nanos — then converted here with integer division
+      (``ts div 1000``: a double roundtrip would lose precision above
+      2^53 ns, ~104 days after epoch), matching DuckDB's
+      timestamp_ns -> timestamp truncation.
+    - TIMESTAMP(MICROS) (current rounds), which both engines read natively —
+      passed through untouched.
+
+    Branching on the *loaded* dtype keeps one loader correct for both
+    generations of testdata.  The nanosAsLong conf is a ``get_spark``
+    session default (session.py); the guarded set below is a fallback for
+    externally-built sessions (the driver constructs its own) — skipped
+    when already configured, so a lakeforge session sees no config mutation
+    at call time.
     """
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # `ts div 1000`: integer division — a double roundtrip would lose
-    # precision above 2^53 ns (~104 days after epoch).
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(df.dtypes)["ts"] == "bigint":  # legacy nanos-as-long testdata
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # TIMESTAMP, not TIMESTAMP_NTZ: downstream ops use unix_micros()/window()
+    # which require the instant type.  The session timezone is pinned to UTC
+    # (session.py), so the NTZ->instant cast is a wall-clock no-op and epoch
+    # arithmetic matches DuckDB's naive-timestamp epoch_us exactly.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(

@@ -28,7 +28,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Physical schema of events.parquet with nanosAsLong in effect (ts: bigint).
+# Physical schema of events.parquet with nanosAsLong in effect (ts: bigint) —
+# the legacy testdata generation; current files carry TIMESTAMP(MICROS).
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType(), True),
@@ -48,15 +49,25 @@ def read_events_stream(
 ) -> DataFrame:
     """Streaming scan of an events parquet directory.
 
+    ``readStream`` requires a declared schema, but the testdata's ``ts``
+    physical type has varied across generations (nanos-as-long vs
+    TIMESTAMP(MICROS)), so the schema is peeked from the existing files'
+    footers with a one-off batch read — a metadata-only operation — then
+    ``ts`` is normalized to an instant TIMESTAMP exactly like the batch
+    loader (io.sources.read_events), keeping the two paths one semantics.
+
     ``maxFilesPerTrigger`` bounds micro-batch size — the knob that keeps
     per-batch memory flat when backfilling a large directory.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    physical = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(physical)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(df.dtypes).get("ts") == "bigint":  # legacy nanos-as-long files
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(
@@ -253,7 +264,12 @@ def sessionize_stateful(
         else:
             rows = []
             for pdf in pdfs:
-                ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+                # datetime64[us] first: pandas>=2 may hand Arrow batches over
+                # at ns OR us resolution — a bare astype(int64) would be off
+                # by 1000x on the latter.
+                ts_us = (
+                    pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+                )
                 rows.extend(zip(ts_us.tolist(), pdf["value"].tolist()))
             rows.sort()
             for ts, val in rows:
