@@ -100,6 +100,11 @@ HEADLINE = [
     "docs_boilerplate",
     "key_skew_orders",
     "docs_chunks",
+    "kmeans_embeddings",
+    "pagerank_trade",
+    "docs_char_entropy",
+    "spend_trend_by_nation",
+    "customer_spend_z",
 ]
 
 

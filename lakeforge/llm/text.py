@@ -157,3 +157,44 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.max("c").cast("bigint").alias("top_bigram_count"),
         (F.max("c") * 10 > F.sum("c")).alias("repetitive"),
     )
+
+
+def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (bits/char).
+
+    A cheap, model-free quality signal: natural prose sits ~4-4.7 bits,
+    near-0 flags repeated-char/boilerplate junk, near-log2(alphabet) flags
+    random noise — a standard pretraining-corpus filter feature alongside
+    text_stats' ratio features.
+
+    Shape: explode to (doc, char) — JVM-side split, no Python — then ONE
+    two-level aggregation.  H = log2(n) - sum(c*log2(c))/n avoids a
+    per-char divide and needs only per-(doc,char) counts; the log2/divide
+    touch doubles, but on exact integer counts, so cross-engine drift is
+    bounded by summation order over ~100 terms (~1e-15 — far inside the
+    comparator's 1e-9).
+    """
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_chars"),
+            F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double"))).alias("__s"),
+        )
+        .where(F.col("n_chars") > 0)
+        .select(
+            id_col,
+            "n_chars",
+            # round(,6) in both engines: the raw double drifts ~1e-15
+            # across summation orders; 6 places is the repo's float-output
+            # convention (cf. bm25/cosine scores).
+            F.round(
+                F.log2(F.col("n_chars").cast("double"))
+                - F.col("__s") / F.col("n_chars").cast("double"),
+                6,
+            ).alias("entropy_bits"),
+        )
+    )

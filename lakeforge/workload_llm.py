@@ -1250,3 +1250,109 @@ FROM c
 
 QUERIES["docs_chunks"] = q_docs_chunks
 ORACLE_SQL["docs_chunks"] = SQL_DOCS_CHUNKS
+
+
+# ---------------------------------------------------------------------------
+# Exact-arithmetic k-means (llm/clustering.py::kmeans_assignments): Lloyd's
+# iterations as DataFrame ops.  The oracle unrolls the SAME fixed number of
+# iterations as CTEs — micro-unit integer distances and one-double-division
+# centroid updates make every iteration bit-identical across engines, so an
+# ITERATIVE ML algorithm gets a full value oracle.
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.clustering import kmeans_assignments
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_assignments(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+
+
+def _sql_kmeans(k: int, iters: int) -> str:
+    ctes = [
+        "base AS (SELECT vec_id, list_transform(embedding,"
+        " v -> CAST(round(CAST(v AS DOUBLE)*1000000) AS BIGINT)) AS vec"
+        " FROM embeddings)",
+        "long AS (SELECT vec_id, generate_subscripts(vec, 1) AS pos,"
+        " unnest(vec) AS x FROM base)",
+        f"c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, pos, x AS c"
+        f" FROM long WHERE vec_id < {k})",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT l.vec_id, c.cluster,"
+            f" SUM((l.x - c.c)*(l.x - c.c)) AS d2"
+            f" FROM long l JOIN {prev} c USING (pos)"
+            f" GROUP BY l.vec_id, c.cluster)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT vec_id, cluster FROM"
+            f" (SELECT vec_id, cluster,"
+            f" row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)"
+            f" AS rn FROM a{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT s.cluster, l.pos,"
+            f" CAST(round(CAST(SUM(l.x) AS DOUBLE) /"
+            f" CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c"
+            f" FROM long l JOIN s{i} s USING (vec_id)"
+            f" GROUP BY s.cluster, l.pos)"
+        )
+        prev = f"c{i}"
+    final = iters + 1
+    ctes.append(
+        f"a{final} AS (SELECT l.vec_id, c.cluster,"
+        f" SUM((l.x - c.c)*(l.x - c.c)) AS d2"
+        f" FROM long l JOIN {prev} c USING (pos)"
+        f" GROUP BY l.vec_id, c.cluster)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2
+FROM (SELECT vec_id, cluster, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      FROM a{final})
+WHERE rn = 1
+"""
+    )
+
+
+QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
+ORACLE_SQL["kmeans_embeddings"] = _sql_kmeans(_KMEANS_K, _KMEANS_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality scoring (llm/text.py::char_entropy).
+# ---------------------------------------------------------------------------
+
+
+def q_docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.text import char_entropy
+
+    return char_entropy(_documents(spark, sf_dir), "text", "doc_id")
+
+
+SQL_DOCS_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+         SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS s
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_chars,
+       round(log2(CAST(n_chars AS DOUBLE)) - s / CAST(n_chars AS DOUBLE), 6)
+           AS entropy_bits
+FROM agg WHERE n_chars > 0
+"""
+
+QUERIES["docs_char_entropy"] = q_docs_char_entropy
+ORACLE_SQL["docs_char_entropy"] = SQL_DOCS_CHAR_ENTROPY

@@ -1510,3 +1510,172 @@ LIMIT 20
 
 QUERIES["key_skew_orders"] = q_key_skew_orders
 ORACLE_SQL["key_skew_orders"] = SQL_KEY_SKEW_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact PageRank (ops/graph.py::pagerank_nano) over the bipartite
+# part<->supplier trade graph from lineitem.  Nano-unit integer rank mass
+# makes the power iteration order-independent and bit-identical across
+# engines, so the oracle unrolls the same fixed iterations as CTEs.
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_DAMP = 850
+
+
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.graph import pagerank_nano
+
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select("l_partkey", "l_suppkey").distinct()
+    edges = (
+        e0.select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .unionAll(
+            e0.select(
+                (F.col("l_suppkey") * 2 + 1).alias("src"),
+                (F.col("l_partkey") * 2).alias("dst"),
+            )
+        )
+    )
+    ranks = pagerank_nano(edges, iters=_PR_ITERS, damping_permille=_PR_DAMP)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, "part").otherwise("supplier").alias("kind"),
+        F.expr("node div 2").cast("bigint").alias("key"),
+        F.col("rank_nano").cast("bigint").alias("rank_nano"),
+    )
+
+
+def _sql_pagerank(iters: int, damp: int) -> str:
+    ctes = [
+        "e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)",
+        "edges AS (SELECT 2*l_partkey AS e_src, 2*l_suppkey+1 AS e_dst FROM e0"
+        " UNION ALL SELECT 2*l_suppkey+1, 2*l_partkey FROM e0)",
+        "deg AS (SELECT e_src, count(*) AS deg FROM edges GROUP BY e_src)",
+        "ed AS (SELECT e.e_src, e.e_dst, d.deg FROM edges e"
+        " JOIN deg d USING (e_src))",
+        "nn AS (SELECT count(DISTINCT e_src) AS n FROM edges)",
+        "con AS (SELECT CAST(CAST(1000000000 AS BIGINT) // n AS BIGINT) AS init,"
+        f" CAST(({1000 - damp} * CAST(1000000000 AS BIGINT)) // (1000 * n) AS BIGINT) AS base"
+        " FROM nn)",
+        "r0 AS (SELECT e_src AS node, init AS rank_nano"
+        " FROM (SELECT DISTINCT e_src FROM edges), con)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"r{i} AS (SELECT e.e_dst AS node,"
+            f" CAST(MIN(con.base) + ({damp} * SUM(r.rank_nano // e.deg)) // 1000"
+            f" AS BIGINT) AS rank_nano"
+            f" FROM ed e JOIN r{i - 1} r ON e.e_src = r.node CROSS JOIN con"
+            f" GROUP BY e.e_dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+       CAST(node // 2 AS BIGINT) AS key,
+       rank_nano
+FROM r{iters}
+"""
+    )
+
+
+QUERIES["pagerank_trade"] = q_pagerank_trade
+ORACLE_SQL["pagerank_trade"] = _sql_pagerank(_PR_ITERS, _PR_DAMP)
+
+
+# ---------------------------------------------------------------------------
+# Group-wise linear regression (built-in regr_* aggregates): per-nation
+# trend of order value over time.  The JVM-side regression aggregates are
+# the idiomatic Spark replacement for a per-group sklearn loop — one
+# shuffle, map-side partials, no Python.  Doubles rounded to 4 in both
+# engines (float-output convention).
+# ---------------------------------------------------------------------------
+
+
+def q_spend_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    x = F.unix_date(F.col("o_orderdate").cast("date")).cast("double")
+    y = F.col("o_totalprice").cast("double")
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.expr("regr_slope(CAST(o_totalprice AS DOUBLE), CAST(unix_date(CAST(o_orderdate AS DATE)) AS DOUBLE))"), 4).alias("slope_per_day"),
+            F.round(F.expr("regr_r2(CAST(o_totalprice AS DOUBLE), CAST(unix_date(CAST(o_orderdate AS DATE)) AS DOUBLE))"), 4).alias("r2"),
+        )
+    )
+
+
+SQL_SPEND_TREND_BY_NATION = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(regr_slope(CAST(o_totalprice AS DOUBLE),
+                        CAST(date_diff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS DOUBLE)), 4)
+           AS slope_per_day,
+       round(regr_r2(CAST(o_totalprice AS DOUBLE),
+                     CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE)) AS DOUBLE)), 4)
+           AS r2
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+QUERIES["spend_trend_by_nation"] = q_spend_trend_by_nation
+ORACLE_SQL["spend_trend_by_nation"] = SQL_SPEND_TREND_BY_NATION
+
+
+# ---------------------------------------------------------------------------
+# Per-customer z-score outlier scoring (window avg/stddev): the classic
+# data-quality / anomaly feature for training pipelines.  No threshold
+# filter on the double (row membership must not hinge on a float compare);
+# customers are bounded by key instead and z is rounded in both engines.
+# ---------------------------------------------------------------------------
+
+
+def q_customer_spend_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey")
+    mu = F.avg(F.col("o_totalprice").cast("double")).over(w)
+    sd = F.stddev_samp(F.col("o_totalprice").cast("double")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    z = (F.col("o_totalprice").cast("double") - mu) / sd
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            n.alias("n"),
+            sd.alias("sd"),
+            F.round(z, 6).alias("z"),
+        )
+        .where((F.col("n") >= 2) & (F.col("sd") > 0))
+        .select("o_orderkey", "o_custkey", "totalprice", "z")
+    )
+
+
+SQL_CUSTOMER_SPEND_Z = """
+WITH s AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DOUBLE) AS totalprice,
+         count(*) OVER w AS n,
+         avg(CAST(o_totalprice AS DOUBLE)) OVER w AS mu,
+         stddev_samp(CAST(o_totalprice AS DOUBLE)) OVER w AS sd
+  FROM orders WHERE o_custkey < 100
+  WINDOW w AS (PARTITION BY o_custkey)
+)
+SELECT o_orderkey, o_custkey, totalprice,
+       round((totalprice - mu) / sd, 6) AS z
+FROM s WHERE n >= 2 AND sd > 0
+"""
+
+QUERIES["customer_spend_z"] = q_customer_spend_z
+ORACLE_SQL["customer_spend_z"] = SQL_CUSTOMER_SPEND_Z
