@@ -1,0 +1,88 @@
+"""k-means (llm/clustering.py) and PageRank (ops/graph.py::pagerank_nano)
+invariants on small synthetic graphs/embeddings — the oracle gate checks
+values on real testdata; these pin the algebraic properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakeforge import cache
+from lakeforge.llm.clustering import kmeans_assign, kmeans_assignments
+from lakeforge.ops.graph import pagerank_nano
+
+
+def _emb(spark):
+    # Two tight groups far apart in 4-d: ids 0-3 near origin+x, 4-7 near +y.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [1.1, -0.1, 0.0, 0.0]),
+        (3, [1.0, 0.05, 0.0, 0.0]),
+        (4, [0.0, 5.0, 0.0, 0.0]),
+        (5, [0.1, 5.1, 0.0, 0.0]),
+        (6, [-0.1, 4.9, 0.0, 0.0]),
+        (7, [0.0, 5.05, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_kmeans_separates_obvious_groups(spark):
+    out = kmeans_assignments(_emb(spark), k=2, iters=2).collect()
+    cache.release_all()
+    by_id = {r.vec_id: r.cluster for r in out}
+    assert len(by_id) == 8
+    assert len({by_id[i] for i in range(4)}) == 1  # first group together
+    assert len({by_id[i] for i in range(4, 8)}) == 1  # second group together
+    assert by_id[0] != by_id[4]
+    assert all(r.d2 >= 0 for r in out)
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    a = sorted(map(tuple, kmeans_assignments(_emb(spark), k=2, iters=3).collect()))
+    cache.release_all()
+    b = sorted(map(tuple, kmeans_assignments(_emb(spark), k=2, iters=3).collect()))
+    cache.release_all()
+    assert a == b
+
+
+def test_kmeans_assign_tie_breaks_to_lowest_cluster(spark):
+    base = spark.createDataFrame(
+        [(10, [0, 0])], "vec_id bigint, vec array<bigint>"
+    )
+    cents = spark.createDataFrame(
+        [(1, [3, 4]), (0, [5, 0]), (2, [0, 5])],
+        "cluster bigint, cvec array<bigint>",
+    )
+    r = kmeans_assign(base, cents).collect()[0]
+    assert r.d2 == 25 and r.cluster == 0  # all d2=25; lowest cluster wins
+
+
+def test_kmeans_releases_caches(spark):
+    kmeans_assignments(_emb(spark), k=2, iters=2).count()
+    cache.release_all()
+    assert cache.n_cached_rdds(spark) == 0
+
+
+def test_pagerank_mass_and_symmetry(spark):
+    # Undirected path graph 1-2-3: symmetric ends must tie exactly.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src bigint, dst bigint"
+    )
+    out = {r.node: r.rank_nano for r in pagerank_nano(edges, iters=5).collect()}
+    cache.release_all()
+    assert set(out) == {1, 2, 3}
+    assert out[1] == out[3]  # exact integer arithmetic -> exact symmetry
+    assert out[2] > out[1]  # middle node dominates
+    total = sum(out.values())
+    # Mass conserved up to integer-truncation loss (< 1 nano per edge/iter
+    # plus the div-floor in init/base).
+    assert 0.999e9 < total <= 1_000_000_000
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    # 4-cycle (2-regular): PageRank is exactly uniform at every iteration.
+    e = [(i, (i + 1) % 4) for i in range(4)] + [((i + 1) % 4, i) for i in range(4)]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    out = {r.node: r.rank_nano for r in pagerank_nano(edges, iters=4).collect()}
+    cache.release_all()
+    assert len(set(out.values())) == 1
