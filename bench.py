@@ -105,6 +105,8 @@ HEADLINE = [
     "docs_char_entropy",
     "spend_trend_by_nation",
     "customer_spend_z",
+    "docs_kfold",
+    "hard_negatives",
 ]
 
 

@@ -282,3 +282,53 @@ def embedding_neardup_pairs(
     return pairs.select("a", "b", sim.alias("sim")).filter(
         F.col("sim") >= threshold
     )
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    max_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """Hard-negative mining: per query, the top-k most-similar corpus
+    vectors with a DIFFERENT label — contrastive-training pair generation.
+
+    Same physical shape as ``cosine_topk`` (broadcast query side, one
+    corpus scan), but the label-mismatch predicate rides the join
+    condition, so same-label pairs are dropped BEFORE scoring and the
+    window ranks strictly fewer rows.  Exact integer kernel as
+    everywhere in this module — value-oracle-checkable."""
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"hard_negative_topk broadcasts the query side: got {n_q} "
+            f"queries > max_queries={max_queries}."
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        nano_embedding(vec_col).alias("q_vec"),
+    ).withColumn("q_n2", _norm2("q_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("c_label"),
+        nano_embedding(vec_col).alias("c_vec"),
+    ).withColumn("c_n2", _norm2("c_vec"))
+    joined = c.join(F.broadcast(q), F.col("q_label") != F.col("c_label"))
+    sim = F.round(
+        _dot("q_vec", "c_vec").cast("double")
+        / F.sqrt(F.col("q_n2").cast("double") * F.col("c_n2").cast("double")),
+        6,
+    )
+    scored = joined.select("query_id", "neighbor_id", sim.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

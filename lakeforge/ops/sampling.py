@@ -79,3 +79,15 @@ def epoch_shuffle_key(key: Column | str, epoch: int, salt: str = "epoch") -> Col
     """
     k = F.col(key) if isinstance(key, str) else key
     return md5_int(F.lit(salt), F.lit(str(epoch)), k)
+
+
+def kfold_col(key: Column | str, k: int, salt: str = "kfold") -> Column:
+    """Deterministic k-fold assignment: fold = hash(salt, key) mod k.
+
+    The cross-validation twin of ``train_test_split_col``: folds are a
+    pure function of the key, so they are stable across runs, engines,
+    repartitions, and incremental data arrivals (a new row lands in a
+    fold without reshuffling old ones) — and shuffle-free, since the
+    hash evaluates inside the scan's project."""
+    kc = F.col(key) if isinstance(key, str) else key
+    return (md5_int(F.lit(salt), kc) % k).cast("bigint")

@@ -1356,3 +1356,82 @@ FROM agg WHERE n_chars > 0
 
 QUERIES["docs_char_entropy"] = q_docs_char_entropy
 ORACLE_SQL["docs_char_entropy"] = SQL_DOCS_CHAR_ENTROPY
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-fold splits (ops/sampling.py::kfold_col) and hard-negative
+# mining (llm/similarity.py::hard_negative_topk).
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+def q_docs_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.sampling import kfold_col
+
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        kfold_col("doc_id", _KFOLD_K, salt="cv").alias("fold"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+SQL_DOCS_KFOLD = f"""
+SELECT doc_id,
+       CAST({_bucket_sql('cv', 'doc_id')} % {_KFOLD_K} AS BIGINT) AS fold,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+_HN_QUERIES, _HN_K = 20, 5
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.similarity import hard_negative_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return hard_negative_topk(
+        emb.filter(F.col("vec_id") < _HN_QUERIES),
+        emb,
+        "embedding",
+        "vec_id",
+        "label",
+        k=_HN_K,
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH e AS (
+    SELECT vec_id, label,
+           list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000000) AS BIGINT)) AS ie
+    FROM embeddings
+),
+n AS (SELECT vec_id, label, ie,
+             CAST(list_sum(list_transform(ie, x -> x * x)) AS BIGINT) AS n2
+      FROM e),
+q AS (SELECT vec_id AS query_id, label AS q_label, ie AS qv, n2 AS qn
+      FROM n WHERE vec_id < {_HN_QUERIES}),
+pairs AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(q.qv, c.ie), s -> s[1] * s[2])) AS BIGINT) AS dot,
+           q.qn, c.n2
+    FROM q, n c WHERE c.label <> q.q_label
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           round(CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS sim
+    FROM pairs
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_HN_K}
+"""
+
+QUERIES["docs_kfold"] = q_docs_kfold
+ORACLE_SQL["docs_kfold"] = SQL_DOCS_KFOLD
+QUERIES["hard_negatives"] = q_hard_negatives
+ORACLE_SQL["hard_negatives"] = SQL_HARD_NEGATIVES
