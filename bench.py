@@ -107,6 +107,9 @@ HEADLINE = [
     "customer_spend_z",
     "docs_kfold",
     "hard_negatives",
+    "peak_concurrency",
+    "revenue_mom_growth",
+    "cohort_retention",
 ]
 
 

@@ -1679,3 +1679,200 @@ FROM s WHERE n >= 2 AND sd > 0
 
 QUERIES["customer_spend_z"] = q_customer_spend_z
 ORACLE_SQL["customer_spend_z"] = SQL_CUSTOMER_SPEND_Z
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (sweep line): maximum number of simultaneously-open user
+# sessions per day.  The interval-overlap aggregation no single groupBy
+# expresses — classic +1/-1 boundary events + a running sum.  All integer,
+# exact.  Scale shape: boundaries are 2 rows per session (never the raw
+# events), and the running sum partitions by day — state is bounded by a
+# day's boundaries, not history.  Day-scoped semantics: a session's +1/-1
+# both land in the day they occur, so a midnight-spanning session counts
+# toward its start day's peak only (documented; identical in the oracle).
+# A carry-over variant would seed each day with the prior day's net sum —
+# the same two-level prefix-sum shape as llm/packing.py.
+# ---------------------------------------------------------------------------
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    gap_us = 1800 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sess = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn(
+            "__new", F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("__new")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    bounds = sess.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        # closing at s_end + 1us: a session ending exactly when another
+        # starts still counts as overlapping at that instant.
+        sess.select(
+            (F.timestamp_micros(F.unix_micros("s_end") + 1)).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    day = F.to_date("t").alias("day")
+    wday = (
+        Window.partitionBy(F.to_date("t"))
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = bounds.select(
+        day, F.sum("delta").over(wday).cast("bigint").alias("open_now")
+    )
+    return (
+        running.groupBy("day")
+        .agg(F.max("open_now").cast("bigint").alias("peak_concurrent"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "peak_concurrent")
+    )
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id,
+         ts
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM sess GROUP BY user_id, session_id
+),
+bounds AS (
+  SELECT s_start AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT s_end + INTERVAL 1 MICROSECOND, -1 FROM iv
+),
+running AS (
+  SELECT CAST(t AS DATE) AS day,
+         SUM(delta) OVER (PARTITION BY CAST(t AS DATE)
+                          ORDER BY t, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS open_now
+  FROM bounds
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(MAX(open_now) AS BIGINT) AS peak_concurrent
+FROM running GROUP BY day
+"""
+
+QUERIES["peak_concurrency"] = q_peak_concurrency
+ORACLE_SQL["peak_concurrency"] = SQL_PEAK_CONCURRENCY
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue growth (LAG over a monthly rollup) and cohort
+# retention (first-order month x months-since activity matrix) — the two
+# staple BI time analyses.  Growth in basis points by integer division of
+# exact DECIMAL sums; retention counts are integers.
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Integer cents end-to-end: Spark truncates decimal->bigint casts while
+    # DuckDB rounds them, so growth is computed with bigint `div` (identical
+    # truncate-toward-zero semantics in both engines) on exact cent sums.
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("ym")
+        )
+        .agg(
+            F.sum((F.col("o_totalprice").cast(DEC) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("ym")
+    prev = F.lag("cents").over(w)
+    return monthly.select(
+        "ym",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        F.when(prev.isNull(), None)
+        .otherwise(F.expr("((cents - lag(cents) OVER (ORDER BY ym)) * 10000) div lag(cents) OVER (ORDER BY ym)"))
+        .cast("bigint")
+        .alias("growth_bps"),
+    )
+
+
+SQL_REVENUE_MOM_GROWTH = """
+WITH m AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT ym, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(((cents - lag(cents) OVER (ORDER BY ym)) * 10000)
+            // lag(cents) OVER (ORDER BY ym) AS BIGINT) AS growth_bps
+FROM m
+"""
+
+QUERIES["revenue_mom_growth"] = q_revenue_mom_growth
+ORACLE_SQL["revenue_mom_growth"] = SQL_REVENUE_MOM_GROWTH
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("ym"),
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+        ).alias("mnum"),
+    )
+    first = o.groupBy("o_custkey").agg(
+        F.min("ym").alias("cohort"), F.min("mnum").alias("cohort_m")
+    )
+    act = o.select("o_custkey", "mnum").distinct()
+    return (
+        act.join(first, "o_custkey")
+        .groupBy("cohort", (F.col("mnum") - F.col("cohort_m")).alias("months_since"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .select("cohort", F.col("months_since").cast("bigint"), "n_active")
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH o AS (
+  SELECT o_custkey,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+         year(CAST(o_orderdate AS DATE)) * 12
+           + month(CAST(o_orderdate AS DATE)) AS mnum
+  FROM orders
+),
+first AS (
+  SELECT o_custkey, MIN(ym) AS cohort, MIN(mnum) AS cohort_m
+  FROM o GROUP BY o_custkey
+),
+act AS (SELECT DISTINCT o_custkey, mnum FROM o)
+SELECT f.cohort, CAST(a.mnum - f.cohort_m AS BIGINT) AS months_since,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM act a JOIN first f USING (o_custkey)
+GROUP BY f.cohort, a.mnum - f.cohort_m
+"""
+
+QUERIES["cohort_retention"] = q_cohort_retention
+ORACLE_SQL["cohort_retention"] = SQL_COHORT_RETENTION
