@@ -954,6 +954,10 @@ apply_canonicalization(QUERIES, ORACLE_SQL)
 # anti_customers_no_orders, exact_percentiles, first_last_orders,
 # price_histogram, zorder_keys, sketch_profile.  Every SURVEY §2 family
 # keeps a flagship inside the cap.
+# Round-3 additions: events_hourly and events_funnel (both r01+r02
+# driver-green) rotate below the cap in favor of the round's two flagship
+# iterative ops, kmeans_embeddings and pagerank_trade — the streaming
+# family keeps sessionize / dedup_ingest / sessions_stateful inside.
 PRIORITY: list[str] = [
     # medallion / relational core (reference parity, SURVEY.md §2.1-2.7)
     "scd2_orders",
@@ -970,11 +974,12 @@ PRIORITY: list[str] = [
     "pricing_summary",
     "top_orders",
     # events / streaming surface (§2.8)
-    "events_hourly",
     "events_sessionize",
     "events_dedup_ingest",
-    "events_funnel",
     "events_sessions_stateful",
+    # iterative ops (clustering / graph)
+    "kmeans_embeddings",
+    "pagerank_trade",
     # text analysis
     "text_stats",
     "token_counts",
