@@ -110,6 +110,7 @@ HEADLINE = [
     "peak_concurrency",
     "revenue_mom_growth",
     "cohort_retention",
+    "unpivot_status_counts",
 ]
 
 

@@ -1876,3 +1876,41 @@ GROUP BY f.cohort, a.mnum - f.cohort_m
 
 QUERIES["cohort_retention"] = q_cohort_retention
 ORACLE_SQL["cohort_retention"] = SQL_COHORT_RETENTION
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide -> long): the inverse reshaping of pivot_priority_status,
+# via the native DataFrame.unpivot (SQL UNPIVOT / melt).  Zero-shuffle —
+# unpivot is a per-row flatMap in the same stage as the scan of its input
+# (here the pivoted aggregate).  Oracle: engine-agnostic UNION ALL
+# formulation of the same reshape.
+# ---------------------------------------------------------------------------
+
+
+def q_unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q_pivot_priority_status(spark, sf_dir)
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=list(_STATUSES),
+        variableColumnName="status",
+        valueColumnName="n_orders",
+    ).select("o_orderpriority", "status", F.col("n_orders").cast("bigint"))
+
+
+SQL_UNPIVOT_STATUS_COUNTS = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f,
+         CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o,
+         CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'F' AS status, f AS n_orders FROM wide
+UNION ALL
+SELECT o_orderpriority, 'O', o FROM wide
+UNION ALL
+SELECT o_orderpriority, 'P', p FROM wide
+"""
+
+QUERIES["unpivot_status_counts"] = q_unpivot_status_counts
+ORACLE_SQL["unpivot_status_counts"] = SQL_UNPIVOT_STATUS_COUNTS
