@@ -111,6 +111,7 @@ HEADLINE = [
     "revenue_mom_growth",
     "cohort_retention",
     "unpivot_status_counts",
+    "bpe_pair_counts",
 ]
 
 

@@ -13,7 +13,7 @@ bit-for-bit).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakeforge.functions.keys import md5_int
@@ -197,4 +197,35 @@ def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                 6,
             ).alias("entropy_bits"),
         )
+    )
+
+
+def char_pair_counts(
+    df: DataFrame, text_col: str, id_col: str, topk: int = 50
+) -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies — the counting step
+    of one BPE merge round (the most frequent pair is the next merge).
+
+    All JVM-side: tokenize, explode words (>=2 chars), expand each word
+    into its char bigrams with transform(sequence(...)), one
+    map-side-combinable groupBy(pair).  At 100 TB the exchange carries
+    only per-task partial counts (alphabet^2-bounded distinct pairs), not
+    the corpus.  Top-k ties break on the pair string — deterministic.
+    """
+    words = df.select(
+        F.explode(tokens_col(text_col)).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= topk)
+        .select("pair", "n", F.col("rk").alias("rank"))
     )

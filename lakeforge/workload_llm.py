@@ -1435,3 +1435,38 @@ QUERIES["docs_kfold"] = q_docs_kfold
 ORACLE_SQL["docs_kfold"] = SQL_DOCS_KFOLD
 QUERIES["hard_negatives"] = q_hard_negatives
 ORACLE_SQL["hard_negatives"] = SQL_HARD_NEGATIVES
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-round pair counting (llm/text.py::char_pair_counts).
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.text import char_pair_counts
+
+    return char_pair_counts(_documents(spark, sf_dir), "text", "doc_id", topk=50)
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH words AS (
+  SELECT unnest({_TOKS}) AS w FROM documents
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM (SELECT w FROM words WHERE length(w) >= 2),
+       UNNEST(range(1, length(w))) AS t(i)
+),
+counted AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+),
+ranked AS (
+  SELECT pair, n,
+         CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rank
+  FROM counted
+)
+SELECT pair, n, rank FROM ranked WHERE rank <= 50
+"""
+
+QUERIES["bpe_pair_counts"] = q_bpe_pair_counts
+ORACLE_SQL["bpe_pair_counts"] = SQL_BPE_PAIR_COUNTS

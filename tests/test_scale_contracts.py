@@ -72,3 +72,47 @@ def test_repetition_score_aggregates_are_partial(spark):
 
     plan = _plan(q_docs_repetition_score(spark, SF))
     assert "partial_count" in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """k-means assignment must broadcast the k centroid rows — the corpus
+    never shuffles during assignment (llm/clustering.py scale contract)."""
+    from lakeforge import cache
+    from lakeforge.llm.clustering import kmeans_assign, micro_embedding
+
+    base = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        micro_embedding(F.array(*[F.rand(seed=i) for i in range(4)])).alias("vec"),
+    )
+    cents = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("cluster"), F.col("vec").alias("cvec")
+    )
+    plan = _plan(kmeans_assign(base, cents))
+    cache.release_all()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_iteration_has_no_cartesian(spark):
+    """Each PageRank iteration is equi-join + aggregate — no cartesian
+    products, no global single-partition exchanges on the edge frame."""
+    from lakeforge import cache
+    from lakeforge.ops.graph import pagerank_nano
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src bigint, dst bigint"
+    )
+    plan = _plan(pagerank_nano(edges, iters=2))
+    cache.release_all()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unpivot_adds_no_exchange(spark):
+    """UNPIVOT is a per-row expansion — it must not introduce a shuffle on
+    top of its input aggregate."""
+    from lakeforge.workload_rel import q_pivot_priority_status, q_unpivot_status_counts
+
+    wide_plan = _plan(q_pivot_priority_status(spark, SF))
+    long_plan = _plan(q_unpivot_status_counts(spark, SF))
+    assert long_plan.count("Exchange") == wide_plan.count("Exchange")
