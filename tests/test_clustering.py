@@ -86,3 +86,29 @@ def test_pagerank_uniform_on_regular_graph(spark):
     out = {r.node: r.rank_nano for r in pagerank_nano(edges, iters=4).collect()}
     cache.release_all()
     assert len(set(out.values())) == 1
+
+
+def test_kmeans_invariant_under_repartition(spark):
+    """The exactness claim: results are independent of physical layout.
+    The same fit on a differently-partitioned input must be bit-identical
+    (integer distances + one-double-division centroids)."""
+    from lakeforge.llm.clustering import kmeans_assignments as km
+
+    emb = _emb(spark)
+    a = sorted(map(tuple, km(emb, k=2, iters=2).collect()))
+    cache.release_all()
+    b = sorted(map(tuple, km(emb.repartition(7), k=2, iters=2).collect()))
+    cache.release_all()
+    assert a == b
+
+
+def test_pagerank_invariant_under_repartition(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)],
+        "src bigint, dst bigint",
+    )
+    a = sorted(map(tuple, pagerank_nano(edges, iters=4).collect()))
+    cache.release_all()
+    b = sorted(map(tuple, pagerank_nano(edges.repartition(5), iters=4).collect()))
+    cache.release_all()
+    assert a == b
