@@ -141,3 +141,44 @@ def test_salted_join_deterministic_under_repartition(spark):
         )
 
     assert run(big) == run(big.repartition(13)) == run(big.repartition(3, "v"))
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40, unique=True),
+    k=st.integers(min_value=2, max_value=7),
+)
+@settings(max_examples=15, deadline=None)
+def test_kfold_in_range_and_subset_stable(spark, keys, k):
+    """Folds are a pure key function: in [0,k), and a row's fold never
+    changes when other rows appear/disappear (incremental stability)."""
+    from lakeforge.ops.sampling import kfold_col
+
+    df = spark.createDataFrame([(x,) for x in keys], "key bigint")
+    full = {r.key: r.fold for r in df.select("key", kfold_col("key", k).alias("fold")).collect()}
+    assert all(0 <= f < k for f in full.values())
+    half_keys = keys[: max(1, len(keys) // 2)]
+    half_df = spark.createDataFrame([(x,) for x in half_keys], "key bigint")
+    half = {r.key: r.fold for r in half_df.select("key", kfold_col("key", k).alias("fold")).collect()}
+    assert all(full[x] == half[x] for x in half_keys)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c\n", min_size=1, max_size=30), min_size=1, max_size=8
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_char_entropy_matches_naive_python(spark, texts):
+    import math
+    from collections import Counter
+
+    from lakeforge.llm.text import char_entropy
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = {r.doc_id: (r.n_chars, r.entropy_bits) for r in char_entropy(df, "text", "doc_id").collect()}
+    for i, t in enumerate(texts):
+        c = Counter(t)
+        n = len(t)
+        h = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+        assert got[i][0] == n
+        assert abs(got[i][1] - round(h, 6)) < 1e-9
