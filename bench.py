@@ -112,6 +112,8 @@ HEADLINE = [
     "cohort_retention",
     "unpivot_status_counts",
     "bpe_pair_counts",
+    "events_variant_stats",
+    "sql_udf_revenue",
 ]
 
 

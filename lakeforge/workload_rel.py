@@ -1914,3 +1914,84 @@ SELECT o_orderpriority, 'P', p FROM wide
 
 QUERIES["unpivot_status_counts"] = q_unpivot_status_counts
 ORACLE_SQL["unpivot_status_counts"] = SQL_UNPIVOT_STATUS_COUNTS
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured ingestion (Spark 4): parse_json once into the
+# binary VARIANT encoding, then typed variant_get extraction — the modern
+# replacement for per-access get_json_object string re-parsing (each
+# get_json_object call re-parses the JSON text; variant parses once and
+# navigates an indexed binary value).  Oracle: DuckDB JSON extraction.
+# ---------------------------------------------------------------------------
+
+
+def q_events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
+
+
+SQL_EVENTS_VARIANT_STATS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+QUERIES["events_variant_stats"] = q_events_variant_stats
+ORACLE_SQL["events_variant_stats"] = SQL_EVENTS_VARIANT_STATS
+
+
+# ---------------------------------------------------------------------------
+# SQL scalar UDF (Spark 4 CREATE FUNCTION ... RETURN): a reusable,
+# catalog-registered expression that INLINES into the calling plan (full
+# codegen, no serialization boundary — the opposite of a Python UDF).
+# The oracle inlines the same expression text.
+# ---------------------------------------------------------------------------
+
+
+def q_sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full precision through the UDF (no per-item rounding): Spark and
+    # DuckDB round DECIMAL casts differently at the half boundary, so the
+    # per-item cents cast would drift one cent on ~.xx5 items.  The exact
+    # sum's terminal DECIMAL goes through canon.MONEY_DOUBLE like every
+    # other money column.
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_rev(p DECIMAL(18,2), d DECIMAL(18,2)) "
+        "RETURNS DECIMAL(38,4) RETURN p * (CAST(1 AS DECIMAL(18,2)) - d)"
+    )
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_udf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               SUM(net_rev(CAST(l_extendedprice AS DECIMAL(18,2)),
+                           CAST(l_discount AS DECIMAL(18,2)))) AS net_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM li_udf GROUP BY l_returnflag
+        """
+    )
+
+
+SQL_SQL_UDF_REVENUE = """
+SELECT l_returnflag,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS net_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+QUERIES["sql_udf_revenue"] = q_sql_udf_revenue
+ORACLE_SQL["sql_udf_revenue"] = SQL_SQL_UDF_REVENUE
