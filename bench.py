@@ -114,6 +114,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "events_variant_stats",
     "sql_udf_revenue",
+    "hll_union_regions",
 ]
 
 

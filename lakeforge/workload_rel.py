@@ -1995,3 +1995,59 @@ FROM lineitem GROUP BY l_returnflag
 
 QUERIES["sql_udf_revenue"] = q_sql_udf_revenue
 ORACLE_SQL["sql_udf_revenue"] = SQL_SQL_UDF_REVENUE
+
+
+# ---------------------------------------------------------------------------
+# Re-aggregatable HLL sketch rollup: per-nation Datasketches HLL sketches of
+# customer keys, hll_union_agg'd up to region, estimated — the scale pattern
+# for distinct counts over a rollup hierarchy: the raw data is scanned ONCE
+# at the finest grain, coarser grains merge fixed-size sketches instead of
+# re-shuffling keys.  Sketch bytes aren't bit-comparable across engines, so
+# the sketch_profile pattern applies: emit the exact answers plus a BOOLEAN
+# asserting the estimate landed inside the published error bound (lgK=12 =>
+# rsd ~1.6%; 5% ~ 3 sigma, +10 small-count allowance); the oracle expects
+# TRUE, so a sketch regression flips the row red.
+# ---------------------------------------------------------------------------
+
+
+def q_hll_union_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.expr("hll_sketch_agg(c_custkey)").alias("sk"),
+        F.countDistinct("c_custkey").cast("bigint").alias("exact_n"),
+    )
+    per_region = (
+        per_nation.join(F.broadcast(n), per_nation.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+            F.sum("exact_n").cast("bigint").alias("exact_customers"),
+        )
+    )
+    return (
+        per_region.join(F.broadcast(r), per_region.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            "exact_customers",
+            (
+                F.abs(F.col("est") - F.col("exact_customers"))
+                <= F.col("exact_customers") * 0.05 + 10
+            ).alias("hll_ok"),
+        )
+    )
+
+
+SQL_HLL_UNION_REGIONS = """
+SELECT r_name AS region,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS hll_ok
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+QUERIES["hll_union_regions"] = q_hll_union_regions
+ORACLE_SQL["hll_union_regions"] = SQL_HLL_UNION_REGIONS
