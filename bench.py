@@ -115,6 +115,7 @@ HEADLINE = [
     "events_variant_stats",
     "sql_udf_revenue",
     "hll_union_regions",
+    "orders_snapshot_diff",
 ]
 
 

@@ -2051,3 +2051,66 @@ GROUP BY r_name
 
 QUERIES["hll_union_regions"] = q_hll_union_regions
 ORACLE_SQL["hll_union_regions"] = SQL_HLL_UNION_REGIONS
+
+
+# ---------------------------------------------------------------------------
+# Keyed snapshot diff (ops/merge.py::table_diff): version-to-version drift
+# audit.  The Spark side compares xxhash64 row digests (payloads cross the
+# wire once, as 8-byte hashes); the oracle recomputes the same diff by
+# direct value comparison — hash-equality stands in for value-equality,
+# which the oracle verifies row-for-row.
+# ---------------------------------------------------------------------------
+
+
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.merge import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    v2 = (
+        o.filter(F.col("o_custkey") % 101 != 0)  # removals
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_custkey") % 97 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),  # modifications
+        )
+        .unionByName(
+            o.filter(F.col("o_custkey") % 103 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )  # additions
+        )
+    )
+    return table_diff(o, v2, ["o_orderkey"])
+
+
+SQL_ORDERS_SNAPSHOT_DIFF = """
+WITH v2 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_custkey % 97 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_custkey % 101 <> 0
+  UNION ALL BY NAME
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_custkey % 103 = 0
+),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE
+           WHEN o.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+             OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+             OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+             OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
+             OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+           THEN 'modified'
+         END AS change_type
+  FROM orders o FULL OUTER JOIN v2 n USING (o_orderkey)
+)
+SELECT o_orderkey, change_type FROM j WHERE change_type IS NOT NULL
+"""
+
+QUERIES["orders_snapshot_diff"] = q_orders_snapshot_diff
+ORACLE_SQL["orders_snapshot_diff"] = SQL_ORDERS_SNAPSHOT_DIFF
