@@ -116,6 +116,8 @@ HEADLINE = [
     "sql_udf_revenue",
     "hll_union_regions",
     "orders_snapshot_diff",
+    "mad_order_price",
+    "orderkey_gaps",
 ]
 
 

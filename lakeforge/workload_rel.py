@@ -2114,3 +2114,111 @@ SELECT o_orderkey, change_type FROM j WHERE change_type IS NOT NULL
 
 QUERIES["orders_snapshot_diff"] = q_orders_snapshot_diff
 ORACLE_SQL["orders_snapshot_diff"] = SQL_ORDERS_SNAPSHOT_DIFF
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: per-group median + MAD (median absolute deviation)
+# and a robust z-score outlier count.  The outlier-resistant twin of
+# customer_spend_z: two grouped exact-percentile passes with a broadcast
+# join of the tiny medians frame between them — no window over the fact.
+# ---------------------------------------------------------------------------
+
+
+def q_mad_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    return dev.groupBy("o_orderpriority").agg(
+        F.round(F.min("med"), 4).alias("median_price"),
+        F.round(F.percentile("adev", F.lit(0.5)), 4).alias("mad"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+
+
+SQL_MAD_ORDER_PRICE = """
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY o_orderpriority
+),
+dev AS (
+  SELECT o.o_orderpriority, m.med, abs(o.o_totalprice - m.med) AS adev
+  FROM orders o JOIN med m USING (o_orderpriority)
+)
+SELECT o_orderpriority,
+       round(MIN(med), 4) AS median_price,
+       round(quantile_cont(adev, 0.5), 4) AS mad,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM dev GROUP BY o_orderpriority
+"""
+
+QUERIES["mad_order_price"] = q_mad_order_price
+ORACLE_SQL["mad_order_price"] = SQL_MAD_ORDER_PRICE
+
+
+# ---------------------------------------------------------------------------
+# Key-sequence gap detection WITHOUT a global window: LEAD inside hash
+# blocks (parallel) + LEAD over the tiny per-block summary for the
+# cross-block seams — the two-level decomposition that keeps an
+# ordered-sequence audit off a single task.  The oracle uses the naive
+# global LEAD; results are identical, only the physical shape differs.
+# ---------------------------------------------------------------------------
+
+_GAP_BLOCK = 4096
+
+
+def q_orderkey_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The synthetic orderkeys are dense, which would make this a 0-row
+    # (vacuously-green) check — knock out two residue classes so real
+    # gaps of both widths exist and the op is actually exercised.
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .where((F.col("o_orderkey") % 97 != 0) & (F.col("o_orderkey") % 89 != 0))
+        .distinct()
+    )
+    blocked = o.withColumn("bk", F.expr(f"o_orderkey div {_GAP_BLOCK}"))
+    w_in = Window.partitionBy("bk").orderBy("o_orderkey")
+    intra = (
+        blocked.withColumn("nxt", F.lead("o_orderkey").over(w_in))
+        .where(F.col("nxt") - F.col("o_orderkey") > 1)
+        .select(
+            F.col("o_orderkey").alias("gap_after"),
+            (F.col("nxt") - F.col("o_orderkey") - 1).cast("bigint").alias("n_missing"),
+        )
+    )
+    summary = blocked.groupBy("bk").agg(
+        F.min("o_orderkey").alias("bmin"), F.max("o_orderkey").alias("bmax")
+    )
+    w_blk = Window.orderBy("bk")  # rows = distinct blocks: tiny by design
+    seams = (
+        summary.withColumn("nmin", F.lead("bmin").over(w_blk))
+        .where(F.col("nmin") - F.col("bmax") > 1)
+        .select(
+            F.col("bmax").alias("gap_after"),
+            (F.col("nmin") - F.col("bmax") - 1).cast("bigint").alias("n_missing"),
+        )
+    )
+    return intra.unionByName(seams)
+
+
+SQL_ORDERKEY_GAPS = """
+WITH k AS (SELECT DISTINCT o_orderkey FROM orders
+           WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0),
+g AS (
+  SELECT o_orderkey AS gap_after,
+         lead(o_orderkey) OVER (ORDER BY o_orderkey) - o_orderkey - 1
+             AS n_missing
+  FROM k
+)
+SELECT gap_after, CAST(n_missing AS BIGINT) AS n_missing
+FROM g WHERE n_missing > 0
+"""
+
+QUERIES["orderkey_gaps"] = q_orderkey_gaps
+ORACLE_SQL["orderkey_gaps"] = SQL_ORDERKEY_GAPS
