@@ -118,6 +118,7 @@ HEADLINE = [
     "orders_snapshot_diff",
     "mad_order_price",
     "orderkey_gaps",
+    "events_attribution_unmatched",
 ]
 
 

@@ -171,6 +171,7 @@ def attribute_purchases(
     purchases: DataFrame,
     max_gap: str = "30 minutes",
     watermark: str = "2 hours",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase attributed to every view
     by the same user in the preceding ``max_gap``.
@@ -183,6 +184,12 @@ def attribute_purchases(
     no-op and the same expression is a plain range-bounded equi-join
     (shuffle by user_id; per-user fan-out is bounded by the gap window,
     never all-pairs) — that batch twin is what the DuckDB oracle checks.
+
+    ``join_type="left_outer"`` adds the OUTER stream-stream semantics: a
+    view with no purchase inside the gap is emitted with NULL purchase
+    columns — in streaming only once the watermark passes view_ts +
+    max_gap (the row might still match), which is exactly the state
+    eviction point; in batch immediately (whole input visible).
     """
     v = views.withWatermark("ts", watermark) if views.isStreaming else views
     p = purchases.withWatermark("ts", watermark) if purchases.isStreaming else purchases
@@ -201,6 +208,7 @@ def attribute_purchases(
         (v.user_id == p.p_user_id)
         & (p.purchase_ts >= v.view_ts)
         & (p.purchase_ts <= F.expr(f"view_ts + INTERVAL {max_gap}")),
+        join_type,
     )
     return joined.select(
         "view_id",

@@ -1029,3 +1029,43 @@ _missing = [n for n in PRIORITY if n not in QUERIES]
 assert not _missing, f"PRIORITY names missing from registry: {_missing}"
 QUERIES = _reorder(QUERIES)
 ORACLE_SQL = _reorder(ORACLE_SQL)
+
+
+def q_events_attribution_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream interval join
+    (streaming/events.py::attribute_purchases join_type="left_outer"):
+    views with NO same-user purchase in the following 30 minutes —
+    abandonment analysis.  In streaming these rows emit when the
+    watermark passes view_ts + gap (state eviction = emission point)."""
+    from lakeforge.streaming.events import attribute_purchases
+
+    ev = read_events(spark, sf_dir)
+    out = attribute_purchases(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        max_gap="30 minutes",
+        join_type="left_outer",
+    )
+    return (
+        out.filter(F.col("purchase_id").isNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_unconverted_views"))
+    )
+
+
+SQL_EVENTS_ATTRIBUTION_UNMATCHED = """
+WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+unm AS (
+  SELECT v.user_id
+  FROM v LEFT JOIN p
+    ON v.user_id = p.user_id
+   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+  WHERE p.user_id IS NULL
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_unconverted_views
+FROM unm GROUP BY user_id
+"""
+
+QUERIES["events_attribution_unmatched"] = q_events_attribution_unmatched
+ORACLE_SQL["events_attribution_unmatched"] = SQL_EVENTS_ATTRIBUTION_UNMATCHED
