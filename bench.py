@@ -119,6 +119,31 @@ HEADLINE = [
     "mad_order_price",
     "orderkey_gaps",
     "events_attribution_unmatched",
+    "active_both_years",
+    "anti_customers_no_orders",
+    "bridge_distinct",
+    "churned_custkeys",
+    "cube_order_stats",
+    "distinct_agg_priority",
+    "doc_fingerprint",
+    "doc_sentences",
+    "docs_epoch_shuffle",
+    "docs_mixture_sample",
+    "events_json_extract",
+    "exact_percentiles",
+    "first_last_orders",
+    "geo_mean_price_udaf",
+    "lang_id",
+    "month_scoped_agg",
+    "order_ids_per_customer",
+    "pivot_priority_status",
+    "price_histogram",
+    "running_order_totals",
+    "scd2_orders_nullsafe",
+    "semi_high_value_customers",
+    "stats_profile",
+    "string_profile",
+    "zorder_keys",
 ]
 
 
