@@ -144,6 +144,9 @@ HEADLINE = [
     "stats_profile",
     "string_profile",
     "zorder_keys",
+    "revenue_share_by_nation",
+    "qty_price_corr",
+    "priority_status_chi2",
 ]
 
 

@@ -2222,3 +2222,130 @@ FROM g WHERE n_missing > 0
 
 QUERIES["orderkey_gaps"] = q_orderkey_gaps
 ORACLE_SQL["orderkey_gaps"] = SQL_ORDERKEY_GAPS
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report, correlation, and contingency analytics — the remaining
+# staple aggregate shapes.  Share-of-total in exact integer permille;
+# corr/chi-square as JVM-side aggregates with the float-output rounding
+# convention.
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cents = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("o_totalprice").cast(DEC) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy()  # 25 nation rows — the unpartitioned window
+    # runs over the AGGREGATE, never the fact table (cf. packing op note).
+    return cents.select(
+        "n_name",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.expr("(cents * 1000) div sum(cents) OVER ()")
+        .cast("bigint")
+        .alias("share_permille"),
+    )
+
+
+SQL_REVENUE_SHARE_BY_NATION = """
+WITH cents AS (
+  SELECT n_name,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST((cents * 1000) // SUM(cents) OVER () AS BIGINT) AS share_permille
+FROM cents
+"""
+
+QUERIES["revenue_share_by_nation"] = q_revenue_share_by_nation
+ORACLE_SQL["revenue_share_by_nation"] = SQL_REVENUE_SHARE_BY_NATION
+
+
+def q_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.corr(F.col("l_quantity").cast("double"),
+                       F.col("l_extendedprice").cast("double")), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(F.col("l_quantity").cast("double"),
+                             F.col("l_discount").cast("double")), 6).alias("covar_qty_disc"),
+    )
+
+
+SQL_QTY_PRICE_CORR = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 6)
+           AS corr_qty_price,
+       round(covar_samp(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)), 6)
+           AS covar_qty_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+QUERIES["qty_price_corr"] = q_qty_price_corr
+ORACLE_SQL["qty_price_corr"] = SQL_QTY_PRICE_CORR
+
+
+def q_priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the priority x status
+    contingency table: observed integer counts, expected from exact
+    integer marginals, one scalar per cell summed.  Margins are tiny
+    (broadcast); the fact table is scanned once."""
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    rowm = cells.groupBy("o_orderpriority").agg(F.sum("obs").alias("row_n"))
+    colm = cells.groupBy("o_orderstatus").agg(F.sum("obs").alias("col_n"))
+    tot = cells.agg(F.sum("obs").alias("total"))
+    j = (
+        cells.join(F.broadcast(rowm), "o_orderpriority")
+        .join(F.broadcast(colm), "o_orderstatus")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar total
+    )
+    exp = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("total").cast("double")
+    term = (F.col("obs").cast("double") - exp) * (F.col("obs").cast("double") - exp) / exp
+    return j.agg(
+        F.sum("obs").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(F.sum(term), 6).alias("chi2"),
+    )
+
+
+SQL_PRIORITY_STATUS_CHI2 = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+rowm AS (SELECT o_orderpriority, SUM(obs) AS row_n FROM cells GROUP BY o_orderpriority),
+colm AS (SELECT o_orderstatus, SUM(obs) AS col_n FROM cells GROUP BY o_orderstatus),
+tot AS (SELECT SUM(obs) AS total FROM cells),
+j AS (
+  SELECT c.obs, r.row_n, m.col_n, t.total,
+         CAST(r.row_n * m.col_n AS DOUBLE) / CAST(t.total AS DOUBLE) AS exp
+  FROM cells c JOIN rowm r USING (o_orderpriority)
+  JOIN colm m USING (o_orderstatus) CROSS JOIN tot t
+)
+SELECT CAST(SUM(obs) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       round(SUM((CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp) / exp), 6)
+           AS chi2
+FROM j
+"""
+
+QUERIES["priority_status_chi2"] = q_priority_status_chi2
+ORACLE_SQL["priority_status_chi2"] = SQL_PRIORITY_STATUS_CHI2
