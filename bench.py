@@ -147,6 +147,7 @@ HEADLINE = [
     "revenue_share_by_nation",
     "qty_price_corr",
     "priority_status_chi2",
+    "rolling_median_spend",
 ]
 
 

@@ -2349,3 +2349,37 @@ FROM j
 
 QUERIES["priority_status_chi2"] = q_priority_status_chi2
 ORACLE_SQL["priority_status_chi2"] = SQL_PRIORITY_STATUS_CHI2
+
+
+def q_rolling_median_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over the customer's trailing 5 orders — robust
+    rolling stats via an aggregate-as-window (sorted small frame per row;
+    the frame is ROWS-bounded so per-row cost is O(5 log 5), state never
+    exceeds the frame)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.round(
+            F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.5)).over(w), 4
+        ).alias("median_5"),
+    )
+
+
+SQL_ROLLING_MEDIAN_SPEND = """
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice AS DOUBLE) AS totalprice,
+       round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS median_5
+FROM orders WHERE o_custkey < 300
+"""
+
+QUERIES["rolling_median_spend"] = q_rolling_median_spend
+ORACLE_SQL["rolling_median_spend"] = SQL_ROLLING_MEDIAN_SPEND
