@@ -148,6 +148,7 @@ HEADLINE = [
     "qty_price_corr",
     "priority_status_chi2",
     "rolling_median_spend",
+    "cogroup_activity_recon",
 ]
 
 

@@ -2383,3 +2383,71 @@ FROM orders WHERE o_custkey < 300
 
 QUERIES["rolling_median_spend"] = q_rolling_median_spend
 ORACLE_SQL["rolling_median_spend"] = SQL_ROLLING_MEDIAN_SPEND
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped applyInPandas (the remaining Arrow-Python surface): per-key
+# cogroup of two frames — each key's two partitions arrive as a pandas pair,
+# the shape for per-key cross-frame logic (custom as-of merges, per-entity
+# reconciliation) that a join can't express row-wise.  Here the per-key
+# logic is deliberately simple (counts + value sums) so DuckDB can oracle
+# it with a FULL OUTER of two GROUP BYs; the point under test is the
+# cogroup plumbing: both sides shuffle once by key, Arrow-batched, no
+# driver involvement.
+# ---------------------------------------------------------------------------
+
+
+def q_cogroup_activity_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_totalprice").cast("double").alias("amount"),
+    )
+    ev = read_events(spark, sf_dir).select(
+        F.col("user_id").alias("key"),
+        F.col("value").cast("double").alias("amount"),
+    )
+
+    def recon(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        key = left["key"].iloc[0] if len(left) else right["key"].iloc[0]
+        return pd.DataFrame(
+            {
+                "key": [key],
+                "n_orders": [len(left)],
+                "n_events": [len(right)],
+                # cents as int64: pandas float sums would drift vs SQL
+                "order_cents": [int(round(float(left["amount"].sum()) * 100))],
+            }
+        )
+
+    out = (
+        o.groupby("key")
+        .cogroup(ev.groupby("key"))
+        .applyInPandas(
+            recon, "key bigint, n_orders bigint, n_events bigint, order_cents bigint"
+        )
+    )
+    return out
+
+
+SQL_COGROUP_ACTIVITY_RECON = """
+WITH o AS (
+  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+              AS BIGINT) AS order_cents
+  FROM orders GROUP BY o_custkey
+),
+e AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT COALESCE(o.key, e.key) AS key,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(o.order_cents, 0) AS order_cents
+FROM o FULL OUTER JOIN e ON o.key = e.key
+"""
+
+QUERIES["cogroup_activity_recon"] = q_cogroup_activity_recon
+ORACLE_SQL["cogroup_activity_recon"] = SQL_COGROUP_ACTIVITY_RECON
