@@ -149,6 +149,7 @@ HEADLINE = [
     "priority_status_chi2",
     "rolling_median_spend",
     "cogroup_activity_recon",
+    "customer_golden_record",
 ]
 
 

@@ -51,3 +51,48 @@ def latest_per_key(
     for c in tiebreak or []:
         order.append(F.col(c).desc())
     return dedup_keep_first(df, keys, order)
+
+
+def golden_record(
+    df: DataFrame, key: str, fields: list[str]
+) -> DataFrame:
+    """Survivorship / master-data golden record: per key, each field's most
+    frequent non-NULL value (ties break to the smallest value — fully
+    deterministic, unlike the built-in ``mode()`` whose ties are
+    arbitrary).
+
+    Field-wise, not row-wise: different fields of the golden row may come
+    from different source duplicates — the MDM semantics a plain
+    keep-one-row dedup can't express.
+
+    Shape: melt to (key, field, value) long form — one UNION of column
+    projections, no shuffle yet — then ONE groupBy count + per-(key,field)
+    argmax window + pivot back.  The exchange carries distinct
+    (key, field, value) triples (map-side combined); at 100 TB that is the
+    same O(rows x fields) bound as reading the table, with no all-pairs
+    anything.  Values travel as strings in the melt (heterogeneous column
+    types in one long column); callers re-cast typed fields on the way
+    out.
+    """
+    long = None
+    for f in fields:
+        part = df.select(
+            F.col(key),
+            F.lit(f).alias("__field"),
+            F.col(f).cast("string").alias("__value"),
+        ).where(F.col(f).isNotNull())
+        long = part if long is None else long.unionAll(part)
+    counts = long.groupBy(key, "__field", "__value").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = Window.partitionBy(key, "__field").orderBy(
+        F.col("__n").desc(), F.col("__value").asc()
+    )
+    best = counts.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return (
+        best.groupBy(key)
+        .pivot("__field", fields)
+        .agg(F.first("__value"))
+    )

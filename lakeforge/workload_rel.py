@@ -2457,3 +2457,77 @@ FROM o FULL OUTER JOIN e ON o.key = e.key
 
 QUERIES["cogroup_activity_recon"] = q_cogroup_activity_recon
 ORACLE_SQL["cogroup_activity_recon"] = SQL_COGROUP_ACTIVITY_RECON
+
+
+# ---------------------------------------------------------------------------
+# MDM survivorship (ops/dedup.py::golden_record): field-wise most-frequent
+# non-NULL with deterministic ties.  The synthetic dupes make the result
+# non-vacuous: every third customer gets one corrupted copy (golden keeps
+# the 2-vote original) and every fifth gets the corruption twice (the
+# corrupted value legitimately wins 2-1) — so the op's vote counting, not
+# just NULL-skipping, is under test.
+# ---------------------------------------------------------------------------
+
+
+def q_customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.dedup import golden_record
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    corrupted = c.select(
+        "c_custkey",
+        F.concat(F.lit("ZZZ-"), F.col("c_name")).alias("c_name"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 1.0).alias("c_acctbal"),
+    )
+    dupes = (
+        c.unionByName(c)
+        .unionByName(corrupted.filter(F.col("c_custkey") % 3 == 0))
+        .unionByName(corrupted.filter(F.col("c_custkey") % 5 == 0))
+        .unionByName(corrupted.filter(F.col("c_custkey") % 5 == 0))
+    )
+    return golden_record(dupes, "c_custkey", ["c_name", "c_mktsegment", "c_acctbal"])
+
+
+SQL_CUSTOMER_GOLDEN_RECORD = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_mktsegment, CAST(c_acctbal AS VARCHAR) AS c_acctbal
+  FROM customer
+),
+corrupted AS (
+  SELECT c_custkey, 'ZZZ-' || c_name AS c_name,
+         CAST(NULL AS VARCHAR) AS c_mktsegment,
+         CAST(c_acctbal + 1.0 AS VARCHAR) AS c_acctbal
+  FROM customer
+),
+dupes AS (
+  SELECT * FROM base UNION ALL SELECT * FROM base
+  UNION ALL SELECT * FROM corrupted WHERE c_custkey % 3 = 0
+  UNION ALL SELECT * FROM corrupted WHERE c_custkey % 5 = 0
+  UNION ALL SELECT * FROM corrupted WHERE c_custkey % 5 = 0
+),
+long AS (
+  SELECT c_custkey, 'c_name' AS f, c_name AS v FROM dupes WHERE c_name IS NOT NULL
+  UNION ALL
+  SELECT c_custkey, 'c_mktsegment', c_mktsegment FROM dupes WHERE c_mktsegment IS NOT NULL
+  UNION ALL
+  SELECT c_custkey, 'c_acctbal', c_acctbal FROM dupes WHERE c_acctbal IS NOT NULL
+),
+counts AS (
+  SELECT c_custkey, f, v, count(*) AS n FROM long GROUP BY c_custkey, f, v
+),
+best AS (
+  SELECT c_custkey, f, v,
+         row_number() OVER (PARTITION BY c_custkey, f ORDER BY n DESC, v ASC) AS rn
+  FROM counts
+)
+SELECT c_custkey,
+       MAX(CASE WHEN f = 'c_name' THEN v END) AS c_name,
+       MAX(CASE WHEN f = 'c_mktsegment' THEN v END) AS c_mktsegment,
+       MAX(CASE WHEN f = 'c_acctbal' THEN v END) AS c_acctbal
+FROM best WHERE rn = 1 GROUP BY c_custkey
+"""
+
+QUERIES["customer_golden_record"] = q_customer_golden_record
+ORACLE_SQL["customer_golden_record"] = SQL_CUSTOMER_GOLDEN_RECORD
