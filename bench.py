@@ -150,6 +150,8 @@ HEADLINE = [
     "rolling_median_spend",
     "cogroup_activity_recon",
     "customer_golden_record",
+    "monthly_from_daily",
+    "order_day_streaks",
 ]
 
 

@@ -2531,3 +2531,108 @@ FROM best WHERE rn = 1 GROUP BY c_custkey
 
 QUERIES["customer_golden_record"] = q_customer_golden_record
 ORACLE_SQL["customer_golden_record"] = SQL_CUSTOMER_GOLDEN_RECORD
+
+
+# ---------------------------------------------------------------------------
+# Pre-aggregate reuse: monthly revenue computed FROM the daily aggregate,
+# not from the fact table — the incremental-ETL hierarchy pattern (daily
+# partials land once; every coarser grain merges partials).  Integer cents
+# end-to-end, so re-aggregation is exactly lossless — the oracle computes
+# monthly straight from the facts and must match to the cent.
+# ---------------------------------------------------------------------------
+
+
+def q_monthly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum((F.col("o_totalprice").cast(DEC) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    return (
+        daily.groupBy(F.date_format("day", "yyyy-MM").alias("ym"))
+        .agg(
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+        )
+        .select(
+            "ym",
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            "n_orders",
+        )
+    )
+
+
+SQL_MONTHLY_FROM_DAILY = """
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+QUERIES["monthly_from_daily"] = q_monthly_from_daily
+ORACLE_SQL["monthly_from_daily"] = SQL_MONTHLY_FROM_DAILY
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands on DATES (row_number-difference trick): per customer,
+# runs of consecutive order DAYS collapse to islands via the constant
+# (day - row_number) group key — no self-join, one window + one groupBy.
+# ---------------------------------------------------------------------------
+
+
+def q_order_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", F.col("o_orderdate").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    grp = (
+        F.unix_date(F.col("day")) - F.row_number().over(w)
+    ).alias("island")
+    streaks = (
+        o.select("o_custkey", "day", grp)
+        .groupBy("o_custkey", "island")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+        )
+    )
+    wbest = Window.partitionBy("o_custkey").orderBy(
+        F.col("streak_days").desc(), F.col("streak_start").asc()
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "streak_days", "streak_start")
+    )
+
+
+SQL_ORDER_DAY_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day FROM orders
+),
+isl AS (
+  SELECT o_custkey, day,
+         date_diff('day', DATE '1970-01-01', day)
+           - row_number() OVER (PARTITION BY o_custkey ORDER BY day) AS island
+  FROM d
+),
+streaks AS (
+  SELECT o_custkey, island, CAST(count(*) AS BIGINT) AS streak_days,
+         strftime(MIN(day), '%Y-%m-%d') AS streak_start
+  FROM isl GROUP BY o_custkey, island
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY streak_days DESC, streak_start ASC) AS rn
+  FROM streaks
+)
+SELECT o_custkey, streak_days, streak_start FROM ranked WHERE rn = 1
+"""
+
+QUERIES["order_day_streaks"] = q_order_day_streaks
+ORACLE_SQL["order_day_streaks"] = SQL_ORDER_DAY_STREAKS
