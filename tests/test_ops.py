@@ -292,3 +292,44 @@ def test_key_skew_profile_heavy_hitters(spark):
         for r in key_skew_profile(df, ["k"], k=3).collect()
     ]
     assert got == [("whale", 6, 600), ("a", 1, 100), ("b", 1, 100)]
+
+
+def test_golden_record_field_wise_survivorship(spark):
+    """Different fields of the golden row may come from different source
+    duplicates; ties break to the smallest value; all-NULL fields vanish
+    from the pivot (NULL in the output)."""
+    from lakeforge.ops.dedup import golden_record
+
+    rows = [
+        (1, "alice", None),
+        (1, "alice", "gold"),
+        (1, "ALICE2", "gold"),
+        (2, None, "silver"),
+        (2, None, "bronze"),  # 1-1 tie -> 'bronze' (smallest) wins
+    ]
+    df = spark.createDataFrame(rows, "k int, name string, tier string")
+    out = {r.k: (r.name, r.tier) for r in golden_record(df, "k", ["name", "tier"]).collect()}
+    assert out[1] == ("alice", "gold")
+    assert out[2] == (None, "bronze")
+
+
+def test_table_diff_classifies_all_change_types(spark):
+    from lakeforge.ops.merge import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], "k int, v string"
+    )
+    got = {r.k: r.change_type for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "removed", 3: "modified", 4: "added"}
+
+
+def test_table_diff_null_payloads_differ_from_values(spark):
+    from lakeforge.ops.merge import table_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "k int, v string")
+    new = spark.createDataFrame([(1, "x"), (2, "x")], "k int, v string")
+    got = {r.k: r.change_type for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "modified"}  # NULL -> value is a modification; 2 unchanged
