@@ -1,10 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed via Arrow-batched ``mapInPandas``.
 
-The media decode itself is STUBBED (this container ships no image/audio
-libs — see ``decode_image_stub``); everything Spark-side is real and
-tested: the schema contract, the batch iteration shape, the partitioning
-strategy, and the deterministic fake feature extractor used by tests.
+Two tiers of decode (round-3 review #5 retired the old blanket stub):
+
+- **Header/metadata decode is REAL**: ``decode_bmp_header`` /
+  ``decode_wav_header`` parse the container formats' binary headers with
+  ``struct`` — zero dependencies — and ``decode_media_headers`` runs them
+  distributed via mapInPandas.  ``encode_bmp`` / ``encode_wav`` write the
+  same headers, so fixtures and the ``media_decode`` query round-trip
+  real bytes through real parsing.
+- **Pixel/sample decode still needs a codec lib** (PIL/soundfile — not in
+  this container): ``extract_features`` uses the deterministic
+  byte-histogram featurizer instead, which exercises the identical Spark
+  plumbing (schema contract, Arrow batch shape, partitioning).
 
 Scale notes:
 - Media bytes NEVER shuffle: featurize before any groupBy/join and carry
@@ -16,6 +24,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -57,17 +66,140 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def decode_image_stub(content: bytes) -> "np.ndarray":
-    """Real image decode (PIL/opencv) — NOT AVAILABLE in this container.
+def encode_bmp(width: int, height: int, pixel_prefix: bytes = b"") -> bytes:
+    """Minimal valid 24-bit BMP: 14-byte file header + BITMAPINFOHEADER.
 
-    Raises so callers can't silently ship fake decodes to production;
-    ``extract_features`` uses the deterministic byte-histogram fake
-    instead, which exercises the identical Spark plumbing.
+    ``pixel_prefix`` lets fixtures attach a (possibly truncated) pixel
+    payload; the header declares the TRUE pixel-array size, which is what
+    header decode reads — same as any metadata-only media scan.
     """
-    raise NotImplementedError(
-        "media decode requires an image library not present in this "
-        "environment; wire PIL/torchvision here on a real cluster"
+    row_bytes = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    img_size = row_bytes * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
+    return header + pixel_prefix
+
+
+def decode_bmp_header(content: bytes) -> tuple[int, int]:
+    """Parse (width, height) from a BMP's BITMAPINFOHEADER — pure struct.
+
+    Height is stored signed (negative = top-down row order); callers get
+    the magnitude.  Raises ValueError on non-BMP bytes.
+    """
+    if content is None or len(content) < 26 or content[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    width, height = struct.unpack_from("<ii", content, 18)
+    return width, abs(height)
+
+
+def encode_wav(
+    n_samples: int,
+    sample_rate: int = 16_000,
+    n_channels: int = 1,
+    bits: int = 16,
+    data_prefix: bytes = b"",
+) -> bytes:
+    """Minimal valid PCM WAV: RIFF/WAVE + fmt + data chunk header.
+
+    The data chunk declares the TRUE sample-payload size (n_samples x
+    block_align); ``data_prefix`` optionally attaches leading samples.
+    """
+    block_align = n_channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data_size = n_samples * block_align
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + data_size, b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate,
+            byte_rate, block_align, bits,
+        )
+        + struct.pack("<4sI", b"data", data_size)
+        + data_prefix
+    )
+
+
+def decode_wav_header(content: bytes) -> dict:
+    """Parse a PCM WAV header — sample_rate, n_channels, bits, n_samples,
+    duration_ms — walking RIFF chunks with ``struct`` (no codec lib).
+
+    Raises ValueError on non-WAV bytes or a missing fmt/data chunk.
+    """
+    if content is None or len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(content):
+        cid, csize = struct.unpack_from("<4sI", content, pos)
+        if cid == b"fmt " and pos + 8 + 16 <= len(content):
+            fmt = struct.unpack_from("<HHIIHH", content, pos + 8)
+        elif cid == b"data":
+            data_size = csize  # declared size; payload may be truncated
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("WAV payload missing fmt / data chunk")
+    _, n_channels, sample_rate, _, block_align, bits = fmt
+    if block_align <= 0 or sample_rate <= 0:
+        raise ValueError("WAV fmt chunk has non-positive block_align/rate")
+    n_samples = data_size // block_align
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits": bits,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // sample_rate,
+    }
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("fmt", StringType(), True),  # bmp | wav | None=unknown
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def decode_media_headers(media: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Distributed header decode via Arrow-batched mapInPandas: sniffs each
+    payload's magic and parses BMP dims / WAV timing with the pure-struct
+    decoders above.  Unknown formats yield fmt=NULL rows (no poison-pill
+    task failures from one bad payload).  Bytes do not survive the op —
+    only the typed metadata row comes out.
+    """
+    if partitions:
+        media = media.repartition(partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                fmt = width = height = rate = nsamp = dur = None
+                try:
+                    if content is not None and content[:2] == b"BM":
+                        width, height = decode_bmp_header(content)
+                        fmt = "bmp"
+                    elif content is not None and content[:4] == b"RIFF":
+                        w = decode_wav_header(content)
+                        rate, nsamp = w["sample_rate"], w["n_samples"]
+                        dur, fmt = w["duration_ms"], "wav"
+                except ValueError:
+                    fmt = None  # corrupt header: keep the row, null metadata
+                rows.append((mid, fmt, width, height, rate, nsamp, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "fmt", "width", "height",
+                    "sample_rate", "n_samples", "duration_ms",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
 def _fake_features(content: bytes) -> np.ndarray:

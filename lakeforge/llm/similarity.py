@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from lakeforge import cache
+
 NANO = 1_000_000_000
 
 
@@ -80,7 +82,13 @@ def cosine_topk(
     an actionable error instead of a mid-job executor death.  For large
     query sets use ``ivf_topk`` (probe join, no broadcast of all queries)
     or ``embedding_neardup_pairs`` (bucketed all-pairs).
+
+    The guard count persists ``queries`` first (query-boundary release via
+    lakeforge.cache), so the frame's plan executes ONCE: the count
+    materializes the cache and the broadcast build reads it back — no
+    second scan of the query side (round-3 review #3).
     """
+    queries = cache.persist_tracked(queries)
     n_q = queries.count()
     if n_q > max_queries:
         raise ValueError(

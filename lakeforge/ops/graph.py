@@ -113,6 +113,12 @@ def pagerank_nano(
     Callers pass a DIRECTED edge list (duplicate both ways for undirected
     graphs).  Dangling nodes (no out-edges) contribute nothing — standard
     simplified formulation; pass symmetric edges to avoid mass loss.
+    The OUTPUT is restricted to nodes with at least one in-edge: after the
+    first iteration ranks are rebuilt from inflow, so source-only nodes
+    (out-edges only) drop out of the result.  Exact for the symmetric-edge
+    usage (every node has an in-edge); union the base rank back in if
+    source-only nodes must appear.  An empty edge frame raises — there is
+    no graph to rank (round-3 ADVICE: was an opaque ZeroDivisionError).
 
     Scale design:
     - Per iteration: one shuffle-by-src join (rank onto edges-with-degree)
@@ -135,6 +141,8 @@ def pagerank_nano(
     )
     nodes = ed.select(F.col("e_src").alias("node")).distinct()
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank_nano: empty edge frame — no nodes to rank")
     init = 1_000_000_000 // n
     base = (1000 - damping_permille) * 1_000_000_000 // (1000 * n)
     ranks = nodes.withColumn("rank_nano", F.lit(init).cast("bigint"))

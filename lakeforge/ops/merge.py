@@ -172,7 +172,23 @@ def table_diff(
     unchanged rows drop out before the result materializes.  At 100 TB
     both sides shuffle once by key (or zero times if both are bucketed on
     the key — io/bucketing.py).
+
+    Tradeoff (documented, round-3 ADVICE): 'modified' detection compares
+    64-bit xxhash64 digests, so a hash collision between a row's old and
+    new payloads (~2^-64 per changed row) silently classifies it as
+    unchanged.  Acceptable for drift audits; use a full value comparison
+    where a missed modification is unacceptable.  Key-only tables have no
+    payload to digest — that degenerate diff is added/removed-only, which
+    callers must request explicitly via a presence flag, so it raises.
     """
+    payload_cols = [c for c in old.columns if c not in keys]
+    if not payload_cols:
+        raise ValueError(
+            "table_diff: every column is a key — no payload to compare. "
+            "For existence-only diffs, diff on a constant payload, e.g. "
+            "df.withColumn('__present', F.lit(1))."
+        )
+
     def hashed(df: DataFrame, tag: str) -> DataFrame:
         payload = [c for c in df.columns if c not in keys]
         return df.select(

@@ -55,12 +55,20 @@ def read_events_stream(
     footers with a one-off batch read — a metadata-only operation — then
     ``ts`` is normalized to an instant TIMESTAMP exactly like the batch
     loader (io.sources.read_events), keeping the two paths one semantics.
+    If the directory is empty (or absent) at stream start — the normal
+    deploy-before-producer case — the peek fails and the reader falls back
+    to the current-generation declared schema ``EVENTS_SCHEMA`` (ts:
+    timestamp), so the stream still starts and picks files up as they
+    arrive (round-3 ADVICE: the peek used to throw here).
 
     ``maxFilesPerTrigger`` bounds micro-batch size — the knob that keeps
     per-batch memory flat when backfilling a large directory.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    physical = spark.read.parquet(path).schema
+    try:
+        physical: StructType | str = spark.read.parquet(path).schema
+    except Exception:  # empty/absent dir: no footers to peek
+        physical = EVENTS_SCHEMA
     reader = spark.readStream.schema(physical)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -910,6 +910,77 @@ ORACLE_SQL["media_features"] = SQL_MEDIA_FEATURES
 
 
 # ---------------------------------------------------------------------------
+# REAL media header decode (llm/multimodal.py round-3 review #5): each doc
+# becomes a genuine binary payload — a 24-bit BMP (even doc_id) or PCM WAV
+# (odd doc_id) with dims/timing derived deterministically from doc_id, plus
+# a corrupt-payload class (doc_id % 101 == 0) — encoded with struct inside
+# one mapInPandas stage and decoded back by ``decode_media_headers``'s
+# pure-struct parsers in another.  The oracle recomputes the expected
+# metadata from the same doc_id formulas: equality proves the bytes
+# round-tripped through real header encode AND decode (a header-field
+# mistake on either side would shift every value).  Corrupt rows must come
+# back fmt=NULL — the no-poison-pill contract.
+# ---------------------------------------------------------------------------
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from lakeforge.llm.multimodal import (
+        decode_media_headers,
+        encode_bmp,
+        encode_wav,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    schema = "media_id bigint, content binary"
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 101 == 0:
+                    content = b"\x00corrupt-payload\x00" * 3
+                elif did % 2 == 0:
+                    content = encode_bmp(did % 640 + 1, did % 480 + 1)
+                else:
+                    content = encode_wav(
+                        n_samples=(did * 37) % 160_000 + 1000,
+                        sample_rate=8000 * (did % 3 + 1),
+                    )
+                out.append((did, content))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema=schema)
+    return decode_media_headers(media)
+
+
+SQL_MEDIA_DECODE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 101 = 0 THEN NULL
+            WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS fmt,
+       CAST(CASE WHEN doc_id % 101 <> 0 AND doc_id % 2 = 0
+                 THEN doc_id % 640 + 1 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 101 <> 0 AND doc_id % 2 = 0
+                 THEN doc_id % 480 + 1 END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 101 <> 0 AND doc_id % 2 = 1
+                 THEN 8000 * (doc_id % 3 + 1) END AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 101 <> 0 AND doc_id % 2 = 1
+                 THEN (doc_id * 37) % 160000 + 1000 END AS BIGINT) AS n_samples,
+       CAST(CASE WHEN doc_id % 101 <> 0 AND doc_id % 2 = 1
+                 THEN ((doc_id * 37) % 160000 + 1000) * 1000
+                      // (8000 * (doc_id % 3 + 1)) END AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+QUERIES["media_decode"] = q_media_decode
+ORACLE_SQL["media_decode"] = SQL_MEDIA_DECODE
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination (llm/decontam.py): the benchmark set is
 # synthesized in-query (every 97th doc) so the overlap is non-trivial —
 # benchmark docs self-hit 100%, and the small synthetic vocabulary makes

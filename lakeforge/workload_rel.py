@@ -1724,18 +1724,52 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).alias("delta"),
         )
     )
-    day = F.to_date("t").alias("day")
-    wday = (
-        Window.partitionBy(F.to_date("t"))
+    # Two-level sweep (round-3 review #2): the old shape ran each day's
+    # running sum over Window.partitionBy(day) — one reducer per day, so a
+    # hot day funnels through a single task at scale.  Decompose by hour
+    # blocks (the orderkey_gaps seam pattern): (1) running sum WITHIN each
+    # (day, hour) block — parallel across blocks; (2) per-block totals
+    # prefix-summed over the tiny per-block summary give each block's
+    # starting offset; (3) day peak = max over blocks of offset + block
+    # peak.  Identical result: block boundaries follow t's order, and ties
+    # (equal t) always land in the same block, so the (t, delta desc)
+    # sort order is preserved end-to-end.
+    hour_us = 3600 * 1_000_000
+    pts = bounds.select(
+        F.to_date("t").alias("day"),
+        F.expr(f"unix_micros(t) div {hour_us}").alias("bk"),
+        "t",
+        "delta",
+    )
+    w_in = (
+        Window.partitionBy("day", "bk")
         .orderBy(F.col("t"), F.col("delta").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    running = bounds.select(
-        day, F.sum("delta").over(wday).cast("bigint").alias("open_now")
+    blk = (
+        pts.withColumn("run_in", F.sum("delta").over(w_in))
+        .groupBy("day", "bk")
+        .agg(
+            F.max("run_in").alias("blk_peak"),
+            F.sum("delta").alias("blk_total"),
+        )
+    )
+    # rows = distinct (day, hour) blocks: tiny by design.
+    w_blk = (
+        Window.partitionBy("day")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = blk.withColumn(
+        "offset", F.coalesce(F.sum("blk_total").over(w_blk), F.lit(0))
     )
     return (
-        running.groupBy("day")
-        .agg(F.max("open_now").cast("bigint").alias("peak_concurrent"))
+        offs.groupBy("day")
+        .agg(
+            F.max(F.col("offset") + F.col("blk_peak"))
+            .cast("bigint")
+            .alias("peak_concurrent")
+        )
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "peak_concurrent")
     )
 
@@ -2075,9 +2109,12 @@ def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("o_totalprice")),  # modifications
         )
         .unionByName(
+            # additions: synthetic keys in the NEGATIVE range — real
+            # orderkeys are positive at every scale factor, so no offset
+            # constant to outgrow (round-3 ADVICE: +10M collided at ~sf2).
             o.filter(F.col("o_custkey") % 103 == 0).withColumn(
-                "o_orderkey", F.col("o_orderkey") + 10_000_000
-            )  # additions
+                "o_orderkey", -F.col("o_orderkey")
+            )
         )
     )
     return table_diff(o, v2, ["o_orderkey"])
@@ -2091,7 +2128,7 @@ WITH v2 AS (
          o_orderdate, o_orderpriority
   FROM orders WHERE o_custkey % 101 <> 0
   UNION ALL BY NAME
-  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+  SELECT -o_orderkey AS o_orderkey, o_custkey, o_orderstatus,
          o_totalprice, o_orderdate, o_orderpriority
   FROM orders WHERE o_custkey % 103 = 0
 ),
@@ -2246,11 +2283,11 @@ def q_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    w = Window.partitionBy()  # 25 nation rows — the unpartitioned window
-    # runs over the AGGREGATE, never the fact table (cf. packing op note).
     return cents.select(
         "n_name",
         (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        # The unpartitioned OVER () runs over the 25-row AGGREGATE, never
+        # the fact table (cf. packing op note).
         F.expr("(cents * 1000) div sum(cents) OVER ()")
         .cast("bigint")
         .alias("share_permille"),

@@ -516,3 +516,54 @@ def test_chunk_documents_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="window and stride"):
         chunk_documents(df, window=0, stride=3)
+
+
+def test_media_header_codecs_roundtrip():
+    """Pure-Python: struct-written BMP/WAV headers parse back exactly."""
+    import pytest
+
+    from lakeforge.llm.multimodal import (
+        decode_bmp_header,
+        decode_wav_header,
+        encode_bmp,
+        encode_wav,
+    )
+
+    assert decode_bmp_header(encode_bmp(640, 480)) == (640, 480)
+    assert decode_bmp_header(encode_bmp(1, 1, b"\x00\x00\x00\x00")) == (1, 1)
+
+    w = decode_wav_header(encode_wav(n_samples=16_000, sample_rate=8000))
+    assert w["sample_rate"] == 8000
+    assert w["n_samples"] == 16_000
+    assert w["duration_ms"] == 2000
+    assert w["n_channels"] == 1 and w["bits"] == 16
+    stereo = decode_wav_header(
+        encode_wav(n_samples=441, sample_rate=44_100, n_channels=2)
+    )
+    assert stereo["n_samples"] == 441 and stereo["duration_ms"] == 10
+
+    with pytest.raises(ValueError, match="BMP"):
+        decode_bmp_header(b"JUNKJUNKJUNKJUNKJUNKJUNKJUNKJUNK")
+    with pytest.raises(ValueError, match="WAV"):
+        decode_wav_header(b"RIFFxxxxJUNK")  # RIFF but not WAVE
+
+
+def test_decode_media_headers_distributed(spark):
+    """mapInPandas decode: real parse per row, corrupt rows yield fmt NULL."""
+    from lakeforge.llm.multimodal import (
+        decode_media_headers,
+        encode_bmp,
+        encode_wav,
+    )
+
+    rows = [
+        (1, encode_bmp(320, 200)),
+        (2, encode_wav(n_samples=24_000, sample_rate=12_000)),
+        (3, b"not-a-media-payload"),
+        (4, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    got = {r["media_id"]: r.asDict() for r in decode_media_headers(media).collect()}
+    assert got[1]["fmt"] == "bmp" and (got[1]["width"], got[1]["height"]) == (320, 200)
+    assert got[2]["fmt"] == "wav" and got[2]["duration_ms"] == 2000
+    assert got[3]["fmt"] is None and got[4]["fmt"] is None
