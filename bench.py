@@ -11,9 +11,17 @@ Methodology (round-3 fixes per VERDICT r02):
   frames accumulated across the 60-query session — a plausible driver of
   its uniform 1.30x slowdown.  ``cache_leaks`` in the output is the
   max number of still-cached RDDs observed AFTER a release (want 0).
-- **Self-reporting trend**: compares against the newest BENCH_r*.json in
-  the repo root and emits common-set totals + per-query deltas, so a
-  regression shows up in the artifact instead of waiting for the judge.
+- **Self-reporting trend**: compares against the newest parseable bench
+  artifact in the repo root (BENCH_LOCAL_r*.json preferred, then the
+  driver's BENCH_r*.json) and emits common-set totals + per-query deltas,
+  so a regression shows up in the artifact instead of waiting for the
+  judge.
+- **Two artifacts** (round-3 fix: the all-in-one stdout line overflowed
+  the driver's capture and BENCH_r03.json arrived `parsed: null`):
+  stdout gets ONE COMPACT JSON line — totals, the slowest-40 per-query
+  timings, and a trend summary — sized to survive the driver's pipe;
+  the COMPLETE per-query medians + full delta map are written to
+  ``BENCH_LOCAL_r{N}.json`` in the repo root (committed per round).
 """
 
 from __future__ import annotations
@@ -152,24 +160,32 @@ HEADLINE = [
     "customer_golden_record",
     "monthly_from_daily",
     "order_day_streaks",
+    "media_decode",
+    "events_sessions_stateful",
 ]
 
+# How many of the slowest queries the stdout line carries — the complete
+# map goes to BENCH_LOCAL_r{N}.json.  40 entries keep the line ~2 KB.
+N_PRINTED = 40
 
-def _prior_bench() -> tuple[str | None, dict[str, float]]:
-    """Newest BENCH_r*.json in the repo root -> (filename, per-query secs)."""
+
+def _round_no() -> int:
+    """Current round = newest driver-written BENCH_r{N}.json + 1."""
     here = os.path.dirname(os.path.abspath(__file__))
-    best_n, best_path = -1, None
+    best = 0
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_n:
-            best_n, best_path = int(m.group(1)), p
-    if best_path is None:
-        return None, {}
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
+def _load_queries_map(path: str, sf: float | None) -> dict[str, float] | None:
     try:
-        with open(best_path) as f:
+        with open(path) as f:
             data = json.load(f)
         # Driver format: {"parsed": {...}, "tail": "...<json line>"}; also
-        # accept our own raw one-line output for local comparisons.
+        # accept our own raw output (BENCH_LOCAL files / local runs).
         out = data.get("parsed") or data
         if not isinstance(out, dict) or "queries" not in out:
             tail = data.get("tail", "")
@@ -177,10 +193,34 @@ def _prior_bench() -> tuple[str | None, dict[str, float]]:
                 if line.startswith("{"):
                     out = json.loads(line)
                     break
-        q = out.get("queries", {}) if isinstance(out, dict) else {}
-        return os.path.basename(best_path), {k: float(v) for k, v in q.items()}
+        if not isinstance(out, dict):
+            return None
+        # Cross-SF deltas are meaningless: only compare same-scale runs.
+        if sf is not None and out.get("sf") is not None and out["sf"] != sf:
+            return None
+        q = out.get("queries")
+        if not q:
+            return None
+        return {k: float(v) for k, v in q.items()}
     except Exception:
-        return os.path.basename(best_path), {}
+        return None
+
+
+def _prior_bench(cur_round: int, sf: float | None) -> tuple[str | None, dict[str, float]]:
+    """Newest PARSEABLE per-query map from rounds before ``cur_round``.
+
+    Prefers our complete BENCH_LOCAL_r{k}.json over the driver's captured
+    BENCH_r{k}.json (whose tail may be truncated), walking rounds newest
+    first until one parses — r03's capture overflow made 'newest file
+    only' lose the whole trend baseline.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    for k in range(cur_round - 1, 0, -1):
+        for name in (f"BENCH_LOCAL_r{k:02d}.json", f"BENCH_r{k:02d}.json"):
+            q = _load_queries_map(os.path.join(here, name), sf)
+            if q:
+                return name, q
+    return None, {}
 
 
 def main() -> None:
@@ -217,36 +257,55 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    prev_file, prev = _prior_bench()
+    cur_round = _round_no()
+    prev_file, prev = _prior_bench(cur_round, sf)
     common = sorted(set(timings) & set(prev))
-    trend = {
+    deltas = {n: round(timings[n] - prev[n], 3) for n in common}
+    prev_total = round(sum(prev[n] for n in common), 3)
+    cur_total = round(sum(timings[n] for n in common), 3)
+    regressed = sorted(
+        n for n in common if prev[n] > 0 and timings[n] > 2 * prev[n]
+    )
+    by_delta = sorted(common, key=lambda n: deltas[n])
+    trend_summary = {
         "prev_file": prev_file,
         "runs": runs,
         "common_n": len(common),
-        "common_prev_total": round(sum(prev[n] for n in common), 3),
-        "common_cur_total": round(sum(timings[n] for n in common), 3),
-        "delta_sec": {n: round(timings[n] - prev[n], 3) for n in common},
-        "regressed_2x": sorted(
-            n for n in common if prev[n] > 0 and timings[n] > 2 * prev[n]
-        ),
+        "common_prev_total": prev_total,
+        "common_cur_total": cur_total,
+        "common_ratio": round(cur_total / prev_total, 3) if prev_total else None,
+        "regressed_2x": regressed,
+        "top_regressions": {n: deltas[n] for n in by_delta[-3:] if deltas[n] > 0},
+        "top_improvements": {n: deltas[n] for n in by_delta[:3] if deltas[n] < 0},
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # headline set GREW round-over-round (r01: 50 queries);
-                # compare per-query or via trend.common_*, not bare totals.
-                "n_queries": len(timings),
-                "mean_sec_per_query": round(total / max(len(timings), 1), 3),
-                "cache_leaks": leaks,
-                "trend": trend,
-            }
+    detail_file = f"BENCH_LOCAL_r{cur_round:02d}.json"
+    headline = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        # headline set GREW round-over-round (r01: 50 queries); compare
+        # per-query or via trend.common_*, not bare totals.
+        "n_queries": len(timings),
+        "mean_sec_per_query": round(total / max(len(timings), 1), 3),
+        "cache_leaks": leaks,
+        # stdout stays compact (the driver's capture truncates long lines;
+        # r03 lost its artifact that way): slowest N only, full map in
+        # the committed detail file.
+        "detail_file": detail_file,
+        "queries": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:N_PRINTED]
+        ),
+        "trend": trend_summary,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, detail_file), "w") as f:
+        json.dump(
+            {**headline, "queries": timings, "trend": {**trend_summary, "delta_sec": deltas}},
+            f,
+            indent=1,
         )
-    )
+    print(json.dumps(headline))
     spark.stop()
 
 
