@@ -162,6 +162,15 @@ HEADLINE = [
     "order_day_streaks",
     "media_decode",
     "events_sessions_stateful",
+    "price_band_lookup",
+    "trade_triangles",
+    "part_name_linkage",
+    "events_trending",
+    "events_dow_anomaly",
+    "docs_bigram_likelihood",
+    "docs_weighted_sample",
+    "token_counts_arrow",
+    "packing_efficiency",
 ]
 
 # How many of the slowest queries the stdout line carries — the complete

@@ -229,3 +229,111 @@ def char_pair_counts(
         .filter(F.col("rk") <= topk)
         .select("pair", "n", F.col("rk").alias("rank"))
     )
+
+
+def bigram_likelihood(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Fluency scoring against a corpus character-bigram model — the
+    zero-dependency stand-in for a KenLM perplexity filter (the classic
+    pretraining quality gate): gibberish, mojibake, and wrong-alphabet
+    text score low because their character transitions are rare in the
+    corpus itself.
+
+    Two passes, both JVM-side:
+    1. MODEL: corpus bigram counts and first-char prefix totals.  Distinct
+       keys are alphabet²-bounded, so the aggregate's exchange carries
+       per-task partials only and the model frame is broadcast-sized BY
+       CONSTRUCTION no matter the corpus size.
+    2. SCORE: explode each doc's bigrams, broadcast-join the model, and
+       average P(bigram | first char) per doc.
+
+    Integer-exact: each occurrence scores ``(bg_n * 1e6) div prefix_n``
+    ppm and the per-doc mean is an integer division of integer sums —
+    order-independent, so the DuckDB oracle matches bit-for-bit (the
+    repo's convention for float-free approximate-op oracles).
+
+    Returns (id, n_bigrams, mean_bigram_ppm); docs shorter than 2 chars
+    are excluded (no bigrams, undefined mean).
+    """
+    # Length filter FIRST: Spark's sequence(1, 0) DESCENDS (it would emit
+    # positions [1, 0] for a 1-char doc), so short docs must never reach
+    # the transform.
+    bg = (
+        df.filter(F.length(text_col) >= 2)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(lower({text_col})) - 1),"
+                    f" i -> substring(lower({text_col}), i, 2))"
+                )
+            ).alias("bg"),
+        )
+    )
+    model = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("bg_n"))
+    prefix = (
+        model.groupBy(F.substring("bg", 1, 1).alias("pfx"))
+        .agg(F.sum("bg_n").alias("pfx_n"))
+    )
+    scored = (
+        bg.join(F.broadcast(model), "bg")
+        .join(
+            F.broadcast(prefix),
+            F.substring("bg", 1, 1) == F.col("pfx"),
+        )
+        .select(
+            "__id",
+            F.expr("(bg_n * 1000000) div pfx_n").alias("p_ppm"),
+        )
+    )
+    return scored.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.expr("sum(p_ppm) div count(1)").cast("bigint").alias("mean_bigram_ppm"),
+    ).select(F.col("__id").alias(id_col), "n_bigrams", "mean_bigram_ppm")
+
+
+def token_counts_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``token_counts`` computed via ``mapInArrow`` + pyarrow.compute —
+    the Arrow-native Python path (no pandas materialization: columns stay
+    Arrow arrays end-to-end, the zero-copy option when the per-batch work
+    is itself vectorized).
+
+    Exists as the API-surface twin of the JVM ``token_counts`` (which is
+    the production default — regexp inside codegen beats shipping text to
+    Python).  Same output contract, same oracle.  RE2 (pyarrow) and Java
+    regex evaluate the shared patterns identically — the same
+    compatible-subset discipline as BPE_REGEX / the PII patterns.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def run(batches):
+        for batch in batches:
+            t = batch.column(batch.schema.get_field_index(text_col))
+            ws = pc.list_value_length(
+                pc.split_pattern_regex(
+                    pc.utf8_lower(t), pattern=r"\s+"
+                )
+            )
+            # split on runs of whitespace gives empty FIRST/LAST slots for
+            # leading/trailing whitespace (and [''] for empty strings):
+            # subtract them to match array_remove(split(..), '').
+            lead = pc.match_substring_regex(t, r"^\s|^$")
+            trail = pc.match_substring_regex(t, r"\s$")
+            n_ws = pc.subtract(
+                pc.subtract(ws, pc.cast(lead, pa.int32())),
+                pc.cast(trail, pa.int32()),
+            )
+            n_bpe = pc.count_substring_regex(t, pattern=BPE_REGEX)
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pc.cast(n_ws, pa.int64()),
+                    pc.cast(n_bpe, pa.int64()),
+                ],
+                names=[id_col, "n_ws_tokens", "n_bpe_tokens"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        run, schema=f"{id_col} bigint, n_ws_tokens bigint, n_bpe_tokens bigint"
+    )

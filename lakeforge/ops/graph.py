@@ -161,3 +161,71 @@ def pagerank_nano(
             ).alias("rank_nano"),
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle participation — (vertex, n_triangles) — via the
+    degree-ordered wedge join (the standard distributed formulation; cf.
+    Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11).
+
+    Input is treated as UNDIRECTED: edges are canonicalized to
+    (least, greatest), deduplicated, self-loops dropped.  Each edge is
+    then ORIENTED from its lower-rank endpoint to its higher-rank one,
+    rank = (degree, id).  Orientation is what bounds the join: every
+    vertex's out-degree is O(sqrt(E)) in the oriented graph, so the wedge
+    join (out-edges ⋈ out-edges on the middle vertex) cannot explode on a
+    hub vertex the way a naive neighbor join would — the "last reducer"
+    fix.  Shape: two shuffles (wedge build + closing-edge hash join),
+    both on vertex keys.
+
+    Every triangle is found exactly once (its rank-ordered orientation is
+    unique); the final explode credits each of the three corners.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    ranked = (
+        und.join(da, F.col("a") == F.col("da.v"))
+        .join(db, F.col("b") == F.col("db.v"))
+        .select(
+            "a", "b", F.col("da.deg").alias("dega"), F.col("db.deg").alias("degb")
+        )
+    )
+    lower_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.hi") == F.col("e2.lo"))
+        .join(
+            e3,
+            (F.col("e1.lo") == F.col("e3.lo")) & (F.col("e2.hi") == F.col("e3.hi")),
+        )
+        .select(
+            F.col("e1.lo").alias("x"),
+            F.col("e1.hi").alias("y"),
+            F.col("e2.hi").alias("z"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

@@ -146,6 +146,70 @@ def asof_join(
     )
 
 
+def range_bucket_join(
+    probe: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    how: str = "inner",
+    probe_key: str | None = None,
+) -> DataFrame:
+    """Interval-lookup join — match each probe row to every range row with
+    ``lo_col <= value_col <= hi_col`` — planned as an EQUI-join.
+
+    Spark plans a bare BETWEEN join as BroadcastNestedLoopJoin (fine for a
+    dim-sized range table, fatal when ranges are large or the optimizer
+    falls back to a cartesian).  The scale path decomposes the interval
+    condition into hash-joinable keys: each range row is exploded to the
+    fixed-width buckets it overlaps (``sequence(lo div W, hi div W)``),
+    each probe row maps to its single bucket (``value div W``), the join
+    runs on the bucket key, and the original BETWEEN survives only as a
+    cheap post-join residual.  Shuffle is by bucket — the same O(rows)
+    hash partitioning as any equi-join, skew-bounded by bucket width.
+
+    ``bucket_width`` tunes fan-out: a range spanning S units replicates
+    ceil(S/W)+1 times.  Pick W near the TYPICAL range span so most ranges
+    land in 1-2 buckets; probe rows never replicate.  Overlapping ranges
+    are supported (probe rows multi-match, one row per matching range).
+    Inner and left joins only — 'left' keeps probe rows with no matching
+    range (null range payload) and needs ``probe_key`` (a unique probe
+    key) so the no-match rows can be recovered with an anti-join instead
+    of a fragile all-columns comparison.
+    """
+    if bucket_width <= 0:
+        raise ValueError("range_bucket_join: bucket_width must be positive")
+    if how not in ("inner", "left"):
+        raise ValueError("range_bucket_join supports inner/left joins only")
+    rng = ranges.withColumn(
+        "__bk",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST(floor({lo_col} / {bucket_width}) AS BIGINT)"),
+                F.expr(f"CAST(floor({hi_col} / {bucket_width}) AS BIGINT)"),
+            )
+        ),
+    )
+    pr = probe.withColumn(
+        "__bk", F.expr(f"CAST(floor({value_col} / {bucket_width}) AS BIGINT)")
+    )
+    matched = (
+        pr.join(rng, on="__bk", how="inner")
+        .filter(F.col(value_col).between(F.col(lo_col), F.col(hi_col)))
+        .drop("__bk")
+    )
+    if how == "inner":
+        return matched
+    if not probe_key:
+        raise ValueError("range_bucket_join: how='left' requires probe_key")
+    unmatched = probe.join(
+        matched.select(probe_key).distinct(), on=probe_key, how="left_anti"
+    )
+    null_payload = [F.lit(None).cast(t).alias(c) for c, t in ranges.dtypes]
+    return matched.unionByName(unmatched.select("*", *null_payload))
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,

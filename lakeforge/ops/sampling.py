@@ -91,3 +91,32 @@ def kfold_col(key: Column | str, k: int, salt: str = "kfold") -> Column:
     hash evaluates inside the scan's project."""
     kc = F.col(key) if isinstance(key, str) else key
     return (md5_int(F.lit(salt), kc) % k).cast("bigint")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    ppm_per_unit: int,
+    salt: str = "weighted",
+) -> DataFrame:
+    """Weighted Bernoulli sampling: a row with weight w is kept with
+    probability min(w * ppm_per_unit, 1e6) parts-per-million — the
+    importance-sampling primitive for mixture building (up-weight rare,
+    high-quality sources without materializing duplicate rows).
+
+    Same contracts as every sampler here: keyed md5 draw (stable across
+    engines / layouts / reruns — and oracle-checkable), shuffle-free
+    row-local filter, salt-namespaced so independent draws compose.
+    Weights are evaluated per-row at filter time; integer arithmetic
+    end-to-end.  Expected sample mass = sum(min(w * ppm_per_unit, 1e6))
+    / 1e6 — callers pick ``ppm_per_unit`` to hit a token budget.
+    """
+    if ppm_per_unit <= 0:
+        raise ValueError("ppm_per_unit must be positive")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    p_ppm = F.least(
+        w.cast("bigint") * F.lit(ppm_per_unit), F.lit(1_000_000)
+    )
+    u = md5_int(F.lit(salt), F.col(key)) % 1_000_000
+    return df.filter(u < p_ppm)

@@ -1541,3 +1541,123 @@ SELECT pair, n, rank FROM ranked WHERE rank <= 50
 
 QUERIES["bpe_pair_counts"] = q_bpe_pair_counts
 ORACLE_SQL["bpe_pair_counts"] = SQL_BPE_PAIR_COUNTS
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram-model fluency scoring (llm/text.py::bigram_likelihood) —
+# the KenLM-perplexity stand-in quality gate.  Integer ppm end-to-end, so
+# the oracle matches exactly despite the model being "learned" from the
+# corpus itself inside the query.
+# ---------------------------------------------------------------------------
+
+
+def q_docs_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.text import bigram_likelihood
+
+    return bigram_likelihood(_documents(spark, sf_dir), "text", "doc_id")
+
+
+SQL_DOCS_BIGRAM_LIKELIHOOD = """
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(t) - 1),
+                               i -> substr(t, i, 2))) AS bg
+  FROM d
+),
+model AS (SELECT bg, count(*) AS bg_n FROM bg GROUP BY bg),
+pfx AS (SELECT substr(bg, 1, 1) AS p, SUM(bg_n) AS pfx_n FROM model GROUP BY 1),
+sc AS (
+  SELECT b.doc_id, (m.bg_n * 1000000) // x.pfx_n AS p_ppm
+  FROM bg b JOIN model m USING (bg) JOIN pfx x ON substr(b.bg, 1, 1) = x.p
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(p_ppm) // count(*) AS BIGINT) AS mean_bigram_ppm
+FROM sc GROUP BY doc_id
+"""
+
+QUERIES["docs_bigram_likelihood"] = q_docs_bigram_likelihood
+ORACLE_SQL["docs_bigram_likelihood"] = SQL_DOCS_BIGRAM_LIKELIHOOD
+
+
+# ---------------------------------------------------------------------------
+# Weighted Bernoulli sampling (ops/sampling.py::weighted_sample): keep
+# probability proportional to document length (the token-budget mixture
+# primitive).  Keyed md5 draw -> exactly reproducible in the oracle.
+# ---------------------------------------------------------------------------
+
+_WS_PPM_PER_CHAR = 300
+
+
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.sampling import weighted_sample
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+    return weighted_sample(
+        d, "doc_id", F.col("n_chars"), ppm_per_unit=_WS_PPM_PER_CHAR, salt="wsamp"
+    )
+
+
+SQL_DOCS_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE {duckdb_md5_int_sql(["'wsamp'", "doc_id"])} % 1000000
+      < LEAST(length(text) * {_WS_PPM_PER_CHAR}, 1000000)
+"""
+
+QUERIES["docs_weighted_sample"] = q_docs_weighted_sample
+ORACLE_SQL["docs_weighted_sample"] = SQL_DOCS_WEIGHTED_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native token counting (llm/text.py::token_counts_arrow): the
+# mapInArrow twin of the JVM token_counts — same output contract, same
+# oracle text.  Registered so the Arrow path stays continuously verified
+# against the codegen path (both must match DuckDB bit-for-bit).
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.text import token_counts_arrow
+
+    return token_counts_arrow(_documents(spark, sf_dir), "text", "doc_id")
+
+
+QUERIES["token_counts_arrow"] = q_token_counts_arrow
+ORACLE_SQL["token_counts_arrow"] = SQL_TOKEN_COUNTS
+
+
+# ---------------------------------------------------------------------------
+# Packing-efficiency audit over pack_sequences: how many documents START
+# in each 512-token bin (bins overflow when a doc straddles the boundary
+# — by construction every bin except possibly the last has >= 1 starter).
+# The histogram (docs-per-bin -> bin count) is the packing-quality signal
+# a data loader tracks: many 1-doc bins = long docs dominating, heavy
+# tails = fragmentation.  Oracle wraps the pack oracle CTE.
+# ---------------------------------------------------------------------------
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = q_docs_pack_sequences(spark, sf_dir)
+    per_bin = packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_in_bin")
+    )
+    return per_bin.groupBy("docs_in_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins")
+    )
+
+
+SQL_PACKING_EFFICIENCY = f"""
+WITH packed AS ({SQL_DOCS_PACK_SEQUENCES}),
+per_bin AS (
+  SELECT bin_id, CAST(count(*) AS BIGINT) AS docs_in_bin
+  FROM packed GROUP BY bin_id
+)
+SELECT docs_in_bin, CAST(count(*) AS BIGINT) AS n_bins
+FROM per_bin GROUP BY docs_in_bin
+"""
+
+QUERIES["packing_efficiency"] = q_packing_efficiency
+ORACLE_SQL["packing_efficiency"] = SQL_PACKING_EFFICIENCY

@@ -2673,3 +2673,292 @@ SELECT o_custkey, streak_days, streak_start FROM ranked WHERE rn = 1
 
 QUERIES["order_day_streaks"] = q_order_day_streaks
 ORACLE_SQL["order_day_streaks"] = SQL_ORDER_DAY_STREAKS
+
+
+# ---------------------------------------------------------------------------
+# Interval lookup planned as an equi-join (ops/joins.py::range_bucket_join):
+# overlapping price bands matched to orders via bucket decomposition —
+# Spark's native plan for a BETWEEN join is a broadcast nested loop, which
+# dies when the range table outgrows a broadcast; the bucket path is a
+# plain hash join at any size.  Bands overlap (stride 25k, width 50k), so
+# most orders match two bands — multi-match semantics exercised.  The
+# oracle is the naive BETWEEN join.
+# ---------------------------------------------------------------------------
+
+_BAND_STRIDE = 25_000
+_BAND_WIDTH = 49_999  # inclusive hi = lo + width -> 2x overlap
+_N_BANDS = 24
+
+
+def q_price_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.joins import range_bucket_join
+
+    bands = spark.range(_N_BANDS).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * _BAND_STRIDE).cast("double").alias("lo"),
+        (F.col("id") * _BAND_STRIDE + _BAND_WIDTH).cast("double").alias("hi"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    matched = range_bucket_join(
+        o, bands, "o_totalprice", "lo", "hi", bucket_width=_BAND_STRIDE
+    )
+    return matched.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum((F.col("o_totalprice").cast(DEC) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+
+
+SQL_PRICE_BAND_LOOKUP = f"""
+WITH bands AS (
+  SELECT i AS band_id,
+         CAST(i * {_BAND_STRIDE} AS DOUBLE) AS lo,
+         CAST(i * {_BAND_STRIDE} + {_BAND_WIDTH} AS DOUBLE) AS hi
+  FROM range({_N_BANDS}) t(i)
+)
+SELECT band_id,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+GROUP BY band_id
+"""
+
+QUERIES["price_band_lookup"] = q_price_band_lookup
+ORACLE_SQL["price_band_lookup"] = SQL_PRICE_BAND_LOOKUP
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (ops/graph.py::triangle_count) on the nation-to-nation
+# trade graph: an edge links the customer's and supplier's nations when at
+# least one lineitem flowed between them, sparsified deterministically
+# (odd distinct-order count) so the 25-node graph isn't complete and the
+# count is structure-sensitive.  The Spark side runs the degree-oriented
+# wedge join; the oracle enumerates node-ordered triangles directly.
+# ---------------------------------------------------------------------------
+
+
+def q_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            c.c_nationkey.alias("cn"), s.s_nationkey.alias("sn")
+        )
+        .agg(F.count_distinct("l_orderkey").alias("n_ord"))
+        .filter(F.col("n_ord") % 2 == 1)
+    )
+    return triangle_count(pairs, "cn", "sn").orderBy("vertex")
+
+
+SQL_TRADE_TRIANGLES = """
+WITH pairs AS (
+  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn,
+         count(DISTINCT l.l_orderkey) AS n_ord
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+und AS (
+  SELECT DISTINCT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b
+  FROM pairs WHERE n_ord % 2 = 1 AND cn <> sn
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS vertex FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY vertex ORDER BY vertex
+"""
+
+QUERIES["trade_triangles"] = q_trade_triangles
+ORACLE_SQL["trade_triangles"] = SQL_TRADE_TRIANGLES
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage (ops/linkage.py::blocked_levenshtein_pairs): part
+# names with synthesized single-character typos (every 10th part gets a
+# twin, id + 5,000,000, mutated at position 8 — inside the block key's
+# blind spot is exactly what blocking must survive, so the mutation sits
+# AFTER the 4-char prefix the block key uses).  Block = name prefix +
+# length band; comparator = JVM levenshtein <= 2.  The oracle repeats the
+# same blocked pairing in DuckDB — including the block-size cap, which is
+# part of the operator's semantics, not an implementation detail.
+# ---------------------------------------------------------------------------
+
+_LINK_MAX_DIST = 2
+_LINK_MAX_BLOCK = 2000
+
+
+def q_part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.linkage import blocked_levenshtein_pairs
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    corpus = p.unionByName(
+        p.filter(F.col("p_partkey") % 10 == 0).select(
+            (F.col("p_partkey") + 5_000_000).alias("p_partkey"),
+            F.concat(
+                F.substring("p_name", 1, 7),
+                F.lit("q"),
+                F.expr("substring(p_name, 9)"),
+            ).alias("p_name"),
+        )
+    )
+    block = F.concat_ws(
+        "|", F.substring("p_name", 1, 4), F.expr("length(p_name) div 4")
+    )
+    return blocked_levenshtein_pairs(
+        corpus, "p_partkey", "p_name", block,
+        max_dist=_LINK_MAX_DIST, max_block=_LINK_MAX_BLOCK,
+    )
+
+
+SQL_PART_NAME_LINKAGE = f"""
+WITH corpus AS (
+  SELECT p_partkey, p_name FROM part
+  UNION ALL
+  SELECT p_partkey + 5000000,
+         substr(p_name, 1, 7) || 'q' || substr(p_name, 9)
+  FROM part WHERE p_partkey % 10 = 0
+),
+b AS (
+  SELECT p_partkey AS id, p_name AS txt,
+         substr(p_name, 1, 4) || '|' || CAST(length(p_name) // 4 AS VARCHAR) AS blk,
+         length(p_name) AS len
+  FROM corpus
+),
+sizes AS (SELECT blk, count(*) AS n FROM b GROUP BY blk),
+kept AS (SELECT b.* FROM b JOIN sizes USING (blk) WHERE n <= {_LINK_MAX_BLOCK})
+SELECT a.id AS id_a, c.id AS id_b,
+       CAST(levenshtein(a.txt, c.txt) AS BIGINT) AS dist
+FROM kept a JOIN kept c ON a.blk = c.blk AND a.id < c.id
+WHERE abs(a.len - c.len) <= {_LINK_MAX_DIST}
+  AND levenshtein(a.txt, c.txt) <= {_LINK_MAX_DIST}
+"""
+
+QUERIES["part_name_linkage"] = q_part_name_linkage
+ORACLE_SQL["part_name_linkage"] = SQL_PART_NAME_LINKAGE
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window trending (the overlapping-window twin of events_hourly):
+# top-3 event types per 2-hour window sliding hourly.  F.window with a
+# slide emits each event into exactly window/slide = 2 windows — the
+# oracle reproduces that expansion with an explicit 2-way UNION ALL of
+# hour-truncated starts.  Rank ties break on event_type (deterministic).
+# ---------------------------------------------------------------------------
+
+
+def q_events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    counts = ev.groupBy(
+        F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    w = Window.partitionBy("w").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n_events",
+            "rank",
+        )
+    )
+
+
+SQL_EVENTS_TRENDING = """
+WITH wins AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type FROM events
+  UNION ALL
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR, event_type
+  FROM events
+),
+c AS (SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n_events
+      FROM wins GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY ws
+                               ORDER BY n_events DESC, event_type) AS rank
+  FROM c
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, n_events,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+QUERIES["events_trending"] = q_events_trending
+ORACLE_SQL["events_trending"] = SQL_EVENTS_TRENDING
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-baseline anomaly flags: each day's event volume vs the mean for
+# its day-of-week — the first-line ops alert ("is today 2x a normal
+# Tuesday?").  Integer-exact: the 2x-mean comparison cross-multiplies
+# (total * n_days > 2 * dow_total) instead of dividing, so there is no
+# float in the predicate.  Day-of-week numbering: Spark dayofweek() is
+# 1=Sunday..7; DuckDB dayofweek() is 0=Sunday..6, offset in the oracle.
+# ---------------------------------------------------------------------------
+
+
+def q_events_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    dowd = daily.withColumn("dow", F.dayofweek("day").cast("bigint"))
+    base = dowd.groupBy("dow").agg(
+        F.sum("n_events").alias("dow_total"),
+        F.count(F.lit(1)).alias("dow_days"),
+    )
+    return (
+        dowd.join(F.broadcast(base), "dow")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dow",
+            "n_events",
+            (
+                F.col("n_events") * F.col("dow_days")
+                > F.lit(2) * F.col("dow_total")
+            ).alias("is_spike"),
+        )
+    )
+
+
+SQL_EVENTS_DOW_ANOMALY = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+dowd AS (
+  SELECT day, CAST(dayofweek(day) + 1 AS BIGINT) AS dow, n_events FROM daily
+),
+base AS (
+  SELECT dow, SUM(n_events) AS dow_total, count(*) AS dow_days
+  FROM dowd GROUP BY dow
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dow, d.n_events,
+       d.n_events * b.dow_days > 2 * b.dow_total AS is_spike
+FROM dowd d JOIN base b USING (dow)
+"""
+
+QUERIES["events_dow_anomaly"] = q_events_dow_anomaly
+ORACLE_SQL["events_dow_anomaly"] = SQL_EVENTS_DOW_ANOMALY

@@ -567,3 +567,41 @@ def test_decode_media_headers_distributed(spark):
     assert got[1]["fmt"] == "bmp" and (got[1]["width"], got[1]["height"]) == (320, 200)
     assert got[2]["fmt"] == "wav" and got[2]["duration_ms"] == 2000
     assert got[3]["fmt"] is None and got[4]["fmt"] is None
+
+
+def test_bigram_likelihood_scores_fluency(spark):
+    """Corpus-frequent transitions score high; gibberish scores low;
+    sub-2-char docs are excluded."""
+    from lakeforge.llm.text import bigram_likelihood
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows += [(100, "zq xv qj wk vx")]  # transitions unseen elsewhere
+    rows += [(101, "x"), (102, "")]    # no bigrams -> excluded
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bigram_likelihood(df, "text", "doc_id").collect()}
+    assert 101 not in got and 102 not in got
+    assert got[0]["n_bigrams"] == 21
+    assert got[0]["mean_bigram_ppm"] > got[100]["mean_bigram_ppm"]
+
+
+def test_token_counts_arrow_matches_jvm(spark):
+    """The Arrow path must agree with the codegen path row-for-row —
+    including whitespace edge cases (leading/trailing/only/empty)."""
+    from lakeforge.llm.text import token_counts, token_counts_arrow
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, world! 42 times."),
+            (2, "  leading and trailing  "),
+            (3, "   "),
+            (4, ""),
+            (5, "one"),
+            (6, "tabs\tand\nnewlines here"),
+        ],
+        ["doc_id", "text"],
+    )
+    jvm = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+           for r in token_counts(df, "text", "doc_id").collect()}
+    arrow = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+             for r in token_counts_arrow(df, "text", "doc_id").collect()}
+    assert jvm == arrow

@@ -333,3 +333,98 @@ def test_table_diff_null_payloads_differ_from_values(spark):
     new = spark.createDataFrame([(1, "x"), (2, "x")], "k int, v string")
     got = {r.k: r.change_type for r in table_diff(old, new, ["k"]).collect()}
     assert got == {1: "modified"}  # NULL -> value is a modification; 2 unchanged
+
+
+def test_range_bucket_join_matches_between_and_left(spark):
+    """Bucket-decomposed interval join == naive BETWEEN; left keeps misses."""
+    from lakeforge.ops.joins import range_bucket_join
+
+    ranges = spark.createDataFrame(
+        [(0, 0, 99), (1, 50, 149), (2, 200, 209)],  # 0/1 overlap; gap 150-199
+        ["band", "lo", "hi"],
+    )
+    probe = spark.createDataFrame(
+        [(1, 75), (2, 120), (3, 160), (4, 205), (5, 99)], ["pk", "v"]
+    )
+    inner = range_bucket_join(probe, ranges, "v", "lo", "hi", bucket_width=64)
+    got = sorted((r["pk"], r["band"]) for r in inner.collect())
+    # v=75 -> bands 0 and 1 (overlap); v=99 inclusive hi; v=160 no match
+    assert got == [(1, 0), (1, 1), (2, 1), (4, 2), (5, 0), (5, 1)]
+
+    left = range_bucket_join(
+        probe, ranges, "v", "lo", "hi", bucket_width=64, how="left", probe_key="pk"
+    )
+    rows = {(r["pk"], r["band"]) for r in left.collect()}
+    assert (3, None) in rows and len(rows) == 7
+
+    import pytest
+
+    with pytest.raises(ValueError, match="probe_key"):
+        range_bucket_join(probe, ranges, "v", "lo", "hi", 64, how="left")
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_bucket_join(probe, ranges, "v", "lo", "hi", 0)
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge: two triangles; shared-edge vertices in both."""
+    from lakeforge.ops.graph import triangle_count
+
+    # K4 on {1,2,3,4} without edge (3,4): triangles (1,2,3) and (1,2,4).
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (4, 1)],  # dup 1-4 reversed
+        ["src", "dst"],
+    )
+    got = {r["vertex"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+    # Self-loops and directed duplicates must not create triangles.
+    noisy = spark.createDataFrame([(1, 1), (1, 2), (2, 1)], ["src", "dst"])
+    assert triangle_count(noisy).count() == 0
+
+
+def test_blocked_levenshtein_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from lakeforge.ops.linkage import blocked_levenshtein_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "chocolate lace"),
+            (2, "chocolate lacq"),   # dist 1 from id 1, same block
+            (3, "chocolate brown"),  # dist > 2 from both, longer
+            (4, "vanilla cream"),
+            (5, "vanilla craam"),    # dist 1 from id 4
+        ],
+        ["id", "name"],
+    )
+    block = F.substring("name", 1, 4)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in blocked_levenshtein_pairs(df, "id", "name", block, 2).collect()
+    )
+    assert got == [(1, 2, 1), (4, 5, 1)]
+
+    # Block cap: with max_block=2 the 3-row 'choc' block is dropped whole.
+    capped = blocked_levenshtein_pairs(df, "id", "name", block, 2, max_block=2)
+    assert sorted((r["id_a"], r["id_b"]) for r in capped.collect()) == [(4, 5)]
+
+
+def test_weighted_sample_monotone_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from lakeforge.ops.sampling import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4 * 1000).cast("bigint").alias("w"),  # 0,1k,2k,3k
+    )
+    got = weighted_sample(df, "k", "w", ppm_per_unit=100).collect()
+    by_w = {}
+    for r in got:
+        by_w[r["w"]] = by_w.get(r["w"], 0) + 1
+    # weight 0 -> p=0: never sampled; rates grow with weight (~10%/20%/30%)
+    assert 0 not in by_w
+    assert by_w[1000] < by_w[2000] < by_w[3000]
+    # determinism: same draw twice
+    again = weighted_sample(df, "k", "w", ppm_per_unit=100).collect()
+    assert sorted(r["k"] for r in again) == sorted(r["k"] for r in got)
