@@ -171,6 +171,9 @@ HEADLINE = [
     "docs_weighted_sample",
     "token_counts_arrow",
     "packing_efficiency",
+    "orders_expectations",
+    "concurrency_seconds",
+    "events_attribution_full",
 ]
 
 # How many of the slowest queries the stdout line carries — the complete

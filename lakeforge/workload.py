@@ -1074,3 +1074,61 @@ FROM unm GROUP BY user_id
 
 QUERIES["events_attribution_unmatched"] = q_events_attribution_unmatched
 ORACLE_SQL["events_attribution_unmatched"] = SQL_EVENTS_ATTRIBUTION_UNMATCHED
+
+
+def q_events_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the FULL OUTER stream-stream interval join
+    (streaming/events.py::attribute_purchases join_type="full_outer") —
+    the complete attribution ledger in one result: matched view-purchase
+    pairs, views that never converted, and purchases with no preceding
+    view (direct/organic buys).  In streaming, both unmatched sides emit
+    at their state-eviction watermark.  Mean gap is integer seconds
+    (sum div count) — exact in both engines."""
+    from lakeforge.streaming.events import attribute_purchases
+
+    ev = read_events(spark, sf_dir)
+    out = attribute_purchases(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        max_gap="30 minutes",
+        join_type="full_outer",
+    )
+    status = (
+        F.when(F.col("view_id").isNull(), F.lit("purchase_only"))
+        .when(F.col("purchase_id").isNull(), F.lit("view_only"))
+        .otherwise(F.lit("matched"))
+    )
+    return out.groupBy(status.alias("match_status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(
+            F.expr("sum(gap_seconds) div count(gap_seconds)"), F.lit(None)
+        )
+        .cast("bigint")
+        .alias("mean_gap_seconds"),
+    )
+
+
+SQL_EVENTS_ATTRIBUTION_FULL = """
+WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, user_id AS p_user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT v.view_id, p.purchase_id,
+         date_diff('second', view_ts, purchase_ts) AS gap_seconds
+  FROM v FULL OUTER JOIN p
+    ON v.user_id = p.p_user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+)
+SELECT CASE WHEN view_id IS NULL THEN 'purchase_only'
+            WHEN purchase_id IS NULL THEN 'view_only'
+            ELSE 'matched' END AS match_status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(gap_seconds) // count(gap_seconds) AS BIGINT)
+           AS mean_gap_seconds
+FROM j GROUP BY 1
+"""
+
+QUERIES["events_attribution_full"] = q_events_attribution_full
+ORACLE_SQL["events_attribution_full"] = SQL_EVENTS_ATTRIBUTION_FULL

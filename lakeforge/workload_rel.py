@@ -2962,3 +2962,233 @@ FROM dowd d JOIN base b USING (dow)
 
 QUERIES["events_dow_anomaly"] = q_events_dow_anomaly
 ORACLE_SQL["events_dow_anomaly"] = SQL_EVENTS_DOW_ANOMALY
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectations suite (ops/expectations.py): six rules over
+# orders evaluated in one scan (+ one key-group aggregate for the
+# uniqueness rule).  The oracle recomputes each rule as a conditional
+# count — including the NULL-evaluability convention: value rules skip
+# NULLs (they count toward `evaluated` only when the column is non-null),
+# not_null rules see every row.
+# ---------------------------------------------------------------------------
+
+
+def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.expectations import Rule, check_expectations
+
+    o = _t(spark, sf_dir, "orders")
+    rules = [
+        Rule(name="orderkey_not_null", kind="not_null", col="o_orderkey"),
+        Rule(name="orderkey_unique", kind="unique_key", cols=("o_orderkey",)),
+        Rule(name="status_in_set", kind="in_set", col="o_orderstatus",
+             values=("F", "O", "P")),
+        Rule(name="price_in_range", kind="in_range", col="o_totalprice",
+             lo=0, hi=400_000),
+        Rule(name="priority_format", kind="matches", col="o_orderpriority",
+             regex="^[1-5]-"),
+        Rule(name="date_floor", kind="satisfies",
+             expr_sql="CAST(o_orderdate AS DATE) >= DATE '1992-01-01'"),
+    ]
+    return check_expectations(o, rules)
+
+
+SQL_ORDERS_EXPECTATIONS = """
+WITH rows_rules AS (
+  SELECT 'orderkey_not_null' AS rule,
+         CAST(count(*) AS BIGINT) AS evaluated,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations
+  FROM orders
+  UNION ALL
+  SELECT 'status_in_set',
+         CAST(count(o_orderstatus) AS BIGINT),
+         CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('F', 'O', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'price_in_range',
+         CAST(count(o_totalprice) AS BIGINT),
+         CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                        AND o_totalprice NOT BETWEEN 0 AND 400000
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'priority_format',
+         CAST(count(o_orderpriority) AS BIGINT),
+         CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                        AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'date_floor',
+         CAST(count(o_orderdate) AS BIGINT),
+         CAST(SUM(CASE WHEN o_orderdate IS NOT NULL
+                        AND NOT (CAST(o_orderdate AS DATE) >= DATE '1992-01-01')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orderkey_unique',
+         CAST(count(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey)
+)
+SELECT rule, evaluated, violations, violations = 0 AS passed FROM rows_rules
+"""
+
+QUERIES["orders_expectations"] = q_orders_expectations
+ORACLE_SQL["orders_expectations"] = SQL_ORDERS_EXPECTATIONS
+
+
+# ---------------------------------------------------------------------------
+# Concurrency-seconds (the sweep-line AREA, where peak_concurrency is the
+# sweep-line MAX): total session-seconds spent per day = integral of the
+# open-session count over time.  Between consecutive boundary events the
+# open count is constant, so the integral is exact integer micros:
+# sum(open_now * (next_t - t)).  Same two-level decomposition as the peak
+# query — per-(day, hour-block) running sums + per-block offsets — plus
+# one extra seam term: each block's closing segment extends to the next
+# boundary, taken from the block summary's LEAD.  Day-scoped semantics:
+# the integral resets at midnight (a session's +1/-1 land in their own
+# day; cross-midnight residue is credited to the day it occurs in, which
+# both engines compute identically).
+# ---------------------------------------------------------------------------
+
+
+
+
+_DAY_US = 86_400 * 1_000_000
+_HOUR_US = 3_600 * 1_000_000
+
+
+def q_concurrency_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    gap_us = 1800 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sess = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn(
+            "__new", F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("__new")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    bounds = sess.select(
+        F.unix_micros("s_start").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select(
+            (F.unix_micros("s_end") + 1).alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    # Coalesce simultaneous boundaries first: each remaining point starts a
+    # segment [t, next_t) with a constant open count — the exact-integral
+    # formulation both engines share.
+    pts = bounds.groupBy("t").agg(F.sum("delta").alias("d"))
+    pts = pts.select(
+        F.expr(f"t div {_DAY_US}").alias("dayn"),
+        F.expr(f"t div {_HOUR_US}").alias("bk"),
+        "t",
+        "d",
+    )
+    ord_blk = Window.partitionBy("dayn", "bk").orderBy("t")
+    seg = pts.withColumn(
+        "open_in", F.sum("d").over(ord_blk.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("next_t", F.lead("t").over(ord_blk))
+    # Intra-block area at LOCAL levels; the block offset's contribution is
+    # offset * covered_span, added at the summary level below.
+    blk = seg.groupBy("dayn", "bk").agg(
+        F.sum(
+            F.when(
+                F.col("next_t").isNotNull(),
+                F.col("open_in") * (F.col("next_t") - F.col("t")),
+            ).otherwise(F.lit(0))
+        ).alias("area_local"),
+        F.sum("d").alias("blk_total"),
+        F.min("t").alias("t_first"),
+        F.max("t").alias("last_t"),
+    )
+    w_blk = Window.partitionBy("dayn").orderBy("bk")
+    offs = blk.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("blk_total").over(w_blk.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "next_first",
+        F.coalesce(
+            F.lead("t_first").over(w_blk), (F.col("dayn") + 1) * F.lit(_DAY_US)
+        ),
+    )
+    area = offs.groupBy("dayn").agg(
+        F.sum(
+            F.col("area_local")
+            + F.col("offset") * (F.col("last_t") - F.col("t_first"))
+            + (F.col("offset") + F.col("blk_total"))
+            * (F.col("next_first") - F.col("last_t"))
+        ).alias("area_us")
+    )
+    return area.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("dayn").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.expr(f"area_us div {1_000_000}").cast("bigint").alias("session_seconds"),
+    )
+
+
+SQL_CONCURRENCY_SECONDS = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id,
+         ts
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, session_id,
+         epoch_us(MIN(ts)) AS su, epoch_us(MAX(ts)) + 1 AS eu
+  FROM sess GROUP BY user_id, session_id
+),
+bounds AS (
+  SELECT su AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT eu, -1 FROM iv
+),
+pts AS (SELECT t, SUM(d) AS d FROM bounds GROUP BY t),
+seg AS (
+  SELECT t // {_DAY_US} AS dayn, t,
+         SUM(d) OVER (PARTITION BY t // {_DAY_US} ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS open_now,
+         LEAD(t) OVER (PARTITION BY t // {_DAY_US} ORDER BY t) AS next_t
+  FROM pts
+),
+area AS (
+  SELECT dayn,
+         SUM(open_now * (COALESCE(next_t, (dayn + 1) * {_DAY_US}) - t)) AS a
+  FROM seg GROUP BY dayn
+)
+SELECT strftime(DATE '1970-01-01' + CAST(dayn AS INT), '%Y-%m-%d') AS day,
+       CAST(a // 1000000 AS BIGINT) AS session_seconds
+FROM area
+"""
+
+QUERIES["concurrency_seconds"] = q_concurrency_seconds
+ORACLE_SQL["concurrency_seconds"] = SQL_CONCURRENCY_SECONDS

@@ -428,3 +428,42 @@ def test_weighted_sample_monotone_and_bounds(spark):
     # determinism: same draw twice
     again = weighted_sample(df, "k", "w", ppm_per_unit=100).collect()
     assert sorted(r["k"] for r in again) == sorted(r["k"] for r in got)
+
+
+def test_check_expectations_rules_and_null_semantics(spark):
+    from lakeforge.ops.expectations import Rule, check_expectations
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10, "ok-1"),
+            (2, "B", -5, "bad"),
+            (3, None, 10, None),   # null status: skipped by in_set
+            (1, "A", 200, "ok-2"),  # dup key 1; 200 out of range
+        ],
+        ["k", "status", "v", "tag"],
+    )
+    rules = [
+        Rule(name="k_not_null", kind="not_null", col="k"),
+        Rule(name="k_unique", kind="unique_key", cols=("k",)),
+        Rule(name="status_set", kind="in_set", col="status", values=("A", "B")),
+        Rule(name="v_range", kind="in_range", col="v", lo=0, hi=100),
+        Rule(name="tag_fmt", kind="matches", col="tag", regex="^ok-"),
+        Rule(name="v_even", kind="satisfies", expr_sql="v % 2 = 0"),
+    ]
+    got = {r["rule"]: (r["evaluated"], r["violations"], r["passed"])
+           for r in check_expectations(df, rules).collect()}
+    assert got["k_not_null"] == (4, 0, True)
+    assert got["k_unique"] == (3, 1, False)       # 3 distinct keys, key 1 dup
+    assert got["status_set"] == (3, 0, True)      # null skipped, A/B/A pass
+    assert got["v_range"] == (4, 2, False)        # -5 and 200
+    assert got["tag_fmt"] == (3, 1, False)        # null skipped, 'bad' fails
+    assert got["v_even"] == (4, 1, False)         # -5 odd
+
+    import pytest
+
+    with pytest.raises(ValueError, match="empty rule list"):
+        check_expectations(df, [])
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        check_expectations(df, [rules[0], rules[0]])
+    with pytest.raises(ValueError, match="unknown rule kind"):
+        check_expectations(df, [Rule(name="x", kind="nope", col="k")])

@@ -337,3 +337,52 @@ def test_tws_sessionizer_matches_old_api(spark, tmp_path):
         sessionize_tws(read_events_stream(spark, stage)), "tws_new", "append"
     )
     assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_stream_stream_full_outer_join(spark, tmp_path):
+    """FULL OUTER stream-stream interval join: matched pairs must equal
+    the batch twin exactly; unmatched rows may be withheld at stream end
+    (the final watermark can lag the last event — state not yet evicted),
+    so the outer sides are checked as subsets of the batch outer sides."""
+    from lakeforge.streaming.events import attribute_purchases
+
+    stream_dir = tmp_path / "events_full"
+    stream_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", stream_dir / "part-000.parquet")
+
+    views_s = read_events_stream(spark, str(stream_dir)).filter(
+        "event_type = 'view'"
+    )
+    purchases_s = read_events_stream(spark, str(stream_dir)).filter(
+        "event_type = 'purchase'"
+    )
+    joined = attribute_purchases(
+        views_s, purchases_s, max_gap="30 minutes", join_type="full_outer"
+    )
+    assert joined.isStreaming
+    streamed = run_available_now(
+        joined, "events_attribution_full_test", output_mode="append"
+    ).collect()
+
+    ev = read_events(spark, SF_DIR)
+    batch = attribute_purchases(
+        ev.filter("event_type = 'view'"),
+        ev.filter("event_type = 'purchase'"),
+        max_gap="30 minutes",
+        join_type="full_outer",
+    ).collect()
+
+    def split(rows):
+        matched = sorted(
+            (r["view_id"], r["purchase_id"]) for r in rows
+            if r["view_id"] is not None and r["purchase_id"] is not None
+        )
+        v_only = {r["view_id"] for r in rows if r["purchase_id"] is None}
+        p_only = {r["purchase_id"] for r in rows if r["view_id"] is None}
+        return matched, v_only, p_only
+
+    sm, sv, sp = split(streamed)
+    bm, bv, bp = split(batch)
+    assert len(sm) > 0 and sm == bm
+    assert sv <= bv and sp <= bp
