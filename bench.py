@@ -174,6 +174,7 @@ HEADLINE = [
     "orders_expectations",
     "concurrency_seconds",
     "events_attribution_full",
+    "sole_late_supplier",
 ]
 
 # How many of the slowest queries the stdout line carries — the complete

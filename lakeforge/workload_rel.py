@@ -3192,3 +3192,76 @@ FROM area
 
 QUERIES["concurrency_seconds"] = q_concurrency_seconds
 ORACLE_SQL["concurrency_seconds"] = SQL_CONCURRENCY_SECONDS
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape from available columns: suppliers who were the SOLE late
+# shipper on a multi-supplier order ("late" = shipped >60 days after the
+# order date).  The textbook formulation is EXISTS (another supplier on
+# the order) AND NOT EXISTS (another LATE supplier) — which Catalyst
+# plans as two extra joins per subquery.  The scalable formulation
+# computes per-order supplier/late-supplier counts in ONE aggregate and
+# turns both subqueries into row-local predicates; the oracle runs the
+# literal EXISTS/NOT-EXISTS form, proving the rewrite exact.
+# ---------------------------------------------------------------------------
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        F.col("l_shipdate").cast("date")
+        > F.date_add(F.col("o_orderdate").cast("date"), 60)
+    )
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("supp_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late"),
+    )
+    culprits = (
+        per_supp.join(per_order, "l_orderkey")
+        .filter(
+            F.col("supp_late")
+            & (F.col("n_suppliers") > 1)
+            & (F.col("n_late") == 1)
+        )
+    )
+    return (
+        culprits.join(F.broadcast(s), culprits.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sole_late_orders"))
+    )
+
+
+SQL_SOLE_LATE_SUPPLIER = """
+WITH ls AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         MAX(CASE WHEN CAST(l.l_shipdate AS DATE)
+                       > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) = 1 AS supp_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_orderkey, l.l_suppkey
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_sole_late_orders
+FROM ls l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.supp_late
+  AND EXISTS (SELECT 1 FROM ls l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM ls l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.supp_late)
+GROUP BY s.s_name
+"""
+
+QUERIES["sole_late_supplier"] = q_sole_late_supplier
+ORACLE_SQL["sole_late_supplier"] = SQL_SOLE_LATE_SUPPLIER

@@ -386,3 +386,34 @@ def test_stream_stream_full_outer_join(spark, tmp_path):
     bm, bv, bp = split(batch)
     assert len(sm) > 0 and sm == bm
     assert sv <= bv and sp <= bp
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    """Overlapping (sliding) windows on a stream: each event lands in
+    window/slide windows; the availableNow run must reproduce the batch
+    counts exactly (complete mode — counts are final when input ends)."""
+    stream_dir = tmp_path / "events_slide"
+    stream_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", stream_dir / "part-000.parquet")
+
+    from pyspark.sql import functions as F
+
+    def slide_agg(df):
+        src = df.withWatermark("ts", "4 hours") if df.isStreaming else df
+        return src.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    streamed = run_available_now(
+        slide_agg(read_events_stream(spark, str(stream_dir))),
+        "events_sliding_test",
+        output_mode="complete",
+    )
+    batch = slide_agg(read_events(spark, SF_DIR))
+
+    key = lambda r: (r["w"]["start"], r["event_type"], r["n"])
+    s = sorted(key(r) for r in streamed.collect())
+    b = sorted(key(r) for r in batch.collect())
+    assert len(s) > 0
+    assert s == b
