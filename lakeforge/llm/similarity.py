@@ -308,7 +308,12 @@ def hard_negative_topk(
     corpus scan), but the label-mismatch predicate rides the join
     condition, so same-label pairs are dropped BEFORE scoring and the
     window ranks strictly fewer rows.  Exact integer kernel as
-    everywhere in this module — value-oracle-checkable."""
+    everywhere in this module — value-oracle-checkable.
+
+    As in ``cosine_topk``, the guard count persists ``queries`` so its
+    plan executes once: the count materializes the cache and the
+    broadcast build reads it back."""
+    queries = cache.persist_tracked(queries)
     n_q = queries.count()
     if n_q > max_queries:
         raise ValueError(

@@ -3265,3 +3265,289 @@ GROUP BY s.s_name
 
 QUERIES["sole_late_supplier"] = q_sole_late_supplier
 ORACLE_SQL["sole_late_supplier"] = SQL_SOLE_LATE_SUPPLIER
+
+
+# ---------------------------------------------------------------------------
+# Round-4 TPC-H-shaped additions: the four classic query shapes not yet in
+# the registry (market share Q8, top-supplier-with-ties Q15, correlated
+# per-group threshold Q17, disjunctive bracket predicates Q19) plus an
+# EXISTS-counting Q4 adaptation.  The testdata schema has no partsupp /
+# l_commitdate / l_shipmode, so predicates are adapted to the columns that
+# exist; the SHAPES (and their physical plans) are the point.
+# ---------------------------------------------------------------------------
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: within one region's customer orders, the yearly revenue
+    share contributed by suppliers of one nation.
+
+    Plan: lineitem⋈orders is the only fact-fact join; customer, supplier,
+    nation, region are all broadcast.  The share divides two sums from the
+    SAME aggregation (conditional agg), so there is exactly ONE shuffle —
+    no self-join, no window.  Share is permille (integer div on DECIMAL
+    sums) for cross-engine exactness."""
+    target_nation = "NATION_3"
+    target_region = "ASIA"
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == target_region)
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.filter(F.col("n_name") == target_nation)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _revenue().alias("rev")
+    )
+    # customer filter first (broadcast semi shape), then mark target-supplier
+    # lines with a broadcast LEFT join — unmatched => not target nation.
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
+        .join(
+            F.broadcast(supp.withColumn("is_target", F.lit(1))),
+            li.l_suppkey == supp.s_suppkey,
+            "left",
+        )
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("is_target") == 1, F.col("rev")).otherwise(F.lit(0).cast(DEC))).alias("nation_rev"),
+            F.sum("rev").alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            "nation_rev",
+            "total_rev",
+            # Exact integer permille: both sums become integral
+            # ten-thousandths (scale-4 decimals times 1e4), then a BIGINT
+            # integer division — truncation semantics agree across engines
+            # on positive operands, unlike DECIMAL div.
+            F.expr(
+                "CAST(nation_rev * 10000 AS BIGINT) * 1000"
+                " DIV CAST(total_rev * 10000 AS BIGINT)"
+            ).alias("share_permille"),
+        )
+    )
+
+
+SQL_MARKET_SHARE = """
+WITH cust AS (
+  SELECT c_custkey FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+), supp AS (
+  SELECT s_suppkey FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+)
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       SUM(CASE WHEN l.l_suppkey IN (SELECT s_suppkey FROM supp)
+                THEN {REV} ELSE CAST(0 AS DECIMAL(18,2)) END) AS nation_rev,
+       SUM({REV}) AS total_rev,
+       CAST(SUM(CASE WHEN l.l_suppkey IN (SELECT s_suppkey FROM supp)
+                     THEN {REV} ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS BIGINT)
+         * 1000 // CAST(SUM({REV}) * 10000 AS BIGINT) AS share_permille
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_custkey IN (SELECT c_custkey FROM cust)
+GROUP BY year(o.o_orderdate)
+""".replace("{REV}", _REV_SQL)
+
+QUERIES["market_share"] = q_market_share
+ORACLE_SQL["market_share"] = SQL_MARKET_SHARE
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) achieving the MAXIMUM total revenue over a
+    shipping quarter — tie-safe via a rank over the aggregated frame, not
+    a scalar-subquery re-scan (the classic Q15 view is scanned twice; the
+    window form aggregates once and ranks the tiny per-supplier result).
+
+    Plan: one shuffle for the per-supplier agg (map-side partial combine
+    first), then a broadcast-sized window over ~|suppliers| rows with a
+    single global partition — bounded because the agg output is
+    |suppliers|, not |lineitem|."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01"))
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("total_rev"))
+    w = Window.orderBy(F.col("total_rev").desc())
+    top = per_supp.withColumn("rk", F.rank().over(w)).filter(F.col("rk") == 1)
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+SQL_TOP_SUPPLIER_REVENUE = """
+WITH per_supp AS (
+  SELECT l_suppkey, SUM({REV}) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, p.total_rev
+FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.total_rev = (SELECT MAX(total_rev) FROM per_supp)
+""".replace("{REV}", _REV_SQL)
+
+QUERIES["top_supplier_revenue"] = q_top_supplier_revenue
+ORACLE_SQL["top_supplier_revenue"] = SQL_TOP_SUPPLIER_REVENUE
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: yearly revenue that would be lost by dropping orders of
+    less than 20%% of a part's average quantity, for one brand.
+
+    The correlated scalar subquery (per-part avg) becomes a self-agg +
+    equi-join: aggregate lineitem per partkey (small output), broadcast it
+    back against the brand-filtered lines.  Quantities are integral in the
+    testdata, so the threshold comparison uses exact permille integers:
+    qty * 5000 < sum(qty)*1000/cnt  <=>  qty < 0.2*avg(qty) — no float.
+
+    Plan: the per-part agg shuffles once on l_partkey; the probe side is
+    pre-filtered by the broadcast part-brand dim so only brand lines
+    rescan; the threshold join is broadcast (|parts of one brand| rows)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    brand_lines = li.join(
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    per_part = brand_lines.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    joined = brand_lines.join(
+        F.broadcast(per_part), F.col("l_partkey") == F.col("agg_partkey")
+    )
+    small = joined.filter(
+        F.col("l_quantity").cast("bigint") * 5 * F.col("n_lines") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.sum(_revenue()).alias("lost_rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_small_lines"),
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH brand_lines AS (
+  SELECT l.* FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#5'
+), per_part AS (
+  SELECT l_partkey AS agg_partkey,
+         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         COUNT(*) AS n_lines
+  FROM brand_lines GROUP BY l_partkey
+)
+SELECT SUM({REV}) AS lost_rev,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lines
+FROM brand_lines b JOIN per_part a ON b.l_partkey = a.agg_partkey
+WHERE CAST(b.l_quantity AS BIGINT) * 5 * a.n_lines < a.sum_qty
+""".replace("{REV}", _REV_SQL)
+
+QUERIES["small_qty_revenue"] = q_small_qty_revenue
+ORACLE_SQL["small_qty_revenue"] = SQL_SMALL_QTY_REVENUE
+
+
+def q_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: revenue from lines matching ANY of three (brand, size,
+    quantity) brackets — the classic disjunction-of-conjunctions predicate
+    that tests whether the engine keeps an OR of brackets inside ONE scan
+    + ONE broadcast join (instead of three unions of scans).
+
+    Plan: part is broadcast once; the OR predicate rides the join and is
+    evaluated in whole-stage codegen.  Common conjuncts (p_size >= 1)
+    are factored so the scan-level pushdown still prunes."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(bracket)
+        .agg(
+            F.sum(_revenue()).alias("bracket_rev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+SQL_DISJUNCTIVE_BRACKETS = """
+SELECT SUM({REV}) AS bracket_rev, CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND CAST(l.l_quantity AS BIGINT) BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND CAST(l.l_quantity AS BIGINT) BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND CAST(l.l_quantity AS BIGINT) BETWEEN 20 AND 30)
+""".replace("{REV}", _REV_SQL)
+
+QUERIES["disjunctive_brackets"] = q_disjunctive_brackets
+ORACLE_SQL["disjunctive_brackets"] = SQL_DISJUNCTIVE_BRACKETS
+
+
+def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: per order-priority, how many orders have AT LEAST ONE
+    late line (shipdate > orderdate + 45d; the schema has no
+    l_commitdate/l_receiptdate, so lateness is adapted — the EXISTS
+    semi-join COUNTING shape is the point).
+
+    Plan: the EXISTS compiles to a LEFT SEMI join on o_orderkey — only
+    order keys + dates shuffle, lineitem payload columns are pruned, and
+    the final agg is over |orders| rows with map-side combine."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late_orders = o.join(
+        li.withColumnRenamed("l_orderkey", "lk"),
+        (o.o_orderkey == F.col("lk"))
+        & (
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 45)
+        ),
+        "left_semi",
+    )
+    return (
+        late_orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_late_orders"))
+    )
+
+
+SQL_PRIORITY_LATE_ORDERS = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND CAST(l.l_shipdate AS DATE)
+                    > CAST(o.o_orderdate AS DATE) + INTERVAL 45 DAY)
+GROUP BY o_orderpriority
+"""
+
+QUERIES["priority_late_orders"] = q_priority_late_orders
+ORACLE_SQL["priority_late_orders"] = SQL_PRIORITY_LATE_ORDERS
