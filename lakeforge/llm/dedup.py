@@ -302,3 +302,55 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard_permille") >= min_permille).select(
         "doc_a", "doc_b", "n_inter", "n_union", "jaccard_permille"
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    passage_words: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-PASSAGE detection: substring-level dedup
+    (the "dedup at the passage level, not the document level" step of
+    training-data pipelines — catches boilerplate headers, quoted blocks,
+    and partially-copied documents that whole-doc fingerprints miss).
+
+    Each document is cut into NON-OVERLAPPING ``passage_words``-token
+    windows (aligned from token 0; final partial window included), each
+    window is hashed, and passages whose hash appears in >= ``min_docs``
+    distinct documents are reported.
+
+    Returns (passage_hash, n_docs, n_occurrences, canonical_doc_id) —
+    canonical = min doc id, the copy a remover would keep.
+
+    Scale: the window cut is a per-row JVM array op (sequence + slice
+    inside one Project — no explode-then-regroup of tokens); only
+    (doc_id, passage_hash) pairs shuffle, O(total_tokens / passage_words)
+    rows — text itself never shuffles.  The groupBy is on a 60-bit hash:
+    uniform, no hot keys regardless of corpus skew.
+    """
+    w = passage_words
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    ).filter(F.size("toks") > 0)
+    # passages[i] = tokens[i*w .. i*w+w) joined by ' ' (1-based slice).
+    passages = toks.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, CAST(ceil(size(toks) / {w}.0) AS INT) - 1),"
+            f" i -> concat_ws(' ', slice(toks, i * {w} + 1, {w})))"
+        ).alias("passages"),
+    )
+    ph = passages.select(
+        "doc_id", F.explode("passages").alias("passage")
+    ).select("doc_id", md5_int(F.col("passage")).alias("passage_hash"))
+    return (
+        ph.groupBy("passage_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -346,3 +346,67 @@ def token_counts_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInArrow(
         run, schema=f"{id_col} bigint, n_ws_tokens bigint, n_bpe_tokens bigint"
     )
+
+
+def quality_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep_threshold: int = 700,
+) -> DataFrame:
+    """Rule-based quality classifier: the cheap linear filter every
+    pretraining pipeline runs before any model-based scoring (C4/Gopher
+    style heuristics).  All-integer features and weights so the verdict is
+    bit-identical on any engine:
+
+    - ``stop_pm``   stopword per-mille — natural prose has function words;
+    - ``uniq_pm``   distinct-token per-mille — low = repetitive spam;
+    - ``len_band``  200 bonus when 30 <= n_tokens <= 500 (too short = no
+      signal, too long at fixed quality = likely boilerplate/log dump).
+
+    score = 2*stop_pm + uniq_pm + len_band; label keep/drop at
+    ``keep_threshold``.  Weights are pinned constants — swap in learned
+    ones without touching the plan.
+
+    Scale: one Project over the scan (no shuffle, no UDF); the filter can
+    push the drop before any downstream shuffle of text bytes.
+    """
+    with_toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks")
+    )
+    n_toks = F.size("__toks").cast("bigint")
+    n_stop = F.expr(f"size(filter(__toks, t -> t IN ({_STOP_SQL})))").cast("bigint")
+    n_uniq = F.size(F.array_distinct("__toks")).cast("bigint")
+    counts = with_toks.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        n_stop.alias("__n_stop"),
+        n_uniq.alias("__n_uniq"),
+    )
+    # Integer `div` (module idiom, cf. text_stats) — exact match for the
+    # oracle's `//`.
+    feats = counts.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("(__n_stop * 1000) div n_tokens"))
+        .alias("stop_pm"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("(__n_uniq * 1000) div n_tokens"))
+        .alias("uniq_pm"),
+    )
+    score = (
+        F.col("stop_pm") * 2
+        + F.col("uniq_pm")
+        + F.when(F.col("n_tokens").between(30, 500), F.lit(200)).otherwise(F.lit(0))
+    ).cast("bigint")
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        "stop_pm",
+        "uniq_pm",
+        score.alias("quality_score"),
+        F.when(score >= keep_threshold, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )

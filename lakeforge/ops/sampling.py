@@ -120,3 +120,48 @@ def weighted_sample(
     )
     u = md5_int(F.lit(salt), F.col(key)) % 1_000_000
     return df.filter(u < p_ppm)
+
+
+def capped_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    cap: int,
+    salt: str = "groupcap",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``cap`` rows per group,
+    chosen by md5 order — the per-domain cap of web-corpus pipelines
+    (no domain may dominate the training mix), reproducible across
+    engines/layouts like everything in this module.
+
+    Two-level selection so a HOT group never funnels through one reducer:
+
+    1. rows are salted into ``n_buckets`` hash buckets; a window over
+       (group, bucket) keeps the ``cap`` smallest hashes per bucket —
+       parallelism = groups x buckets, each task bounded;
+    2. a window over (group) re-ranks ONLY the <= n_buckets*cap
+       level-1 survivors and keeps the global ``cap`` smallest.
+
+    Level 2 sees at most ``n_buckets * cap`` rows per group regardless of
+    group size — the same seam pattern as the two-level key-gap scan
+    (workload_rel.q_orderkey_gaps).  Result is identical to a single
+    global per-group rank: the overall top-``cap`` hashes are each top-
+    ``cap`` within their own bucket, so level 1 never drops a winner.
+    """
+    from pyspark.sql import Window
+
+    h = md5_int(F.col(key), F.lit(salt))
+    bucket = F.pmod(h, F.lit(n_buckets))
+    ranked1 = df.withColumn("__h", h).withColumn(
+        "__r1",
+        F.row_number().over(
+            Window.partitionBy(group_col, bucket).orderBy("__h", key)
+        ),
+    )
+    survivors = ranked1.filter(F.col("__r1") <= cap).drop("__r1")
+    ranked2 = survivors.withColumn(
+        "__r2",
+        F.row_number().over(Window.partitionBy(group_col).orderBy("__h", key)),
+    )
+    return ranked2.filter(F.col("__r2") <= cap).drop("__h", "__r2")

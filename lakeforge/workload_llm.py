@@ -1661,3 +1661,102 @@ FROM per_bin GROUP BY docs_in_bin
 
 QUERIES["packing_efficiency"] = q_packing_efficiency
 ORACLE_SQL["packing_efficiency"] = SQL_PACKING_EFFICIENCY
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: passage-level dedup, rule-based quality classifier,
+# per-domain cap sampling.
+# ---------------------------------------------------------------------------
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (substring) dedup over the near-dup corpus: mutated
+    twins share every aligned full 20-token window with their original, so
+    the shared-passage report is the cross-doc-copy signal whole-document
+    fingerprints miss."""
+    from lakeforge.llm.dedup import passage_dedup
+
+    return passage_dedup(_neardup_corpus(spark, sf_dir), "text", "doc_id")
+
+
+SQL_PASSAGE_DEDUP = f"""
+WITH {_NEARDUP_CORPUS},
+toks AS (SELECT doc_id, {_TOKS} AS toks FROM corpus WHERE len({_TOKS}) > 0),
+ch AS (SELECT doc_id,
+              unnest(range(0, CAST(ceil(len(toks) / 20.0) AS INT))) AS i,
+              toks
+       FROM toks),
+p AS (SELECT doc_id,
+             {_md5_60("array_to_string(toks[i*20+1 : i*20+20], ' ')")} AS passage_hash
+      FROM ch)
+SELECT passage_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(doc_id) AS canonical_doc_id
+FROM p GROUP BY passage_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+QUERIES["passage_dedup"] = q_passage_dedup
+ORACLE_SQL["passage_dedup"] = SQL_PASSAGE_DEDUP
+
+
+def q_docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based keep/drop quality classifier over documents (C4/Gopher
+    heuristic family) — integer features and weights, engine-exact."""
+    from lakeforge.llm.text import quality_score
+
+    return quality_score(_documents(spark, sf_dir), "text", "doc_id")
+
+
+SQL_DOCS_QUALITY_SCORE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0
+              ELSE (len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1000) // len(toks)
+         END AS stop_pm,
+         CASE WHEN len(toks) = 0 THEN 0
+              ELSE (len(list_distinct(toks)) * 1000) // len(toks)
+         END AS uniq_pm
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(stop_pm AS BIGINT) AS stop_pm,
+       CAST(uniq_pm AS BIGINT) AS uniq_pm,
+       CAST(stop_pm * 2 + uniq_pm
+            + CASE WHEN n_tokens BETWEEN 30 AND 500 THEN 200 ELSE 0 END
+            AS BIGINT) AS quality_score,
+       CASE WHEN stop_pm * 2 + uniq_pm
+                 + CASE WHEN n_tokens BETWEEN 30 AND 500 THEN 200 ELSE 0 END >= 700
+            THEN 'keep' ELSE 'drop' END AS label
+FROM f
+"""
+
+QUERIES["docs_quality_score"] = q_docs_quality_score
+ORACLE_SQL["docs_quality_score"] = SQL_DOCS_QUALITY_SCORE
+
+
+def q_docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: at most 15 docs per source, md5-selected — the
+    anti-domination mix control of web-corpus pipelines, two-level so hot
+    domains never serialize through one reducer."""
+    from lakeforge.ops.sampling import capped_sample_per_group
+
+    docs = _documents(spark, sf_dir).select("doc_id", "source")
+    return capped_sample_per_group(docs, "source", "doc_id", cap=15).select(
+        "source", "doc_id"
+    )
+
+
+_CAP_H = duckdb_md5_int_sql(["doc_id", "'groupcap'"])
+
+SQL_DOCS_DOMAIN_CAP = f"""
+WITH h AS (SELECT source, doc_id, {_CAP_H} AS hh FROM documents),
+r AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+      FROM h)
+SELECT source, doc_id FROM r WHERE rn <= 15
+"""
+
+QUERIES["docs_domain_cap"] = q_docs_domain_cap
+ORACLE_SQL["docs_domain_cap"] = SQL_DOCS_DOMAIN_CAP

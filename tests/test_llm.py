@@ -605,3 +605,70 @@ def test_token_counts_arrow_matches_jvm(spark):
     arrow = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
              for r in token_counts_arrow(df, "text", "doc_id").collect()}
     assert jvm == arrow
+
+
+def test_passage_dedup_finds_cross_doc_passages(spark):
+    """Two docs sharing their first 20-token window report one shared
+    passage; the unique tails never pair.  A doc repeating its own
+    passage twice does NOT count (n_docs filter is distinct-doc)."""
+    from lakeforge.llm.dedup import passage_dedup
+
+    common = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, common + " alpha beta"),
+        (2, common + " gamma delta"),
+        (3, "totally different words only here " * 4),
+        # doc 4 contains the same 20-token window TWICE (aligned), but
+        # it's one doc — must not appear as a cross-doc dup on its own.
+        (4, ("selfrep " * 20).strip() + " " + ("selfrep " * 20).strip()),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = passage_dedup(df, "text", "doc_id").collect()
+    # exactly one cross-doc passage: the shared 20-token prefix of 1 and 2
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 2 and r["canonical_doc_id"] == 1
+    assert r["n_occurrences"] == 2
+
+
+def test_quality_score_labels_and_edges(spark):
+    from lakeforge.llm.text import quality_score
+
+    prose = ("the cat sat on a mat and it is nice to see the dog in the park "
+             * 3)  # stopword-rich, diverse enough, ~45 tokens
+    spam = "buy " * 60  # zero stopwords, uniq_pm -> ~16
+    rows = [(1, prose), (2, spam), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in quality_score(df, "text", "doc_id").collect()}
+    assert got[1]["label"] == "keep"
+    assert got[2]["label"] == "drop"
+    # empty text: all features zero, label drop, no div-by-zero
+    assert got[3]["n_tokens"] == 0 and got[3]["quality_score"] == 0
+    assert got[3]["label"] == "drop"
+
+
+def test_capped_sample_matches_single_level_rank(spark):
+    """The two-level (bucketed) cap must select EXACTLY the rows a single
+    global per-group rank would — including a hot group 50x the cap."""
+    import hashlib
+
+    from lakeforge.ops.sampling import capped_sample_per_group
+
+    rows = [("hot", i) for i in range(500)] + [("cold", i + 1000) for i in range(3)]
+    df = spark.createDataFrame(rows, ["source", "doc_id"])
+    got = {
+        (r["source"], r["doc_id"])
+        for r in capped_sample_per_group(df, "source", "doc_id", cap=10).collect()
+    }
+
+    def h(doc_id):  # md5_int twin: chr(31) joiner, 60-bit prefix
+        s = f"{doc_id}\x1fgroupcap".encode()
+        return int(hashlib.md5(s).hexdigest()[:15], 16)
+
+    want = set()
+    for src, ids in [("hot", range(500)), ("cold", [1000, 1001, 1002])]:
+        ranked = sorted(ids, key=lambda i: (h(i), i))[:10]
+        want |= {(src, i) for i in ranked}
+    assert got == want
+    assert sum(1 for s, _ in got if s == "hot") == 10
+    assert sum(1 for s, _ in got if s == "cold") == 3
