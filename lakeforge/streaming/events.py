@@ -468,3 +468,52 @@ def sessionize_tws(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             timeMode="eventTime",
         )
     )
+
+
+def windowed_rollup(
+    events: DataFrame,
+    fine_window: str = "1 hour",
+    coarse_window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """CHAINED windowed aggregation (Spark 3.4+ `window_time`): hourly
+    partials roll up into daily totals inside ONE streaming query — the
+    hierarchical-rollup pattern (minute->hour->day dashboards) that
+    previously needed two queries wired through an intermediate sink.
+
+    Stage 1 keeps per-(hour, event_type) partial sums; stage 2 re-windows
+    the PARTIALS by `window_time` (the stage-1 window's event-time column)
+    into days.  State and shuffle for stage 2 are over hourly partials —
+    24 rows/day/type — not raw events, the same partial-aggregate
+    discipline as the batch rollups (docs/SCALE.md).
+
+    Works identically on a batch frame (watermark no-op): the batch twin
+    IS the oracle check.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    hourly = src.groupBy(
+        F.window("ts", fine_window).alias("hw"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("hour_value"),
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("hw"), coarse_window).alias("dw"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("hour_value").alias("day_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hours_active"),
+        )
+    )
+    return daily.select(
+        F.date_format(F.col("dw.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "day_value",
+        "n_hours_active",
+    )

@@ -925,6 +925,35 @@ ORACLE_SQL["scd2_orders_nullsafe"] = SQL_SCD2_ORDERS_NULLSAFE
 
 
 
+def q_events_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the CHAINED windowed aggregation
+    (streaming/events.py::windowed_rollup, Spark 3.4+ window_time):
+    hourly partials re-windowed into daily totals — stage-2 state is
+    O(hours), never raw events."""
+    from lakeforge.streaming.events import windowed_rollup
+
+    return windowed_rollup(read_events(spark, sf_dir))
+
+
+SQL_EVENTS_WINDOWED_ROLLUP = """
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hw, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS hour_value
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(date_trunc('day', hw), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       SUM(hour_value) AS day_value,
+       CAST(COUNT(*) AS BIGINT) AS n_hours_active
+FROM hourly GROUP BY 1, 2
+"""
+
+QUERIES["events_windowed_rollup"] = q_events_windowed_rollup
+ORACLE_SQL["events_windowed_rollup"] = SQL_EVENTS_WINDOWED_ROLLUP
+
+
 # ---------------------------------------------------------------------------
 # Boundary canonicalization + driver-facing registry order.
 #
@@ -1132,3 +1161,4 @@ FROM j GROUP BY 1
 
 QUERIES["events_attribution_full"] = q_events_attribution_full
 ORACLE_SQL["events_attribution_full"] = SQL_EVENTS_ATTRIBUTION_FULL
+

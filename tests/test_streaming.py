@@ -417,3 +417,40 @@ def test_sliding_window_stream_matches_batch(spark, tmp_path):
     b = sorted(key(r) for r in batch.collect())
     assert len(s) > 0
     assert s == b
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_chained_windowed_rollup_stream_equals_batch(spark, tmp_path):
+    """Chained windowed aggregation (hourly -> window_time -> daily,
+    Spark 3.4+) over readStream must equal the same definition run in
+    batch — and stage 2 must aggregate PARTIALS (n_hours_active <= 24)."""
+    from pyspark.sql import functions as F
+
+    from lakeforge.streaming.events import windowed_rollup
+
+    stream_dir = tmp_path / "events_in"
+    stream_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", stream_dir / "part-000.parquet")
+
+    stream = read_events_stream(spark, str(stream_dir))
+    streamed = run_available_now(
+        windowed_rollup(stream), "events_rollup_test", output_mode="append"
+    )
+    batch_ev = read_events(spark, SF_DIR)
+    batch = windowed_rollup(batch_ev)
+
+    # Append mode emits a day only once its window END clears the final
+    # watermark (max event time - 2h); the trailing open day stays in
+    # state.  The closed-day prefix must match the batch twin exactly.
+    import datetime as dt
+
+    max_ts = batch_ev.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - dt.timedelta(hours=2)
+    closed = lambda day: (
+        dt.datetime.strptime(day, "%Y-%m-%d") + dt.timedelta(days=1) <= wm
+    )
+    s = sorted(tuple(r) for r in streamed.collect())
+    b = sorted(tuple(r) for r in batch.collect() if closed(r["day"]))
+    assert s == b
+    assert len(s) > 0
+    assert all(1 <= r[4] <= 24 for r in s)
