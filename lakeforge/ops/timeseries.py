@@ -78,3 +78,49 @@ def _resample_pandas(
         return g[[*key_cols, date_col, *value_cols]]
 
     return df.groupBy(*key_cols).applyInPandas(fill, schema=out_schema)
+
+
+def with_ewma(
+    df,
+    value_cents: str,
+    partition_by: list[str],
+    order_by: list[str],
+    out_col: str = "ewma_cents",
+    max_rows: int = 8,
+):
+    """Exact-integer finite-memory EWMA (alpha = 1/2) per entity.
+
+    The recursion s_t = (x_t + s_{t-1}) / 2 truncated to the trailing
+    ``max_rows`` points has closed-form weights 2^0 (oldest in frame) ..
+    2^{m-1} (current row) over the m <= max_rows rows present,
+    denominator 2^m - 1.  With cent-integer inputs and shift-left
+    weights the whole computation is BIGINT — identical on any engine,
+    unlike a float recursion whose low bits depend on evaluation order.
+
+    DuckDB twin (vals := list(value) over the same ROWS frame):
+    ``list_sum(list_transform(range(1, len(vals)+1),
+    i -> vals[i] * (CAST(1 AS BIGINT) << (i-1)))) //
+    ((CAST(1 AS BIGINT) << len(vals)) - 1)``.
+
+    Cost: one shuffle on ``partition_by``; O(max_rows) work per row with
+    frame-bounded state — the same aggregate-as-window discipline as the
+    rolling exact median (workload_rel.q_rolling_median_spend).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-(max_rows - 1), 0)
+    )
+    # collect_list over a framed window is frame-ordered: oldest first,
+    # current row last.
+    staged = df.withColumn("__ewma_vals", F.collect_list(F.col(value_cents)).over(w))
+    ewma = F.expr(
+        "aggregate(sequence(1, size(__ewma_vals)), CAST(0 AS BIGINT),"
+        " (acc, i) -> acc + element_at(__ewma_vals, i)"
+        "              * shiftleft(CAST(1 AS BIGINT), i - 1))"
+        " div (shiftleft(CAST(1 AS BIGINT), size(__ewma_vals)) - 1)"
+    )
+    return staged.withColumn(out_col, ewma).drop("__ewma_vals")

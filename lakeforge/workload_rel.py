@@ -3551,3 +3551,100 @@ GROUP BY o_orderpriority
 
 QUERIES["priority_late_orders"] = q_priority_late_orders
 ORACLE_SQL["priority_late_orders"] = SQL_PRIORITY_LATE_ORDERS
+
+
+def q_spend_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer EWMA (alpha=1/2, trailing 8 orders) of each
+    customer's order prices — smoothed spend trend with NO float
+    recursion (ops/timeseries.py::with_ewma)."""
+    from lakeforge.ops.timeseries import with_ewma
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            # decimal first: double*100 truncates/rounds differently per
+            # engine on ....9999 representations
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+        )
+    )
+    out = with_ewma(
+        o, "cents", ["o_custkey"], ["o_orderdate", "o_orderkey"], "ewma_cents"
+    )
+    return out.select("o_orderkey", "o_custkey", "cents", "ewma_cents")
+
+
+SQL_SPEND_EWMA = """
+WITH v AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         list(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+  FROM orders WHERE o_custkey < 300
+)
+SELECT o_orderkey, o_custkey, cents,
+       CAST(list_sum(list_transform(range(1, len(vals) + 1),
+                                    i -> vals[i] * (CAST(1 AS BIGINT) << (i - 1))))
+            // ((CAST(1 AS BIGINT) << len(vals)) - 1) AS BIGINT) AS ewma_cents
+FROM v
+"""
+
+QUERIES["spend_ewma"] = q_spend_ewma
+ORACLE_SQL["spend_ewma"] = SQL_SPEND_EWMA
+
+
+def q_heavy_hitter_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over orders: customers whose CM
+    estimate reaches 25 orders, estimate + exact side by side
+    (ops/sketches.py — fixed 4x1024 grid, mergeable, broadcastable)."""
+    from lakeforge.ops.sketches import count_min_heavy_hitters
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    out = count_min_heavy_hitters(o, "o_custkey", threshold=25)
+    return out.select(
+        F.col("k").alias("o_custkey"), "est_n", "exact_n"
+    )
+
+
+def _cms_bucket_sql(key_expr: str, depth: int) -> str:
+    from lakeforge.functions.keys import duckdb_md5_int_sql
+
+    h = duckdb_md5_int_sql([key_expr, "'cms'", str(depth)])
+    return f"(({h}) % 1024 + 1024) % 1024"
+
+
+def _cms_oracle() -> str:
+    grid_parts = "\nUNION ALL\n".join(
+        f"SELECT {d} AS depth, {_cms_bucket_sql('o_custkey', d)} AS bucket"
+        f" FROM orders"
+        for d in range(4)
+    )
+    probe_parts = "\nUNION ALL\n".join(
+        f"SELECT k, exact_n, {d} AS depth, {_cms_bucket_sql('k', d)} AS bucket"
+        f" FROM keys"
+        for d in range(4)
+    )
+    return f"""
+WITH grid AS (
+  SELECT depth, bucket, CAST(count(*) AS BIGINT) AS n
+  FROM ({grid_parts}) GROUP BY depth, bucket
+), keys AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS exact_n
+  FROM orders GROUP BY o_custkey
+), probes AS (
+{probe_parts}
+), est AS (
+  SELECT p.k, p.exact_n, CAST(MIN(g.n) AS BIGINT) AS est_n
+  FROM probes p JOIN grid g ON p.depth = g.depth AND p.bucket = g.bucket
+  GROUP BY p.k, p.exact_n
+)
+SELECT k AS o_custkey, est_n, exact_n FROM est WHERE est_n >= 25
+"""
+
+
+QUERIES["heavy_hitter_customers"] = q_heavy_hitter_customers
+ORACLE_SQL["heavy_hitter_customers"] = _cms_oracle()

@@ -467,3 +467,52 @@ def test_check_expectations_rules_and_null_semantics(spark):
         check_expectations(df, [rules[0], rules[0]])
     with pytest.raises(ValueError, match="unknown rule kind"):
         check_expectations(df, [Rule(name="x", kind="nope", col="k")])
+
+
+def test_ewma_matches_recursion_and_truncation(spark):
+    """with_ewma's closed form must equal the literal s_t=(x_t+s_{t-1})/2
+    recursion computed in exact fractions, truncated to the trailing 8."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from lakeforge.ops.timeseries import with_ewma
+
+    xs = [100, 200, 400, 100, 900, 50, 300, 700, 110, 220, 10]
+    rows = [(1, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["k", "seq", "cents"])
+    out = with_ewma(df, "cents", ["k"], ["seq"], "ewma_cents")
+    got = {r["seq"]: r["ewma_cents"] for r in out.collect()}
+
+    for t in range(len(xs)):
+        window = xs[max(0, t - 7) : t + 1]
+        m = len(window)
+        num = sum(v << i for i, v in enumerate(window))  # oldest i=0
+        want = num // ((1 << m) - 1)
+        assert got[t] == want, (t, got[t], want)
+
+
+def test_count_min_estimate_bounds_and_grid_size(spark):
+    """CM estimates are >= exact always, == exact absent collisions; the
+    counter grid never exceeds depth*width rows."""
+    from lakeforge.ops.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        count_min_counters,
+        count_min_heavy_hitters,
+    )
+
+    rows = [("hot",)] * 50 + [(f"k{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, ["key"])
+    grid = count_min_counters(df, "key")
+    assert grid.count() <= CMS_DEPTH * CMS_WIDTH
+    # total per depth row == number of input rows (mass conservation)
+    per_depth = {r["depth"]: r["s"] for r in
+                 grid.groupBy("depth").agg(F.sum("n").alias("s")).collect()}
+    assert per_depth == {d: len(rows) for d in range(CMS_DEPTH)}
+
+    hh = {r["k"]: (r["est_n"], r["exact_n"])
+          for r in count_min_heavy_hitters(df, "key", threshold=50).collect()}
+    assert "hot" in hh
+    est, exact = hh["hot"]
+    assert exact == 50 and est >= exact
