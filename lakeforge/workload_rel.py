@@ -3221,12 +3221,18 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("supp_late"))
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_suppliers"),
-        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late"),
-    )
+    # Per-order counts as a WINDOW over per_supp, not a self-join of the
+    # derived frame: a join against per_supp's own aggregate recomputes
+    # the whole lineitem⋈orders subtree twice (it did — ~2x runtime).
+    # The window costs one extra exchange on l_orderkey but scans the
+    # fact join once; partitions are per-order supplier lists (tiny).
+    wo = Window.partitionBy("l_orderkey")
     culprits = (
-        per_supp.join(per_order, "l_orderkey")
+        per_supp.withColumn("n_suppliers", F.count(F.lit(1)).over(wo))
+        .withColumn(
+            "n_late",
+            F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).over(wo),
+        )
         .filter(
             F.col("supp_late")
             & (F.col("n_suppliers") > 1)
