@@ -975,21 +975,29 @@ RAW_QUERIES: dict[str, QueryFn] = dict(QUERIES)
 
 apply_canonicalization(QUERIES, ORACLE_SQL)
 
-# Round-4 rotation (VERDICT r03 #1): fifteen cumulative-driver-green rows
-# move below the first-50 cap; fifteen never-driver-checked queries move
-# in — the round-3 analytics the judge listed (all two-SF local-green in
-# LOCAL_CORRECTNESS*.json) plus round-4's new media_decode — growing the
-# cumulative driver-attested set from 71 toward >= 86.  Rotated out (all
-# driver-green in r01-r03, still covered by pytest + local oracle runs):
-# scd2_orders_nullsafe, month_scoped_agg, pricing_summary, top_orders,
-# token_counts, ngram_jaccard_pairs, simhash_neardup, embedding_neardup,
-# rp_lsh_buckets, docs_mixture_sample, rollup_revenue, cube_order_stats,
-# pivot_priority_status, running_order_totals, resample_daily_spend.
-# Every SURVEY §2 family keeps a flagship inside the cap (SCD2 ->
-# scd2_orders; text -> text_stats/docs_scrub_pii; dedup ->
-# exact/minhash/clusters; similarity -> cosine_topk/ivf_topk; grouping
-# sets -> grouping_sets_revenue; windows -> rank_orders_top3/
-# rolling_7day_spend; time series -> asof_purchase_view; sampling ->
+# Round-4 rotation (VERDICT r03 #1), extended mid-round: the 50-slot
+# window now carries TWENTY-THREE never-driver-checked names — the
+# fifteen round-3 analytics the judge listed, plus eight of round-4's
+# new operators (market_share, heavy_hitter_customers,
+# events_windowed_rollup, docs_quality_score, passage_dedup, spend_ewma,
+# sole_late_supplier, docs_domain_cap), each displacing a SECOND
+# already-attested flagship of the same family — growing the cumulative
+# driver-attested set from 71 toward ~94.  Rotated out (every one
+# driver-green in r01-r03, all still covered by pytest + the committed
+# two-SF local oracle evidence): scd2_orders_nullsafe, month_scoped_agg,
+# pricing_summary, top_orders, token_counts, ngram_jaccard_pairs,
+# simhash_neardup, embedding_neardup, rp_lsh_buckets,
+# docs_mixture_sample, rollup_revenue, cube_order_stats,
+# pivot_priority_status, running_order_totals, resample_daily_spend,
+# broadcast_enrich, full_outer_totals, events_dedup_ingest,
+# docs_scrub_pii, neardup_clusters, ivf_topk, percentile_ranks,
+# extreme_order_by_segment.  Every SURVEY §2 family keeps a flagship
+# inside the cap (SCD2 -> scd2_orders; text -> text_stats; dedup ->
+# docs_exact_dedup/minhash_lsh_pairs; similarity ->
+# embedding_cosine_topk; joins -> temporal_fact_resolve/asof_purchase_
+# view; outer/merge -> cdc_merge_orders; grouping sets ->
+# grouping_sets_revenue; windows -> rank_orders_top3/rolling_7day_spend;
+# streaming -> events_sessionize/events_sessions_stateful; sampling ->
 # events_train_test).
 PRIORITY: list[str] = [
     # medallion / relational core (reference parity, SURVEY.md §2.1-2.7)
@@ -997,14 +1005,14 @@ PRIORITY: list[str] = [
     "multi_format_dates",
     "cdc_merge_orders",
     "latest_order_per_customer",
-    "broadcast_enrich",
-    "full_outer_totals",
+    "market_share",
+    "heavy_hitter_customers",
     "temporal_fact_resolve",
     "dim_date",
     "quality_summary_orders",
     # events / streaming surface (§2.8)
     "events_sessionize",
-    "events_dedup_ingest",
+    "events_windowed_rollup",
     "events_sessions_stateful",
     "events_variant_stats",
     # iterative ops (clustering / graph)
@@ -1012,16 +1020,16 @@ PRIORITY: list[str] = [
     "pagerank_trade",
     # text analysis + retrieval ranking
     "text_stats",
-    "docs_scrub_pii",
+    "docs_quality_score",
     "tfidf_top_terms",
     "bm25_search",
     # dedup family
     "docs_exact_dedup",
     "minhash_lsh_pairs",
-    "neardup_clusters",
+    "passage_dedup",
     # embedding similarity
     "embedding_cosine_topk",
-    "ivf_topk",
+    "spend_ewma",
     # sampling + composed pipeline + multimodal + pretraining hygiene
     "events_train_test",
     "docs_training_pipeline",
@@ -1034,11 +1042,11 @@ PRIORITY: list[str] = [
     "rank_orders_top3",
     "rolling_7day_spend",
     "orders_above_cust_avg",
-    "percentile_ranks",
+    "sole_late_supplier",
     "asof_purchase_view",
     "salted_skew_revenue",
     "region_revenue",
-    "extreme_order_by_segment",
+    "docs_domain_cap",
     # round-3 analytics promoted for first driver attestation (r03 #1)
     "peak_concurrency",
     "cohort_retention",
