@@ -99,6 +99,7 @@ def pagerank_nano(
     dst: str = "dst",
     iters: int = 3,
     damping_permille: int = 850,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank in exact nano-unit integer arithmetic — (node, rank_nano).
 
@@ -121,11 +122,17 @@ def pagerank_nano(
     no graph to rank (round-3 ADVICE: was an opaque ZeroDivisionError).
 
     Scale design:
-    - Per iteration: one shuffle-by-src join (rank onto edges-with-degree)
-      and one shuffle-by-dst partial-sum aggregate — O(E) each, the
-      textbook distributed PageRank shape.  The degree-annotated edge list
-      is computed once and persisted (query-boundary release), not rebuilt
+    - Per iteration: one join (rank onto edges-with-degree) and one
+      shuffle-by-dst partial-sum aggregate — O(E) each, the textbook
+      distributed PageRank shape.  The degree-annotated edge list is
+      computed once and persisted (query-boundary release), not rebuilt
       per iteration.
+    - ``broadcast_ranks=True`` broadcasts the rank VECTOR (|V| rows) into
+      the edge join so the persisted edge list is never re-shuffled —
+      the right regime whenever the vertex set is dim-sized (here:
+      parts+suppliers), cutting per-iteration cost to one aggregate
+      shuffle.  Leave False for graphs whose vertex vector itself is too
+      big to broadcast; the join then shuffles edges by src (textbook).
     - The iteration count is fixed and small (power iteration converges
       geometrically at `damping` rate); no driver-side convergence collect.
     - N (node count) is a single driver-side scalar aggregate, the same
@@ -147,8 +154,9 @@ def pagerank_nano(
     base = (1000 - damping_permille) * 1_000_000_000 // (1000 * n)
     ranks = nodes.withColumn("rank_nano", F.lit(init).cast("bigint"))
     for _ in range(iters):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         inflow = (
-            ed.join(ranks, ed.e_src == ranks.node)
+            ed.join(rank_side, ed.e_src == ranks.node)
             .select("e_dst", F.expr("rank_nano div deg").alias("contrib"))
             .groupBy("e_dst")
             .agg(F.sum("contrib").alias("inflow"))

@@ -1540,7 +1540,11 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    ranks = pagerank_nano(edges, iters=_PR_ITERS, damping_permille=_PR_DAMP)
+    # parts+suppliers is a dim-sized vertex set -> broadcast the rank
+    # vector; the persisted edge list is never re-shuffled per iteration.
+    ranks = pagerank_nano(
+        edges, iters=_PR_ITERS, damping_permille=_PR_DAMP, broadcast_ranks=True
+    )
     return ranks.select(
         F.when(F.col("node") % 2 == 0, "part").otherwise("supplier").alias("kind"),
         F.expr("node div 2").cast("bigint").alias("key"),
