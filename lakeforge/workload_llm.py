@@ -1760,3 +1760,84 @@ SELECT source, doc_id FROM r WHERE rn <= 15
 
 QUERIES["docs_domain_cap"] = q_docs_domain_cap
 ORACLE_SQL["docs_domain_cap"] = SQL_DOCS_DOMAIN_CAP
+
+
+def q_synthetic_docs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stats over a corpus GENERATED by the custom Python
+    DataSource (io/docgen_source.py, Spark 4 `pyspark.sql.datasource`
+    API) — executors generate their own id-range slices; nothing flows
+    from the driver.  The DuckDB oracle REGENERATES the same corpus from
+    range(N) + the same md5 formulas, so even the text content is
+    value-checked (via an md5 content checksum), proving the source is
+    deterministic under any partitioning.  (sf_dir unused: the source
+    generates its input.)"""
+    from lakeforge.functions.keys import md5_int
+    from lakeforge.io import docgen_source
+
+    docgen_source.register(spark)
+    df = (
+        spark.read.format("lakeforge_docgen")
+        .option("rows", 2000)
+        .option("seed", 42)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum(F.pmod(md5_int(F.col("text")), F.lit(1_000_000_007)))
+        .cast("bigint")
+        .alias("content_checksum"),
+    )
+
+
+def _docgen_oracle() -> str:
+    from lakeforge.io.docgen_source import (
+        MIN_WORDS,
+        N_SOURCES,
+        VOCAB,
+        WORD_SPREAD,
+    )
+
+    vocab_sql = "[" + ", ".join(f"'{w}'" for w in VOCAB) + "]"
+
+    def h(field_expr: str) -> str:
+        # md5 60-bit int of (i, field, seed) with chr(31) joiners — the
+        # docgen_source._h / functions.keys.md5_int convention.
+        concat = (
+            f"CAST(i AS VARCHAR) || chr(31) || {field_expr}"
+            f" || chr(31) || '42'"
+        )
+        return f"CAST(('0x' || substr(md5({concat}), 1, 15)) AS UBIGINT)::BIGINT"
+
+    text_h = (
+        "CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)::BIGINT"
+    )
+    return f"""
+WITH ids AS (SELECT unnest(range(0, 2000)) AS i),
+g AS (
+  SELECT i,
+         'site_' || CAST({h("'src'")} % {N_SOURCES} AS VARCHAR) AS source,
+         {MIN_WORDS} + {h("'len'")} % {WORD_SPREAD} AS n_words
+  FROM ids
+),
+t AS (
+  SELECT i, source, n_words,
+         array_to_string(
+           list_transform(range(0, CAST(n_words AS INT)),
+                          j -> ({vocab_sql})[1 + {h("'w' || CAST(j AS VARCHAR)")} % {len(VOCAB)}]),
+           ' ') AS text
+  FROM g
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM({text_h} % 1000000007) AS BIGINT) AS content_checksum
+FROM t GROUP BY source
+"""
+
+
+QUERIES["synthetic_docs_stats"] = q_synthetic_docs_stats
+ORACLE_SQL["synthetic_docs_stats"] = _docgen_oracle()

@@ -672,3 +672,32 @@ def test_capped_sample_matches_single_level_rank(spark):
     assert got == want
     assert sum(1 for s, _ in got if s == "hot") == 10
     assert sum(1 for s, _ in got if s == "cold") == 3
+
+
+def test_docgen_source_partition_invariant(spark):
+    """The custom Python DataSource generates a bit-identical corpus for
+    any numPartitions — determinism is per-row, not per-split."""
+    from lakeforge.io import docgen_source
+
+    docgen_source.register(spark)
+
+    def corpus(parts):
+        df = (
+            spark.read.format("lakeforge_docgen")
+            .option("rows", 300)
+            .option("seed", 7)
+            .option("numPartitions", parts)
+            .load()
+        )
+        return sorted(tuple(r) for r in df.collect())
+
+    one, many = corpus(1), corpus(13)
+    assert one == many
+    assert len(one) == 300
+    # generation really is distributed: planner honors the split count
+    df13 = (
+        spark.read.format("lakeforge_docgen")
+        .option("rows", 300).option("seed", 7).option("numPartitions", 13)
+        .load()
+    )
+    assert df13.rdd.getNumPartitions() == 13
