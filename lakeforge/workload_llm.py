@@ -1841,3 +1841,59 @@ FROM t GROUP BY source
 
 QUERIES["synthetic_docs_stats"] = q_synthetic_docs_stats
 ORACLE_SQL["synthetic_docs_stats"] = _docgen_oracle()
+
+
+def q_token_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (functions/udtfs.py::TokenRuns): run-length
+    encoding of each doc's token stream via LATERAL join — summarized to
+    per-doc run stats so the result stays compact.  The oracle is the
+    INDEPENDENT relational formulation (gaps-and-islands over unnest) —
+    two formulations checking each other."""
+    from lakeforge.functions.udtfs import TokenRuns
+
+    spark.udtf.register("token_runs", TokenRuns)
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("__docs_for_runs")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_runs,
+               CAST(MAX(r.run_len) AS BIGINT) AS max_run_len,
+               CAST(SUM(CASE WHEN r.run_len >= 2 THEN r.run_len ELSE 0 END)
+                    AS BIGINT) AS repeated_tokens
+        FROM __docs_for_runs d, LATERAL token_runs(d.text) r
+        GROUP BY d.doc_id
+        """
+    )
+
+
+SQL_TOKEN_RUNS_UDTF = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok,
+         generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents WHERE doc_id < 100
+),
+marked AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN lag(tok) OVER w IS DISTINCT FROM tok THEN 1 ELSE 0 END AS new_run
+  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+runs AS (
+  SELECT doc_id, tok,
+         SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM marked
+),
+sized AS (
+  SELECT doc_id, run_id, CAST(count(*) AS BIGINT) AS run_len
+  FROM runs GROUP BY doc_id, run_id
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS max_run_len,
+       CAST(SUM(CASE WHEN run_len >= 2 THEN run_len ELSE 0 END) AS BIGINT)
+           AS repeated_tokens
+FROM sized GROUP BY doc_id
+"""
+
+QUERIES["token_runs_udtf"] = q_token_runs_udtf
+ORACLE_SQL["token_runs_udtf"] = SQL_TOKEN_RUNS_UDTF

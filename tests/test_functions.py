@@ -80,3 +80,28 @@ def test_hash_sk_null_handling_matches_duckdb(spark):
         f"SELECT {sql} FROM (VALUES ('x', NULL), (NULL, 'x'), ('x', 'y'), (NULL, NULL)) t(a, b)"
     ).fetchall()
     assert [d[0] for d in duck] == got
+
+
+def test_token_runs_udtf_edges(spark):
+    """UDTF edge semantics: NULL text -> no rows; single token -> one
+    run; case/whitespace normalization matches tokens_col."""
+    from lakeforge.functions.udtfs import TokenRuns
+
+    spark.udtf.register("token_runs_t", TokenRuns)
+    df = spark.createDataFrame(
+        [(1, "a A a b B"), (2, None), (3, "  x  "), (4, "")],
+        ["doc_id", "text"],
+    )
+    df.createOrReplaceTempView("__udtf_edge")
+    rows = spark.sql(
+        "SELECT d.doc_id, r.* FROM __udtf_edge d, LATERAL token_runs_t(d.text) r"
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["run_idx"], r["token"], r["run_len"], r["start_pos"])
+        )
+    assert by_doc[1] == [(0, "a", 3, 0), (1, "b", 2, 3)]
+    assert 2 not in by_doc  # NULL -> no rows
+    assert by_doc[3] == [(0, "x", 1, 0)]
+    assert 4 not in by_doc  # empty -> zero tokens -> no rows
