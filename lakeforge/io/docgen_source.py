@@ -21,7 +21,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 # Small fixed vocabulary — indexable from SQL as a literal list.
@@ -77,6 +82,36 @@ class DocgenReader(DataSourceReader):
             yield gen_row(i, partition.seed)
 
 
+class DocgenStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin: each microbatch generates the next ``batchRows``
+    ids, up to ``rows`` total.  Offsets are just the next doc_id, so the
+    stream is exactly-once replayable — `readBetweenOffsets(start, end)`
+    regenerates any range bit-identically (determinism IS the recovery
+    story; no write-ahead log of data needed, only offsets)."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.seed = int(options.get("seed", 0))
+        self.batch_rows = int(options.get("batchRows", 100))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        hi = min(lo + self.batch_rows, self.rows)
+        rows = [gen_row(i, self.seed) for i in range(lo, hi)]
+        return iter(rows), {"next": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [gen_row(i, self.seed) for i in range(start["next"], end["next"])]
+        )
+
+    def commit(self, end):
+        pass
+
+
 class DocgenSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -87,6 +122,9 @@ class DocgenSource(DataSource):
 
     def reader(self, schema: StructType) -> DocgenReader:
         return DocgenReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> DocgenStreamReader:
+        return DocgenStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -454,3 +454,42 @@ def test_chained_windowed_rollup_stream_equals_batch(spark, tmp_path):
     assert s == b
     assert len(s) > 0
     assert all(1 <= r[4] <= 24 for r in s)
+
+
+def test_docgen_stream_source_equals_batch(spark, tmp_path):
+    """The custom Python DataSource's streaming reader (availableNow,
+    offset = next doc_id) drains the same 250 rows the batch reader
+    plans — determinism doubles as the replay/recovery story."""
+    from lakeforge.io import docgen_source
+
+    docgen_source.register(spark)
+    opts = {"rows": "250", "seed": "11", "batchRows": "64"}
+    stream = spark.readStream.format("lakeforge_docgen").options(**opts).load()
+    # availableNow prefetches a single read() from a simple stream
+    # reader; drain with the default ASAP trigger and stop once all 250
+    # generated rows landed (read() returns empty batches after that).
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("docgen_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        if spark.table("docgen_stream_test").count() >= 250:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    streamed = sorted(
+        tuple(r) for r in spark.table("docgen_stream_test").collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.format("lakeforge_docgen").options(**opts).load().collect()
+    )
+    assert streamed == batch
+    assert len(streamed) == 250
