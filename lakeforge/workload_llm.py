@@ -1897,3 +1897,59 @@ FROM sized GROUP BY doc_id
 
 QUERIES["token_runs_udtf"] = q_token_runs_udtf
 ORACLE_SQL["token_runs_udtf"] = SQL_TOKEN_RUNS_UDTF
+
+
+def q_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@k of the IVF index against the exact
+    cosine top-k, per query — the accuracy measurement every approximate
+    index needs shipped NEXT TO the index (an unmeasured ANN is a bug
+    generator).  Both sides are deterministic, so even this evaluation
+    is value-oracled.  Scale: the exact side is the one that doesn't
+    scale (O(Q*N)) — run it on a SAMPLE of queries (here: the standard
+    20-query probe set) to certify the index, never corpus-wide."""
+    exact = q_embedding_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("e_nb")
+    )
+    approx = q_ivf_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("a_nb")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id) & (F.col("e_nb") == F.col("a_nb")),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count("a_nb").cast("bigint").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.expr(f"(n_hits * 1000) div {_TOPK}").cast("bigint").alias("recall_permille"),
+    )
+
+
+def _sql_ivf_recall() -> str:
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({SQL_EMBEDDING_COSINE_TOPK}) _e
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM ({_sql_ivf_topk()}) _a
+),
+hits AS (
+  SELECT e.query_id,
+         CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM exact e
+  LEFT JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT query_id, n_hits,
+       CAST((n_hits * 1000) // {_TOPK} AS BIGINT) AS recall_permille
+FROM hits
+"""
+
+
+QUERIES["ivf_recall_at_k"] = q_ivf_recall_at_k
+ORACLE_SQL["ivf_recall_at_k"] = _sql_ivf_recall()
