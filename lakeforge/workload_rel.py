@@ -3319,13 +3319,17 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", _revenue().alias("rev")
     )
-    # customer filter first (broadcast semi shape), then mark target-supplier
-    # lines with a broadcast LEFT join — unmatched => not target nation.
+    # Customer semi-filter, then mark target-supplier lines with a LEFT
+    # join.  NO broadcast hints on cust/supp: a region's customers are a
+    # constant FRACTION of the customer table (not dim-sized), so forcing
+    # a broadcast would OOM at large SF — AQE broadcasts them at small SF
+    # on its own and falls back to shuffle joins at scale.  nation/region
+    # (true dims) stay hinted inside cust/supp's definitions.
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
         .join(
-            F.broadcast(supp.withColumn("is_target", F.lit(1))),
+            supp.withColumn("is_target", F.lit(1)),
             li.l_suppkey == supp.s_suppkey,
             "left",
         )
@@ -3398,8 +3402,11 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("total_rev").desc())
     top = per_supp.withColumn("rk", F.rank().over(w)).filter(F.col("rk") == 1)
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    # Broadcast the WINNERS (>=1 row, tiny by construction) into the
+    # supplier dim — not the other way around: supplier count grows with
+    # SF, the rank-1 set does not.
     return (
-        top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey)
+        s.join(F.broadcast(top), top.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -3425,27 +3432,31 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     less than 20%% of a part's average quantity, for one brand.
 
     The correlated scalar subquery (per-part avg) becomes a self-agg +
-    equi-join: aggregate lineitem per partkey (small output), broadcast it
-    back against the brand-filtered lines.  Quantities are integral in the
-    testdata, so the threshold comparison uses exact permille integers:
-    qty * 5000 < sum(qty)*1000/cnt  <=>  qty < 0.2*avg(qty) — no float.
+    equi-join: aggregate lineitem per partkey (small output), join it
+    back against the brand-filtered lines.  Quantities are integral in
+    the testdata, so the threshold comparison uses exact permille
+    integers: qty*5*cnt < sum(qty)  <=>  qty < 0.2*avg(qty) — no float.
 
     Plan: the per-part agg shuffles once on l_partkey; the probe side is
-    pre-filtered by the broadcast part-brand dim so only brand lines
-    rescan; the threshold join is broadcast (|parts of one brand| rows)."""
+    pre-filtered by the part-brand join so only brand lines rescan.  No
+    broadcast hints — one brand is a constant FRACTION of part (grows
+    with SF); AQE broadcasts both small sides at test scale and falls
+    back to shuffle joins at 100TB."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
+    # No broadcast hint: one brand is a constant FRACTION of part (grows
+    # with SF).  AQE broadcasts at small SF, shuffle-joins at scale.
     brand_lines = li.join(
-        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+        part.select("p_partkey"), li.l_partkey == F.col("p_partkey")
     )
     per_part = brand_lines.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_lines"),
     )
     joined = brand_lines.join(
-        F.broadcast(per_part), F.col("l_partkey") == F.col("agg_partkey")
+        per_part, F.col("l_partkey") == F.col("agg_partkey")
     )
     small = joined.filter(
         F.col("l_quantity").cast("bigint") * 5 * F.col("n_lines") < F.col("sum_qty")
@@ -3483,8 +3494,8 @@ def q_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     that tests whether the engine keeps an OR of brackets inside ONE scan
     + ONE broadcast join (instead of three unions of scans).
 
-    Plan: part is broadcast once; the OR predicate rides the join and is
-    evaluated in whole-stage codegen.  Common conjuncts (p_size >= 1)
+    Plan: one part join; the OR predicate rides it and is evaluated in
+    whole-stage codegen.  Common conjuncts (p_size >= 1)
     are factored so the scan-level pushdown still prunes."""
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     li = _t(spark, sf_dir, "lineitem").select(
@@ -3496,8 +3507,10 @@ def q_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & qty.between(10, 20))
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & qty.between(20, 30))
     )
+    # part is the WHOLE dim here (the brackets reference three brands) —
+    # no broadcast hint; AQE decides by measured size.
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(bracket)
         .agg(
             F.sum(_revenue()).alias("bracket_rev"),
