@@ -3243,8 +3243,10 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_late") == 1)
         )
     )
+    # No hint on the supplier join: supplier grows with SF (not a true
+    # dim at 100TB); AQE broadcasts it while it fits, shuffles when not.
     return (
-        culprits.join(F.broadcast(s), culprits.l_suppkey == s.s_suppkey)
+        culprits.join(s, culprits.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sole_late_orders"))
     )
