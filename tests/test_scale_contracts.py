@@ -116,3 +116,86 @@ def test_unpivot_adds_no_exchange(spark):
     wide_plan = _plan(q_pivot_priority_status(spark, SF))
     long_plan = _plan(q_unpivot_status_counts(spark, SF))
     assert long_plan.count("Exchange") == wide_plan.count("Exchange")
+
+
+def test_passage_dedup_shuffles_hashes_not_text(spark):
+    """Only (doc_id, passage_hash) may shuffle — no join at all, no
+    cartesian; the cut is a per-row Project (no token explode-regroup
+    before the hash aggregate)."""
+    from lakeforge.workload_llm import q_passage_dedup
+
+    plan = _plan(q_passage_dedup(spark, SF))
+    import re
+
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in plan
+    # the only exchanges are the hash-aggregate's (formatted plans print
+    # every node twice — tree + details — so count numbered tree nodes)
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) <= 2
+
+
+def test_quality_classifier_is_shuffle_free(spark):
+    """One Project over the scan — a pre-filter must be pushable before
+    any shuffle of text bytes."""
+    from lakeforge.workload_llm import q_docs_quality_score
+
+    plan = _plan(q_docs_quality_score(spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_domain_cap_windows_are_two_level(spark):
+    """Level 1 partitions by (group, salt bucket); level 2 re-ranks only
+    survivors.  Two window operators, no global (unpartitioned) sort."""
+    from lakeforge.workload_llm import q_docs_domain_cap
+
+    import re
+
+    plan = _plan(q_docs_domain_cap(spark, SF))
+    assert len(re.findall(r"Window \(\d+\)", plan)) == 2
+    assert "SinglePartition" not in plan
+
+
+def test_count_min_grid_broadcasts(spark):
+    """The probe side joins the 4x1024 counter grid by BROADCAST — keys
+    never shuffle by bucket."""
+    from lakeforge.workload_rel import q_heavy_hitter_customers
+
+    plan = _plan(q_heavy_hitter_customers(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ewma_is_frame_bounded(spark):
+    """The EWMA window must be ROWS-bounded (state = 8 rows), never a
+    growing unbounded frame."""
+    from lakeforge.workload_rel import q_spend_ewma
+
+    plan = _plan(q_spend_ewma(spark, SF))
+    assert "specifiedwindowframe(RowFrame, -7, currentrow$()" in plan
+    assert "unboundedpreceding" not in plan.lower()
+
+
+def test_windowed_rollup_stage2_consumes_partials(spark):
+    """The daily aggregate's input is the hourly HashAggregate output —
+    two aggregate levels, no re-scan of raw events for stage 2."""
+    from lakeforge.workload import QUERIES
+
+    import re
+
+    plan = _plan(QUERIES["events_windowed_rollup"](spark, SF))
+    assert len(re.findall(r"Scan parquet +\(\d+\)", plan)) == 1
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) >= 2  # hourly + daily
+
+
+def test_q21_shape_has_single_fact_join(spark):
+    """sole_late_supplier: per-order counts come from a WINDOW over the
+    aggregated frame — the lineitem⋈orders subtree must appear ONCE (the
+    old self-join shape scanned it twice)."""
+    from lakeforge.workload_rel import q_sole_late_supplier
+
+    import re
+
+    plan = _plan(q_sole_late_supplier(spark, SF))
+    scans = len(re.findall(r"Scan parquet +\(\d+\)", plan))
+    assert scans <= 3  # lineitem + orders + supplier, each once
