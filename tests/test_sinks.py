@@ -194,3 +194,32 @@ def test_postgres_ddl_from_gold_schema(spark):
 
     full = star_schema_ddl({"dim_account": df, "bridge": df.select("acc_no")})
     assert full.count("CREATE TABLE") == 2
+
+
+def test_jsonl_custom_sink_round_trips_and_commits_atomically(spark, tmp_path):
+    """Custom Python DataSource write path: executors write temp files,
+    the driver's commit renames them — the output dir holds only final
+    part files + _SUCCESS, and spark.read.json round-trips the rows."""
+    import json
+    import os
+
+    from lakeforge.io import jsonl_sink
+
+    jsonl_sink.register(spark)
+    out = str(tmp_path / "jsonl_out")
+    df = spark.range(0, 100).selectExpr(
+        "id", "concat('name_', id) AS name",
+        "CAST(id * 1.5 AS DOUBLE) AS score",
+    ).repartition(4)
+    df.write.format("lakeforge_jsonl").option("path", out).mode("append").save()
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert all(n == "_SUCCESS" or n.startswith("part-") for n in names)
+    meta = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert meta["rows"] == 100 and meta["files"] == 4
+
+    back = spark.read.json(out)
+    got = sorted((r["id"], r["name"], r["score"]) for r in back.collect())
+    want = sorted((r["id"], r["name"], r["score"]) for r in df.collect())
+    assert got == want
