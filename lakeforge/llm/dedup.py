@@ -354,3 +354,53 @@ def passage_dedup(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def exact_jaccard_for_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pairs: DataFrame,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for a GIVEN (doc_a, doc_b) pair list —
+    the ground-truth side of sketch-calibration queries.
+
+    Unlike ``jaccard_pairs`` (whose df-cap bounds candidate GENERATION),
+    this scores an already-bounded pair list, so sets are NOT capped:
+    truth means the full shingle sets.  The pair frame is broadcast into
+    both shingle joins (calibration pair lists are sample-sized by
+    construction); shingle rows shuffle once per side for the
+    intersection count.
+    """
+    from lakeforge.cache import persist_tracked
+
+    sh = persist_tracked(_doc_shingles(df, text_col, id_col, shingle_n))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    p = pairs.select("doc_a", "doc_b")
+    inter = (
+        sh.join(F.broadcast(p), sh.doc_id == F.col("doc_a"))
+        .select("doc_a", "doc_b", "shingle")
+        .join(
+            sh.select(F.col("doc_id").alias("__b"), F.col("shingle").alias("__bs")),
+            (F.col("doc_b") == F.col("__b")) & (F.col("shingle") == F.col("__bs")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        p.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("n_inter", F.lit(0)).cast("bigint").alias("n_inter"),
+            F.expr(
+                "(coalesce(n_inter, 0) * 1000)"
+                " div (n_a + n_b - coalesce(n_inter, 0))"
+            ).cast("bigint").alias("exact_permille"),
+        )
+    )

@@ -1953,3 +1953,68 @@ FROM hits
 
 QUERIES["ivf_recall_at_k"] = q_ivf_recall_at_k
 ORACLE_SQL["ivf_recall_at_k"] = _sql_ivf_recall()
+
+
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration harness: MinHash-ESTIMATED Jaccard (matching
+    signature components / k) vs the EXACT full-set Jaccard, per LSH
+    candidate pair — the dedup twin of q_ivf_recall_at_k (ship the
+    accuracy measurement WITH the sketch).  err_permille quantifies the
+    32-permutation estimator's bias pair by pair.  Scale: the exact side
+    runs only on the candidate list (sample-sized by construction), never
+    corpus-wide."""
+    from lakeforge.llm.dedup import exact_jaccard_for_pairs
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    cand = q_minhash_lsh_pairs(spark, sf_dir)
+    exact = exact_jaccard_for_pairs(corpus, "text", "doc_id", cand, shingle_n=3)
+    est = cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr(f"(n_match * 1000) div {_K}").cast("bigint").alias("est_permille"),
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_permille",
+        "exact_permille",
+        (F.col("est_permille") - F.col("exact_permille"))
+        .cast("bigint")
+        .alias("err_permille"),
+    )
+
+
+def _sql_minhash_calibration() -> str:
+    return f"""
+WITH {_NEARDUP_CORPUS},
+{_shingle_ctes(3)},
+cand AS (
+  SELECT doc_a, doc_b, n_match FROM ({_sql_minhash_lsh_pairs()}) _lsh
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST((c.n_match * 1000) // {_K} AS BIGINT) AS est_permille,
+         CAST((COALESCE(i.n_inter, 0) * 1000)
+              // (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)) AS BIGINT)
+             AS exact_permille
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, est_permille, exact_permille,
+       CAST(est_permille - exact_permille AS BIGINT) AS err_permille
+FROM scored
+"""
+
+
+QUERIES["minhash_calibration"] = q_minhash_calibration
+ORACLE_SQL["minhash_calibration"] = _sql_minhash_calibration()
