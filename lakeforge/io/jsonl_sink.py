@@ -56,9 +56,14 @@ class JsonlWriter(DataSourceWriter):
         return JsonlCommit(tmp, n)
 
     def commit(self, messages) -> None:
+        # Final names carry a per-commit uuid so successive appends (e.g.
+        # one commit per foreachBatch microbatch) never collide.
+        commit_id = uuid.uuid4().hex[:12]
         total = 0
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(
+                self.path, f"part-{commit_id}-{i:05d}.jsonl"
+            )
             os.replace(m.tmp_path, final)
             total += m.n_rows
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:

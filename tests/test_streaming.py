@@ -493,3 +493,60 @@ def test_docgen_stream_source_equals_batch(spark, tmp_path):
     )
     assert streamed == batch
     assert len(streamed) == 250
+
+
+def test_custom_source_to_custom_sink_pipeline(spark, tmp_path):
+    """End-to-end custom-connector pipeline: Python DataSource stream ->
+    quality classifier -> foreachBatch -> Python JSONL sink.  The landed
+    rows must equal the batch run of the same pipeline (unified
+    semantics across both custom connectors)."""
+    import json
+    import os
+
+    from lakeforge.io import docgen_source, jsonl_sink
+    from lakeforge.llm.text import quality_score
+
+    docgen_source.register(spark)
+    jsonl_sink.register(spark)
+    opts = {"rows": "200", "seed": "3", "batchRows": "80"}
+    out = str(tmp_path / "kept")
+
+    def land(batch_df, batch_id):
+        scored = quality_score(batch_df, "text", "doc_id")
+        kept = batch_df.join(
+            scored.filter("label = 'keep'").select("doc_id"), "doc_id"
+        )
+        if kept.take(1):
+            kept.write.format("lakeforge_jsonl").option("path", out).mode(
+                "append"
+            ).save()
+
+    stream = spark.readStream.format("lakeforge_docgen").options(**opts).load()
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 60
+    batch = spark.read.format("lakeforge_docgen").options(**opts).load()
+    scored = quality_score(batch, "text", "doc_id")
+    want_ids = {
+        r["doc_id"] for r in scored.filter("label = 'keep'").collect()
+    }
+    while _time.time() < deadline:
+        files = [f for f in os.listdir(out)] if os.path.exists(out) else []
+        got = set()
+        for f in files:
+            if f.startswith("part-") or f.startswith("_tmp_"):
+                with open(os.path.join(out, f)) as fh:
+                    for line in fh:
+                        got.add(json.loads(line)["doc_id"])
+        if got >= want_ids:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    assert got == want_ids
+    assert len(want_ids) > 0
