@@ -40,142 +40,10 @@ from lakeforge import cache
 from lakeforge.session import get_spark
 from lakeforge.workload import QUERIES
 
-HEADLINE = [
-    "pricing_summary",
-    "scd2_orders",
-    "temporal_fact_resolve",
-    "full_outer_totals",
-    "broadcast_enrich",
-    "cdc_merge_orders",
-    "latest_order_per_customer",
-    "dim_date",
-    "quality_summary_orders",
-    "top_orders",
-    "events_hourly",
-    "events_sessionize",
-    "text_stats",
-    "docs_exact_dedup",
-    "minhash_lsh_pairs",
-    "simhash_fingerprints",
-    "embedding_cosine_topk",
-    "rp_lsh_buckets",
-    "shipping_priority",
-    "region_revenue",
-    "returned_top_customers",
-    "rollup_revenue",
-    "rank_orders_top3",
-    "asof_purchase_view",
-    "salted_skew_revenue",
-    "ivf_topk",
-    "embedding_neardup",
-    "revenue_forecast",
-    "customer_order_histogram",
-    "orders_above_cust_avg",
-    "rolling_7day_spend",
-    "token_counts",
-    "resample_daily_spend",
-    "grouping_sets_revenue",
-    "percentile_ranks",
-    "promo_revenue",
-    "large_orders",
-    "rich_inactive_customers",
-    "simhash_neardup",
-    "events_tier_mix",
-    "events_dedup_ingest",
-    "docs_sample",
-    "events_train_test",
-    "events_stratified",
-    "docs_training_pipeline",
-    "nation_trade_volume",
-    "extreme_order_by_segment",
-    "docs_scrub_pii",
-    "mode_status_by_flag",
-    "events_funnel",
-    "multi_format_dates",
-    "ngram_jaccard_pairs",
-    "neardup_clusters",
-    "media_features",
-    "sketch_profile",
-    "geo_mean_price",
-    "docs_decontaminate",
-    "docs_pack_sequences",
-    "docs_repetition_score",
-    "events_session_window",
-    "tfidf_top_terms",
-    "bm25_search",
-    "events_attribution",
-    "boilerplate_ngrams",
-    "docs_boilerplate",
-    "key_skew_orders",
-    "docs_chunks",
-    "kmeans_embeddings",
-    "pagerank_trade",
-    "docs_char_entropy",
-    "spend_trend_by_nation",
-    "customer_spend_z",
-    "docs_kfold",
-    "hard_negatives",
-    "peak_concurrency",
-    "revenue_mom_growth",
-    "cohort_retention",
-    "unpivot_status_counts",
-    "bpe_pair_counts",
-    "events_variant_stats",
-    "sql_udf_revenue",
-    "hll_union_regions",
-    "orders_snapshot_diff",
-    "mad_order_price",
-    "orderkey_gaps",
-    "events_attribution_unmatched",
-    "active_both_years",
-    "anti_customers_no_orders",
-    "bridge_distinct",
-    "churned_custkeys",
-    "cube_order_stats",
-    "distinct_agg_priority",
-    "doc_fingerprint",
-    "doc_sentences",
-    "docs_epoch_shuffle",
-    "docs_mixture_sample",
-    "events_json_extract",
-    "exact_percentiles",
-    "first_last_orders",
-    "geo_mean_price_udaf",
-    "lang_id",
-    "month_scoped_agg",
-    "order_ids_per_customer",
-    "pivot_priority_status",
-    "price_histogram",
-    "running_order_totals",
-    "scd2_orders_nullsafe",
-    "semi_high_value_customers",
-    "stats_profile",
-    "string_profile",
-    "zorder_keys",
-    "revenue_share_by_nation",
-    "qty_price_corr",
-    "priority_status_chi2",
-    "rolling_median_spend",
-    "cogroup_activity_recon",
-    "customer_golden_record",
-    "monthly_from_daily",
-    "order_day_streaks",
-    "media_decode",
-    "events_sessions_stateful",
-    "price_band_lookup",
-    "trade_triangles",
-    "part_name_linkage",
-    "events_trending",
-    "events_dow_anomaly",
-    "docs_bigram_likelihood",
-    "docs_weighted_sample",
-    "token_counts_arrow",
-    "packing_efficiency",
-    "orders_expectations",
-    "concurrency_seconds",
-    "events_attribution_full",
-    "sole_late_supplier",
-]
+# Every registered query is benched (derived from the registry at import
+# time so new operators can never silently drop out of the artifact —
+# round-4 fix: the prior hand-maintained list had drifted 15 behind).
+HEADLINE = list(QUERIES)
 
 # How many of the slowest queries the stdout line carries — the complete
 # map goes to BENCH_LOCAL_r{N}.json.  40 entries keep the line ~2 KB.

@@ -127,3 +127,33 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for rep in reports[1:]:
         out = out.unionByName(rep)
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def split_by_expectations(
+    df: DataFrame, rules: list[Rule]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level gate: (good, quarantined) — quarantined rows carry a
+    ``__failed_rules`` array naming every row-local rule they violate.
+
+    Only row-local kinds participate (unique_key is a dataset-level
+    property; gate it with ``check_expectations`` on the batch/sink side).
+    Both frames come from ONE predicate projection over the scan — no
+    second pass; callers typically write `good` to the main sink and
+    `quarantined` to a dead-letter path (the DLT-expectations pattern).
+    Works identically on batch and streaming frames (pure row-local
+    Projects — no state, no watermark needed).
+    """
+    row_rules = [r for r in rules if r.kind != "unique_key"]
+    if not row_rules:
+        raise ValueError("split_by_expectations: no row-local rules")
+    flags = []
+    for r in row_rules:
+        ev, bad = _row_predicate(r)
+        flags.append(F.when(ev & bad, F.lit(r.name)))
+    tagged = df.withColumn(
+        "__failed_rules",
+        F.array_compact(F.array(*flags)),
+    )
+    good = tagged.filter(F.size("__failed_rules") == 0).drop("__failed_rules")
+    quarantined = tagged.filter(F.size("__failed_rules") > 0)
+    return good, quarantined
