@@ -954,6 +954,69 @@ QUERIES["events_windowed_rollup"] = q_events_windowed_rollup
 ORACLE_SQL["events_windowed_rollup"] = SQL_EVENTS_WINDOWED_ROLLUP
 
 
+def q_events_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level expectations gate (ops/expectations.py::
+    split_by_expectations — the DLT-expectations pattern): events with
+    DETERMINISTIC corruption injected (every 13th event gets a negative
+    value, every 17th an unknown type), split into good vs quarantined,
+    reported as counts per failed-rule set.  One scan, row-local
+    Projects; the same gate runs unchanged on the stream
+    (tests/test_streaming.py::test_streaming_quality_gate_...)."""
+    from lakeforge.ops.expectations import Rule, split_by_expectations
+
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    corrupted = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 17 == 0, F.lit("bogus"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("event_id") % 13 == 0, -F.col("value") - 1.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    rules = [
+        Rule(name="type_known", kind="in_set", col="event_type",
+             values=("view", "click", "purchase", "signup", "refund")),
+        Rule(name="value_nonneg", kind="satisfies", expr_sql="value >= 0"),
+    ]
+    good, quar = split_by_expectations(corrupted, rules)
+    tagged = good.select(F.lit("good").alias("gate")).unionByName(
+        quar.select(F.concat_ws(",", "__failed_rules").alias("gate"))
+    )
+    return tagged.groupBy("gate").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+SQL_EVENTS_QUALITY_GATE = """
+WITH c AS (
+  SELECT event_id,
+         CASE WHEN event_id % 17 = 0 THEN 'bogus' ELSE event_type END AS event_type,
+         CASE WHEN event_id % 13 = 0 THEN -value - 1.0 ELSE value END AS value
+  FROM events
+),
+flagged AS (
+  SELECT event_id,
+         (event_type IS NOT NULL AND event_type NOT IN
+            ('view','click','purchase','signup','refund')) AS f_type,
+         COALESCE(NOT (value >= 0), FALSE) AS f_val
+  FROM c
+)
+SELECT CASE
+         WHEN NOT f_type AND NOT f_val THEN 'good'
+         WHEN f_type AND f_val THEN 'type_known,value_nonneg'
+         WHEN f_type THEN 'type_known'
+         ELSE 'value_nonneg'
+       END AS gate,
+       CAST(count(*) AS BIGINT) AS n
+FROM flagged GROUP BY 1
+"""
+
+QUERIES["events_quality_gate"] = q_events_quality_gate
+ORACLE_SQL["events_quality_gate"] = SQL_EVENTS_QUALITY_GATE
+
+
+
 # ---------------------------------------------------------------------------
 # Boundary canonicalization + driver-facing registry order.
 #

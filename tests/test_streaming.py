@@ -550,3 +550,47 @@ def test_custom_source_to_custom_sink_pipeline(spark, tmp_path):
     q.awaitTermination()
     assert got == want_ids
     assert len(want_ids) > 0
+
+
+def test_streaming_quality_gate_splits_good_and_quarantine(spark, tmp_path):
+    """split_by_expectations on a STREAM: good rows land in the silver
+    dir, violators in the dead-letter dir with their failed-rule names —
+    totals match the batch split of the same input (DLT-expectations
+    pattern, no state needed)."""
+    from lakeforge.ops.expectations import Rule, split_by_expectations
+
+    rules = [
+        Rule(name="type_known", kind="in_set", col="event_type",
+             values=("view", "click", "purchase", "signup", "refund")),
+        Rule(name="value_nonneg", kind="satisfies", expr_sql="value >= 0"),
+    ]
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", stream_dir / "a.parquet")
+
+    stream = read_events_stream(spark, str(stream_dir))
+    good_s, quar_s = split_by_expectations(stream, rules)
+    outs = {"good": str(tmp_path / "good"), "quar": str(tmp_path / "quar")}
+    qs = []
+    for name, df in (("good", good_s), ("quar", quar_s)):
+        qs.append(
+            df.writeStream.format("parquet")
+            .option("path", outs[name])
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    for q in qs:
+        q.awaitTermination()
+
+    batch = read_events(spark, SF_DIR)
+    good_b, quar_b = split_by_expectations(batch, rules)
+    got_good = spark.read.parquet(outs["good"]).count()
+    got_quar = spark.read.parquet(outs["quar"])
+    assert got_good == good_b.count()
+    assert got_quar.count() == quar_b.count()
+    assert got_good + got_quar.count() == batch.count()
+    # violators carry rule names
+    if got_quar.count() > 0:
+        names = {n for r in got_quar.collect() for n in r["__failed_rules"]}
+        assert names <= {"type_known", "value_nonneg"}
