@@ -516,3 +516,26 @@ def test_count_min_estimate_bounds_and_grid_size(spark):
     assert "hot" in hh
     est, exact = hh["hot"]
     assert exact == 50 and est >= exact
+
+
+def test_observed_write_profile_rides_the_write(spark, tmp_path):
+    """Observation metrics must match a dedicated aggregate — computed
+    during the single write action, not by a second scan."""
+    from lakeforge.ops.quality import observed_write_profile
+
+    df = spark.range(0, 1000).selectExpr(
+        "id", "CASE WHEN id % 10 = 0 THEN NULL ELSE id * 2 END AS v"
+    )
+    observed, obs = observed_write_profile(
+        df,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)),
+            "max_v": F.max("v"),
+        },
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == 1000
+    assert got["n_null_v"] == 100
+    assert got["max_v"] == 1998
