@@ -1017,6 +1017,95 @@ ORACLE_SQL["events_quality_gate"] = SQL_EVENTS_QUALITY_GATE
 
 
 
+def q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite ordered sequence match: view -> click -> purchase, each
+    step within 30 minutes of the PREVIOUS step, per user — the 3-step
+    generalization of the funnel that respects ORDER and per-step gaps
+    (the naive shape is a double self-join of the stream; this is one
+    shuffle on user_id and two windows sharing the same sort).
+
+    Mechanics: a running max(view ts) carried over the user's ordered
+    stream marks each click "qualified" if a view preceded it within the
+    gap; a running max(qualified-click ts) then marks purchases.  Counts
+    are of matched PURCHASES (a purchase matches if any qualifying chain
+    ends at it)."""
+    gap_us = 30 * 60 * 1_000_000
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lv = F.max(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    step1 = ev.withColumn(
+        "q_click_us",
+        F.when(
+            (F.col("event_type") == "click")
+            & lv.isNotNull()
+            & (F.col("us") - lv <= gap_us),
+            F.col("us"),
+        ),
+    )
+    lqc = F.max("q_click_us").over(w)
+    matched = step1.withColumn(
+        "is_match",
+        (F.col("event_type") == "purchase")
+        & lqc.isNotNull()
+        & (F.col("us") - lqc <= gap_us),
+    )
+    per_user = matched.groupBy("user_id").agg(
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("n_matched")
+    )
+    return per_user.filter(F.col("n_matched") > 0).select(
+        "user_id", F.col("n_matched").cast("bigint").alias("n_matched_purchases")
+    )
+
+
+SQL_EVENTS_SEQUENCE_MATCH = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+s1 AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'view' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+  FROM ev
+),
+s2 AS (
+  SELECT *,
+         CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                   AND us - lv <= 30 * 60 * 1000000
+              THEN us END AS q_click_us
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+         MAX(q_click_us)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lqc
+  FROM s2
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'purchase' AND lqc IS NOT NULL
+                          AND us - lqc <= 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_purchases
+FROM s3
+GROUP BY user_id
+HAVING SUM(CASE WHEN event_type = 'purchase' AND lqc IS NOT NULL
+                     AND us - lqc <= 30 * 60 * 1000000
+                THEN 1 ELSE 0 END) > 0
+"""
+
+QUERIES["events_sequence_match"] = q_events_sequence_match
+ORACLE_SQL["events_sequence_match"] = SQL_EVENTS_SEQUENCE_MATCH
+
+
+
 # ---------------------------------------------------------------------------
 # Boundary canonicalization + driver-facing registry order.
 #
