@@ -1019,7 +1019,7 @@ ORACLE_SQL["events_quality_gate"] = SQL_EVENTS_QUALITY_GATE
 
 def q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP-lite ordered sequence match: view -> click -> purchase, each
-    step within 30 minutes of the PREVIOUS step, per user — the 3-step
+    step within 6 hours of the PREVIOUS step, per user — the 3-step
     generalization of the funnel that respects ORDER and per-step gaps
     (the naive shape is a double self-join of the stream; this is one
     shuffle on user_id and two windows sharing the same sort).
@@ -1029,7 +1029,7 @@ def q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap; a running max(qualified-click ts) then marks purchases.  Counts
     are of matched PURCHASES (a purchase matches if any qualifying chain
     ends at it)."""
-    gap_us = 30 * 60 * 1_000_000
+    gap_us = 6 * 3600 * 1_000_000
     ev = read_events(spark, sf_dir).select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
     )
@@ -1079,7 +1079,7 @@ s1 AS (
 s2 AS (
   SELECT *,
          CASE WHEN event_type = 'click' AND lv IS NOT NULL
-                   AND us - lv <= 30 * 60 * 1000000
+                   AND us - lv <= CAST(6 AS BIGINT) * 3600 * 1000000
               THEN us END AS q_click_us
   FROM s1
 ),
@@ -1092,12 +1092,12 @@ s3 AS (
 )
 SELECT user_id,
        CAST(SUM(CASE WHEN event_type = 'purchase' AND lqc IS NOT NULL
-                          AND us - lqc <= 30 * 60 * 1000000
+                          AND us - lqc <= CAST(6 AS BIGINT) * 3600 * 1000000
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_purchases
 FROM s3
 GROUP BY user_id
 HAVING SUM(CASE WHEN event_type = 'purchase' AND lqc IS NOT NULL
-                     AND us - lqc <= 30 * 60 * 1000000
+                     AND us - lqc <= CAST(6 AS BIGINT) * 3600 * 1000000
                 THEN 1 ELSE 0 END) > 0
 """
 
