@@ -206,3 +206,48 @@ def table_diff(
         .when(F.col("__h_old") != F.col("__h_new"), F.lit("modified"))
         .alias("change_type"),
     ).where(F.col("change_type").isNotNull())
+
+
+def merge_on_read_view(
+    base: DataFrame,
+    deltas: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    deleted_col: str = "_deleted",
+) -> DataFrame:
+    """MERGE-ON-READ resolution: base + delta-log union, latest-wins per
+    key at READ time — the other half of the lakehouse story next to the
+    copy-on-write `merge_full_history`/`merge_upsert` (write-cheap /
+    read-costly vs write-costly / read-cheap; Hudi MOR, Delta deletion
+    vectors, Iceberg v2 equality deletes all play this trade).
+
+    ``deltas`` rows carry ``seq_col`` (monotone change sequence; base
+    rows rank as seq = -infinity via NULL) and an optional boolean
+    ``deleted_col`` delete marker.  Resolution = one window rank per key
+    over (seq desc): newest row wins; if the winner is a delete marker
+    the key disappears.
+
+    Scale: ONE shuffle on the key columns over base+deltas; at real
+    scale the delta log is small relative to base, so AQE's skew handling
+    plus the fact that ranks-per-key are tiny keeps the window cheap.
+    Compaction (ops/layout.py::compact_partitions) periodically folds the
+    log into the base, resetting read amplification — the standard MOR
+    lifecycle."""
+    from pyspark.sql import Window
+
+    if deleted_col not in deltas.columns:
+        deltas = deltas.withColumn(deleted_col, F.lit(False))
+    b = base.withColumn(seq_col, F.lit(None).cast("bigint")).withColumn(
+        deleted_col, F.lit(False)
+    )
+    all_rows = b.unionByName(deltas.select(*b.columns))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc_nulls_last(),
+        *[F.col(k) for k in keys],
+    )
+    resolved = (
+        all_rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return resolved.filter(~F.col(deleted_col)).drop(deleted_col, seq_col)

@@ -1106,6 +1106,70 @@ ORACLE_SQL["events_sequence_match"] = SQL_EVENTS_SEQUENCE_MATCH
 
 
 
+def q_orders_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ resolution (ops/merge.py::merge_on_read_view): the
+    orders base plus a synthetic delta log — every 50th order re-priced
+    (seq 1), every 100th re-priced again (seq 2, must win), every 75th
+    deleted — resolved latest-wins at read time.  Verified by per-status
+    counts + an exact total over the surviving prices."""
+    from lakeforge.ops.merge import merge_on_read_view
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    upd1 = o.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice") + 10).cast("decimal(18,2)").alias("o_totalprice"),
+        F.lit(1).cast("bigint").alias("seq"),
+        F.lit(False).alias("_deleted"),
+    )
+    upd2 = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice") + 20).cast("decimal(18,2)").alias("o_totalprice"),
+        F.lit(2).cast("bigint").alias("seq"),
+        F.lit(False).alias("_deleted"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 75 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(3).cast("bigint").alias("seq"),
+        F.lit(True).alias("_deleted"),
+    )
+    deltas = upd1.unionByName(upd2).unionByName(dels)
+    view = merge_on_read_view(
+        o, deltas, keys=["o_orderkey"], seq_col="seq"
+    )
+    return view.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+
+
+SQL_ORDERS_MERGE_ON_READ = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+  FROM orders
+),
+resolved AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 20
+              WHEN o_orderkey % 50 = 0 THEN o_totalprice + 10
+              ELSE o_totalprice END AS o_totalprice
+  FROM base
+  WHERE o_orderkey % 75 <> 0
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       SUM(o_totalprice) AS total_price
+FROM resolved GROUP BY o_orderstatus
+"""
+
+QUERIES["orders_merge_on_read"] = q_orders_merge_on_read
+ORACLE_SQL["orders_merge_on_read"] = SQL_ORDERS_MERGE_ON_READ
+
+
+
 # ---------------------------------------------------------------------------
 # Boundary canonicalization + driver-facing registry order.
 #

@@ -216,3 +216,26 @@ def test_merge_upsert_evolved_tiebreak_covers_existing_only_columns(spark, tmp_p
     df2 = read_parquet_if_exists(spark, path)
     k1b = [tuple(r) for r in df2.select("k", "v", "extra").collect() if r[0] == "k1"]
     assert len(k1b) == 1 and k1b[0][2] == expected_extra
+
+
+def test_merge_on_read_latest_wins_and_deletes(spark):
+    """MOR resolution: highest seq wins per key; delete markers remove
+    the key; base rows (NULL seq) lose to any delta."""
+    from lakeforge.ops.merge import merge_on_read_view
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        ["k", "name", "v"],
+    )
+    deltas = spark.createDataFrame(
+        [
+            (1, "a", 11, 1, False),   # update
+            (1, "a", 12, 2, False),   # later update wins
+            (2, "b", 99, 1, True),    # delete
+            (5, "e", 50, 1, False),   # insert
+        ],
+        ["k", "name", "v", "seq", "_deleted"],
+    )
+    out = merge_on_read_view(base, deltas, keys=["k"], seq_col="seq")
+    got = sorted((r["k"], r["name"], r["v"]) for r in out.collect())
+    assert got == [(1, "a", 12), (3, "c", 30), (4, "d", 40), (5, "e", 50)]
