@@ -3673,3 +3673,72 @@ SELECT k AS o_custkey, est_n, exact_n FROM est WHERE est_n >= 25
 
 QUERIES["heavy_hitter_customers"] = q_heavy_hitter_customers
 ORACLE_SQL["heavy_hitter_customers"] = _cms_oracle()
+
+
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since last order),
+    Frequency (order count), Monetary (total spend) -> quartile scores
+    via ntile -> named segment.  One shuffle for the per-customer agg;
+    the three ntile windows share one GLOBAL ordering each but run over
+    the aggregated frame (|customers| rows, not orders) — at extreme
+    scale swap ntile for fixed percentile cut points computed once
+    (approx_percentile) to avoid the single-partition sorts."""
+    o = _t(spark, sf_dir, "orders")
+    anchor = F.lit("1998-12-31").cast("date")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min(F.datediff(anchor, F.col("o_orderdate").cast("date")))
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).cast("bigint").alias("r_score"),
+        F.ntile(4).over(wf).cast("bigint").alias("f_score"),
+        F.ntile(4).over(wm).cast("bigint").alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
+        .when(F.col("r_score") == 4, "at_risk")
+        .when(F.col("f_score") <= 2, "loyal")
+        .otherwise("regular")
+    )
+    return scored.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("monetary").alias("segment_value"),
+    )
+
+
+SQL_CUSTOMER_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')) AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS BIGINT) AS r_score,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS BIGINT) AS f_score,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS BIGINT) AS m_score
+  FROM per_cust
+)
+SELECT CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+            WHEN r_score = 4 THEN 'at_risk'
+            WHEN f_score <= 2 THEN 'loyal'
+            ELSE 'regular' END AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       SUM(monetary) AS segment_value
+FROM scored GROUP BY 1
+"""
+
+QUERIES["customer_rfm_segments"] = q_customer_rfm_segments
+ORACLE_SQL["customer_rfm_segments"] = SQL_CUSTOMER_RFM
