@@ -66,6 +66,8 @@ class _RangePartition(InputPartition):
 class DocgenReader(DataSourceReader):
     def __init__(self, options):
         self.rows = int(options.get("rows", 1000))
+        if self.rows < 0:
+            raise ValueError(f"rows must be >= 0, got {self.rows}")
         self.seed = int(options.get("seed", 0))
         self.num_partitions = int(options.get("numPartitions", 8))
 

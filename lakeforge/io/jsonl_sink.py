@@ -35,6 +35,12 @@ class JsonlCommit(WriterCommitMessage):
 
 
 class JsonlWriter(DataSourceWriter):
+    """NOTE: executors open ``path`` directly, so on a real cluster it
+    must be shared storage (NFS/FUSE-mounted object store); on local[*]
+    any directory works.  A cloud-native variant would write via an
+    object-store client per partition and commit a manifest instead of
+    renames — the two-phase protocol shown here is the same."""
+
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
         if not self.path:

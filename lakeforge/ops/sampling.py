@@ -151,6 +151,9 @@ def capped_sample_per_group(
     """
     from pyspark.sql import Window
 
+    for c in ("__h", "__r1", "__r2"):
+        if c in df.columns:
+            raise ValueError(f"capped_sample_per_group: column {c} is reserved")
     h = md5_int(F.col(key), F.lit(salt))
     bucket = F.pmod(h, F.lit(n_buckets))
     ranked1 = df.withColumn("__h", h).withColumn(
