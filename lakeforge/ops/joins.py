@@ -249,3 +249,54 @@ def salted_join(
     )
     out = lg.join(sm, on=[*on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def bloom_prefiltered_semi_join(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    keys_key: str,
+    n_bits: int = 16384,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """LEFT SEMI join with a hand-built Bloom prefilter — the manual
+    version of the runtime row-level filter (Spark's internal
+    bloom_filter_agg isn't SQL-exposed), for when the key set is too big
+    to broadcast as an IN-list but its BITMAP is tiny.
+
+    Build side: each key sets ``n_hashes`` md5-derived bit positions in a
+    ``n_bits`` Bloom bitmap; the distinct set-bit list (<= n_bits ints ~
+    128KB at 16k bits) broadcasts to the fact scan, which drops every row
+    whose positions aren't all set BEFORE the shuffle of the exact semi
+    join.  False positives pass the prefilter and are removed by the
+    exact join — the result is bit-identical to the plain semi join
+    (which is exactly what the oracle checks); the win is shuffle bytes:
+    only prefilter survivors exchange.
+
+    At 100 TB: the bitmap is O(n_bits) regardless of key count (size the
+    bits to keys for false-positive rate); the prefilter is a row-local
+    Project+Filter inside the scan stage — this is precisely what AQE's
+    runtime filters do, made explicit and portable."""
+    from lakeforge.functions.keys import md5_int
+
+    def positions(col):
+        return [
+            F.pmod(md5_int(col, F.lit(f"bloom{h}")), F.lit(n_bits))
+            for h in range(n_hashes)
+        ]
+
+    bits = (
+        keys.select(
+            F.explode(F.array(*positions(F.col(keys_key)))).alias("bit")
+        )
+        .agg(F.collect_set("bit").alias("bits"))
+    )
+    probed = fact.crossJoin(F.broadcast(bits))
+    pred = None
+    for p in positions(F.col(fact_key)):
+        c = F.array_contains("bits", p)
+        pred = c if pred is None else (pred & c)
+    prefiltered = probed.filter(pred).drop("bits")
+    return prefiltered.join(
+        keys, prefiltered[fact_key] == keys[keys_key], "left_semi"
+    )

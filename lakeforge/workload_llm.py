@@ -2018,3 +2018,41 @@ FROM scored
 
 QUERIES["minhash_calibration"] = q_minhash_calibration
 ORACLE_SQL["minhash_calibration"] = _sql_minhash_calibration()
+
+
+def q_vocab_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: top-50 tokens by frequency with rank
+    and the Zipf product rank*count (≈ constant under Zipf's law) — the
+    standard sanity check on corpus token distributions.  One explode +
+    one count shuffle (map-side combinable, vocabulary-bounded output);
+    the rank window runs over the TOP-N aggregate rows only."""
+    from lakeforge.llm.text import tokens_col
+
+    toks = _documents(spark, sf_dir).select(
+        F.explode(tokens_col("text")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("n").desc(), F.col("tok").asc())
+    top = counts.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= 50
+    )
+    return top.select(
+        "rank", "tok", "n", (F.col("rank") * F.col("n")).cast("bigint").alias("zipf_product")
+    )
+
+
+SQL_VOCAB_ZIPF = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS tok
+  FROM documents
+),
+c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+r AS (SELECT *, CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS rank FROM c)
+SELECT rank, tok, n, CAST(rank * n AS BIGINT) AS zipf_product
+FROM r WHERE rank <= 50
+"""
+
+QUERIES["vocab_zipf_profile"] = q_vocab_zipf_profile
+ORACLE_SQL["vocab_zipf_profile"] = SQL_VOCAB_ZIPF

@@ -3742,3 +3742,36 @@ FROM scored GROUP BY 1
 
 QUERIES["customer_rfm_segments"] = q_customer_rfm_segments
 ORACLE_SQL["customer_rfm_segments"] = SQL_CUSTOMER_RFM
+
+
+def q_bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to high-value orders, computed
+    through the hand-built Bloom prefilter
+    (ops/joins.py::bloom_prefiltered_semi_join).  The oracle is the PLAIN
+    semi join — proving the prefilter is semantically transparent (false
+    positives die in the exact join; false negatives are impossible)."""
+    from lakeforge.ops.joins import bloom_prefiltered_semi_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    hi = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 350000.0
+    ).select("o_orderkey")
+    kept = bloom_prefiltered_semi_join(li, hi, "l_orderkey", "o_orderkey")
+    return kept.agg(
+        F.sum(_revenue()).alias("hi_rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+SQL_BLOOM_SEMI_REVENUE = """
+SELECT SUM({REV}) AS hi_rev, CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_totalprice > 350000.0)
+""".replace("{REV}", _REV_SQL)
+
+QUERIES["bloom_semi_revenue"] = q_bloom_semi_revenue
+ORACLE_SQL["bloom_semi_revenue"] = SQL_BLOOM_SEMI_REVENUE
