@@ -539,3 +539,25 @@ def test_observed_write_profile_rides_the_write(spark, tmp_path):
     assert got["n_rows"] == 1000
     assert got["n_null_v"] == 100
     assert got["max_v"] == 1998
+
+
+def test_bloom_prefilter_is_transparent_and_prunes(spark):
+    """Bloom-prefiltered semi join == plain semi join on any input; with
+    a tiny bitmap (forced collisions) correctness still holds — false
+    positives die in the exact join."""
+    from lakeforge.ops.joins import bloom_prefiltered_semi_join
+
+    fact = spark.createDataFrame([(i, i * 10) for i in range(500)], ["k", "v"])
+    keys = spark.createDataFrame([(i * 7,) for i in range(30)], ["kk"])
+    want = sorted(
+        (r["k"], r["v"])
+        for r in fact.join(keys, fact.k == keys.kk, "left_semi").collect()
+    )
+    for n_bits in (64, 16384):  # 64 bits => heavy collisions
+        got = sorted(
+            (r["k"], r["v"])
+            for r in bloom_prefiltered_semi_join(
+                fact, keys, "k", "kk", n_bits=n_bits
+            ).collect()
+        )
+        assert got == want, n_bits
