@@ -182,3 +182,92 @@ def test_char_entropy_matches_naive_python(spark, texts):
         h = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
         assert got[i][0] == n
         assert abs(got[i][1] - round(h, 6)) < 1e-9
+
+
+_DOC_TEXTS = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=50)
+    .map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**_SETTINGS)
+@given(texts=_DOC_TEXTS)
+def test_passage_dedup_matches_naive_python(spark, texts):
+    """passage_dedup == brute-force python recomputation: same shared
+    passages, same doc counts, on arbitrary small corpora."""
+    import hashlib
+    from collections import defaultdict
+
+    from lakeforge.llm.dedup import passage_dedup
+
+    W = 4  # small window so tiny docs produce multiple passages
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {
+        r["passage_hash"]: (r["n_docs"], r["n_occurrences"], r["canonical_doc_id"])
+        for r in passage_dedup(df, "text", "doc_id", passage_words=W).collect()
+    }
+
+    occurrences = defaultdict(list)
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.lower().split() if t]
+        for i in range(0, len(toks), W):
+            p = " ".join(toks[i : i + W])
+            h = int(hashlib.md5(p.encode()).hexdigest()[:15], 16)
+            occurrences[h].append(doc_id)
+    want = {
+        h: (len(set(ids)), len(ids), min(ids))
+        for h, ids in occurrences.items()
+        if len(set(ids)) >= 2
+    }
+    assert got == want
+
+
+_MOR_BASE = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 100)),
+    min_size=0, max_size=8, unique_by=lambda r: r[0],
+)
+_MOR_DELTAS = st.lists(
+    st.tuples(
+        st.integers(0, 5),           # key
+        st.integers(0, 100),         # value
+        st.integers(1, 4),           # seq
+        st.booleans(),               # deleted
+    ),
+    min_size=0, max_size=10,
+    unique_by=lambda r: (r[0], r[2]),  # one delta per (key, seq)
+)
+
+
+@settings(**_SETTINGS)
+@given(base=_MOR_BASE, deltas=_MOR_DELTAS)
+def test_merge_on_read_matches_reference_model(spark, base, deltas):
+    """merge_on_read_view == a dict-based latest-wins reference model."""
+    from lakeforge.ops.merge import merge_on_read_view
+
+    if not base and not deltas:
+        return
+    b = spark.createDataFrame(base or [(99, 0)], ["k", "v"])
+    if not base:
+        b = b.filter("k < 0")
+    d = spark.createDataFrame(
+        deltas or [(99, 0, 1, False)], ["k", "v", "seq", "_deleted"]
+    )
+    if not deltas:
+        d = d.filter("k < 0")
+    out = merge_on_read_view(b, d, keys=["k"], seq_col="seq")
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+
+    model: dict[int, tuple[int, int, bool]] = {}  # k -> (seq, v, deleted)
+    for k, v in base:
+        model[k] = (-1, v, False)
+    for k, v, seq, deleted in deltas:
+        if k not in model or seq > model[k][0]:
+            model[k] = (seq, v, deleted)
+    want = sorted(
+        (k, v) for k, (seq, v, deleted) in model.items() if not deleted
+    )
+    assert got == want
