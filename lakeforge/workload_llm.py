@@ -2056,3 +2056,179 @@ FROM r WHERE rank <= 50
 
 QUERIES["vocab_zipf_profile"] = q_vocab_zipf_profile
 ORACLE_SQL["vocab_zipf_profile"] = SQL_VOCAB_ZIPF
+
+
+def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: an INCOMING batch (docs with
+    doc_id >= 250, plus exact copies of 10 historical docs and a few
+    within-batch twins) checked
+    against the HISTORICAL fingerprint store (doc_id < 250) — the
+    steady-state shape of a training-data pipeline, where each new crawl
+    deduplicates against everything already ingested.
+
+    Verdicts per incoming doc: 'dup_of_history' (fingerprint already
+    stored), 'dup_in_batch' (not historical, but a within-batch twin with
+    a smaller id won), 'new' (first sight).  Scale: the historical store
+    keeps ONLY (fingerprint, canonical_id) — never text; both checks are
+    equi-joins on the 60-bit fingerprint."""
+    from lakeforge.functions.keys import md5_int
+    from lakeforge.llm.text import tokens_col
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    fp = docs.select(
+        "doc_id",
+        md5_int(F.concat_ws(" ", tokens_col("text"))).alias("fp"),
+    )
+    hist = fp.filter(F.col("doc_id") < 250)
+    copies = hist.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "fp"
+    )
+    fresh = fp.filter(F.col("doc_id") >= 250)
+    batch_twins = fresh.filter(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"), "fp"
+    )
+    incoming = fresh.unionByName(copies).unionByName(batch_twins)
+    store = hist.groupBy("fp").agg(F.min("doc_id").alias("hist_canonical"))
+    # within-batch winner per fingerprint
+    batch_min = incoming.groupBy("fp").agg(F.min("doc_id").alias("batch_canonical"))
+    verdict = (
+        incoming.join(store, "fp", "left")
+        .join(batch_min, "fp")
+        .select(
+            "doc_id",
+            F.when(F.col("hist_canonical").isNotNull(), "dup_of_history")
+            .when(F.col("doc_id") != F.col("batch_canonical"), "dup_in_batch")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )
+    return verdict.groupBy("verdict").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+SQL_DOCS_INCREMENTAL_DEDUP = f"""
+WITH fp AS (
+  SELECT doc_id, {{FP}} AS fp
+  FROM (SELECT doc_id, array_to_string({_TOKS}, ' ') AS norm FROM documents) t
+),
+hist AS (SELECT * FROM fp WHERE doc_id < 250),
+incoming AS (
+  SELECT * FROM fp WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, fp FROM hist WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 6000000 AS doc_id, fp FROM fp
+  WHERE doc_id >= 250 AND doc_id % 30 = 0
+),
+store AS (SELECT fp, MIN(doc_id) AS hist_canonical FROM hist GROUP BY fp),
+bmin AS (SELECT fp, MIN(doc_id) AS batch_canonical FROM incoming GROUP BY fp),
+v AS (
+  SELECT i.doc_id,
+         CASE WHEN s.hist_canonical IS NOT NULL THEN 'dup_of_history'
+              WHEN i.doc_id <> b.batch_canonical THEN 'dup_in_batch'
+              ELSE 'new' END AS verdict
+  FROM incoming i
+  LEFT JOIN store s ON i.fp = s.fp
+  JOIN bmin b ON i.fp = b.fp
+)
+SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs FROM v GROUP BY verdict
+""".replace("{FP}", "CAST(('0x' || substr(md5(COALESCE(CAST(norm AS VARCHAR), chr(30))), 1, 15)) AS UBIGINT)::BIGINT")
+
+QUERIES["docs_incremental_dedup"] = q_docs_incremental_dedup
+ORACLE_SQL["docs_incremental_dedup"] = SQL_DOCS_INCREMENTAL_DEDUP
+
+
+def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the near-dup pipeline: candidate pairs -> connected
+    components -> ONE survivor per cluster chosen by QUALITY (highest
+    rule-based quality score, lowest doc_id tiebreak) — keep-BEST dedup
+    rather than keep-first.  Reports per cluster: survivor, member
+    count, and the quality points gained over naive keep-lowest-id.
+
+    Scale: components come from the checkpointed min-label propagation
+    (ops/graph.py); survivor selection is one groupBy over |members|
+    rows (max_by / min_by structs); quality joins by doc_id — text never
+    shuffles past its one quality-scoring Project."""
+    from lakeforge.llm.dedup import lsh_candidate_pairs, minhash_signatures
+    from lakeforge.llm.text import quality_score
+    from lakeforge.ops.graph import connected_components
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    sig = minhash_signatures(corpus, "text", "doc_id", k=_K, shingle_n=3)
+    pairs = lsh_candidate_pairs(sig, k=_K, bands=_BANDS, min_match=_MIN_MATCH)
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("vertex").alias("node"), "component"
+    )
+    q = quality_score(corpus, "text", "doc_id").select(
+        F.col("doc_id").alias("node"), "quality_score"
+    )
+    members = comp.join(q, "node")
+    return members.groupBy("component").agg(
+        F.expr("max_by(node, struct(quality_score, -node))").alias("survivor_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        (
+            F.max("quality_score") - F.expr("min_by(quality_score, node)")
+        ).cast("bigint").alias("quality_gain"),
+    )
+
+
+def _sql_neardup_survivors() -> str:
+    # quality formula inline over the near-dup corpus (same expressions
+    # as SQL_DOCS_QUALITY_SCORE, different source table).
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_minhash_lsh_pairs()}),
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(v, r) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.v
+),
+comp AS (SELECT v AS node, MIN(r) AS component FROM reach GROUP BY v),
+{_NEARDUP_CORPUS.strip().rstrip(')').replace('corpus AS (', 'corpus AS (', 1) + ')'},
+qtoks AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+q AS (
+  SELECT doc_id AS node,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0
+              ELSE (len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1000) // len(toks)
+         END AS stop_pm,
+         CASE WHEN len(toks) = 0 THEN 0
+              ELSE (len(list_distinct(toks)) * 1000) // len(toks)
+         END AS uniq_pm
+  FROM qtoks
+),
+scoreq AS (
+  SELECT node,
+         CAST(stop_pm * 2 + uniq_pm
+              + CASE WHEN n_tokens BETWEEN 30 AND 500 THEN 200 ELSE 0 END
+              AS BIGINT) AS quality_score
+  FROM q
+),
+m AS (SELECT c.component, c.node, s.quality_score
+      FROM comp c JOIN scoreq s ON s.node = c.node),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY quality_score DESC, node ASC) AS rk
+  FROM m
+)
+SELECT r.component,
+       MAX(CASE WHEN r.rk = 1 THEN r.node END) AS survivor_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(MAX(r.quality_score)
+            - MIN(CASE WHEN r.node = fm.first_node THEN r.quality_score END)
+            AS BIGINT) AS quality_gain
+FROM ranked r
+JOIN (SELECT component, MIN(node) AS first_node FROM m GROUP BY component) fm
+  ON fm.component = r.component
+GROUP BY r.component
+"""
+
+
+QUERIES["neardup_survivors"] = q_neardup_survivors
+ORACLE_SQL["neardup_survivors"] = _sql_neardup_survivors()
