@@ -3775,3 +3775,115 @@ WHERE EXISTS (SELECT 1 FROM orders o
 
 QUERIES["bloom_semi_revenue"] = q_bloom_semi_revenue
 ORACLE_SQL["bloom_semi_revenue"] = SQL_BLOOM_SEMI_REVENUE
+
+
+def q_customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: customers ranked by revenue; class A
+    = first 70% of cumulative revenue share, B = next 25%, C = tail.
+    Share math in integer basis points of the exact DECIMAL total.
+
+    Plan: per-customer agg (one shuffle), then the cumulative window
+    runs over the AGGREGATED |customers| frame.  That window is a global
+    sort — fine while |customers| is dim-like relative to the fact; at
+    extreme cardinality swap in the two-level block-prefix pattern
+    (q_orderkey_gaps) exactly as the RFM note says."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = per_cust.agg(F.sum("rev").alias("t"))
+    # integer bps of cumulative share, exact: both decimals become
+    # integral ten-thousandth units before the BIGINT division.
+    cum = (
+        per_cust.crossJoin(F.broadcast(total))
+        .withColumn("cum_rev", F.sum("rev").over(wcum))
+        .withColumn(
+            "cum_bps",
+            F.expr(
+                "(CAST(cum_rev * 10000 AS BIGINT) * 10000)"
+                " div CAST(t * 10000 AS BIGINT)"
+            ),
+        )
+    )
+    cls = (
+        F.when(F.col("cum_bps") <= 7000, "A")
+        .when(F.col("cum_bps") <= 9500, "B")
+        .otherwise("C")
+    )
+    return cum.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev").alias("class_revenue"),
+    )
+
+
+SQL_CUSTOMER_ABC = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+cum AS (
+  SELECT o_custkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         (SELECT SUM(rev) FROM per_cust) AS t
+  FROM per_cust
+),
+b AS (
+  SELECT *,
+         (CAST(cum_rev * 10000 AS BIGINT) * 10000)
+           // CAST(t * 10000 AS BIGINT) AS cum_bps
+  FROM cum
+)
+SELECT CASE WHEN cum_bps <= 7000 THEN 'A'
+            WHEN cum_bps <= 9500 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       SUM(rev) AS class_revenue
+FROM b GROUP BY 1
+"""
+
+QUERIES["customer_abc_classes"] = q_customer_abc_classes
+ORACLE_SQL["customer_abc_classes"] = SQL_CUSTOMER_ABC
+
+
+def q_trade_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part↔supplier trade graph in log2
+    buckets — the first thing to look at before running any graph
+    algorithm at scale (a power-law tail changes the join strategy; cf.
+    triangle counting's degree-orientation).  Two aggregates, both
+    map-side combinable; output is O(log max_degree)."""
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select("l_partkey", "l_suppkey").distinct()
+    deg = (
+        e0.select(F.col("l_partkey").alias("node"))
+        .unionAll(e0.select((F.col("l_suppkey") + 10_000_000).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    bucket = F.expr("CAST(floor(log2(deg)) AS BIGINT)")
+    return deg.groupBy(bucket.alias("log2_degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("deg").cast("bigint").alias("min_deg"),
+        F.max("deg").cast("bigint").alias("max_deg"),
+    )
+
+
+SQL_TRADE_DEGREE_HISTOGRAM = """
+WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+nodes AS (
+  SELECT l_partkey AS node FROM e0
+  UNION ALL
+  SELECT l_suppkey + 10000000 AS node FROM e0
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nodes GROUP BY node)
+SELECT CAST(floor(log2(deg)) AS BIGINT) AS log2_degree,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(deg) AS BIGINT) AS min_deg,
+       CAST(MAX(deg) AS BIGINT) AS max_deg
+FROM deg GROUP BY 1
+"""
+
+QUERIES["trade_degree_histogram"] = q_trade_degree_histogram
+ORACLE_SQL["trade_degree_histogram"] = SQL_TRADE_DEGREE_HISTOGRAM
