@@ -76,7 +76,12 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, k: int = 32, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 32,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature as columns m0..m{k-1}.
 
@@ -89,7 +94,11 @@ def minhash_signatures(
     over every shingle array outside Tungsten loses to one fused
     hash-aggregate over exploded rows.)
     """
-    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    sh = (
+        shingles
+        if shingles is not None
+        else _doc_shingles(df, text_col, id_col, shingle_n)
+    )
     h = sh.select("doc_id", md5_int32("shingle").alias("h"))
     consts = minhash_constants(k)
     mins = [
@@ -362,6 +371,7 @@ def exact_jaccard_for_pairs(
     id_col: str,
     pairs: DataFrame,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for a GIVEN (doc_a, doc_b) pair list —
     the ground-truth side of sketch-calibration queries.
@@ -375,7 +385,11 @@ def exact_jaccard_for_pairs(
     """
     from lakeforge.cache import persist_tracked
 
-    sh = persist_tracked(_doc_shingles(df, text_col, id_col, shingle_n))
+    sh = (
+        shingles
+        if shingles is not None
+        else persist_tracked(_doc_shingles(df, text_col, id_col, shingle_n))
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     p = pairs.select("doc_a", "doc_b")
     inter = (
