@@ -223,3 +223,35 @@ def test_jsonl_custom_sink_round_trips_and_commits_atomically(spark, tmp_path):
     got = sorted((r["id"], r["name"], r["score"]) for r in back.collect())
     want = sorted((r["id"], r["name"], r["score"]) for r in df.collect())
     assert got == want
+
+
+def test_jsonl_sink_abort_removes_task_temp_files(tmp_path):
+    """Writer protocol unit test (no Spark needed): write() leaves only
+    _tmp_ files; abort() removes them; commit() renames + _SUCCESS."""
+    import json
+    import os
+    from types import SimpleNamespace
+
+    from lakeforge.io.jsonl_sink import JsonlWriter
+
+    out = str(tmp_path / "o")
+    w = JsonlWriter({"path": out}, overwrite=False)
+
+    rows = [SimpleNamespace(asDict=lambda recursive=True, _i=i: {"id": _i})
+            for i in range(3)]
+    m1 = w.write(iter(rows))
+    assert os.path.basename(m1.tmp_path).startswith("_tmp_")
+    assert m1.n_rows == 3
+
+    # abort path: temp gone, nothing committed
+    w.abort([m1])
+    assert os.listdir(out) == []
+
+    m2 = w.write(iter(rows))
+    w.commit([m2])
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    parts = [n for n in names if n.startswith("part-")]
+    assert len(parts) == 1
+    lines = open(os.path.join(out, parts[0])).read().splitlines()
+    assert [json.loads(ln)["id"] for ln in lines] == [0, 1, 2]
