@@ -241,9 +241,18 @@ def merge_on_read_view(
         deleted_col, F.lit(False)
     )
     all_rows = b.unionByName(deltas.select(*b.columns))
+    # (keys, seq) SHOULD be unique in the delta log; if two deltas share a
+    # seq for one key, break the tie deterministically on a hash of the
+    # VALUE columns (the key columns are constant within the window
+    # partition, so they can never break a tie).
+    value_cols = [
+        c for c in all_rows.columns
+        if c not in (*keys, seq_col, deleted_col)
+    ]
     w = Window.partitionBy(*keys).orderBy(
         F.col(seq_col).desc_nulls_last(),
-        *[F.col(k) for k in keys],
+        F.xxhash64(*[F.col(c) for c in value_cols]).asc()
+        if value_cols else F.lit(0).asc(),
     )
     resolved = (
         all_rows.withColumn("__rn", F.row_number().over(w))

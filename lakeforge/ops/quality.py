@@ -153,19 +153,7 @@ def observe_metrics(
 
 
 def observed_write_profile(df, metric_exprs: dict):
-    """Ride-along metrics via ``Observation`` (`df.observe`): count/null/
-    min-max profiles collected DURING the action that materializes the
-    frame — zero extra scans, zero extra shuffles (an AccumulatorV2 under
-    the hood), vs quality.table_profile's dedicated aggregate job.
-
-    Returns (observed_df, observation).  Read ``observation.get`` AFTER
-    an action on observed_df; the dict maps alias -> value.  The pattern:
-    profile the very write that lands the table, then gate/alert on the
-    observation without re-reading what you just wrote.
-    """
-    from pyspark.sql import Observation
-    from pyspark.sql import functions as F
-
-    obs = Observation()
-    aliased = [c.alias(name) for name, c in metric_exprs.items()]
-    return df.observe(obs, *aliased), obs
+    """Thin alias over :func:`observe_metrics` kept for the write-profile
+    call sites: profile the very action that lands the table, then
+    gate/alert on the observation without re-reading what you wrote."""
+    return observe_metrics(df, "write_profile", metric_exprs)

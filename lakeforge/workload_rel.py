@@ -3853,12 +3853,17 @@ def q_trade_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets — the first thing to look at before running any graph
     algorithm at scale (a power-law tail changes the join strategy; cf.
     triangle counting's degree-orientation).  Two aggregates, both
-    map-side combinable; output is O(log max_degree)."""
+    map-side combinable; output is O(log max_degree).
+
+    Node ids use the collision-free parity encoding shared with
+    pagerank_trade (part=2*key, supplier=2*key+1) — an additive offset
+    would silently merge part/supplier degrees once partkeys pass it at
+    larger scale factors."""
     li = _t(spark, sf_dir, "lineitem")
     e0 = li.select("l_partkey", "l_suppkey").distinct()
     deg = (
-        e0.select(F.col("l_partkey").alias("node"))
-        .unionAll(e0.select((F.col("l_suppkey") + 10_000_000).alias("node")))
+        e0.select((F.col("l_partkey") * 2).alias("node"))
+        .unionAll(e0.select((F.col("l_suppkey") * 2 + 1).alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     )
@@ -3873,9 +3878,9 @@ def q_trade_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TRADE_DEGREE_HISTOGRAM = """
 WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
 nodes AS (
-  SELECT l_partkey AS node FROM e0
+  SELECT l_partkey * 2 AS node FROM e0
   UNION ALL
-  SELECT l_suppkey + 10000000 AS node FROM e0
+  SELECT l_suppkey * 2 + 1 AS node FROM e0
 ),
 deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nodes GROUP BY node)
 SELECT CAST(floor(log2(deg)) AS BIGINT) AS log2_degree,
