@@ -9,10 +9,16 @@ Two tiers of decode (round-3 review #5 retired the old blanket stub):
   distributed via mapInPandas.  ``encode_bmp`` / ``encode_wav`` write the
   same headers, so fixtures and the ``media_decode`` query round-trip
   real bytes through real parsing.
-- **Pixel/sample decode still needs a codec lib** (PIL/soundfile — not in
-  this container): ``extract_features`` uses the deterministic
-  byte-histogram featurizer instead, which exercises the identical Spark
-  plumbing (schema contract, Arrow batch shape, partitioning).
+- **Payload decode is REAL for the uncompressed formats**:
+  ``decode_bmp_pixels`` parses 24-bit BMP pixel rows (stride padding
+  dropped, bottom-up order flipped) and ``decode_wav_samples`` parses
+  16-bit PCM frames — pure numpy, no codec lib — and
+  ``decode_media_stats`` runs them distributed, emitting exact integer
+  count/sum/min/max per item.  Only COMPRESSED codecs (JPEG/MP3/H.264)
+  would need an external lib; ``extract_features`` keeps the
+  deterministic byte-histogram featurizer as the codec-free stand-in on
+  that path, exercising identical Spark plumbing (schema contract, Arrow
+  batch shape, partitioning).
 
 Scale notes:
 - Media bytes NEVER shuffle: featurize before any groupBy/join and carry
@@ -150,6 +156,130 @@ def decode_wav_header(content: bytes) -> dict:
         "n_samples": n_samples,
         "duration_ms": n_samples * 1000 // sample_rate,
     }
+
+
+def decode_bmp_pixels(content: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP's pixel array — pure numpy, no
+    codec lib.  Returns a ``(height, width, 3)`` uint8 array in TOP-DOWN
+    row order and the file's native BGR channel order.
+
+    Handles the format's real quirks: the pixel array starts at the
+    header-declared data offset; each row is padded to a 4-byte stride
+    (padding bytes are NOT pixels and must be dropped); positive
+    biHeight means rows are stored bottom-up (flipped here).
+    Raises ValueError on non-BMP / non-24-bit / truncated payloads.
+    """
+    if content is None or len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (data_offset,) = struct.unpack_from("<I", content, 10)
+    width, height_signed = struct.unpack_from("<ii", content, 18)
+    (bpp,) = struct.unpack_from("<H", content, 28)
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}-bit")
+    height = abs(height_signed)
+    if width <= 0 or height <= 0:
+        raise ValueError("BMP with non-positive dimensions")
+    row_bytes = (width * 3 + 3) & ~3
+    need = data_offset + row_bytes * height
+    if len(content) < need:
+        raise ValueError(
+            f"truncated BMP pixel array: have {len(content)}, need {need}"
+        )
+    raw = np.frombuffer(
+        content, dtype=np.uint8, count=row_bytes * height, offset=data_offset
+    )
+    # drop the per-row stride padding, then split pixels into channels
+    px = raw.reshape(height, row_bytes)[:, : width * 3].reshape(
+        height, width, 3
+    )
+    if height_signed > 0:  # bottom-up storage -> top-down logical order
+        px = px[::-1]
+    return px
+
+
+def decode_wav_samples(content: bytes) -> tuple[np.ndarray, dict]:
+    """Decode 16-bit PCM WAV samples — pure numpy/struct.  Returns
+    ``(samples, header)`` where samples is an ``(n_samples, n_channels)``
+    int16 array (little-endian, as stored) and header is
+    :func:`decode_wav_header`'s dict.  Raises ValueError on non-PCM-16 or
+    a data chunk shorter than its declared size.
+    """
+    hdr = decode_wav_header(content)
+    if hdr["bits"] != 16:
+        raise ValueError(f"only 16-bit PCM supported, got {hdr['bits']}-bit")
+    # locate the data chunk's payload offset (header decode validated it)
+    pos = 12
+    while pos + 8 <= len(content):
+        cid, csize = struct.unpack_from("<4sI", content, pos)
+        if cid == b"data":
+            if pos + 8 + csize > len(content):
+                raise ValueError(
+                    f"truncated WAV data chunk: declared {csize}, "
+                    f"have {len(content) - pos - 8}"
+                )
+            raw = np.frombuffer(
+                content, dtype="<i2", count=csize // 2, offset=pos + 8
+            )
+            n_ch = hdr["n_channels"]
+            return raw.reshape(-1, n_ch), hdr
+        pos += 8 + csize + (csize & 1)
+    raise ValueError("WAV payload missing data chunk")
+
+
+MEDIA_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("fmt", StringType(), True),  # bmp | wav | None=corrupt
+        StructField("n_values", LongType(), True),
+        StructField("val_sum", LongType(), True),
+        StructField("val_min", LongType(), True),
+        StructField("val_max", LongType(), True),
+    ]
+)
+
+
+def decode_media_stats(media: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Distributed PAYLOAD decode (not just headers): parse every BMP's
+    stride-padded pixel rows / every WAV's 16-bit PCM samples with the
+    pure-numpy decoders above and emit per-item value stats
+    (count/sum/min/max over pixel bytes resp. samples).  Exact integer
+    outputs — oracle-checkable against a closed-form recomputation when
+    payloads are deterministic.
+
+    Same scale contract as every media op here: bytes are consumed inside
+    the Arrow batch and never survive the operator; undecodable payloads
+    yield fmt=NULL rows instead of failing the task."""
+    if partitions:
+        media = media.repartition(partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                fmt = n = s = lo = hi = None
+                try:
+                    if content is not None and content[:2] == b"BM":
+                        px = decode_bmp_pixels(content)
+                        fmt, n = "bmp", int(px.size)
+                        s = int(px.sum(dtype=np.int64))
+                        lo, hi = int(px.min()), int(px.max())
+                    elif content is not None and content[:4] == b"RIFF":
+                        samples, _ = decode_wav_samples(content)
+                        fmt, n = "wav", int(samples.size)
+                        s = int(samples.sum(dtype=np.int64))
+                        lo, hi = int(samples.min()), int(samples.max())
+                except ValueError:
+                    fmt = n = s = lo = hi = None  # corrupt: keep row, null stats
+                rows.append((mid, fmt, n, s, lo, hi))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "fmt", "n_values", "val_sum",
+                    "val_min", "val_max",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_STATS_SCHEMA)
 
 
 DECODED_SCHEMA = StructType(

@@ -981,6 +981,102 @@ ORACLE_SQL["media_decode"] = SQL_MEDIA_DECODE
 
 
 # ---------------------------------------------------------------------------
+# REAL media PAYLOAD decode (VERDICT r04 #2): beyond the headers, each doc
+# carries a full deterministic payload — even doc_id: a 24-bit BMP whose
+# pixel byte at (y, x, channel c) is (doc_id%97 + y + x + c), rows written
+# BOTTOM-UP with the format's 4-byte stride padding; odd doc_id: 16-bit PCM
+# WAV whose sample i is (doc_id%1000 - 500 + i%100); every 101st doc is
+# corrupt.  ``decode_media_stats`` parses the pixel rows / PCM frames with
+# pure numpy and emits exact integer count/sum/min/max.  The oracle
+# recomputes every stat in closed form from the same doc_id formulas —
+# equality proves byte-exact payload round-trip: mishandling the stride
+# padding, the bottom-up flip, the data offset, or int16 endianness would
+# shift sums on every row.  Corrupt rows must come back all-NULL.
+# ---------------------------------------------------------------------------
+
+
+def q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from lakeforge.llm.multimodal import (
+        decode_media_stats,
+        encode_bmp,
+        encode_wav,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    schema = "media_id bigint, content binary"
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 101 == 0:
+                    content = b"BM\x00corrupt-but-magic" * 2  # bad header
+                elif did % 2 == 0:
+                    w, h = did % 64 + 1, did % 48 + 1
+                    base = did % 97
+                    y = np.arange(h)[:, None, None]
+                    x = np.arange(w)[None, :, None]
+                    c = np.arange(3)[None, None, :]
+                    img = (base + y + x + c).astype(np.uint8)  # top-down
+                    row_bytes = (w * 3 + 3) & ~3
+                    rows = np.zeros((h, row_bytes), np.uint8)
+                    rows[:, : w * 3] = img[::-1].reshape(h, w * 3)  # bottom-up
+                    content = encode_bmp(w, h, rows.tobytes())
+                else:
+                    n = (did * 37) % 4000 + 100
+                    base = did % 1000 - 500
+                    samples = (base + np.arange(n) % 100).astype("<i2")
+                    content = encode_wav(
+                        n_samples=n,
+                        sample_rate=8000 * (did % 3 + 1),
+                        data_prefix=samples.tobytes(),
+                    )
+                out.append((did, content))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema=schema)
+    return decode_media_stats(media)
+
+
+SQL_MEDIA_PIXELS = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h, doc_id % 97 AS pb,
+         (doc_id * 37) % 4000 + 100 AS n, doc_id % 1000 - 500 AS sb
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 101 = 0 THEN NULL
+            WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS fmt,
+       CAST(CASE WHEN doc_id % 101 = 0 THEN NULL
+                 WHEN doc_id % 2 = 0 THEN 3 * h * w
+                 ELSE n END AS BIGINT) AS n_values,
+       CAST(CASE WHEN doc_id % 101 = 0 THEN NULL
+                 WHEN doc_id % 2 = 0 THEN
+                      3 * h * w * pb + 3 * w * (h * (h - 1) // 2)
+                      + 3 * h * (w * (w - 1) // 2) + 3 * h * w
+                 ELSE n * sb + (n // 100) * 4950
+                      + (n % 100) * ((n % 100) - 1) // 2
+            END AS BIGINT) AS val_sum,
+       CAST(CASE WHEN doc_id % 101 = 0 THEN NULL
+                 WHEN doc_id % 2 = 0 THEN pb ELSE sb END AS BIGINT) AS val_min,
+       CAST(CASE WHEN doc_id % 101 = 0 THEN NULL
+                 WHEN doc_id % 2 = 0 THEN pb + h + w
+                 ELSE sb + 99 END AS BIGINT) AS val_max
+FROM p
+"""
+
+QUERIES["media_pixels"] = q_media_pixels
+ORACLE_SQL["media_pixels"] = SQL_MEDIA_PIXELS
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination (llm/decontam.py): the benchmark set is
 # synthesized in-query (every 97th doc) so the overlap is non-trivial —
 # benchmark docs self-hit 100%, and the small synthetic vocabulary makes

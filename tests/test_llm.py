@@ -701,3 +701,99 @@ def test_docgen_source_partition_invariant(spark):
         .load()
     )
     assert df13.rdd.getNumPartitions() == 13
+
+
+def test_decode_bmp_pixels_handles_stride_padding_and_bottom_up():
+    """Pixel decode must drop the 4-byte row-stride padding and flip the
+    bottom-up storage order — checked against a hand-built 2x3 image with
+    distinct per-position values (w=2 -> row stride 8, two pad bytes)."""
+    import numpy as np
+    import pytest
+
+    from lakeforge.llm.multimodal import decode_bmp_pixels, encode_bmp
+
+    w, h = 2, 3
+    # logical top-down image: value = 100 + 10*y + 3*x + c
+    img = np.array(
+        [[[100 + 10 * y + 3 * x + c for c in range(3)] for x in range(w)]
+         for y in range(h)],
+        dtype=np.uint8,
+    )
+    row_bytes = (w * 3 + 3) & ~3
+    assert row_bytes == 8  # 6 pixel bytes + 2 pad bytes per row
+    rows = np.full((h, row_bytes), 0xEE, np.uint8)  # poison the padding
+    rows[:, : w * 3] = img[::-1].reshape(h, w * 3)  # stored bottom-up
+    content = encode_bmp(w, h, rows.tobytes())
+
+    out = decode_bmp_pixels(content)
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, img)          # flip undone, padding gone
+    assert 0xEE not in out                   # padding never leaks as pixels
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp_pixels(content[:-4])      # short pixel array
+    with pytest.raises(ValueError, match="24-bit"):
+        bad = bytearray(content)
+        bad[28] = 32                         # declare 32bpp
+        decode_bmp_pixels(bytes(bad))
+
+
+def test_decode_wav_samples_roundtrip_and_truncation():
+    import numpy as np
+    import pytest
+
+    from lakeforge.llm.multimodal import decode_wav_samples, encode_wav
+
+    samples = np.array([-32768, -1, 0, 1, 32767, 12345], dtype="<i2")
+    content = encode_wav(
+        n_samples=6, sample_rate=8000, data_prefix=samples.tobytes()
+    )
+    out, hdr = decode_wav_samples(content)
+    assert out.shape == (6, 1)
+    assert np.array_equal(out.ravel(), samples)
+    assert hdr["sample_rate"] == 8000 and hdr["bits"] == 16
+
+    # stereo: frames reshape to (n_samples, 2)
+    st = np.arange(8, dtype="<i2")
+    c2 = encode_wav(n_samples=4, n_channels=2, data_prefix=st.tobytes())
+    out2, hdr2 = decode_wav_samples(c2)
+    assert out2.shape == (4, 2) and hdr2["n_channels"] == 2
+    assert np.array_equal(out2.ravel(), st)
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav_samples(content[:-2])     # declared > actual data
+
+
+def test_decode_media_stats_distributed(spark):
+    """decode_media_stats parses real payloads per Arrow batch and emits
+    exact integer stats; a corrupt payload yields an all-NULL row instead
+    of failing the task."""
+    import numpy as np
+
+    from lakeforge.llm.multimodal import (
+        decode_media_stats,
+        encode_bmp,
+        encode_wav,
+    )
+
+    w, h = 5, 4
+    img = (np.arange(h * w * 3) % 200).astype(np.uint8).reshape(h, w, 3)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), np.uint8)
+    rows[:, : w * 3] = img[::-1].reshape(h, w * 3)
+    bmp = encode_bmp(w, h, rows.tobytes())
+
+    samples = np.array([-5, 0, 5, 10], dtype="<i2")
+    wav = encode_wav(n_samples=4, data_prefix=samples.tobytes())
+
+    media = spark.createDataFrame(
+        [(1, bmp), (2, wav), (3, b"BM garbage")],
+        "media_id bigint, content binary",
+    )
+    got = {r["media_id"]: r.asDict() for r in decode_media_stats(media).collect()}
+    assert got[1]["fmt"] == "bmp" and got[1]["n_values"] == h * w * 3
+    assert got[1]["val_sum"] == int(img.sum())
+    assert (got[1]["val_min"], got[1]["val_max"]) == (int(img.min()), int(img.max()))
+    assert got[2]["fmt"] == "wav" and got[2]["n_values"] == 4
+    assert (got[2]["val_sum"], got[2]["val_min"], got[2]["val_max"]) == (10, -5, 10)
+    assert got[3]["fmt"] is None and got[3]["val_sum"] is None
