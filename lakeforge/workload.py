@@ -1191,102 +1191,85 @@ RAW_QUERIES: dict[str, QueryFn] = dict(QUERIES)
 
 apply_canonicalization(QUERIES, ORACLE_SQL)
 
-# Round-4 rotation (VERDICT r03 #1), extended mid-round: the 50-slot
-# window now carries TWENTY-THREE never-driver-checked names — the
-# fifteen round-3 analytics the judge listed, plus eight of round-4's
-# new operators (market_share, heavy_hitter_customers,
-# events_windowed_rollup, docs_quality_score, passage_dedup, spend_ewma,
-# sole_late_supplier, docs_domain_cap), each displacing a SECOND
-# already-attested flagship of the same family — growing the cumulative
-# driver-attested set from 71 toward ~94.  Rotated out (every one
-# driver-green in r01-r03, all still covered by pytest + the committed
-# two-SF local oracle evidence): scd2_orders_nullsafe, month_scoped_agg,
-# pricing_summary, top_orders, token_counts, ngram_jaccard_pairs,
-# simhash_neardup, embedding_neardup, rp_lsh_buckets,
-# docs_mixture_sample, rollup_revenue, cube_order_stats,
-# pivot_priority_status, running_order_totals, resample_daily_spend,
-# broadcast_enrich, full_outer_totals, events_dedup_ingest,
-# docs_scrub_pii, neardup_clusters, ivf_topk, percentile_ranks,
-# extreme_order_by_segment.  Every SURVEY §2 family keeps a flagship
-# inside the cap (SCD2 -> scd2_orders; text -> text_stats; dedup ->
-# docs_exact_dedup/minhash_lsh_pairs; similarity ->
-# embedding_cosine_topk; joins -> temporal_fact_resolve/asof_purchase_
-# view; outer/merge -> cdc_merge_orders; grouping sets ->
-# grouping_sets_revenue; windows -> rank_orders_top3/rolling_7day_spend;
-# streaming -> events_sessionize/events_sessions_stateful; sampling ->
-# events_train_test).
+# Round-5 rotation (VERDICT r04 #1): the 50-slot window now carries
+# THIRTY-SEVEN never-driver-checked names — every query the judge listed
+# by name (minhash_calibration, bloom_semi_revenue, neardup_survivors,
+# customer_rfm_segments, customer_abc_classes, events_sequence_match,
+# orders_merge_on_read, events_quality_gate, synthetic_docs_stats,
+# concurrency_seconds, docs_incremental_dedup, ivf_recall_at_k,
+# vocab_zipf_profile, trade_degree_histogram, events_session_window,
+# events_attribution_full, boilerplate_ngrams, docs_chunks,
+# key_skew_orders), eighteen more long-waiting locals, and this round's
+# new media_pixels payload-decode flagship — growing the cumulative
+# driver-attested set from 94 toward ~131 of 160.  THIRTEEN attested
+# flagships stay inside so every SURVEY §2 family keeps driver coverage
+# in the current window: SCD2/windows -> scd2_orders; merge/CDC ->
+# cdc_merge_orders; temporal join -> temporal_fact_resolve; quality ->
+# quality_summary_orders; streaming -> events_sessionize; iterative ->
+# pagerank_trade; text -> text_stats; dedup -> docs_exact_dedup;
+# similarity -> embedding_cosine_topk; sampling -> events_train_test;
+# composed pipeline -> docs_training_pipeline; grouping sets ->
+# grouping_sets_revenue; window funcs -> rank_orders_top3.  Everything
+# rotated out (all driver-green in r01-r04) stays covered by pytest and
+# the committed two-SF local oracle evidence (LOCAL_CORRECTNESS*.json).
 PRIORITY: list[str] = [
-    # medallion / relational core (reference parity, SURVEY.md §2.1-2.7)
+    # --- first-time driver attestation: dedup / similarity / text ---
+    "minhash_calibration",
+    "neardup_survivors",
+    "docs_incremental_dedup",
+    "boilerplate_ngrams",
+    "docs_chunks",
+    "docs_repetition_score",
+    "docs_char_entropy",
+    "bpe_pair_counts",
+    "docs_bigram_likelihood",
+    "token_counts_arrow",
+    "token_runs_udtf",
+    "packing_efficiency",
+    "synthetic_docs_stats",
+    "vocab_zipf_profile",
+    "ivf_recall_at_k",
+    "media_pixels",
+    # --- first-time: relational / analytics ---
+    "bloom_semi_revenue",
+    "customer_rfm_segments",
+    "customer_abc_classes",
+    "orders_merge_on_read",
+    "concurrency_seconds",
+    "trade_degree_histogram",
+    "trade_triangles",
+    "part_name_linkage",
+    "key_skew_orders",
+    "stats_profile",
+    "string_profile",
+    "customer_spend_z",
+    "qty_price_corr",
+    "revenue_share_by_nation",
+    "unpivot_status_counts",
+    "orders_expectations",
+    # --- first-time: events / streaming twins ---
+    "events_sequence_match",
+    "events_quality_gate",
+    "events_session_window",
+    "events_attribution_full",
+    "events_trending",
+    # --- attested family flagships kept in-window ---
     "scd2_orders",
-    "multi_format_dates",
     "cdc_merge_orders",
-    "latest_order_per_customer",
-    "market_share",
-    "heavy_hitter_customers",
     "temporal_fact_resolve",
-    "dim_date",
     "quality_summary_orders",
-    # events / streaming surface (§2.8)
     "events_sessionize",
-    "events_windowed_rollup",
-    "events_sessions_stateful",
-    "events_variant_stats",
-    # iterative ops (clustering / graph)
-    "kmeans_embeddings",
     "pagerank_trade",
-    # text analysis + retrieval ranking
     "text_stats",
-    "docs_quality_score",
-    "tfidf_top_terms",
-    "bm25_search",
-    # dedup family
     "docs_exact_dedup",
-    "minhash_lsh_pairs",
-    "passage_dedup",
-    # embedding similarity
     "embedding_cosine_topk",
-    "spend_ewma",
-    # sampling + composed pipeline + multimodal + pretraining hygiene
     "events_train_test",
     "docs_training_pipeline",
-    "media_features",
-    "media_decode",
-    "docs_decontaminate",
-    "docs_pack_sequences",
-    # relational operator families
     "grouping_sets_revenue",
     "rank_orders_top3",
-    "rolling_7day_spend",
-    "orders_above_cust_avg",
-    "sole_late_supplier",
-    "asof_purchase_view",
-    "salted_skew_revenue",
-    "region_revenue",
-    "docs_domain_cap",
-    # round-3 analytics promoted for first driver attestation (r03 #1)
-    "peak_concurrency",
-    "cohort_retention",
-    "revenue_mom_growth",
-    "hll_union_regions",
-    "orders_snapshot_diff",
-    "customer_golden_record",
-    "order_day_streaks",
-    "rolling_median_spend",
-    "mad_order_price",
-    "orderkey_gaps",
-    "sql_udf_revenue",
 ]
 
 
-def _reorder(d: dict) -> dict:
-    rest = [n for n in d if n not in set(PRIORITY)]
-    return {n: d[n] for n in [*PRIORITY, *rest] if n in d}
-
-
-_missing = [n for n in PRIORITY if n not in QUERIES]
-assert not _missing, f"PRIORITY names missing from registry: {_missing}"
-QUERIES = _reorder(QUERIES)
-ORACLE_SQL = _reorder(ORACLE_SQL)
 
 
 def q_events_attribution_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1386,3 +1369,16 @@ FROM j GROUP BY 1
 QUERIES["events_attribution_full"] = q_events_attribution_full
 ORACLE_SQL["events_attribution_full"] = SQL_EVENTS_ATTRIBUTION_FULL
 
+
+
+# Applied LAST so late-registered queries (events_attribution_*) are
+# already in the registry when the window is assembled.
+def _reorder(d: dict) -> dict:
+    rest = [n for n in d if n not in set(PRIORITY)]
+    return {n: d[n] for n in [*PRIORITY, *rest] if n in d}
+
+
+_missing = [n for n in PRIORITY if n not in QUERIES]
+assert not _missing, f"PRIORITY names missing from registry: {_missing}"
+QUERIES = _reorder(QUERIES)
+ORACLE_SQL = _reorder(ORACLE_SQL)
