@@ -330,6 +330,7 @@ def stream_merge_to_silver(
     partition_cols: list[str] | None = None,
     order_by=None,
     query_name: str = "stream_merge",
+    post_merge_hook=None,
 ):
     """Streaming CDC ingest: every micro-batch runs the SAME
     ``merge_full_history`` the batch pipeline uses, via ``foreachBatch`` —
@@ -341,6 +342,12 @@ def stream_merge_to_silver(
     (replaying a batch re-collapses to the same survivors) — together,
     effectively-once silver.  Returns the started StreamingQuery; callers
     ``awaitTermination`` (tests use trigger availableNow upstream).
+
+    ``post_merge_hook(batch_df, batch_id)`` runs driver-side AFTER each
+    batch's merge lands but BEFORE the checkpoint commits the batch —
+    the audit/metrics point, and (because a hook failure aborts the
+    query with the merge already applied) the exact window fault-injection
+    tests use to prove restart replay does not double-merge.
     """
     from lakeforge.ops.merge import merge_full_history
 
@@ -355,6 +362,8 @@ def stream_merge_to_silver(
             partition_cols=partition_cols,
             order_by=order_by,
         )
+        if post_merge_hook is not None:
+            post_merge_hook(batch_df, batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(sink)
