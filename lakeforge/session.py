@@ -24,6 +24,13 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# local[*] runs the whole engine in the driver JVM, so spark.driver.memory
+# IS the executor heap: the 1g default GC-thrashes 32 concurrent tasks
+# (GCLocker retry failures on broadcast builds at 10x corpora).  8g is
+# still <7% of the 128 GiB box; on a real cluster this knob is irrelevant
+# (executors carry their own memory setting).
+DEFAULT_DRIVER_MEMORY = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+
 
 def get_spark(
     app_name: str = "lakeforge",
@@ -47,6 +54,7 @@ def get_spark(
         .master(master)
         # AQE: runtime re-planning — coalesce small shuffle partitions,
         # split skewed ones, convert SMJ->BHJ when a side turns out small.
+        .config("spark.driver.memory", DEFAULT_DRIVER_MEMORY)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
