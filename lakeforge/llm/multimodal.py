@@ -282,6 +282,101 @@ def decode_media_stats(media: DataFrame, partitions: int | None = None) -> DataF
     return media.mapInPandas(run, schema=MEDIA_STATS_SCHEMA)
 
 
+def downsample_bmp(content: bytes, factor: int = 2) -> bytes:
+    """REAL image resize for the uncompressed format: decode the 24-bit
+    BMP, mean-pool ``factor x factor`` pixel blocks (integer floor mean,
+    ragged edges truncated), and re-encode a valid BMP — decode, pool,
+    and encode are all real byte-level transforms, no codec lib.
+
+    Raises ValueError when the image is smaller than one block (callers
+    surface that as a NULL row, the no-poison-pill contract)."""
+    px = decode_bmp_pixels(content)
+    H, W = px.shape[0] // factor, px.shape[1] // factor
+    if H == 0 or W == 0:
+        raise ValueError(
+            f"image {px.shape[1]}x{px.shape[0]} smaller than one "
+            f"{factor}x{factor} block"
+        )
+    block = px[: H * factor, : W * factor].reshape(H, factor, W, factor, 3)
+    pooled = (
+        block.sum(axis=(1, 3), dtype=np.int64) // (factor * factor)
+    ).astype(np.uint8)
+    row_bytes = (W * 3 + 3) & ~3
+    rows = np.zeros((H, row_bytes), np.uint8)
+    rows[:, : W * 3] = pooled[::-1].reshape(H, W * 3)  # back to bottom-up
+    return encode_bmp(W, H, rows.tobytes())
+
+
+def downsample_media(
+    media: DataFrame, factor: int = 2, partitions: int | None = None
+) -> DataFrame:
+    """Distributed real image downsampling via mapInPandas: every BMP
+    payload is decoded, mean-pooled, and re-encoded in the executor.
+    Output payloads are ~factor^2 smaller — the op where full-size bytes
+    exist for the last time (same contract as resize_images, but the
+    pixel transform is real for the uncompressed format).  Undecodable
+    or too-small payloads yield content=NULL rows."""
+    if partitions:
+        media = media.repartition(partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    small = downsample_bmp(content, factor)
+                    w, h = decode_bmp_header(small)
+                    out.append((mid, w, h, small))
+                except (ValueError, TypeError):
+                    out.append((mid, None, None, None))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "content"]
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+WAV_ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("sq_sum", LongType(), True),
+        StructField("peak", LongType(), True),
+    ]
+)
+
+
+def wav_energy(media: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Distributed audio energy profile over REAL decoded PCM: per clip,
+    the sample count, exact sum of squares (the integer core of RMS
+    loudness — rms = sqrt(sq_sum / n)), and peak absolute amplitude.
+    int64 accumulation: 16-bit samples square to < 2^31, so ~2^33 samples
+    per clip before overflow — far beyond any real clip."""
+    if partitions:
+        media = media.repartition(partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    samples, _ = decode_wav_samples(content)
+                    s = samples.astype(np.int64)
+                    out.append((
+                        mid,
+                        int(s.size),
+                        int((s * s).sum()),
+                        int(np.abs(s).max()) if s.size else 0,
+                    ))
+                except (ValueError, TypeError):
+                    out.append((mid, None, None, None))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_samples", "sq_sum", "peak"]
+            )
+
+    return media.mapInPandas(run, schema=WAV_ENERGY_SCHEMA)
+
+
 DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

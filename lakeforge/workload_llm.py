@@ -995,53 +995,62 @@ ORACLE_SQL["media_decode"] = SQL_MEDIA_DECODE
 # ---------------------------------------------------------------------------
 
 
-def q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
-
+def _media_payload(did: int) -> bytes:
+    """Deterministic per-doc payload shared by the media_* queries:
+    even doc_id -> 24-bit BMP with pixel byte (did%97 + y + x + c),
+    odd -> 16-bit PCM WAV with sample (did%1000-500 + i%100),
+    every 101st -> corrupt bytes.  Every stat the oracles check derives
+    in closed form from these formulas."""
     import numpy as np
-    import pandas as pd
 
-    from lakeforge.llm.multimodal import (
-        decode_media_stats,
-        encode_bmp,
-        encode_wav,
+    from lakeforge.llm.multimodal import encode_bmp, encode_wav
+
+    if did % 101 == 0:
+        return b"BM\x00corrupt-but-magic" * 2  # bad header
+    if did % 2 == 0:
+        w, h = did % 64 + 1, did % 48 + 1
+        base = did % 97
+        y = np.arange(h)[:, None, None]
+        x = np.arange(w)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        img = (base + y + x + c).astype(np.uint8)  # top-down
+        row_bytes = (w * 3 + 3) & ~3
+        rows = np.zeros((h, row_bytes), np.uint8)
+        rows[:, : w * 3] = img[::-1].reshape(h, w * 3)  # bottom-up
+        return encode_bmp(w, h, rows.tobytes())
+    n = (did * 37) % 4000 + 100
+    base = did % 1000 - 500
+    samples = (base + np.arange(n) % 100).astype("<i2")
+    return encode_wav(
+        n_samples=n,
+        sample_rate=8000 * (did % 3 + 1),
+        data_prefix=samples.tobytes(),
     )
 
+
+def _media_fixture(spark: SparkSession, sf_dir: str, parity: int | None = None) -> DataFrame:
+    """(media_id, content) frame of deterministic payloads, generated
+    in-executor; ``parity`` restricts to even (0=BMP) / odd (1=WAV)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
     docs = _documents(spark, sf_dir).select("doc_id")
-    schema = "media_id bigint, content binary"
+    if parity is not None:
+        docs = docs.filter(F.col("doc_id") % 2 == parity)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                if did % 101 == 0:
-                    content = b"BM\x00corrupt-but-magic" * 2  # bad header
-                elif did % 2 == 0:
-                    w, h = did % 64 + 1, did % 48 + 1
-                    base = did % 97
-                    y = np.arange(h)[:, None, None]
-                    x = np.arange(w)[None, :, None]
-                    c = np.arange(3)[None, None, :]
-                    img = (base + y + x + c).astype(np.uint8)  # top-down
-                    row_bytes = (w * 3 + 3) & ~3
-                    rows = np.zeros((h, row_bytes), np.uint8)
-                    rows[:, : w * 3] = img[::-1].reshape(h, w * 3)  # bottom-up
-                    content = encode_bmp(w, h, rows.tobytes())
-                else:
-                    n = (did * 37) % 4000 + 100
-                    base = did % 1000 - 500
-                    samples = (base + np.arange(n) % 100).astype("<i2")
-                    content = encode_wav(
-                        n_samples=n,
-                        sample_rate=8000 * (did % 3 + 1),
-                        data_prefix=samples.tobytes(),
-                    )
-                out.append((did, content))
+            out = [(int(d), _media_payload(int(d))) for d in pdf["doc_id"]]
             yield pd.DataFrame(out, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(encode, schema=schema)
-    return decode_media_stats(media)
+    return docs.mapInPandas(encode, schema="media_id bigint, content binary")
+
+
+def q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.multimodal import decode_media_stats
+
+    return decode_media_stats(_media_fixture(spark, sf_dir))
 
 
 SQL_MEDIA_PIXELS = """
@@ -1074,6 +1083,92 @@ FROM p
 
 QUERIES["media_pixels"] = q_media_pixels
 ORACLE_SQL["media_pixels"] = SQL_MEDIA_PIXELS
+
+
+# ---------------------------------------------------------------------------
+# REAL image downsampling (llm/multimodal.py::downsample_bmp): decode ->
+# 2x2 integer mean-pool -> re-encode -> decode again, all real byte-level
+# transforms.  The linear pixel formula survives pooling exactly: a 2x2
+# block of (base + y + x + c) means to (base+1 + 2j + 2i + c) with no
+# remainder, so the oracle states the pooled image's stats in closed form.
+# Images smaller than one block (w==1 or h==1) and corrupt payloads must
+# come back as all-NULL rows — two distinct failure paths, one contract.
+# ---------------------------------------------------------------------------
+
+
+def q_media_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.multimodal import decode_media_stats, downsample_media
+
+    media = _media_fixture(spark, sf_dir, parity=0)  # BMPs (+ even corrupt)
+    return decode_media_stats(downsample_media(media, factor=2))
+
+
+SQL_MEDIA_DOWNSAMPLE = """
+WITH p AS (
+  SELECT doc_id,
+         (doc_id % 64 + 1) // 2 AS W, (doc_id % 48 + 1) // 2 AS H,
+         doc_id % 97 + 1 AS pb
+  FROM documents WHERE doc_id % 2 = 0
+),
+ok AS (SELECT *, (doc_id % 101 <> 0 AND W > 0 AND H > 0) AS good FROM p)
+SELECT doc_id AS media_id,
+       CASE WHEN good THEN 'bmp' END AS fmt,
+       CAST(CASE WHEN good THEN 3 * H * W END AS BIGINT) AS n_values,
+       CAST(CASE WHEN good THEN
+                 3 * H * W * pb + 3 * W * H * (H - 1)
+                 + 3 * H * W * (W - 1) + 3 * H * W
+            END AS BIGINT) AS val_sum,
+       CAST(CASE WHEN good THEN pb END AS BIGINT) AS val_min,
+       CAST(CASE WHEN good THEN pb + 2 * (H - 1) + 2 * (W - 1) + 2
+            END AS BIGINT) AS val_max
+FROM ok
+"""
+
+QUERIES["media_downsample"] = q_media_downsample
+ORACLE_SQL["media_downsample"] = SQL_MEDIA_DOWNSAMPLE
+
+
+# ---------------------------------------------------------------------------
+# Audio energy over REAL decoded PCM (llm/multimodal.py::wav_energy): the
+# integer core of RMS loudness (sum of squares) plus peak amplitude,
+# oracle-checked in closed form — Sum (b + i%100)^2 decomposes into
+# n*b^2 + 2b*S1 + S2 with S1/S2 the triangular / square-pyramidal sums
+# over full cycles of 100 plus the ragged tail.
+# ---------------------------------------------------------------------------
+
+
+def q_media_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.multimodal import wav_energy
+
+    media = _media_fixture(spark, sf_dir, parity=1)  # WAVs (+ odd corrupt)
+    return wav_energy(media)
+
+
+SQL_MEDIA_ENERGY = """
+WITH p AS (
+  SELECT doc_id,
+         (doc_id * 37) % 4000 + 100 AS n,
+         doc_id % 1000 - 500 AS b
+  FROM documents WHERE doc_id % 2 = 1
+),
+q AS (SELECT *, n // 100 AS nf, n % 100 AS r FROM p),
+s AS (
+  SELECT *,
+         nf * 4950 + r * (r - 1) // 2 AS s1,
+         nf * 328350 + (r - 1) * r * (2 * r - 1) // 6 AS s2
+  FROM q
+)
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN doc_id % 101 <> 0 THEN n END AS BIGINT) AS n_samples,
+       CAST(CASE WHEN doc_id % 101 <> 0
+                 THEN n * b * b + 2 * b * s1 + s2 END AS BIGINT) AS sq_sum,
+       CAST(CASE WHEN doc_id % 101 <> 0
+                 THEN GREATEST(ABS(b), ABS(b + 99)) END AS BIGINT) AS peak
+FROM s
+"""
+
+QUERIES["media_energy"] = q_media_energy
+ORACLE_SQL["media_energy"] = SQL_MEDIA_ENERGY
 
 
 # ---------------------------------------------------------------------------

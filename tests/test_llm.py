@@ -797,3 +797,50 @@ def test_decode_media_stats_distributed(spark):
     assert got[2]["fmt"] == "wav" and got[2]["n_values"] == 4
     assert (got[2]["val_sum"], got[2]["val_min"], got[2]["val_max"]) == (10, -5, 10)
     assert got[3]["fmt"] is None and got[3]["val_sum"] is None
+
+
+def test_downsample_bmp_mean_pools_real_pixels():
+    import numpy as np
+    import pytest
+
+    from lakeforge.llm.multimodal import (
+        decode_bmp_pixels,
+        downsample_bmp,
+        encode_bmp,
+    )
+
+    w, h = 5, 4  # ragged width: last column truncated at factor 2
+    img = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), np.uint8)
+    rows[:, : w * 3] = img[::-1].reshape(h, w * 3)
+    content = encode_bmp(w, h, rows.tobytes())
+
+    small = downsample_bmp(content, factor=2)
+    out = decode_bmp_pixels(small)
+    assert out.shape == (2, 2, 3)
+    blocks = img[:4, :4].reshape(2, 2, 2, 2, 3)
+    want = blocks.sum(axis=(1, 3), dtype=np.int64) // 4
+    assert np.array_equal(out.astype(np.int64), want)
+
+    # smaller than one block -> loud error (queries surface as NULL row)
+    one = encode_bmp(1, 1, bytes(4))
+    with pytest.raises(ValueError, match="smaller than one"):
+        downsample_bmp(one, factor=2)
+
+
+def test_wav_energy_exact_sum_of_squares(spark):
+    import numpy as np
+
+    from lakeforge.llm.multimodal import encode_wav, wav_energy
+
+    samples = np.array([-3, 0, 4, -32768], dtype="<i2")
+    wav = encode_wav(n_samples=4, data_prefix=samples.tobytes())
+    media = spark.createDataFrame(
+        [(7, wav), (8, b"RIFFgarbage!")], "media_id bigint, content binary"
+    )
+    got = {r["media_id"]: r.asDict() for r in wav_energy(media).collect()}
+    assert got[7]["n_samples"] == 4
+    assert got[7]["sq_sum"] == 9 + 0 + 16 + 32768 ** 2
+    assert got[7]["peak"] == 32768
+    assert got[8]["sq_sum"] is None
