@@ -123,6 +123,97 @@ def cosine_topk(
     )
 
 
+MICRO = 1_000_000
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    max_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """Approximate cosine top-k over INT8 scalar-quantized vectors — the
+    memory-side ANN lever (4x smaller vectors than float32, 8x smaller
+    than the int64 nano form): per-dimension [min, max] over the corpus,
+    ``code = ((v - dmin) * 255) // range`` (one byte per dimension), and
+    similarity computed on the dequantized reconstruction
+    ``vt = dmin*255 + code*range`` (scaled by 255 to stay integer).
+
+    All quantization math is integer on micro-unit vectors (|v| < 9, so
+    |vt| < 2.3e9*255... bounded by 255*|micro| ≤ 5.8e8 for unit-norm
+    embeddings; 64-dim dot stays under int64) — bit-reproducible across
+    engines, so even the approximate index is value-oracle-checkable.
+
+    Scale: the per-dimension stats are ONE map-side-combinable aggregate
+    (64 output rows, collected and inlined as literal arrays — same
+    bounded-driver pattern as IVF centroids); codes are computed in a
+    single JVM-side transform; the query side broadcasts under the same
+    guard as cosine_topk.  At 100 TB the codes (8 bytes/dim -> 1) are
+    what you'd persist next to the corpus.
+    """
+    micro = F.transform(
+        F.col(vec_col),
+        lambda v: F.round(v.cast("double") * F.lit(MICRO).cast("double")).cast("bigint"),
+    )
+
+    stats = (
+        corpus.select(F.posexplode(micro).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("dmin"), F.max("v").alias("dmax"))
+        .collect()  # bounded: one row per dimension
+    )
+    srows = sorted(stats, key=lambda r: r["pos"])
+    dmin_arr = F.array(*[F.lit(int(r["dmin"])) for r in srows])
+    rng_arr = F.array(
+        *[F.lit(max(int(r["dmax"]) - int(r["dmin"]), 1)) for r in srows]
+    )
+
+    def reconstruct(df: DataFrame, out_id: str) -> DataFrame:
+        vt = F.transform(
+            micro,
+            lambda x, i: (
+                F.element_at(dmin_arr, i + 1) * 255
+                + F.floor(
+                    (x - F.element_at(dmin_arr, i + 1)) * 255
+                    / F.element_at(rng_arr, i + 1)
+                ).cast("bigint")
+                * F.element_at(rng_arr, i + 1)
+            ),
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), vt.alias(f"{out_id}_vt")
+        ).withColumn(f"{out_id}_n2", _norm2(f"{out_id}_vt"))
+
+    q = reconstruct(queries, "query_id")
+    q = cache.persist_tracked(q)
+    n_q = q.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"sq8_topk broadcasts the query side: got {n_q} queries > "
+            f"max_queries={max_queries}."
+        )
+    c = reconstruct(corpus, "neighbor_id")
+    joined = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    sim = F.round(
+        _dot("query_id_vt", "neighbor_id_vt").cast("double")
+        / F.sqrt(
+            F.col("query_id_n2").cast("double")
+            * F.col("neighbor_id_n2").cast("double")
+        ),
+        6,
+    )
+    scored = joined.select("query_id", "neighbor_id", sim.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_planes(n_planes: int, dim: int) -> np.ndarray:
     """±1 hyperplane matrix derived from md5 — identical in the DuckDB
     oracle (same md5, same layout)."""

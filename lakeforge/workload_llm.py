@@ -2146,6 +2146,99 @@ QUERIES["ivf_recall_at_k"] = q_ivf_recall_at_k
 ORACLE_SQL["ivf_recall_at_k"] = _sql_ivf_recall()
 
 
+def q_sq8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of INT8 scalar-quantized cosine search
+    (llm/similarity.py::sq8_topk) against the exact top-k — the OTHER
+    approximate-index axis next to IVF: IVF prunes which vectors are
+    compared, SQ8 shrinks what each comparison reads (1 byte/dim; at
+    100 TB the quantized codes are what fits in executor memory).  All
+    quantization math is integer (micro-unit vectors, per-dimension
+    [min,max] stats, floor codes), so the approximate index itself is
+    value-oracled — the DuckDB twin recomputes codes relationally via a
+    position join and must land on identical top-k sets."""
+    from lakeforge.llm.similarity import sq8_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    approx = sq8_topk(queries, emb, "embedding", "vec_id", k=_TOPK).select(
+        "query_id", F.col("neighbor_id").alias("a_nb")
+    )
+    exact = q_embedding_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("e_nb")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id) & (F.col("e_nb") == F.col("a_nb")),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count("a_nb").cast("bigint").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.expr(f"(n_hits * 1000) div {_TOPK}").cast("bigint").alias("recall_permille"),
+    )
+
+
+SQL_SQ8_RECALL = f"""
+WITH mu AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+  FROM embeddings
+),
+ex AS (SELECT vec_id, generate_subscripts(iv, 1) AS pos, unnest(iv) AS v FROM mu),
+dims AS (
+  SELECT pos, min(v) AS dmin, GREATEST(max(v) - min(v), 1) AS rng
+  FROM ex GROUP BY pos
+),
+vq AS (
+  SELECT e.vec_id, e.pos,
+         d.dmin * 255 + ((e.v - d.dmin) * 255 // d.rng) * d.rng AS vt
+  FROM ex e JOIN dims d USING (pos)
+),
+n2 AS (SELECT vec_id, CAST(SUM(vt * vt) AS BIGINT) AS nn FROM vq GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(q.vt * c.vt) AS BIGINT) AS dot
+  FROM vq q JOIN vq c USING (pos)
+  WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(CAST(d.dot AS DOUBLE)
+               / sqrt(CAST(nq.nn AS DOUBLE) * CAST(nc.nn AS DOUBLE)), 6) AS sim
+  FROM dots d
+  JOIN n2 nq ON nq.vec_id = d.query_id
+  JOIN n2 nc ON nc.vec_id = d.neighbor_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM scored) _r
+  WHERE rank <= {_TOPK}
+),
+exact AS (SELECT query_id, neighbor_id FROM ({SQL_EMBEDDING_COSINE_TOPK}) _e),
+hits AS (
+  SELECT e.query_id, CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM exact e
+  LEFT JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT query_id, n_hits,
+       CAST((n_hits * 1000) // {_TOPK} AS BIGINT) AS recall_permille
+FROM hits
+"""
+
+QUERIES["sq8_recall_at_k"] = q_sq8_recall_at_k
+ORACLE_SQL["sq8_recall_at_k"] = SQL_SQ8_RECALL
+
+
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch calibration harness: MinHash-ESTIMATED Jaccard (matching
     signature components / k) vs the EXACT full-set Jaccard, per LSH
