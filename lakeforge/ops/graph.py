@@ -248,3 +248,68 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    sources: list[int],
+    max_depth: int = 4,
+) -> DataFrame:
+    """(node, depth): minimum hop distance from the ``sources`` set over
+    the undirected graph, bounded by ``max_depth`` — frontier-expansion
+    BFS, the engine's answer to a depth-limited recursive CTE (which
+    Spark SQL lacks; the DuckDB oracle states the same result WITH
+    RECURSIVE, so two very different formulations check each other).
+
+    Scale design: each level is one join (frontier x edges, shuffle on
+    node id) plus one anti-join against the visited set; work per level
+    is O(frontier-adjacent edges), total O(edges within max_depth).  The
+    visited frame is localCheckpoint-ed per level (lineage cut) and prior
+    levels' blocks are released immediately — same cache discipline as
+    connected_components.  Early exit when a frontier drains."""
+    from lakeforge import cache
+
+    spark = edges.sparkSession
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    seen = cache.rdd_ids(spark)
+    und = und.localCheckpoint()
+    und_ids = cache.rdd_ids(spark) - seen
+
+    visited = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "node bigint, depth bigint"
+    )
+    frontier = visited.select("node")
+    prev_ids: set[int] = set()
+    for d in range(1, max_depth + 1):
+        nxt = (
+            und.join(frontier, und.a == frontier.node)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("depth", F.lit(d).cast("bigint"))
+        )
+        seen = cache.rdd_ids(spark)
+        mat = visited.unionByName(nxt).localCheckpoint()
+        new_ids = cache.rdd_ids(spark) - seen
+        # Count the new level off the materialized blocks (not nxt, which
+        # would re-run the level's joins), then drop the previous level's
+        # checkpoint — it is folded into mat.
+        frontier = mat.filter(F.col("depth") == d).select("node")
+        n_new = frontier.count()
+        cache.unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
+        visited = mat
+        if n_new == 0:
+            break
+    cache.unpersist_rdd_ids(spark, und_ids)
+    final_ids = prev_ids
+    cache.track_releaser(
+        lambda blocking=False: cache.unpersist_rdd_ids(spark, final_ids, blocking)
+    )
+    return visited

@@ -3892,3 +3892,56 @@ FROM deg GROUP BY 1
 
 QUERIES["trade_degree_histogram"] = q_trade_degree_histogram
 ORACLE_SQL["trade_degree_histogram"] = SQL_TRADE_DEGREE_HISTOGRAM
+
+
+def q_trade_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-limited BFS over the part<->supplier trade graph
+    (ops/graph.py::bfs_depths) from the lowest part node: how many nodes
+    sit at each minimum hop distance <= 4 — the reachability profile that
+    sizes any graph traversal before you run it (a frontier that covers
+    the graph by depth 2 means propagation converges in ~2 rounds).
+
+    Spark has no recursive CTE, so the engine's iterative
+    frontier-expansion answers it; the DuckDB oracle IS a recursive CTE —
+    two maximally different formulations that must agree exactly.
+    Parity node encoding (part=2k, supplier=2k+1) shared with
+    pagerank_trade / trade_degree_histogram."""
+    from lakeforge.ops.graph import bfs_depths
+
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select("l_partkey", "l_suppkey").distinct()
+    edges = e0.select(
+        (F.col("l_partkey") * 2).alias("a"),
+        (F.col("l_suppkey") * 2 + 1).alias("b"),
+    )
+    src = 2 * li.agg(F.min("l_partkey")).collect()[0][0]  # one scalar
+    depths = bfs_depths(edges, "a", "b", sources=[src], max_depth=4)
+    return depths.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("node").cast("bigint").alias("min_node"),
+        F.max("node").cast("bigint").alias("max_node"),
+    )
+
+
+SQL_TRADE_BFS_REACH = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem
+),
+ed AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+bfs(node, depth) AS (
+  SELECT min(l_partkey) * 2, 0 FROM lineitem
+  UNION
+  SELECT ed.b, bfs.depth + 1
+  FROM bfs JOIN ed ON ed.a = bfs.node
+  WHERE bfs.depth < 4
+),
+mind AS (SELECT node, MIN(depth) AS depth FROM bfs GROUP BY node)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(max(node) AS BIGINT) AS max_node
+FROM mind GROUP BY depth
+"""
+
+QUERIES["trade_bfs_reach"] = q_trade_bfs_reach
+ORACLE_SQL["trade_bfs_reach"] = SQL_TRADE_BFS_REACH

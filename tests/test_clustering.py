@@ -112,3 +112,26 @@ def test_pagerank_invariant_under_repartition(spark):
     b = sorted(map(tuple, pagerank_nano(edges.repartition(5), iters=4).collect()))
     cache.release_all()
     assert a == b
+
+
+def test_bfs_depths_min_distance_and_bound(spark):
+    """bfs_depths == hand-computed min hop distances; max_depth bounds the
+    sweep; disconnected nodes never appear."""
+    from lakeforge.ops.graph import bfs_depths
+
+    # path 1-2-3-4-5 plus a triangle shortcut 1-3, and island 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (10, 11)], "a bigint, b bigint"
+    )
+    got = {r["node"]: r["depth"]
+           for r in bfs_depths(edges, "a", "b", sources=[1], max_depth=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+    shallow = {r["node"]: r["depth"]
+               for r in bfs_depths(edges, "a", "b", sources=[1], max_depth=1).collect()}
+    assert shallow == {1: 0, 2: 1, 3: 1}
+
+    # multi-source: min over sources
+    multi = {r["node"]: r["depth"]
+             for r in bfs_depths(edges, "a", "b", sources=[1, 5], max_depth=4).collect()}
+    assert multi == {1: 0, 5: 0, 2: 1, 3: 1, 4: 1}
