@@ -2524,3 +2524,95 @@ GROUP BY r.component
 
 QUERIES["neardup_survivors"] = q_neardup_survivors
 ORACLE_SQL["neardup_survivors"] = _sql_neardup_survivors()
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge training (llm/bpe.py): the tokenizer-training loop
+# itself, value-oracled.  The greedy left-to-right merge is stated
+# relationally (even offsets within runs of consecutive matches), so the
+# DuckDB oracle replays the identical 3 rounds as unrolled CTE blocks —
+# pair counts, tie-breaks, merge application, and post-merge corpus sizes
+# must all agree exactly.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS, _BPE_DOCS = 3, 300
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.bpe import bpe_train_merges
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < _BPE_DOCS)
+    return bpe_train_merges(docs, "text", "doc_id", n_merges=_BPE_ROUNDS)
+
+
+def _bpe_round_cte(i: int) -> str:
+    """One unrolled training round: from t{i} (doc_id, rpos, tok) derive
+    the winning pair b{i}, the merged token stream t{i+1}, and its size
+    n{i+1} — the same window-relational greedy merge as llm/bpe.py."""
+    return f"""
+p{i} AS (
+  SELECT doc_id, rpos, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY rpos) AS nxt
+  FROM t{i}
+),
+b{i} AS (
+  SELECT tok AS l, nxt AS r, CAST(count(*) AS BIGINT) AS cnt
+  FROM p{i} WHERE nxt IS NOT NULL GROUP BY tok, nxt
+  ORDER BY cnt DESC, tok ASC, nxt ASC LIMIT 1
+),
+m{i} AS (
+  SELECT p.doc_id, p.rpos, p.tok, b.l, b.r,
+         COALESCE(p.tok = b.l AND p.nxt = b.r, FALSE) AS isp
+  FROM p{i} p CROSS JOIN b{i} b
+),
+m2_{i} AS (
+  SELECT *,
+         SUM(CASE WHEN isp THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY rpos) AS prn
+  FROM m{i}
+),
+m3_{i} AS (
+  SELECT *, CASE WHEN isp THEN rpos - prn END AS island FROM m2_{i}
+),
+m4_{i} AS (
+  SELECT *, MIN(CASE WHEN isp THEN rpos END)
+              OVER (PARTITION BY doc_id, island) AS isl_min
+  FROM m3_{i}
+),
+m5_{i} AS (
+  SELECT *, (isp AND (rpos - isl_min) % 2 = 0) AS ms FROM m4_{i}
+),
+m6_{i} AS (
+  SELECT *, COALESCE(lag(ms) OVER (PARTITION BY doc_id ORDER BY rpos),
+                     FALSE) AS consumed
+  FROM m5_{i}
+),
+t{i + 1} AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rpos) - 1 AS rpos,
+         CASE WHEN ms THEN l || '_' || r ELSE tok END AS tok
+  FROM m6_{i} WHERE NOT consumed
+),
+n{i + 1} AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t{i + 1})"""
+
+
+def _sql_bpe_train() -> str:
+    rounds = ",".join(_bpe_round_cte(i) for i in range(_BPE_ROUNDS))
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_round, l AS merge_left, "
+        f"r AS merge_right, cnt AS pair_count, "
+        f"(SELECT n FROM n{i + 1}) AS corpus_tokens_after FROM b{i}"
+        for i in range(_BPE_ROUNDS)
+    )
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS rpos, unnest(toks) AS tok
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+        WHERE doc_id < {_BPE_DOCS}) _d
+),{rounds}
+{selects}
+"""
+
+
+QUERIES["bpe_train_merges"] = q_bpe_train_merges
+ORACLE_SQL["bpe_train_merges"] = _sql_bpe_train()

@@ -844,3 +844,27 @@ def test_wav_energy_exact_sum_of_squares(spark):
     assert got[7]["sq_sum"] == 9 + 0 + 16 + 32768 ** 2
     assert got[7]["peak"] == 32768
     assert got[8]["sq_sum"] is None
+
+
+def test_bpe_train_merges_greedy_overlap_semantics(spark):
+    """The relational greedy merge must match hand-computed BPE rounds,
+    including the overlap case: pair (a,a) in 'a a a a a' merges twice
+    (positions 0,2), leaving 'a_a a_a a'."""
+    from lakeforge.llm.bpe import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a"), (2, "b c b c"), (3, "a a b")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["merge_round"]: r.asDict()
+            for r in bpe_train_merges(docs, "text", "doc_id", n_merges=2).collect()}
+    # round 0: (a,a) appears 4x overlapping in doc1 + 1x in doc3 = 5
+    r0 = rows[0]
+    assert (r0["merge_left"], r0["merge_right"], r0["pair_count"]) == ("a", "a", 5)
+    # doc1: 5 toks -> a_a a_a a (3); doc2: 4; doc3: a_a b (2) -> total 9
+    assert r0["corpus_tokens_after"] == 9
+    # round 1: pairs now (a_a,a_a)=1, (a_a,a)=1, (b,c)=2, (c,b)=1, (a_a,b)=1
+    r1 = rows[1]
+    assert (r1["merge_left"], r1["merge_right"], r1["pair_count"]) == ("b", "c", 2)
+    # doc2: b_c b_c (2) -> total 9 - 2 = 7
+    assert r1["corpus_tokens_after"] == 7
