@@ -3945,3 +3945,38 @@ FROM mind GROUP BY depth
 
 QUERIES["trade_bfs_reach"] = q_trade_bfs_reach
 ORACLE_SQL["trade_bfs_reach"] = SQL_TRADE_BFS_REACH
+
+
+def q_orders_kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity release gate (ops/privacy.py): orders
+    grouped by the quasi-identifiers (priority, order year), sensitive
+    column o_orderstatus, k=5, l=2 — groups too small or too uniform are
+    suppressed, and the result reports BOTH the released groups and the
+    suppressed mass (the audit view a privacy officer signs off on)."""
+    from lakeforge.ops.privacy import kanon_release
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias("o_year"),
+        "o_orderstatus",
+    )
+    rel = kanon_release(
+        o, ["o_orderpriority", "o_year"], "o_orderstatus", k=5, l_div=2
+    )
+    return rel.select(
+        "o_orderpriority", "o_year", "n_rows", "n_sensitive", "released"
+    )
+
+
+SQL_ORDERS_KANON = """
+SELECT o_orderpriority,
+       CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_sensitive,
+       (count(*) >= 5 AND count(DISTINCT o_orderstatus) >= 2) AS released
+FROM orders
+GROUP BY 1, 2
+"""
+
+QUERIES["orders_kanon_release"] = q_orders_kanon_release
+ORACLE_SQL["orders_kanon_release"] = SQL_ORDERS_KANON

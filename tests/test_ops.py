@@ -561,3 +561,24 @@ def test_bloom_prefilter_is_transparent_and_prunes(spark):
             ).collect()
         )
         assert got == want, n_bits
+
+
+def test_kanon_release_suppresses_small_and_uniform_groups(spark):
+    from lakeforge.ops.privacy import kanon_release, release_summary
+
+    rows = (
+        [("a", 1, "x")] * 5 + [("a", 1, "y")]      # big + diverse -> released
+        + [("b", 1, "x")] * 3                       # too small (k=5)
+        + [("c", 1, "x")] * 8                       # big but uniform (l=2)
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 bigint, s string")
+    rel = {(r["q1"], r["q2"]): r.asDict()
+           for r in kanon_release(df, ["q1", "q2"], "s", k=5, l_div=2).collect()}
+    assert rel[("a", 1)]["released"] is True
+    assert rel[("b", 1)]["released"] is False   # n_rows 3 < 5
+    assert rel[("c", 1)]["released"] is False   # n_sensitive 1 < 2
+    summary = {r["released"]: (r["n_groups"], r["n_rows"])
+               for r in release_summary(
+                   kanon_release(df, ["q1", "q2"], "s", k=5, l_div=2)
+               ).collect()}
+    assert summary[True] == (1, 6) and summary[False] == (2, 11)
