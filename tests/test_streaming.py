@@ -717,3 +717,38 @@ def test_stream_merge_restart_mid_merge_not_double_merged(spark, tmp_path):
     assert final.filter(F.col("value") < 1000).count() == 0
     dupes = final.groupBy("event_id").count().filter("count > 1").count()
     assert dupes == 0
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_stream_media_decode_equals_batch(spark, tmp_path):
+    """decode_media_stats is an Arrow mapInPandas op, so it runs on a
+    STREAMING frame unchanged — file-source stream of media payloads ->
+    payload decode -> memory sink must equal the batch decode exactly
+    (the pattern for continuously-landing media at scale: decode in the
+    ingest stream, never persist raw bytes past it)."""
+    from lakeforge.llm.multimodal import decode_media_stats
+    from lakeforge.workload_llm import _media_fixture
+
+    media_dir = str(tmp_path / "media_in")
+    _media_fixture(spark, SF_DIR).write.parquet(media_dir)
+
+    batch = {r["media_id"]: r.asDict()
+             for r in decode_media_stats(spark.read.parquet(media_dir)).collect()}
+
+    stream = spark.readStream.schema(
+        "media_id bigint, content binary"
+    ).parquet(media_dir)
+    q = (
+        decode_media_stats(stream)
+        .writeStream.format("memory")
+        .queryName("media_decoded")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["media_id"]: r.asDict()
+           for r in spark.sql("SELECT * FROM media_decoded").collect()}
+    assert got == batch
+    assert any(v["fmt"] == "bmp" for v in got.values())
+    assert any(v["fmt"] == "wav" for v in got.values())
+    assert any(v["fmt"] is None for v in got.values())  # corrupt rows flow too
