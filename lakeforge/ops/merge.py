@@ -260,3 +260,45 @@ def merge_on_read_view(
         .drop("__rn")
     )
     return resolved.filter(~F.col(deleted_col)).drop(deleted_col, seq_col)
+
+
+def merge_aggregates(
+    old_agg: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str],
+    measures: dict[str, str],
+) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: combine a
+    materialized aggregate with a delta batch's aggregate WITHOUT
+    re-reading the base table — new = old (+) delta, per key.
+
+    ``measures`` maps column -> combine rule: ``sum``/``count`` (add,
+    absent side contributes zero), ``min``/``max`` (null-safe least/
+    greatest).  AVG is maintained as its (sum, count) pair; derive the
+    ratio downstream.  Non-distributive aggregates (exact distinct,
+    median) cannot be maintained this way — keep a sketch (HLL/KLL)
+    or recompute.
+
+    Scale: this is THE pattern that turns a 100 TB nightly full-table
+    aggregate into an O(delta) job — the only shuffle is on ``keys`` over
+    two already-aggregated (tiny) inputs.  The full-recompute equivalence
+    is what the orders_ivm_revenue oracle checks."""
+    bad = {c: r for c, r in measures.items() if r not in ("sum", "count", "min", "max")}
+    if bad:
+        raise ValueError(f"unsupported combine rules: {bad}")
+    d = delta_agg.select(
+        *keys, *[F.col(c).alias(f"__d_{c}") for c in measures]
+    )
+    j = old_agg.join(d, keys, "full_outer")
+    out_cols: list = [F.col(k) for k in keys]
+    for c, rule in measures.items():
+        a, b = F.col(c), F.col(f"__d_{c}")
+        if rule in ("sum", "count"):
+            zero = F.lit(0)
+            combined = F.coalesce(a, zero) + F.coalesce(b, zero)
+        elif rule == "min":
+            combined = F.least(F.coalesce(a, b), F.coalesce(b, a))
+        else:
+            combined = F.greatest(F.coalesce(a, b), F.coalesce(b, a))
+        out_cols.append(combined.cast(old_agg.schema[c].dataType).alias(c))
+    return j.select(*out_cols)

@@ -3980,3 +3980,47 @@ GROUP BY 1, 2
 
 QUERIES["orders_kanon_release"] = q_orders_kanon_release
 ORACLE_SQL["orders_kanon_release"] = SQL_ORDERS_KANON
+
+
+def q_orders_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (ops/merge.py::merge_aggregates): a
+    materialized per-status revenue aggregate over 90% of orders is
+    combined with the other 10% as a 'delta batch' — sum/count add,
+    min/max take null-safe extrema — and the ORACLE is the full
+    recompute over all orders: incremental (+) must be indistinguishable
+    from the nightly full scan it replaces."""
+    from lakeforge.ops.merge import merge_aggregates
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast(DEC).alias("price"),
+    )
+
+    def agg(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price").alias("revenue"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+        )
+
+    old = agg(o.filter(F.col("o_orderkey") % 10 != 0))
+    delta = agg(o.filter(F.col("o_orderkey") % 10 == 0))
+    return merge_aggregates(
+        old, delta, ["o_orderstatus"],
+        {"n_orders": "sum", "revenue": "sum",
+         "min_price": "min", "max_price": "max"},
+    )
+
+
+SQL_ORDERS_IVM = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+       MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
+       MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+QUERIES["orders_ivm_revenue"] = q_orders_ivm_revenue
+ORACLE_SQL["orders_ivm_revenue"] = SQL_ORDERS_IVM

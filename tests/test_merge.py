@@ -239,3 +239,33 @@ def test_merge_on_read_latest_wins_and_deletes(spark):
     out = merge_on_read_view(base, deltas, keys=["k"], seq_col="seq")
     got = sorted((r["k"], r["name"], r["v"]) for r in out.collect())
     assert got == [(1, "a", 12), (3, "c", 30), (4, "d", 40), (5, "e", 50)]
+
+
+def test_merge_aggregates_equals_full_recompute(spark):
+    """IVM combine of old+delta aggregates == aggregate over the union,
+    including keys present on only one side and null-safe min/max."""
+    from lakeforge.ops.merge import merge_aggregates
+
+    old_rows = [("a", 10), ("a", 20), ("b", 5)]
+    delta_rows = [("a", 1), ("c", 7)]
+
+    def agg(rows):
+        df = spark.createDataFrame(rows, "k string, v bigint")
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s"),
+            F.min("v").cast("bigint").alias("mn"),
+            F.max("v").cast("bigint").alias("mx"),
+        )
+
+    merged = merge_aggregates(
+        agg(old_rows), agg(delta_rows), ["k"],
+        {"n": "sum", "s": "sum", "mn": "min", "mx": "max"},
+    )
+    got = sorted(tuple(r) for r in merged.collect())
+    want = sorted(tuple(r) for r in agg(old_rows + delta_rows).collect())
+    assert got == want
+
+    import pytest
+    with pytest.raises(ValueError, match="unsupported combine"):
+        merge_aggregates(agg(old_rows), agg(delta_rows), ["k"], {"s": "avg"})
