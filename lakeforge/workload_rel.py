@@ -4024,3 +4024,53 @@ FROM orders GROUP BY o_orderstatus
 
 QUERIES["orders_ivm_revenue"] = q_orders_ivm_revenue
 ORACLE_SQL["orders_ivm_revenue"] = SQL_ORDERS_IVM
+
+
+def q_customers_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization (ops/privacy.py::pseudonymize): customer
+    names become salted 60-bit md5 tokens, then the frame joins orders ON
+    THE PSEUDONYMIZED customer key — proving referential integrity
+    survives de-identification (the point of tokens over redaction).
+    The oracle recomputes the identical md5 tokens in DuckDB and runs
+    the same join."""
+    from lakeforge.ops.privacy import pseudonymize
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    p = pseudonymize(cust, ["c_custkey", "c_name"], salt="s5")
+    orders = pseudonymize(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey"),
+        ["o_custkey"],
+        salt="s5",
+    )
+    joined = p.join(orders, p.c_custkey == orders.o_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.countDistinct("c_name").cast("bigint").alias("n_name_tokens"),
+        F.min("c_custkey").cast("bigint").alias("min_cust_token"),
+    )
+
+
+def _sql_pseudonymized() -> str:
+    from lakeforge.functions.keys import duckdb_md5_int_sql
+
+    ck = duckdb_md5_int_sql(["'s5'", "c_custkey"])
+    nm = duckdb_md5_int_sql(["'s5'", "c_name"])
+    ok = duckdb_md5_int_sql(["'s5'", "o_custkey"])
+    return f"""
+WITH p AS (
+  SELECT {ck} AS c_custkey, {nm} AS c_name, c_mktsegment FROM customer
+),
+o AS (SELECT {ok} AS o_custkey FROM orders)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT c_name) AS BIGINT) AS n_name_tokens,
+       CAST(min(c_custkey) AS BIGINT) AS min_cust_token
+FROM p JOIN o ON p.c_custkey = o.o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+QUERIES["customers_pseudonymized"] = q_customers_pseudonymized
+ORACLE_SQL["customers_pseudonymized"] = _sql_pseudonymized()

@@ -582,3 +582,31 @@ def test_kanon_release_suppresses_small_and_uniform_groups(spark):
                    kanon_release(df, ["q1", "q2"], "s", k=5, l_div=2)
                ).collect()}
     assert summary[True] == (1, 6) and summary[False] == (2, 11)
+
+
+def test_pseudonymize_is_stable_null_safe_and_joinable(spark):
+    from lakeforge.ops.privacy import pseudonymize
+
+    a = spark.createDataFrame(
+        [(1, "alice"), (2, None), (3, "carol")], "k bigint, name string"
+    )
+    b = spark.createDataFrame([(1, 10), (3, 30)], "k bigint, amount bigint")
+
+    pa = pseudonymize(a, ["k", "name"], salt="t")
+    pb = pseudonymize(b, ["k"], salt="t")
+    # referential integrity: the tokenized keys still join
+    joined = pa.join(pb, "k").select("name", "amount").collect()
+    assert len(joined) == 2
+    # same value same salt -> same token; different salt -> different
+    pa2 = pseudonymize(a, ["k"], salt="t")
+    assert sorted(r["k"] for r in pa.select("k").collect()) == \
+           sorted(r["k"] for r in pa2.select("k").collect())
+    pc = pseudonymize(a, ["k"], salt="OTHER")
+    assert set(r["k"] for r in pc.select("k").collect()).isdisjoint(
+        set(r["k"] for r in pa2.select("k").collect())
+    )
+    # NULL stays NULL; keep_format pads to fixed-width string
+    assert pa.filter("name IS NULL").count() == 1
+    pf = pseudonymize(a, ["name"], salt="t", keep_format=True)
+    vals = [r["name"] for r in pf.collect() if r["name"] is not None]
+    assert all(len(v) == 18 and v.isdigit() for v in vals)
