@@ -4074,3 +4074,39 @@ GROUP BY c_mktsegment
 
 QUERIES["customers_pseudonymized"] = q_customers_pseudonymized
 ORACLE_SQL["customers_pseudonymized"] = _sql_pseudonymized()
+
+
+def q_ivm_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental COUNT(DISTINCT) via mergeable bitmaps
+    (ops/sketches.py::distinct_bitmaps): per-priority distinct customers
+    maintained as 32k-bit bucket bitmaps over 90% of orders, OR-merged
+    with the remaining 10% as a delta batch — the oracle is the full
+    COUNT(DISTINCT) recompute, so the bitmap state's exactness under
+    merge is value-checked (what hll_union_regions approximates, this
+    maintains exactly; state is O(distinct/8) bytes, raw custkeys never
+    shuffle twice)."""
+    from lakeforge.ops.sketches import (
+        bitmap_distinct_counts,
+        distinct_bitmaps,
+        merge_distinct_bitmaps,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_custkey")
+    old = distinct_bitmaps(
+        o.filter(F.col("o_orderkey") % 10 != 0), ["o_orderpriority"], "o_custkey"
+    )
+    delta = distinct_bitmaps(
+        o.filter(F.col("o_orderkey") % 10 == 0), ["o_orderpriority"], "o_custkey"
+    )
+    merged = merge_distinct_bitmaps(old, delta, ["o_orderpriority"])
+    return bitmap_distinct_counts(merged, ["o_orderpriority"])
+
+
+SQL_IVM_DISTINCT = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM orders GROUP BY o_orderpriority
+"""
+
+QUERIES["ivm_distinct_customers"] = q_ivm_distinct_customers
+ORACLE_SQL["ivm_distinct_customers"] = SQL_IVM_DISTINCT

@@ -610,3 +610,26 @@ def test_pseudonymize_is_stable_null_safe_and_joinable(spark):
     pf = pseudonymize(a, ["name"], salt="t", keep_format=True)
     vals = [r["name"] for r in pf.collect() if r["name"] is not None]
     assert all(len(v) == 18 and v.isdigit() for v in vals)
+
+
+def test_bitmap_distinct_merge_is_exact(spark):
+    """Bitmap state OR-merged across two batches counts distinct exactly,
+    including values above one bucket (32768) and overlap across batches."""
+    from lakeforge.ops.sketches import (
+        bitmap_distinct_counts,
+        distinct_bitmaps,
+        merge_distinct_bitmaps,
+    )
+
+    a = spark.createDataFrame(
+        [("g", 1), ("g", 2), ("g", 40000), ("h", 7)], "k string, v bigint"
+    )
+    b = spark.createDataFrame(
+        [("g", 2), ("g", 99999), ("h", 7), ("h", 8)], "k string, v bigint"
+    )
+    merged = merge_distinct_bitmaps(
+        distinct_bitmaps(a, ["k"], "v"), distinct_bitmaps(b, ["k"], "v"), ["k"]
+    )
+    got = {r["k"]: r["n_distinct"]
+           for r in bitmap_distinct_counts(merged, ["k"]).collect()}
+    assert got == {"g": 4, "h": 2}  # overlap (2, 7) not double-counted
