@@ -290,3 +290,30 @@ def compact_versioned(
         "bytes": total_bytes,
         "version": v,
     }
+
+
+def range_sorted_write(
+    df,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet globally range-clustered on ``sort_cols``:
+    ``repartitionByRange`` assigns disjoint key ranges to files and
+    ``sortWithinPartitions`` orders rows inside each — so every file's
+    parquet min/max footer stats for the leading sort column are
+    (near-)disjoint, and a point or range predicate prunes to ~one file
+    at planning/scan time (row-group skipping).  The single-dimension
+    complement of z-ordering: better skipping for ONE dominant predicate
+    column, where z-order trades some of it for multi-column skipping.
+
+    Scale: one range-partitioning shuffle (sampled boundaries) + local
+    sort; num_files sizes output files (None keeps the session's shuffle
+    parallelism — at 100 TB pick ~target_bytes/file)."""
+    out = (
+        df.repartitionByRange(num_files, *sort_cols)
+        if num_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)

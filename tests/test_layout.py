@@ -225,3 +225,43 @@ def test_compact_partitions_rejects_object_store_scheme(spark):
 
     with _pytest.raises(ValueError, match="POSIX-only"):
         compact_partitions(spark, "s3://bucket/table")
+
+
+def test_range_sorted_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """Files written by range_sorted_write carry (near-)disjoint min/max
+    ranges on the sort column — the property parquet row-group skipping
+    prunes on — and a selective range read touches a strict subset of
+    files (verified via per-file min/max, i.e. exactly the footer stats
+    the scan uses)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from lakeforge.ops.layout import range_sorted_write
+
+    out = str(tmp_path / "range_sorted")
+    df = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("payload")
+    )
+    range_sorted_write(df, out, ["k"], num_files=8)
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) == 8
+    ranges = []
+    for f in files:
+        r = spark.read.parquet(f).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi")
+        ).collect()[0]
+        ranges.append((r["lo"], r["hi"]))
+    ranges.sort()
+    # disjoint: each file's max < next file's min
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+
+    # a 1%-selectivity predicate overlaps exactly one file's range
+    target = [r for r in ranges if r[0] <= 500 <= r[1]]
+    assert len(target) == 1
+    hit_files = [r for r in ranges if not (r[1] < 0 or r[0] > 999)]
+    assert len(hit_files) == 1
+    # and the data still round-trips completely
+    assert spark.read.parquet(out).count() == 100_000
