@@ -1200,8 +1200,11 @@ apply_canonicalization(QUERIES, ORACLE_SQL)
 # vocab_zipf_profile, trade_degree_histogram, events_session_window,
 # events_attribution_full, boilerplate_ngrams, docs_chunks,
 # key_skew_orders), eighteen more long-waiting locals, and this round's
-# new media_pixels payload-decode flagship — growing the cumulative
-# driver-attested set from 94 toward ~131 of 160.  THIRTEEN attested
+# round-5 operator flagships built this round (media_pixels payload
+# decode, media_downsample, sq8_recall_at_k, bpe_train_merges,
+# ivm_distinct_customers, trade_bfs_reach — in the window the round they
+# shipped, per r04's 'self-certified only' critique) — growing the
+# cumulative driver-attested set from 94 toward ~131 of 170.  THIRTEEN attested
 # flagships stay inside so every SURVEY §2 family keeps driver coverage
 # in the current window: SCD2/windows -> scd2_orders; merge/CDC ->
 # cdc_merge_orders; temporal join -> temporal_fact_resolve; quality ->
@@ -1241,11 +1244,11 @@ PRIORITY: list[str] = [
     "part_name_linkage",
     "key_skew_orders",
     "stats_profile",
-    "string_profile",
-    "customer_spend_z",
-    "qty_price_corr",
-    "revenue_share_by_nation",
-    "unpivot_status_counts",
+    "bpe_train_merges",
+    "sq8_recall_at_k",
+    "media_downsample",
+    "ivm_distinct_customers",
+    "trade_bfs_reach",
     "orders_expectations",
     # --- first-time: events / streaming twins ---
     "events_sequence_match",
