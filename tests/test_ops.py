@@ -633,3 +633,18 @@ def test_bitmap_distinct_merge_is_exact(spark):
     got = {r["k"]: r["n_distinct"]
            for r in bitmap_distinct_counts(merged, ["k"]).collect()}
     assert got == {"g": 4, "h": 2}  # overlap (2, 7) not double-counted
+
+
+def test_schema_drift_reports_add_remove_retype(spark):
+    from lakeforge.ops.expectations import schema_drift
+
+    old = spark.createDataFrame([(1, "x", 1.0)], "a bigint, b string, c double")
+    new = spark.createDataFrame([(1, 2, True)], "a bigint, b int, d boolean")
+    got = {r["column"]: (r["change"], r["old_type"], r["new_type"])
+           for r in schema_drift(old, new).collect()}
+    assert got == {
+        "b": ("type_changed", "string", "int"),
+        "c": ("removed", "double", None),
+        "d": ("added", None, "boolean"),
+    }
+    assert schema_drift(old, old).count() == 0
