@@ -113,11 +113,17 @@ def main() -> None:
     spark = get_spark("lakeforge-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/code paths once on the smallest query so the measured
-    # numbers aren't first-action classloading noise.
-    QUERIES["top_orders"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    cache.release_all()
-    spark.catalog.clearCache()
+    # Warm the JVM/code paths so the measured numbers are steady-state
+    # throughput, not first-action noise.  One light query is NOT enough:
+    # whichever query runs first also pays heap expansion, broadcast
+    # thread-pool spin-up, and Arrow/Python worker start — round-5's
+    # rotation put minhash_calibration first and it "regressed 2x" purely
+    # by position.  Warm one query per execution family instead
+    # (relational scan/agg, text explode+agg, broadcast+array math).
+    for warm in ("top_orders", "text_stats", "embedding_cosine_topk"):
+        QUERIES[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cache.release_all()
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     leaks = 0
