@@ -752,3 +752,55 @@ def test_stream_media_decode_equals_batch(spark, tmp_path):
     assert any(v["fmt"] == "bmp" for v in got.values())
     assert any(v["fmt"] == "wav" for v in got.values())
     assert any(v["fmt"] is None for v in got.values())  # corrupt rows flow too
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_stream_maintains_exact_distinct_bitmap_state(spark, tmp_path):
+    """Streaming IVM composition: a foreachBatch sink OR-merges each
+    micro-batch's distinct-bitmaps into a persistent state table; after
+    draining the stream the state's counts equal the batch
+    COUNT(DISTINCT) — exact incremental distinct maintenance with
+    O(distinct/8) state and no raw-value reshuffle across batches."""
+    from pyspark.sql import functions as F
+
+    from lakeforge.ops.sketches import (
+        bitmap_distinct_counts,
+        distinct_bitmaps,
+        merge_distinct_bitmaps,
+    )
+
+    src = tmp_path / "in"
+    state = str(tmp_path / "bitmap_state")
+    src.mkdir()
+    ev = read_events(spark, SF_DIR)
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "b.parquet")
+
+    def upsert_state(batch_df, batch_id):
+        delta = distinct_bitmaps(batch_df, ["event_type"], "user_id")
+        try:
+            old = batch_df.sparkSession.read.parquet(state)
+        except Exception:
+            delta.write.mode("overwrite").parquet(state)
+            return
+        merged = merge_distinct_bitmaps(old, delta, ["event_type"])
+        merged = merged.localCheckpoint(eager=True)  # break read->overwrite
+        merged.write.mode("overwrite").parquet(state)
+
+    q = (
+        read_events_stream(spark, str(src), max_files_per_trigger=1)
+        .writeStream.foreachBatch(upsert_state)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r["event_type"]: r["n_distinct"]
+           for r in bitmap_distinct_counts(
+               spark.read.parquet(state), ["event_type"]).collect()}
+    want = {r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+                       .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert got == want  # duplicate deliveries collapse in the bitmaps
