@@ -96,12 +96,33 @@ def kmeans_assignments(
     Returns (id_col, cluster bigint, d2 bigint) — d2 in squared
     micro-units, an exact integer.
     """
+    assign, _ = kmeans_fit(embeddings, k, iters, id_col, vec_col)
+    return assign
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pre_quantized: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means returning BOTH the final assignment and the fitted
+    centroids — the trainer product-quantization and IVF codebooks build
+    on.  ``pre_quantized`` skips the micro-int conversion when ``vec_col``
+    is already an integer array (e.g. a subspace slice of a micro vector).
+
+    Returns ``(assignments (id, cluster, d2), centroids (cluster, cvec))``
+    — all integer micro-units, deterministic, oracle-reproducible.
+    """
     from lakeforge import cache
 
     spark = embeddings.sparkSession
-    base = embeddings.select(
-        F.col(id_col), micro_embedding(vec_col).alias("vec")
+    vec = (
+        F.col(vec_col) if pre_quantized else micro_embedding(vec_col)
     )
+    base = embeddings.select(F.col(id_col), vec.alias("vec"))
     # One materialization reused by every iteration's two scans (assign +
     # update) and the final pass: without it the whole upstream plan re-runs
     # 2*iters+1 times inside one deep DAG.  Blocks release at the caller's
@@ -154,4 +175,4 @@ def kmeans_assignments(
             spark, ids, blocking
         )
     )
-    return kmeans_assign(base, centroids, id_col)
+    return kmeans_assign(base, centroids, id_col), centroids

@@ -436,3 +436,124 @@ def hard_negative_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def l2_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    max_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """Exact squared-L2 top-k on micro-int vectors (the ground truth for
+    the PQ evaluation; all-integer, rank deterministic).  Same
+    broadcast-query-side contract and guard as cosine_topk."""
+    from lakeforge.llm.clustering import _d2, micro_embedding
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        micro_embedding(vec_col).alias("qvec"),
+    )
+    q = cache.persist_tracked(q)
+    if q.count() > max_queries:
+        raise ValueError(f"l2_topk broadcasts queries; > {max_queries}")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        micro_embedding(vec_col).alias("cvec"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id", _d2("qvec", "cvec").alias("d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_subspaces: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): split each vector
+    into ``n_subspaces`` contiguous subvectors, learn a ``k_codes``-entry
+    codebook per subspace with exact-integer Lloyd's k-means
+    (clustering.kmeans_fit), store each vector as n_subspaces SMALL codes
+    (here 4 x 3 bits vs 64 x 8 bytes — the memory lever beyond SQ8), and
+    answer queries with Asymmetric Distance Computation: per query, a
+    (n_subspaces x k_codes) table of exact subspace distances to every
+    centroid is built and BROADCAST; each corpus vector's approximate
+    distance is the sum of its codes' table entries — one narrow
+    broadcast join + sum per query, never touching the original vectors.
+
+    Everything is integer micro-unit arithmetic end-to-end (codebook
+    training included), so even the trained quantizer is
+    value-oracle-checkable.  Scale: training shuffles are k*d-bounded per
+    subspace; the ADC scan is O(corpus x n_subspaces) rows of (id, code)
+    — the codes table is what an executor holds at 100 TB, not vectors."""
+    import functools
+
+    from lakeforge.llm.clustering import _d2, kmeans_fit, micro_embedding
+
+    sub_len = dim // n_subspaces
+    if sub_len * n_subspaces != dim:
+        raise ValueError(f"dim {dim} not divisible into {n_subspaces} subspaces")
+    micro = micro_embedding(vec_col)
+    q_micro = queries.select(
+        F.col(id_col).alias("query_id"), micro.alias("qvec")
+    )
+    codes_parts, table_parts = [], []
+    for m in range(n_subspaces):
+        lo = m * sub_len + 1
+        sub_corpus = corpus.select(
+            F.col(id_col), F.slice(micro, lo, sub_len).alias("vec")
+        )
+        assign, cents = kmeans_fit(
+            sub_corpus, k=k_codes, iters=iters, id_col=id_col,
+            vec_col="vec", pre_quantized=True,
+        )
+        codes_parts.append(
+            assign.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.lit(m).alias("m"),
+                F.col("cluster").alias("code"),
+            )
+        )
+        q_sub = q_micro.select(
+            "query_id", F.slice(F.col("qvec"), lo, sub_len).alias("qsub")
+        )
+        table_parts.append(
+            q_sub.crossJoin(F.broadcast(cents)).select(
+                "query_id",
+                F.lit(m).alias("m"),
+                F.col("cluster").alias("code"),
+                _d2("qsub", "cvec").alias("d2"),
+            )
+        )
+    codes = functools.reduce(lambda a, b: a.unionByName(b), codes_parts)
+    table = functools.reduce(lambda a, b: a.unionByName(b), table_parts)
+    adc = (
+        codes.join(F.broadcast(table), ["m", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -868,3 +868,33 @@ def test_bpe_train_merges_greedy_overlap_semantics(spark):
     assert (r1["merge_left"], r1["merge_right"], r1["pair_count"]) == ("b", "c", 2)
     # doc2: b_c b_c (2) -> total 9 - 2 = 7
     assert r1["corpus_tokens_after"] == 7
+
+
+def test_pq_topk_recovers_clustered_structure(spark):
+    """On data WITH cluster structure (PQ's intended regime), ADC ranking
+    recovers the true nearest neighbors: vectors built from per-subspace
+    prototypes are closest to same-prototype vectors, and pq_topk ranks
+    them first."""
+    from lakeforge.llm.similarity import pq_topk
+
+    # 2 subspaces x 2 dims; two prototypes per subspace, strong separation
+    protos = {0: [0.1, 0.1], 1: [0.9, 0.9]}
+    rows = []
+    for vid in range(16):
+        a, b = (vid >> 1) & 1, vid & 1  # prototype choice per subspace
+        jitter = (vid % 3) * 0.01
+        rows.append((vid, [protos[a][0] + jitter, protos[a][1],
+                           protos[b][0], protos[b][1] + jitter]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    out = pq_topk(
+        df.filter("vec_id < 2"), df, "embedding", "vec_id",
+        dim=4, n_subspaces=2, k_codes=2, iters=2, k=5,
+    ).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # query 0 has prototype pattern (0,0): its top neighbors must all
+    # share pattern (0,0) — ids {4,8,12} plus pattern-sharing ties
+    same_pattern = {v for v in range(16) if ((v >> 1) & 1, v & 1) == (0, 0)}
+    assert set(by_q[0][:3]) <= same_pattern - {0}
