@@ -168,3 +168,33 @@ def capped_sample_per_group(
         F.row_number().over(Window.partitionBy(group_col).orderBy("__h", key)),
     )
     return ranked2.filter(F.col("__r2") <= cap).drop("__h", "__r2")
+
+
+def exact_k_per_stratum(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    k: int,
+    salt: str = "exact_k",
+) -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum — what proportional
+    sampling can't promise (small strata can draw 0 rows; Bernoulli draws
+    vary run to run).  Selection order is the md5 hash of (salt, key):
+    uniform, deterministic, reproducible on any engine/partitioning —
+    this is reservoir sampling's guarantee without its sequential state.
+
+    Scale: ONE shuffle on the strata columns for the rank window; with k
+    small the per-group sort is a bounded top-k (WindowGroupLimit pushes
+    the limit into the sort at the exec level)."""
+    from pyspark.sql import Window
+
+    from lakeforge.functions.keys import md5_int
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        md5_int(F.lit(salt), F.col(key_col)).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

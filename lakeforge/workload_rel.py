@@ -4110,3 +4110,103 @@ FROM orders GROUP BY o_orderpriority
 
 QUERIES["ivm_distinct_customers"] = q_ivm_distinct_customers
 ORACLE_SQL["ivm_distinct_customers"] = SQL_IVM_DISTINCT
+
+
+def q_events_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum sampling (ops/sampling.py::exact_k_per_stratum):
+    exactly 50 events per event_type, chosen by deterministic md5 order —
+    summarized per stratum (count + id checksum) so the oracle verifies
+    the SELECTED SET, not just its size."""
+    from lakeforge.ops.sampling import exact_k_per_stratum
+
+    ev = read_events(spark, sf_dir).select("event_id", "event_type")
+    sample = exact_k_per_stratum(ev, ["event_type"], "event_id", k=50)
+    return sample.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum(F.col("event_id") % 1000000007).cast("bigint").alias("id_checksum"),
+    )
+
+
+def _sql_events_exact_k() -> str:
+    from lakeforge.functions.keys import duckdb_md5_int_sql
+
+    h = duckdb_md5_int_sql(["'exact_k'", "event_id"])
+    return f"""
+WITH ranked AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY {h} ASC, event_id ASC) AS rn
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(event_id % 1000000007) AS BIGINT) AS id_checksum
+FROM ranked WHERE rn <= 50 GROUP BY event_type
+"""
+
+
+QUERIES["events_exact_k_sample"] = q_events_exact_k_sample
+ORACLE_SQL["events_exact_k_sample"] = _sql_events_exact_k()
+
+
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over event types WITHIN a
+    session (30-min gap), plus integer-permille transition probability —
+    the path-analysis primitive behind funnels ('what actually follows a
+    view?').  One shuffle by user (shared by the sessionize and lead
+    windows), one aggregate; O(distinct type pairs) output."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    ).withColumn("sess_id", F.sum("new_sess").over(w))
+    w2 = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    pairs = (
+        sess.withColumn("next_type", F.lead("event_type").over(w2))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    return pairs.withColumn(
+        "permille",
+        F.expr("n_transitions * 1000 div sum(n_transitions) over (partition by event_type)").cast("bigint"),
+    )
+
+
+SQL_EVENTS_TRANSITION = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+),
+p AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id, sess_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM s
+),
+c AS (
+  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, next_type, n_transitions,
+       CAST(n_transitions * 1000 // SUM(n_transitions)
+                OVER (PARTITION BY event_type) AS BIGINT) AS permille
+FROM c
+"""
+
+QUERIES["events_transition_matrix"] = q_events_transition_matrix
+ORACLE_SQL["events_transition_matrix"] = SQL_EVENTS_TRANSITION
