@@ -271,3 +271,131 @@ def test_merge_on_read_matches_reference_model(spark, base, deltas):
         (k, v) for k, (seq, v, deleted) in model.items() if not deleted
     )
     assert got == want
+
+
+# --- round-5 iterative ops vs pure-Python reference models -----------------
+
+_BPE_DOCS_ST = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=8),
+    min_size=1, max_size=5,
+)
+
+
+def _bpe_reference(docs: list[list[str]], n_merges: int):
+    """Pure-Python BPE: global overlap-counted pair frequencies, greedy
+    left-to-right merge, tie-break (count desc, left asc, right asc)."""
+    stats = []
+    toks = [list(d) for d in docs]
+    for r in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for d in toks:
+            for x, y in zip(d, d[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merged = f"{a}_{b}"
+        new_toks = []
+        for d in toks:
+            out, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(d[i])
+                    i += 1
+            new_toks.append(out)
+        toks = new_toks
+        stats.append((r, a, b, cnt, sum(len(d) for d in toks)))
+    return stats
+
+
+@settings(**_SETTINGS)
+@given(docs=_BPE_DOCS_ST)
+def test_bpe_train_matches_python_reference(spark, docs):
+    from lakeforge.llm.bpe import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    got = [
+        (r["merge_round"], r["merge_left"], r["merge_right"],
+         r["pair_count"], r["corpus_tokens_after"])
+        for r in sorted(
+            bpe_train_merges(df, "text", "doc_id", n_merges=2).collect(),
+            key=lambda r: r["merge_round"],
+        )
+    ]
+    assert got == _bpe_reference(docs, 2)
+
+
+_EDGES_ST = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=1, max_size=14,
+).filter(lambda es: any(a != b for a, b in es))
+
+
+@settings(**_SETTINGS)
+@given(edges=_EDGES_ST, depth=st.integers(1, 3))
+def test_bfs_depths_matches_python_bfs(spark, edges, depth):
+    from collections import deque
+
+    from lakeforge.ops.graph import bfs_depths
+
+    edges = [(a, b) for a, b in edges if a != b]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    src = min(adj)
+    want, q = {src: 0}, deque([src])
+    while q:
+        u = q.popleft()
+        if want[u] >= depth:
+            continue
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {r["node"]: r["depth"]
+           for r in bfs_depths(df, "a", "b", [src], max_depth=depth).collect()}
+    assert got == want
+
+
+_AGG_ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+    min_size=0, max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(old=_AGG_ROWS, delta=_AGG_ROWS)
+def test_merge_aggregates_property(spark, old, delta):
+    from lakeforge.ops.merge import merge_aggregates
+
+    if not old and not delta:
+        return
+
+    def agg(rows):
+        df = spark.createDataFrame(rows or [(99, 0)], "k bigint, v bigint")
+        if not rows:
+            df = df.filter("k < 0")
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s"),
+            F.min("v").cast("bigint").alias("mn"),
+            F.max("v").cast("bigint").alias("mx"),
+        )
+
+    merged = merge_aggregates(
+        agg(old), agg(delta), ["k"],
+        {"n": "sum", "s": "sum", "mn": "min", "mx": "max"},
+    )
+    got = sorted(tuple(r) for r in merged.collect())
+    want = sorted(tuple(r) for r in agg(old + delta).collect())
+    assert got == want
