@@ -486,6 +486,7 @@ def pq_topk(
     k_codes: int = 8,
     iters: int = 2,
     k: int = 10,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011): split each vector
     into ``n_subspaces`` contiguous subvectors, learn a ``k_codes``-entry
@@ -502,7 +503,9 @@ def pq_topk(
     training included), so even the trained quantizer is
     value-oracle-checkable.  Scale: training shuffles are k*d-bounded per
     subspace; the ADC scan is O(corpus x n_subspaces) rows of (id, code)
-    — the codes table is what an executor holds at 100 TB, not vectors."""
+    — the codes table is what an executor holds at 100 TB, not vectors.
+    ``candidates`` (query_id, neighbor_id) restricts ranking to an
+    externally-generated candidate set (IVF-PQ via ivfpq_topk)."""
     import functools
 
     from lakeforge.llm.clustering import _d2, kmeans_fit, micro_embedding
@@ -550,10 +553,82 @@ def pq_topk(
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2").cast("bigint").alias("adc_d2"))
     )
+    if candidates is not None:
+        # IVF-PQ composition: rank only pairs an inverted-file probe
+        # admitted — the coarse quantizer bounds how much of the codes
+        # table each query touches.
+        adc = adc.join(
+            candidates.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_d2").asc(), F.col("neighbor_id").asc()
     )
     return (
         adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 20,
+    n_subspaces: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFPQ composition): an inverted-file coarse
+    quantizer prunes WHICH vectors each query compares (same
+    deterministic cells as ivf_topk), and PQ codes decide HOW each
+    surviving comparison is priced (asymmetric distance over per-subspace
+    codebooks, pq_topk).  The two approximations are orthogonal —
+    nprobe/n_cells bounds scan fraction, n_subspaces*log2(k_codes) bits
+    bound per-vector memory — which is why this shape is the default at
+    billion-vector scale.
+
+    Everything stays integer/deterministic, so the COMPOSED index is
+    value-oracle-checkable end-to-end."""
+    e = _nano_with_norm(corpus, vec_col, id_col, "vec_id", "vec", "n2")
+    cents = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("n2").alias("c_n2"),
+    )
+    csim = F.round(
+        _dot("vec", "c_vec").cast("double")
+        / F.sqrt(F.col("n2").cast("double") * F.col("c_n2").cast("double")),
+        6,
+    )
+    ranked_cells = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell_id", csim.alias("csim"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("csim").desc(), F.col("cell_id").asc()
+                )
+            ),
+        )
+    )
+    assign = ranked_cells.filter(F.col("crank") == 1).select("vec_id", "cell_id")
+    probe = ranked_cells.filter(
+        (F.col("vec_id") < n_queries) & (F.col("crank") <= nprobe)
+    ).select(F.col("vec_id").alias("query_id"), "cell_id")
+    cand = (
+        assign.join(F.broadcast(probe), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    queries = corpus.filter(F.col(id_col) < n_queries)
+    return pq_topk(
+        queries, corpus, vec_col, id_col, dim=dim,
+        n_subspaces=n_subspaces, k_codes=k_codes, iters=iters, k=k,
+        candidates=cand,
     )

@@ -2667,7 +2667,10 @@ def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_pq_recall() -> str:
+def _pq_adc_ctes() -> list[str]:
+    """CTE chain shared by the PQ and IVF-PQ oracles: micro vectors,
+    per-subspace Lloyd's codebook training (unrolled), code assignment,
+    per-query distance tables, and the summed ADC distances ("adc")."""
     M, SUB, KC, IT = _PQ_M, _PQ_SUB, _PQ_KC, _PQ_IT
     ctes = [
         "mb AS (SELECT vec_id, list_transform(embedding,"
@@ -2739,33 +2742,33 @@ def _sql_pq_recall() -> str:
         " WHERE t.query_id <> c.neighbor_id"
         " GROUP BY 1, 2)"
     )
-    ctes.append(
+    return ctes
+
+
+def _recall_tail_ctes(approx_src: str) -> list[str]:
+    """exact-L2 ground truth + top-k of ``approx_src`` -> recall ctes."""
+    return [
         f"approx AS (SELECT query_id, neighbor_id FROM"
         f" (SELECT query_id, neighbor_id,"
         f" row_number() OVER (PARTITION BY query_id"
-        f" ORDER BY adc_d2 ASC, neighbor_id ASC) AS rn FROM adc)"
-        f" WHERE rn <= {_TOPK})"
-    )
-    ctes.append(
+        f" ORDER BY adc_d2 ASC, neighbor_id ASC) AS rn FROM {approx_src})"
+        f" WHERE rn <= {_TOPK})",
         "exl AS (SELECT vec_id, generate_subscripts(vec, 1) AS pos,"
-        " unnest(vec) AS x FROM mb)"
-    )
-    ctes.append(
+        " unnest(vec) AS x FROM mb)",
         f"exd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
         f" SUM((q.x - c.x)*(q.x - c.x)) AS d2"
         f" FROM exl q JOIN exl c USING (pos)"
         f" WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id"
-        f" GROUP BY 1, 2)"
-    )
-    ctes.append(
+        f" GROUP BY 1, 2)",
         f"exact AS (SELECT query_id, neighbor_id FROM"
         f" (SELECT query_id, neighbor_id,"
         f" row_number() OVER (PARTITION BY query_id"
         f" ORDER BY d2 ASC, neighbor_id ASC) AS rn FROM exd)"
-        f" WHERE rn <= {_TOPK})"
-    )
-    return (
-        "WITH " + ",\n".join(ctes) + f"""
+        f" WHERE rn <= {_TOPK})",
+    ]
+
+
+_RECALL_SELECT = f"""
 SELECT e.query_id,
        CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
        CAST((COUNT(a.neighbor_id) * 1000) // {_TOPK} AS BIGINT) AS recall_permille
@@ -2774,8 +2777,83 @@ LEFT JOIN approx a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id
 """
-    )
+
+
+def _sql_pq_recall() -> str:
+    ctes = _pq_adc_ctes() + _recall_tail_ctes("adc")
+    return "WITH " + ",\n".join(ctes) + _RECALL_SELECT
 
 
 QUERIES["pq_recall_at_k"] = q_pq_recall_at_k
 ORACLE_SQL["pq_recall_at_k"] = _sql_pq_recall()
+
+
+def q_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (llm/similarity.py::ivfpq_topk): the FAISS-style composed
+    index — inverted-file cells bound WHICH vectors each query compares,
+    PQ codes bound the MEMORY each comparison touches — evaluated as
+    recall@k vs exact L2.  Both approximations are deterministic, so the
+    composed index is value-checked end-to-end (IVF candidate pruning
+    included: its misses show up as recall loss the oracle reproduces
+    exactly)."""
+    from lakeforge.llm.similarity import ivfpq_topk, l2_topk
+
+    emb = _embeddings(spark, sf_dir)
+    approx = ivfpq_topk(
+        emb, "embedding", "vec_id",
+        dim=_PQ_M * _PQ_SUB, n_cells=_IVF_CELLS, nprobe=_IVF_PROBE,
+        n_queries=_N_QUERIES, n_subspaces=_PQ_M, k_codes=_PQ_KC,
+        iters=_PQ_IT, k=_TOPK,
+    ).select("query_id", F.col("neighbor_id").alias("a_nb"))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    exact = l2_topk(queries, emb, "embedding", "vec_id", k=_TOPK).select(
+        "query_id", F.col("neighbor_id").alias("e_nb")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id) & (F.col("e_nb") == F.col("a_nb")),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count("a_nb").cast("bigint").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.expr(f"(n_hits * 1000) div {_TOPK}").cast("bigint").alias("recall_permille"),
+    )
+
+
+def _sql_ivfpq_recall() -> str:
+    dot_c = _LIST_DOT.format(a="e.vec", b="c.c_vec")
+    ivf_ctes = [
+        "ne0 AS (SELECT vec_id, list_transform(embedding,"
+        " v -> CAST(round(CAST(v AS DOUBLE) * 1000000000) AS BIGINT)) AS vec"
+        " FROM embeddings)",
+        "ne AS (SELECT vec_id, vec,"
+        " CAST(list_sum(list_transform(vec, x -> x * x)) AS BIGINT) AS n2"
+        " FROM ne0)",
+        f"icents AS (SELECT vec_id AS cell_id, vec AS c_vec, n2 AS c_n2"
+        f" FROM ne WHERE vec_id < {_IVF_CELLS})",
+        "iscored AS (SELECT e.vec_id, e.n2, c.cell_id,"
+        " round(CAST(" + _LIST_DOT.format(a="e.vec", b="c.c_vec") +
+        " AS DOUBLE) / sqrt(CAST(e.n2 AS DOUBLE) * CAST(c.c_n2 AS DOUBLE)),"
+        " 6) AS csim FROM ne e, icents c)",
+        "iranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY csim DESC, cell_id ASC) AS crank FROM iscored)",
+        "iassign AS (SELECT vec_id, cell_id FROM iranked WHERE crank = 1)",
+        f"iprobe AS (SELECT vec_id AS query_id, cell_id FROM iranked"
+        f" WHERE vec_id < {_N_QUERIES} AND crank <= {_IVF_PROBE})",
+        "ivfcand AS (SELECT p.query_id, a.vec_id AS neighbor_id"
+        " FROM iprobe p JOIN iassign a USING (cell_id)"
+        " WHERE a.vec_id <> p.query_id)",
+        "cadc AS (SELECT adc.query_id, adc.neighbor_id, adc.adc_d2"
+        " FROM adc JOIN ivfcand USING (query_id, neighbor_id))",
+    ]
+    ctes = _pq_adc_ctes() + ivf_ctes + _recall_tail_ctes("cadc")
+    return "WITH " + ",\n".join(ctes) + _RECALL_SELECT
+
+
+QUERIES["ivfpq_recall_at_k"] = q_ivfpq_recall_at_k
+ORACLE_SQL["ivfpq_recall_at_k"] = _sql_ivfpq_recall()
