@@ -41,6 +41,12 @@ MIN_WORDS, WORD_SPREAD = 5, 20  # n_words = MIN + h % SPREAD
 
 DOCGEN_SCHEMA = "doc_id bigint, source string, n_words bigint, text string"
 
+# Alternate generated datasets (option("kind", ...)): deterministic
+# embeddings / random-graph edges, for scale probes of the ANN and graph
+# families (tools/scale_probe.py) — same md5 determinism contract.
+EMB_SCHEMA = "vec_id bigint, embedding array<float>"
+EDGE_SCHEMA = "edge_id bigint, src bigint, dst bigint"
+
 
 def _h(doc_id: int, field: str, seed: int) -> int:
     """60-bit md5 int of (doc_id, field, seed) — chr(31)-joined like
@@ -58,6 +64,25 @@ def gen_row(doc_id: int, seed: int) -> tuple[int, str, int, str]:
     return doc_id, src, n_words, " ".join(words)
 
 
+def gen_embedding_row(i: int, seed: int, dim: int) -> tuple[int, list[float]]:
+    """Deterministic pseudo-embedding: each coordinate is an md5-derived
+    uniform in [-1, 1] at micro resolution — the same value-domain shape
+    as the testdata embeddings, regenerable on any engine."""
+    return (
+        i,
+        [
+            (_h(i, f"e{j}", seed) % 2_000_001 - 1_000_000) / 1e6
+            for j in range(dim)
+        ],
+    )
+
+
+def gen_edge_row(i: int, seed: int, n_nodes: int) -> tuple[int, int, int]:
+    """Deterministic uniform random-graph edge over ``n_nodes`` vertices
+    (Erdos-Renyi-style; self-loops possible and handled by graph ops)."""
+    return (i, _h(i, "s", seed) % n_nodes, _h(i, "d", seed) % n_nodes)
+
+
 class _RangePartition(InputPartition):
     def __init__(self, start: int, end: int, seed: int):
         self.start, self.end, self.seed = start, end, seed
@@ -70,6 +95,11 @@ class DocgenReader(DataSourceReader):
             raise ValueError(f"rows must be >= 0, got {self.rows}")
         self.seed = int(options.get("seed", 0))
         self.num_partitions = int(options.get("numPartitions", 8))
+        self.kind = options.get("kind", "docs")
+        if self.kind not in ("docs", "embeddings", "edges"):
+            raise ValueError(f"kind must be docs|embeddings|edges, got {self.kind}")
+        self.dim = int(options.get("dim", 64))
+        self.n_nodes = int(options.get("nNodes", max(self.rows // 10, 1)))
 
     def partitions(self):
         n, p = self.rows, max(1, self.num_partitions)
@@ -81,7 +111,12 @@ class DocgenReader(DataSourceReader):
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):
-            yield gen_row(i, partition.seed)
+            if self.kind == "embeddings":
+                yield gen_embedding_row(i, partition.seed, self.dim)
+            elif self.kind == "edges":
+                yield gen_edge_row(i, partition.seed, self.n_nodes)
+            else:
+                yield gen_row(i, partition.seed)
 
 
 class DocgenStreamReader(SimpleDataSourceStreamReader):
@@ -120,6 +155,11 @@ class DocgenSource(DataSource):
         return "lakeforge_docgen"
 
     def schema(self) -> str:
+        kind = self.options.get("kind", "docs")
+        if kind == "embeddings":
+            return EMB_SCHEMA
+        if kind == "edges":
+            return EDGE_SCHEMA
         return DOCGEN_SCHEMA
 
     def reader(self, schema: StructType) -> DocgenReader:

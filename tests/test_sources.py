@@ -59,3 +59,38 @@ def test_parquet_merge_schema_unions_columns(spark, tmp_path):
     assert set(merged.columns) >= {"id", "name", "score"}
     got = {r["id"]: r["score"] for r in merged.collect()}
     assert got[1] is None and got[2] == 99
+
+
+def test_docgen_embeddings_and_edges_kinds(spark):
+    """The docgen source's alternate kinds generate deterministic
+    embeddings / random-graph edges with the declared schemas — same
+    (rows, seed) -> bit-identical data at any partitioning."""
+    from lakeforge.io import docgen_source
+
+    docgen_source.register(spark)
+
+    def load(kind, parts, **opts):
+        r = spark.read.format("lakeforge_docgen").option("kind", kind) \
+            .option("rows", 50).option("numPartitions", parts)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    e1 = load("embeddings", 2, dim=8)
+    e2 = load("embeddings", 7, dim=8)
+    assert e1.schema.simpleString() == \
+        "struct<vec_id:bigint,embedding:array<float>>"
+    rows1 = sorted((r["vec_id"], tuple(r["embedding"])) for r in e1.collect())
+    rows2 = sorted((r["vec_id"], tuple(r["embedding"])) for r in e2.collect())
+    assert rows1 == rows2 and len(rows1) == 50
+    assert all(len(v) == 8 and all(-1 <= x <= 1 for x in v) for _, v in rows1)
+
+    g1 = load("edges", 3, nNodes=10)
+    assert g1.schema.simpleString() == \
+        "struct<edge_id:bigint,src:bigint,dst:bigint>"
+    assert g1.count() == 50
+    assert g1.filter("src >= 10 OR dst >= 10 OR src < 0 OR dst < 0").count() == 0
+
+    import pytest
+    with pytest.raises(Exception):
+        load("bogus", 2).collect()

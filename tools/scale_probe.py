@@ -122,6 +122,79 @@ def main() -> None:
         lines.append(
             f"| {op} | {t1:.3f} | {t10:.3f} | {t100:.3f} | {alpha:.2f} |"
         )
+    # ---- ANN + graph families over generated embeddings / edges --------
+    ann_graph: dict[str, dict[str, float]] = {}
+
+    def _time(fn) -> float:
+        samples = []
+        for _ in range(args.runs):
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+            cache.release_all()
+            spark.catalog.clearCache()
+        return round(statistics.median(samples), 3)
+
+    emb_sizes = {"1x": 2000, "10x": 20_000, "100x": 200_000}
+    edge_sizes = {"1x": 40_000, "10x": 400_000, "100x": 4_000_000}
+    for label in ("1x", "10x", "100x"):
+        emb = (
+            spark.read.format("lakeforge_docgen")
+            .option("kind", "embeddings").option("rows", emb_sizes[label])
+            .option("numPartitions", 32).load()
+        )
+        edges = (
+            spark.read.format("lakeforge_docgen")
+            .option("kind", "edges").option("rows", edge_sizes[label])
+            .option("nNodes", edge_sizes[label] // 10)
+            .option("numPartitions", 32).load()
+        )
+
+        def run_kmeans(emb=emb):
+            from lakeforge.llm.clustering import kmeans_assignments
+            kmeans_assignments(emb, k=8, iters=2).write.format("noop").mode(
+                "overwrite").save()
+
+        def run_sq8(emb=emb):
+            from lakeforge.llm.similarity import sq8_topk
+            sq8_topk(emb.filter("vec_id < 20"), emb, "embedding", "vec_id",
+                     k=10).write.format("noop").mode("overwrite").save()
+
+        def run_bfs(edges=edges):
+            from lakeforge.ops.graph import bfs_depths
+            bfs_depths(edges, "src", "dst", sources=[0],
+                       max_depth=4).write.format("noop").mode("overwrite").save()
+
+        def run_pagerank(edges=edges):
+            from lakeforge.ops.graph import pagerank_nano
+            pagerank_nano(edges, "src", "dst", iters=3).write.format(
+                "noop").mode("overwrite").save()
+
+        for op, fn in (("kmeans_assignments(k=8,it=2)", run_kmeans),
+                       ("sq8_topk(Q=20)", run_sq8),
+                       ("bfs_depths(d=4)", run_bfs),
+                       ("pagerank_nano(it=3)", run_pagerank)):
+            t = _time(fn)
+            ann_graph.setdefault(op, {})[label] = t
+            print(f"{op:28s} {label:>4s}: {t:7.3f}s", flush=True)
+
+    lines += [
+        "",
+        "## ANN + graph families (generated embeddings / random-graph edges)",
+        "",
+        f"Embeddings at {emb_sizes['1x']:,}/{emb_sizes['10x']:,}/"
+        f"{emb_sizes['100x']:,} vectors (1x = sf0.1's count); edges at "
+        f"{edge_sizes['1x']:,}/{edge_sizes['10x']:,}/{edge_sizes['100x']:,} "
+        "(uniform random graph, nodes = edges/10).  Same protocol.",
+        "",
+        "| op | t(1x) s | t(10x) s | t(100x) s | alpha (10x->100x) |",
+        "|---|---|---|---|---|",
+    ]
+    for op, r in ann_graph.items():
+        alpha = math.log10(r["100x"] / r["10x"]) if r["10x"] > 0 else float("nan")
+        lines.append(
+            f"| {op} | {r['1x']:.3f} | {r['10x']:.3f} | {r['100x']:.3f} | {alpha:.2f} |"
+        )
     lines += [
         "",
         "Why these stay ~linear by construction:",
