@@ -313,3 +313,65 @@ def bfs_depths(
         lambda blocking=False: cache.unpersist_rdd_ids(spark, final_ids, blocking)
     )
     return visited
+
+
+def sssp_hops(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight: str,
+    sources: list[int],
+    max_hops: int = 4,
+) -> DataFrame:
+    """Hop-bounded single-source shortest paths — Bellman-Ford as
+    ``max_hops`` relaxation rounds: dist_{i+1}(v) = min(dist_i(v),
+    min over in-edges (dist_i(u) + w(u,v))).  Returns (node, dist) for
+    every node reachable within ``max_hops`` edges (dist = cheapest path
+    using at most that many edges; negative weights are fine, negative
+    CYCLES are bounded away by the hop cap).
+
+    Complements bfs_depths (min HOPS, unweighted) with min COST.  Each
+    round is one join (dist x out-edges, shuffle on the node id) + one
+    min-aggregate over at most |nodes| rows — the dist table never
+    exceeds the vertex count, so round cost is O(edges touched).  Same
+    localCheckpoint/release discipline as the other iterative ops."""
+    from lakeforge import cache
+
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
+        F.col(weight).cast("bigint").alias("w"),
+    )
+    seen = cache.rdd_ids(spark)
+    e = e.localCheckpoint()
+    e_ids = cache.rdd_ids(spark) - seen
+
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "node bigint, dist bigint"
+    )
+    prev_ids: set[int] = set()
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(e, dist.node == e.e_src)
+            .select(
+                F.col("e_dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        new_dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        seen = cache.rdd_ids(spark)
+        new_dist = new_dist.localCheckpoint()
+        new_ids = cache.rdd_ids(spark) - seen
+        cache.unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
+        dist = new_dist
+    cache.unpersist_rdd_ids(spark, e_ids)
+    final_ids = prev_ids
+    cache.track_releaser(
+        lambda blocking=False: cache.unpersist_rdd_ids(spark, final_ids, blocking)
+    )
+    return dist

@@ -4210,3 +4210,64 @@ FROM c
 
 QUERIES["events_transition_matrix"] = q_events_transition_matrix
 ORACLE_SQL["events_transition_matrix"] = SQL_EVENTS_TRANSITION
+
+
+def q_trade_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest paths (ops/graph.py::sssp_hops) over
+    the part<->supplier trade graph — edge weight (l_partkey +
+    l_suppkey) % 7 + 1 in both directions, source = lowest part node,
+    4 relaxation rounds — summarized as a distance histogram.  The
+    DuckDB oracle unrolls the SAME Bellman-Ford rounds as CTEs (the
+    iterative-op pattern where the oracle replays the iteration
+    structure rather than restating the problem)."""
+    from lakeforge.ops.graph import sssp_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select("l_partkey", "l_suppkey").distinct().select(
+        (F.col("l_partkey") * 2).alias("p"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+        ((F.col("l_partkey") + F.col("l_suppkey")) % 7 + 1).alias("w"),
+    )
+    edges = e0.select(F.col("p").alias("src"), F.col("s").alias("dst"), "w") \
+        .unionByName(e0.select(F.col("s").alias("src"), F.col("p").alias("dst"), "w"))
+    src = 2 * li.agg(F.min("l_partkey")).collect()[0][0]
+    dist = sssp_hops(edges, "src", "dst", "w", sources=[src], max_hops=4)
+    return dist.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("node").cast("bigint").alias("min_node"),
+        F.max("node").cast("bigint").alias("max_node"),
+    )
+
+
+def _sql_trade_sssp() -> str:
+    ctes = [
+        "e0 AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s,"
+        " (l_partkey + l_suppkey) % 7 + 1 AS w FROM lineitem)",
+        "ed AS (SELECT p AS src, s AS dst, w FROM e0"
+        " UNION ALL SELECT s AS src, p AS dst, w FROM e0)",
+        "d0 AS (SELECT min(l_partkey) * 2 AS node, CAST(0 AS BIGINT) AS dist"
+        " FROM lineitem)",
+    ]
+    prev = "d0"
+    for i in range(1, 5):
+        ctes.append(
+            f"d{i} AS (SELECT node, MIN(dist) AS dist FROM ("
+            f" SELECT node, dist FROM {prev}"
+            f" UNION ALL"
+            f" SELECT e.dst AS node, p.dist + e.w AS dist"
+            f" FROM {prev} p JOIN ed e ON e.src = p.node) _u GROUP BY node)"
+        )
+        prev = f"d{i}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(dist AS BIGINT) AS dist,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(max(node) AS BIGINT) AS max_node
+FROM {prev} GROUP BY dist
+"""
+    )
+
+
+QUERIES["trade_sssp_hops"] = q_trade_sssp_hops
+ORACLE_SQL["trade_sssp_hops"] = _sql_trade_sssp()

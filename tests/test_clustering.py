@@ -135,3 +135,30 @@ def test_bfs_depths_min_distance_and_bound(spark):
     multi = {r["node"]: r["depth"]
              for r in bfs_depths(edges, "a", "b", sources=[1, 5], max_depth=4).collect()}
     assert multi == {1: 0, 5: 0, 2: 1, 3: 1, 4: 1}
+
+
+def test_sssp_hops_matches_python_bellman_ford(spark):
+    """Weighted min-cost within a hop bound == k rounds of Python
+    Bellman-Ford, including a case where more hops = cheaper path."""
+    from lakeforge.ops.graph import sssp_hops
+
+    # 1 -> 2 (10 direct) but 1 -> 3 -> 4 -> 2 costs 3; node 9 unreachable
+    edges = [(1, 2, 10), (1, 3, 1), (3, 4, 1), (4, 2, 1), (9, 9, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+
+    def bf(max_hops):
+        dist = {1: 0}
+        for _ in range(max_hops):
+            nd = dict(dist)
+            for s, d, w in edges:
+                if s in dist and dist[s] + w < nd.get(d, 1 << 60):
+                    nd[d] = dist[s] + w
+            dist = nd
+        return dist
+
+    for hops in (1, 2, 3):
+        got = {r["node"]: r["dist"]
+               for r in sssp_hops(df, "src", "dst", "w", [1], hops).collect()}
+        assert got == bf(hops), hops
+    # at 1 hop the direct edge wins (10); by 3 hops the cheap path (3)
+    assert bf(1)[2] == 10 and bf(3)[2] == 3
