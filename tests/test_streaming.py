@@ -804,3 +804,62 @@ def test_stream_maintains_exact_distinct_bitmap_state(spark, tmp_path):
             for r in ev.groupBy("event_type")
                        .agg(F.countDistinct("user_id").alias("n")).collect()}
     assert got == want  # duplicate deliveries collapse in the bitmaps
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_stream_maintains_aggregate_state_via_ivm(spark, tmp_path):
+    """Streaming IVM for distributive aggregates: foreachBatch folds each
+    micro-batch's per-type aggregate into a persistent state table with
+    merge_aggregates; after the stream drains, state equals the batch
+    recompute — count/sum add, min/max take extrema, across batches."""
+    from pyspark.sql import functions as F
+
+    from lakeforge.ops.merge import merge_aggregates
+
+    src = tmp_path / "in"
+    state = str(tmp_path / "agg_state")
+    src.mkdir()
+    ev = read_events(spark, SF_DIR)
+    import glob as _glob
+    for name, frame in (
+        ("a", ev.filter(F.col("event_id") % 2 == 0)),
+        ("b", ev.filter(F.col("event_id") % 2 == 1)),
+    ):
+        out = str(tmp_path / f"split_{name}")
+        frame.coalesce(1).write.mode("overwrite").parquet(out)
+        shutil.copy(_glob.glob(os.path.join(out, "part-*.parquet"))[0],
+                    src / f"{name}.parquet")
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    rules = {"n": "sum", "total": "sum", "first_ts": "min", "last_ts": "max"}
+
+    def fold(batch_df, batch_id):
+        delta = agg(batch_df)
+        try:
+            old = batch_df.sparkSession.read.parquet(state)
+        except Exception:
+            delta.write.mode("overwrite").parquet(state)
+            return
+        merged = merge_aggregates(old, delta, ["event_type"], rules)
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state)
+
+    q = (
+        read_events_stream(spark, str(src), max_files_per_trigger=1)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    want = sorted(tuple(r) for r in agg(ev).collect())
+    assert got == want
