@@ -2857,3 +2857,47 @@ def _sql_ivfpq_recall() -> str:
 
 QUERIES["ivfpq_recall_at_k"] = q_ivfpq_recall_at_k
 ORACLE_SQL["ivfpq_recall_at_k"] = _sql_ivfpq_recall()
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (llm/dedup.py::jaccard_prefix_pairs).
+# The oracle is the FULL inverted-index Jaccard join at the same threshold,
+# so a green row proves the prefix filter is lossless (no false negatives)
+# and the verify step admits no false positives.
+# ---------------------------------------------------------------------------
+
+
+def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.dedup import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(
+        _neardup_corpus(spark, sf_dir), "text", "doc_id",
+        shingle_n=3, df_cap=50, tau_permille=600,
+    )
+
+
+SQL_JACCARD_PREFIX_PAIRS = f"""
+WITH {_NEARDUP_CORPUS},
+{_shingle_ctes(3)},
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle) WHERE df <= 50),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+    FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+out AS (
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           CAST(sa.n_sh + sb.n_sh - i.n_inter AS BIGINT) AS n_union
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, n_inter, n_union,
+       CAST((n_inter * 1000) // n_union AS BIGINT) AS jaccard_permille
+FROM out WHERE (n_inter * 1000) // n_union >= 600
+"""
+
+QUERIES["jaccard_prefix_pairs"] = q_jaccard_prefix_pairs
+ORACLE_SQL["jaccard_prefix_pairs"] = SQL_JACCARD_PREFIX_PAIRS

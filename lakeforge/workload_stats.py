@@ -507,3 +507,550 @@ FROM est e JOIN exact USING (c_mktsegment)
 
 QUERIES["kmv_distinct_segments"] = q_kmv_distinct_segments
 ORACLE_SQL["kmv_distinct_segments"] = SQL_KMV_DISTINCT_SEGMENTS
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) — two-level running-max decomposition.
+# ---------------------------------------------------------------------------
+
+
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts: minimize retail price, maximize size.
+
+    Reduction first: per distinct price keep only max(size) — shuffle by
+    price, fully parallel, output bounded by |distinct prices|.  The
+    frontier test (size strictly above every cheaper point's size) is a
+    running max over price order, decomposed TWO-LEVEL exactly like
+    peak_concurrency: (1) running max WITHIN each price block — parallel;
+    (2) per-block maxima prefix-maxed over the tiny block summary give
+    each block's carry-in; a point survives iff it beats both.  Identical
+    to the single-pass running max because blocks follow price order.
+    The oracle states the definition directly (NOT EXISTS dominance).
+    Frontier is tiny by nature → broadcast back onto part for n_parts.
+    """
+    p = _t(spark, sf_dir, "part").select("p_retailprice", "p_size")
+    pts = p.groupBy("p_retailprice").agg(F.max("p_size").alias("p_size"))
+    blocked = pts.withColumn(
+        "bk", F.floor(F.col("p_retailprice") / 100).cast("bigint")
+    )
+    w_in = (
+        Window.partitionBy("bk")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = blocked.withColumn("prev_in", F.max("p_size").over(w_in))
+    blk = blocked.groupBy("bk").agg(F.max("p_size").alias("blk_max"))
+    # per-block summary: tiny by design (|price range| / block width rows)
+    w_blk = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    carry = blk.withColumn("prev_blk", F.max("blk_max").over(w_blk)).select(
+        "bk", "prev_blk"
+    )
+    frontier = (
+        within.join(F.broadcast(carry), "bk")
+        .withColumn(
+            "best_prev",
+            F.greatest(
+                F.coalesce("prev_in", F.lit(-1)),
+                F.coalesce("prev_blk", F.lit(-1)),
+            ),
+        )
+        .filter(F.col("p_size") > F.col("best_prev"))
+        .select("p_retailprice", "p_size")
+    )
+    return (
+        p.join(F.broadcast(frontier), ["p_retailprice", "p_size"])
+        .groupBy("p_retailprice", "p_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    )
+
+
+SQL_PART_SKYLINE = """
+WITH pts AS (
+  SELECT p_retailprice, MAX(p_size) AS p_size FROM part GROUP BY p_retailprice
+),
+frontier AS (
+  SELECT * FROM pts a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts b
+    WHERE b.p_retailprice < a.p_retailprice AND b.p_size >= a.p_size
+  )
+)
+SELECT f.p_retailprice, f.p_size, CAST(count(*) AS BIGINT) AS n_parts
+FROM part p JOIN frontier f
+  ON p.p_retailprice = f.p_retailprice AND p.p_size = f.p_size
+GROUP BY f.p_retailprice, f.p_size
+"""
+
+QUERIES["part_skyline"] = q_part_skyline
+ORACLE_SQL["part_skyline"] = SQL_PART_SKYLINE
+
+
+# ---------------------------------------------------------------------------
+# Interval coalescing (merge overlapping activity windows per customer).
+# ---------------------------------------------------------------------------
+
+
+def q_customer_activity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coalesce each customer's 30-day order-activity intervals.
+
+    Classic gaps-and-islands over ranges: an order opens [day, day+30); a
+    new island starts when the next start exceeds the running max of all
+    previous ends (running max, not lag(end): an earlier long interval can
+    swallow several later ones).  All windows partition by customer —
+    parallel across customers, bounded rows within — then one aggregate
+    per island and one per customer.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("s")
+    )
+    iv = o.withColumn("e", F.date_add("s", 30))
+    w = Window.partitionBy("o_custkey").orderBy("s", "e")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (
+        iv.withColumn(
+            "new_isl",
+            F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("o_custkey", "island")
+        .agg(F.min("s").alias("i_start"), F.max("e").alias("i_end"))
+    )
+    return isl.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+        F.sum(F.datediff("i_end", "i_start")).cast("bigint").alias("covered_days"),
+        F.datediff(F.max("i_end"), F.min("i_start"))
+        .cast("bigint")
+        .alias("span_days"),
+    )
+
+
+SQL_CUSTOMER_ACTIVITY_INTERVALS = """
+WITH iv AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + 30 AS e
+  FROM orders
+),
+marked AS (
+  SELECT o_custkey, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM iv
+),
+islands AS (
+  SELECT o_custkey, s, e,
+         SUM(new_isl) OVER (PARTITION BY o_custkey ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+agg AS (
+  SELECT o_custkey, island, MIN(s) AS i_start, MAX(e) AS i_end
+  FROM islands GROUP BY o_custkey, island
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_periods,
+       CAST(SUM(datediff('day', i_start, i_end)) AS BIGINT) AS covered_days,
+       CAST(datediff('day', MIN(i_start), MAX(i_end)) AS BIGINT) AS span_days
+FROM agg GROUP BY o_custkey
+"""
+
+QUERIES["customer_activity_intervals"] = q_customer_activity_intervals
+ORACLE_SQL["customer_activity_intervals"] = SQL_CUSTOMER_ACTIVITY_INTERVALS
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations: union / intersection estimates across two sets.
+# ---------------------------------------------------------------------------
+
+
+def q_kmv_year_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set operations: estimate |A∪B| and |A∩B| for the sets of
+    customers active in 1995 (A) vs 1996 (B), against exact answers.
+
+    Sketch algebra (Beyer et al., "On Synopses for Distinct-Value
+    Estimation Under Multiset Operations"): the union sketch is the k
+    smallest hashes of A's ∪ B's sketch hashes; Jaccard is estimated by
+    the fraction of those k that occur in BOTH per-set sketches;
+    |A∩B| ≈ Ĵ · |A∪B|̂.  Everything is min-k selection + equi-joins on
+    64-row frames — the per-set sketches are the only thing that ever
+    leaves a 100 TB scan.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    sets = (
+        o.filter(F.col("yr").isin(1995, 1996))
+        .select("yr", md5_int("o_custkey").alias("h"))
+        .distinct()
+    )
+    # per-set min-k sketches (two small sets → single-level window per yr;
+    # the two-level block variant in q_kmv_distinct_segments applies when a
+    # set is fact-sized)
+    w_set = Window.partitionBy("yr").orderBy("h")
+    sk = sets.withColumn("rn", F.row_number().over(w_set)).where(
+        F.col("rn") <= _KMV_K
+    )
+    union_hashes = sk.select("h").distinct()
+    w_u = Window.orderBy("h")  # ≤ 2k rows
+    usk = union_hashes.withColumn("rn", F.row_number().over(w_u)).where(
+        F.col("rn") <= _KMV_K
+    )
+    u_stats = usk.agg(
+        F.count(F.lit(1)).alias("u_k"), F.max("h").alias("u_kth")
+    )
+    in_a = sk.where(F.col("yr") == 1995).select("h").withColumn("in_a", F.lit(1))
+    in_b = sk.where(F.col("yr") == 1996).select("h").withColumn("in_b", F.lit(1))
+    both = (
+        usk.join(in_a, "h", "left")
+        .join(in_b, "h", "left")
+        .agg(
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+            ).alias("k_both")
+        )
+    )
+    exact = (
+        o.filter(F.col("yr").isin(1995, 1996))
+        .select("yr", "o_custkey")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_years"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+            F.sum(F.when(F.col("n_years") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("exact_inter"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    u_est = F.when(F.col("u_k") < _KMV_K, d("u_k")).otherwise(
+        F.round((F.col("u_k") - 1).cast("double") * F.lit(_HASH_SPACE) / d("u_kth"))
+    )
+    return (
+        u_stats.crossJoin(F.broadcast(both))
+        .crossJoin(F.broadcast(exact))
+        .withColumn("union_est", u_est.cast("bigint"))
+        .withColumn(
+            "inter_est",
+            F.round(d("k_both") / d("u_k") * F.col("union_est").cast("double"))
+            .cast("bigint"),
+        )
+        .select("exact_union", "union_est", "exact_inter", "inter_est")
+    )
+
+
+_H_OCUST = duckdb_md5_int_sql(["o_custkey"])
+
+SQL_KMV_YEAR_OVERLAP = f"""
+WITH sets AS (
+  SELECT DISTINCT year(o_orderdate) AS yr, {_H_OCUST} AS h
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+),
+sk AS (
+  SELECT yr, h FROM (
+    SELECT yr, h, row_number() OVER (PARTITION BY yr ORDER BY h) AS rn FROM sets
+  ) WHERE rn <= {_KMV_K}
+),
+usk AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM sk)
+  ) WHERE rn <= {_KMV_K}
+),
+u_stats AS (SELECT CAST(count(*) AS BIGINT) AS u_k, MAX(h) AS u_kth FROM usk),
+ovl AS (
+  SELECT CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_both
+  FROM usk
+  LEFT JOIN (SELECT h FROM sk WHERE yr = 1995) a ON usk.h = a.h
+  LEFT JOIN (SELECT h FROM sk WHERE yr = 1996) b ON usk.h = b.h
+),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(SUM(CASE WHEN n_years = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+  FROM (
+    SELECT o_custkey, count(*) AS n_years
+    FROM (SELECT DISTINCT year(o_orderdate) AS yr, o_custkey
+          FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+    GROUP BY o_custkey
+  )
+),
+est AS (
+  SELECT exact_union, exact_inter, u_k, u_kth, k_both,
+         CAST(CASE WHEN u_k < {_KMV_K} THEN CAST(u_k AS DOUBLE)
+              ELSE round(CAST(u_k - 1 AS DOUBLE) * {_HASH_SPACE!r} / CAST(u_kth AS DOUBLE))
+         END AS BIGINT) AS union_est
+  FROM u_stats CROSS JOIN ovl CROSS JOIN exact
+)
+SELECT exact_union, union_est, exact_inter,
+       CAST(round(CAST(k_both AS DOUBLE) / CAST(u_k AS DOUBLE)
+            * CAST(union_est AS DOUBLE)) AS BIGINT) AS inter_est
+FROM est
+"""
+
+QUERIES["kmv_year_overlap"] = q_kmv_year_overlap
+ORACLE_SQL["kmv_year_overlap"] = SQL_KMV_YEAR_OVERLAP
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer spend — two-level global rank.
+# ---------------------------------------------------------------------------
+
+
+def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer total spend.
+
+    Needs every customer's GLOBAL rank in spend order — assigned two-level
+    (the orderkey_gaps seam pattern): (1) row_number within value-range
+    blocks — parallel; (2) block row-counts prefix-summed over the tiny
+    block summary give each block's rank offset; global rank = offset +
+    local.  The rank-weighted sum Σ r·x runs in exact DECIMAL so the
+    two-level result is bit-identical to the oracle's single ORDER BY
+    row_number; only the final closed form G = 2Σr·x/(nΣx) − (n+1)/n
+    drops to double.
+    """
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("sp")
+    )
+    blocked = spend.withColumn(
+        "bk", F.floor(F.col("sp").cast("double") / 100000.0).cast("bigint")
+    )
+    w_in = Window.partitionBy("bk").orderBy("sp", "o_custkey")
+    local = blocked.withColumn("rn_local", F.row_number().over(w_in))
+    blk = blocked.groupBy("bk").agg(F.count(F.lit(1)).alias("bn"))
+    w_blk = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = blk.withColumn(
+        "off", F.coalesce(F.sum("bn").over(w_blk), F.lit(0))
+    ).select("bk", "off")
+    ranked = local.join(F.broadcast(offs), "bk").withColumn(
+        "r", (F.col("off") + F.col("rn_local")).cast("bigint")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sp").alias("t_dec"),
+        F.sum(F.col("r").cast("decimal(18,0)") * F.col("sp")).alias("s_dec"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.select(
+        "n",
+        F.round(d("t_dec"), 2).alias("total_spend"),
+        F.round(
+            2.0 * d("s_dec") / (d("n") * d("t_dec"))
+            - (d("n") + 1.0) / d("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+SQL_SPEND_GINI = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT sp, row_number() OVER (ORDER BY sp, o_custkey) AS r FROM spend
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         SUM(sp) AS t_dec,
+         SUM(CAST(r AS DECIMAL(18,0)) * sp) AS s_dec
+  FROM ranked
+)
+SELECT n,
+       round(CAST(t_dec AS DOUBLE), 2) AS total_spend,
+       round(2.0 * CAST(s_dec AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t_dec AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM agg
+"""
+
+QUERIES["spend_gini"] = q_spend_gini
+ORACLE_SQL["spend_gini"] = SQL_SPEND_GINI
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov statistic — two-level ECDF sweep.
+# ---------------------------------------------------------------------------
+
+
+def q_price_ks_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS statistic between BUILDING and AUTOMOBILE order-price
+    distributions: D = max over values of |ECDF_a − ECDF_b|.
+
+    The fact collapses to per-distinct-price counts first, then the
+    running (cumulative) counts are decomposed two-level over price-range
+    blocks exactly like peak_concurrency's sweep — no global
+    single-partition window over the value domain.  Counts stay integer
+    until the final ratio, so the block decomposition is exact.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(
+            "o_totalprice",
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("ia"),
+            F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1).otherwise(0).alias("ib"),
+        )
+    )
+    cells = x.groupBy("o_totalprice").agg(
+        F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+    )
+    blocked = cells.withColumn(
+        "bk", F.floor(F.col("o_totalprice") / 10000).cast("bigint")
+    )
+    w_in = (
+        Window.partitionBy("bk")
+        .orderBy("o_totalprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = blocked.withColumn("cum_a_in", F.sum("ca").over(w_in)).withColumn(
+        "cum_b_in", F.sum("cb").over(w_in)
+    )
+    blk = blocked.groupBy("bk").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    w_blk = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = blk.withColumn(
+        "off_a", F.coalesce(F.sum("ta").over(w_blk), F.lit(0))
+    ).withColumn("off_b", F.coalesce(F.sum("tb").over(w_blk), F.lit(0))).select(
+        "bk", "off_a", "off_b"
+    )
+    tot = blk.agg(
+        F.sum("ta").cast("bigint").alias("n_a"),
+        F.sum("tb").cast("bigint").alias("n_b"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    ecdf = (
+        within.join(F.broadcast(offs), "bk")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar totals
+        .select(
+            "n_a",
+            "n_b",
+            (
+                F.abs(
+                    (F.col("off_a") + F.col("cum_a_in")).cast("double") / d("n_a")
+                    - (F.col("off_b") + F.col("cum_b_in")).cast("double") / d("n_b")
+                )
+            ).alias("dd"),
+        )
+    )
+    return ecdf.groupBy("n_a", "n_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_prices"),
+        F.round(F.max("dd"), 6).alias("ks_stat"),
+    )
+
+
+SQL_PRICE_KS_SEGMENTS = """
+WITH x AS (
+  SELECT o_totalprice,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS ib
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+),
+cells AS (
+  SELECT o_totalprice, SUM(ia) AS ca, SUM(ib) AS cb
+  FROM x GROUP BY o_totalprice
+),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM cells),
+ecdf AS (
+  SELECT SUM(ca) OVER (ORDER BY o_totalprice
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (ORDER BY o_totalprice
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM cells
+)
+SELECT n_a, n_b,
+       CAST(count(*) AS BIGINT) AS n_prices,
+       round(MAX(abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))), 6) AS ks_stat
+FROM ecdf CROSS JOIN tot
+GROUP BY n_a, n_b
+"""
+
+QUERIES["price_ks_segments"] = q_price_ks_segments
+ORACLE_SQL["price_ks_segments"] = SQL_PRICE_KS_SEGMENTS
+
+
+# ---------------------------------------------------------------------------
+# Change-point detection: max |CUSUM| over the daily revenue series.
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most likely change point in daily revenue: the day maximizing
+    |Σ_{j<=i}(x_j − x̄)| (the CUSUM deviation statistic; the argmax is the
+    classic single-change-point location estimate).
+
+    The fact collapses to the date dimension first (exact DECIMAL sums),
+    so the cumulative window runs over ~2.4k rows — same dimension-bounded
+    posture as revenue_autocorr.  Cumsums stay DECIMAL-exact; only the
+    mean-adjusted deviation drops to double, identically on both engines.
+    Ties on the max break to the earliest day (deterministic).
+    """
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    )
+    stats = daily.agg(
+        F.sum("rev").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")  # date-dimension-bounded (post-aggregate)
+    cum = daily.withColumn(
+        "i", F.row_number().over(w)
+    ).withColumn(
+        "cum", F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dev = cum.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n",
+        F.abs(d("cum") - d("i") * (d("total") / d("n"))).alias("ad"),
+    )
+    mx = dev.agg(F.max("ad").alias("m"))
+    return (
+        dev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ad") == F.col("m"))
+        .agg(
+            F.min("day").alias("changepoint_day"),
+            F.max("n").cast("bigint").alias("n_days"),
+            F.round(F.max("m"), 6).alias("cusum_stat"),
+        )
+    )
+
+
+SQL_REVENUE_CHANGEPOINT = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+stats AS (SELECT SUM(rev) AS total, count(*) AS n FROM daily),
+cum AS (
+  SELECT day,
+         row_number() OVER (ORDER BY day) AS i,
+         SUM(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM daily
+),
+dev AS (
+  SELECT day, n,
+         abs(CAST(cum AS DOUBLE) - CAST(i AS DOUBLE)
+             * (CAST(total AS DOUBLE) / CAST(n AS DOUBLE))) AS ad
+  FROM cum CROSS JOIN stats
+),
+mx AS (SELECT MAX(ad) AS m FROM dev)
+SELECT MIN(day) AS changepoint_day,
+       CAST(MAX(n) AS BIGINT) AS n_days,
+       round(MAX(m), 6) AS cusum_stat
+FROM dev CROSS JOIN mx WHERE ad = m
+"""
+
+QUERIES["revenue_changepoint"] = q_revenue_changepoint
+ORACLE_SQL["revenue_changepoint"] = SQL_REVENUE_CHANGEPOINT

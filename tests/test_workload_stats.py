@@ -96,3 +96,95 @@ def test_autocorr_in_valid_range(spark):
     assert r.n_days > 100
     assert -1.0 <= r.autocorr_lag1 <= 1.0
     assert -1.0 <= r.autocorr_lag7 <= 1.0
+
+
+def test_skyline_is_pareto_optimal_and_real(spark):
+    rows = ws.q_part_skyline(spark, SF).collect()
+    assert rows
+    pts = [(r.p_retailprice, r.p_size) for r in rows]
+    for price, size in pts:
+        for price2, size2 in pts:
+            if (price2, size2) == (price, size):
+                continue
+            dominated = price2 <= price and size2 >= size and (
+                price2 < price or size2 > size
+            )
+            assert not dominated, f"({price},{size}) dominated by ({price2},{size2})"
+    part = {
+        (r.p_retailprice, r.p_size)
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+    }
+    for p in pts:
+        assert p in part
+
+
+def test_interval_coalescing_invariants(spark):
+    rows = ws.q_customer_activity_intervals(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # every island is at least one 30-day interval long
+        assert r.covered_days >= 30 * r.n_periods
+        assert r.span_days >= r.covered_days
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_cust
+
+
+def test_gini_in_unit_range(spark):
+    r = ws.q_spend_gini(spark, SF).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    assert r.total_spend > 0
+    assert r.n > 0
+
+
+def test_ks_statistic_in_unit_range(spark):
+    r = ws.q_price_ks_segments(spark, SF).collect()[0]
+    assert 0.0 <= r.ks_stat <= 1.0
+    assert r.n_a > 0 and r.n_b > 0
+    # near-identical generators => small KS at this SF
+    assert r.ks_stat < 0.2
+
+
+def test_changepoint_day_in_range(spark):
+    r = ws.q_revenue_changepoint(spark, SF).collect()[0]
+    assert r.n_days > 100
+    assert r.cusum_stat > 0.0
+    import datetime as dt
+
+    assert dt.date(1992, 1, 1) <= r.changepoint_day <= dt.date(1999, 12, 31)
+
+
+def test_kmv_overlap_estimates_consistent(spark):
+    r = ws.q_kmv_year_overlap(spark, SF).collect()[0]
+    assert r.exact_inter <= r.exact_union
+    assert 0 <= r.inter_est <= r.union_est
+    # k=64 KMV: generous 3-sigma-ish bound on the union estimate
+    assert abs(r.union_est - r.exact_union) <= max(10, 0.5 * r.exact_union)
+
+
+def test_prefix_filter_lossless_vs_full_index(spark):
+    """The prefix+positional+length filter chain must return EXACTLY the
+    full inverted-index join's pairs at the same threshold — in-engine
+    twin of the driver's DuckDB oracle proof."""
+    from lakeforge.llm.dedup import jaccard_pairs, jaccard_prefix_pairs
+    from lakeforge.workload_llm import _neardup_corpus
+
+    corpus = _neardup_corpus(spark, SF)
+    got = {
+        (r.doc_a, r.doc_b, r.n_inter, r.n_union, r.jaccard_permille)
+        for r in jaccard_prefix_pairs(
+            corpus, "text", "doc_id", shingle_n=3, df_cap=50, tau_permille=600
+        ).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.n_inter, r.n_union, r.jaccard_permille)
+        for r in jaccard_pairs(
+            corpus, "text", "doc_id", shingle_n=3, df_cap=50, min_permille=600
+        ).collect()
+    }
+    assert got == want
+    assert got, "expected near-dup pairs in the mutated corpus"
