@@ -1,7 +1,7 @@
 """Empirical scale probe (VERDICT r04 #4): generate a synthetic corpus
 IN-EXECUTOR with the lakeforge_docgen source at 1x and 10x the sf0.1
 document count, run the heaviest LLM ops at both sizes, and record the
-measured scaling exponent per op in docs/SCALE.md.
+measured scaling exponent per op in docs/SCALE_PROBE.md.
 
 alpha = log(t_10x / t_1x) / log(10): ~1.0 is linear in corpus size, >1.2
 superlinear (a scale bug for these ops — every one is designed to be
@@ -213,7 +213,7 @@ def main() -> None:
         "Regenerate: `python tools/scale_probe.py` (writes this file).",
     ]
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = os.path.join(here, "docs", "SCALE.md")
+    out = os.path.join(here, "docs", "SCALE_PROBE.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}")
