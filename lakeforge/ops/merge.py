@@ -302,3 +302,37 @@ def merge_aggregates(
             combined = F.greatest(F.coalesce(a, b), F.coalesce(b, a))
         out_cols.append(combined.cast(old_agg.schema[c].dataType).alias(c))
     return j.select(*out_cols)
+
+
+def join_delta(
+    old_a: DataFrame,
+    delta_a: DataFrame,
+    old_b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Delta rows of (A ∪ ΔA) ⋈ (B ∪ ΔB) with respect to A ⋈ B — the
+    classic inner-equi-join IVM delta rule:
+
+        Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    (insert-only deltas; deletions need counting/multiplicity IVM).
+    Feed the result through the same aggregation as the materialized view
+    and combine with ``merge_aggregates``: new_view = old_view ⊕ agg(Δ).
+
+    Scale: the whole point is that none of the three terms re-joins
+    A with B.  ΔA ⋈ B probes the big stored side with a small delta
+    (broadcast ΔA when it fits; at 100 TB the stored side stays
+    partition-pruned on the join key).  A ⋈ ΔB is the expensive-looking
+    term — a full scan of A against a delta dimension — but delta dims
+    are small by nature, so it runs as one broadcast-hash pass over A
+    with no shuffle of A; in practice A is additionally pruned to the
+    partitions that can reference ΔB (e.g. new customers can only be
+    referenced by new orders when FKs are append-ordered).  ΔA ⋈ ΔB is
+    delta-sized on both sides.
+    """
+    return (
+        delta_a.join(old_b, on)
+        .unionByName(old_a.join(F.broadcast(delta_b), on))
+        .unionByName(delta_a.join(F.broadcast(delta_b), on))
+    )

@@ -1251,9 +1251,10 @@ PRIORITY: list[str] = [
     "trade_bfs_reach",
     "trade_sssp_hops",
     # --- first-time: round-5 statistics / mining family (shipped this
-    # round, in-window the round they shipped; kmv_year_overlap and
-    # revenue_autocorr wait for r6 — their siblings kmv_distinct_segments
-    # / revenue_changepoint carry the family this round) ---
+    # round, in-window the round they shipped; kmv_year_overlap,
+    # revenue_autocorr and ivm_join_nation_revenue wait for r6 — their
+    # siblings kmv_distinct_segments / revenue_changepoint /
+    # ivm_distinct_customers carry those families this round) ---
     "basket_brand_rules",
     "segment_priority_mi",
     "price_qty_ols",

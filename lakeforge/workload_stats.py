@@ -1054,3 +1054,60 @@ FROM dev CROSS JOIN mx WHERE ad = m
 
 QUERIES["revenue_changepoint"] = q_revenue_changepoint
 ORACLE_SQL["revenue_changepoint"] = SQL_REVENUE_CHANGEPOINT
+
+
+# ---------------------------------------------------------------------------
+# Join IVM: maintain an aggregate OVER A JOIN from deltas on both sides.
+# ---------------------------------------------------------------------------
+
+
+def q_ivm_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a per-nation revenue view over
+    orders ⋈ customer when BOTH sides receive inserts.
+
+    The materialized view aggregates the join of 90% of orders with 95%
+    of customers; the remaining rows arrive as delta batches.  The delta
+    rows come from the join-IVM rule (ops/merge.py::join_delta —
+    ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC), are aggregated once, and fold into the view
+    with merge_aggregates.  The ORACLE is the full-join recompute over
+    all orders and customers: incremental ⊕ must be indistinguishable
+    from the nightly rebuild it replaces.  No term re-joins the two full
+    tables; the delta-dimension terms broadcast.
+    """
+    from lakeforge.ops.merge import join_delta, merge_aggregates
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_totalprice").cast(DEC).alias("price")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    o_old = o.filter(F.col("o_orderkey") % 10 != 0)
+    o_new = o.filter(F.col("o_orderkey") % 10 == 0)
+    c_old = c.filter(F.col("o_custkey") % 20 != 0)
+    c_new = c.filter(F.col("o_custkey") % 20 == 0)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price").alias("revenue"),
+        )
+
+    view_old = agg(o_old.join(c_old, "o_custkey"))
+    increment = agg(join_delta(o_old, o_new, c_old, c_new, "o_custkey"))
+    return merge_aggregates(
+        view_old, increment, ["c_nationkey"],
+        {"n_orders": "sum", "revenue": "sum"},
+    )
+
+
+SQL_IVM_JOIN_NATION_REVENUE = """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+QUERIES["ivm_join_nation_revenue"] = q_ivm_join_nation_revenue
+ORACLE_SQL["ivm_join_nation_revenue"] = SQL_IVM_JOIN_NATION_REVENUE

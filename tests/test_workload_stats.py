@@ -188,3 +188,31 @@ def test_prefix_filter_lossless_vs_full_index(spark):
     }
     assert got == want
     assert got, "expected near-dup pairs in the mutated corpus"
+
+
+def test_join_delta_rule_partitions_the_new_join(spark):
+    """Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB must be exactly the new-join rows
+    missing from the old join — no duplicates, no losses."""
+    from pyspark.sql import functions as F
+
+    from lakeforge.ops.merge import join_delta
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_custkey", "o_orderkey"
+    )
+    c = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    o_old = o.filter(F.col("o_orderkey") % 10 != 0)
+    o_new = o.filter(F.col("o_orderkey") % 10 == 0)
+    c_old = c.filter(F.col("o_custkey") % 20 != 0)
+    c_new = c.filter(F.col("o_custkey") % 20 == 0)
+    delta = join_delta(o_old, o_new, c_old, c_new, "o_custkey")
+    full = o.join(c, "o_custkey")
+    old = o_old.join(c_old, "o_custkey")
+    key = lambda r: (r.o_custkey, r.o_orderkey, r.c_nationkey)  # noqa: E731
+    got = sorted(map(key, delta.collect()))
+    want = sorted(
+        set(map(key, full.collect())) - set(map(key, old.collect()))
+    )
+    assert got == want  # sorted list vs sorted set: also proves no dups
