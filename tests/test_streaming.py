@@ -863,3 +863,72 @@ def test_stream_maintains_aggregate_state_via_ivm(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(state).collect())
     want = sorted(tuple(r) for r in agg(ev).collect())
     assert got == want
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_stream_maintains_join_view_via_ivm(spark, tmp_path):
+    """Streaming JOIN IVM: a view over orders ⋈ customer maintained from a
+    stream of order inserts against the static dimension.  With only the
+    fact side streaming the delta rule degenerates to Δview = agg(ΔA ⋈ B);
+    foreachBatch folds each micro-batch's joined aggregate into the state
+    table with merge_aggregates.  After the stream drains, state equals
+    the batch recompute of the full join."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from lakeforge.ops.merge import merge_aggregates
+
+    src = tmp_path / "in"
+    state = str(tmp_path / "join_view")
+    src.mkdir()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    for name, frame in (
+        ("a", orders.filter(F.col("o_orderkey") % 2 == 0)),
+        ("b", orders.filter(F.col("o_orderkey") % 2 == 1)),
+    ):
+        out = str(tmp_path / f"split_{name}")
+        frame.coalesce(1).write.mode("overwrite").parquet(out)
+        shutil.copy(
+            _glob.glob(os.path.join(out, "part-*.parquet"))[0],
+            src / f"{name}.parquet",
+        )
+
+    def view(df):
+        return df.join(F.broadcast(cust), "o_custkey").groupBy(
+            "c_nationkey"
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+
+    def fold(batch_df, batch_id):
+        delta = view(batch_df)
+        try:
+            old = batch_df.sparkSession.read.parquet(state)
+        except Exception:
+            delta.write.mode("overwrite").parquet(state)
+            return
+        merged = merge_aggregates(
+            old, delta, ["c_nationkey"], {"n_orders": "sum", "revenue": "sum"}
+        )
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state)
+
+    q = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    want = sorted(tuple(r) for r in view(orders).collect())
+    assert got == want
