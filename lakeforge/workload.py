@@ -1252,9 +1252,10 @@ PRIORITY: list[str] = [
     "trade_sssp_hops",
     # --- first-time: round-5 statistics / mining family (shipped this
     # round, in-window the round they shipped; kmv_year_overlap,
-    # revenue_autocorr and ivm_join_nation_revenue wait for r6 — their
-    # siblings kmv_distinct_segments / revenue_changepoint /
-    # ivm_distinct_customers carry those families this round) ---
+    # revenue_autocorr, ivm_join_nation_revenue, reorder_survival and
+    # funnel_wilson_ci wait for r6 — siblings kmv_distinct_segments /
+    # revenue_changepoint / ivm_distinct_customers / the in-window stats
+    # flagships carry those families this round) ---
     "basket_brand_rules",
     "segment_priority_mi",
     "price_qty_ols",

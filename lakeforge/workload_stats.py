@@ -1111,3 +1111,225 @@ GROUP BY c_nationkey
 
 QUERIES["ivm_join_nation_revenue"] = q_ivm_join_nation_revenue
 ORACLE_SQL["ivm_join_nation_revenue"] = SQL_IVM_JOIN_NATION_REVENUE
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis: Kaplan–Meier curve for customer reorder gaps.
+# ---------------------------------------------------------------------------
+
+
+def q_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier estimate of time-to-next-order with right-censoring.
+
+    Each consecutive order pair contributes an EVENT duration (gap days);
+    each customer's last order contributes a CENSORED duration (to the
+    corpus max date).  Durations collapse to the duration dimension
+    (bounded by the date span), then the at-risk counts and the survival
+    product S(t) = Π(1 − d_i/n_i) run as windows over that small
+    dimension — the product via exp(Σ ln), identical IEEE doubles on
+    both engines.  The curve stops before the first time with d_i = n_i
+    (where S hits exactly 0 and ln is undefined) — deterministic on both
+    sides.  Emitted: one row per distinct EVENT duration with at-risk,
+    events, censored-at-t, and S(t) in round-6 double.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    horizon = o.agg(F.max("d").alias("mx"))
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    nxt = F.lead("d").over(w)
+    dur = (
+        o.withColumn("nd", nxt)
+        .crossJoin(F.broadcast(horizon))  # 1-row scalar horizon
+        .select(
+            F.when(F.col("nd").isNotNull(), F.datediff("nd", "d"))
+            .otherwise(F.datediff("mx", "d"))
+            .alias("t"),
+            F.when(F.col("nd").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    cells = dur.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d_t"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c_t"),
+    )
+    n_total = cells.agg(F.sum(F.col("d_t") + F.col("c_t")).alias("n"))
+    w_t = Window.orderBy("t")  # duration-dimension-bounded
+    prior = F.coalesce(
+        F.sum(F.col("d_t") + F.col("c_t")).over(
+            w_t.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    risk = cells.crossJoin(F.broadcast(n_total)).withColumn(
+        "at_risk", (F.col("n") - prior).cast("bigint")
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    # stop before the first t where every at-risk unit dies (S would be 0)
+    zero_t = risk.filter(F.col("d_t") == F.col("at_risk")).agg(
+        F.min("t").alias("zt")
+    )
+    factors = (
+        risk.crossJoin(F.broadcast(zero_t))
+        .filter(F.col("zt").isNull() | (F.col("t") < F.col("zt")))
+        .withColumn(
+            "lnf",
+            F.when(
+                F.col("d_t") > 0,
+                F.log((dd("at_risk") - dd("d_t")) / dd("at_risk")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    surv = F.exp(
+        F.sum("lnf").over(w_t.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        factors.withColumn("survival", F.round(surv, 6))
+        .filter(F.col("d_t") > 0)
+        .select("t", "at_risk", "d_t", "c_t", "survival")
+    )
+
+
+SQL_REORDER_SURVIVAL = """
+WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+horizon AS (SELECT MAX(d) AS mx FROM o),
+dur AS (
+  SELECT CASE WHEN nd IS NOT NULL THEN datediff('day', d, nd)
+              ELSE datediff('day', d, mx) END AS t,
+         CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM (SELECT o_custkey, d,
+               lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS nd
+        FROM o)
+  CROSS JOIN horizon
+),
+cells AS (
+  SELECT t, CAST(SUM(ev) AS BIGINT) AS d_t,
+         CAST(SUM(1 - ev) AS BIGINT) AS c_t
+  FROM dur GROUP BY t
+),
+n_total AS (SELECT SUM(d_t + c_t) AS n FROM cells),
+risk AS (
+  SELECT t, d_t, c_t,
+         CAST(n - COALESCE(SUM(d_t + c_t) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS at_risk
+  FROM cells CROSS JOIN n_total
+),
+zero_t AS (SELECT MIN(t) AS zt FROM risk WHERE d_t = at_risk),
+factors AS (
+  SELECT t, at_risk, d_t, c_t,
+         CASE WHEN d_t > 0
+              THEN ln((CAST(at_risk AS DOUBLE) - CAST(d_t AS DOUBLE))
+                      / CAST(at_risk AS DOUBLE))
+              ELSE 0.0 END AS lnf
+  FROM risk CROSS JOIN zero_t
+  WHERE zt IS NULL OR t < zt
+)
+SELECT t, at_risk, d_t, c_t,
+       round(exp(SUM(lnf) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+FROM factors
+QUALIFY d_t > 0
+"""
+
+QUERIES["reorder_survival"] = q_reorder_survival
+ORACLE_SQL["reorder_survival"] = SQL_REORDER_SURVIVAL
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion with Wilson score intervals.
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type view→purchase user conversion with 95% Wilson score
+    intervals — the interval that stays calibrated at small n, which is
+    exactly what per-segment funnel slices produce.
+
+    One scan → per-(user, flag) presence → per-segment trial/success
+    counts; the Wilson algebra is pure column arithmetic on the tiny
+    segment table.  z is pinned to 1.959964 (two-sided 95%).
+    """
+    from lakeforge.io.sources import read_events
+
+    ev = read_events(spark, sf_dir)
+    # segment users by the hour-of-day of their FIRST event (stable, small)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.withColumn("rn", F.row_number().over(w))
+    users = base.groupBy("user_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.hour("ts") % 6)).alias("seg"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("viewed"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchased"
+        ),
+    )
+    cells = (
+        users.filter(F.col("viewed") == 1)
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_viewers"),
+            F.sum("purchased").cast("bigint").alias("n_buyers"),
+        )
+    )
+    z = 1.959964
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p = d("n_buyers") / d("n_viewers")
+    n = d("n_viewers")
+    denom = 1.0 + (z * z) / n
+    center = (p + (z * z) / (2.0 * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1.0 - p) / n + (z * z) / (4.0 * n * n))
+        / denom
+    )
+    return cells.select(
+        "seg",
+        "n_viewers",
+        "n_buyers",
+        F.round(p, 6).alias("conversion"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )
+
+
+SQL_FUNNEL_WILSON_CI = """
+WITH base AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+users AS (
+  SELECT user_id,
+         MIN(CASE WHEN rn = 1 THEN hour(ts) % 6 END) AS seg,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+  FROM base GROUP BY user_id
+),
+cells AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n_viewers,
+         CAST(SUM(purchased) AS BIGINT) AS n_buyers
+  FROM users WHERE viewed = 1 GROUP BY seg
+)
+SELECT seg, n_viewers, n_buyers,
+       round(CAST(n_buyers AS DOUBLE) / CAST(n_viewers AS DOUBLE), 6) AS conversion,
+       round(((CAST(n_buyers AS DOUBLE) / CAST(n_viewers AS DOUBLE))
+              + 1.959964 * 1.959964 / (2.0 * CAST(n_viewers AS DOUBLE)))
+             / (1.0 + 1.959964 * 1.959964 / CAST(n_viewers AS DOUBLE))
+             - 1.959964 * sqrt((CAST(n_buyers AS DOUBLE) / CAST(n_viewers AS DOUBLE))
+                   * (1.0 - CAST(n_buyers AS DOUBLE) / CAST(n_viewers AS DOUBLE))
+                   / CAST(n_viewers AS DOUBLE)
+                   + 1.959964 * 1.959964
+                     / (4.0 * CAST(n_viewers AS DOUBLE) * CAST(n_viewers AS DOUBLE)))
+               / (1.0 + 1.959964 * 1.959964 / CAST(n_viewers AS DOUBLE)), 6) AS wilson_lo,
+       round(((CAST(n_buyers AS DOUBLE) / CAST(n_viewers AS DOUBLE))
+              + 1.959964 * 1.959964 / (2.0 * CAST(n_viewers AS DOUBLE)))
+             / (1.0 + 1.959964 * 1.959964 / CAST(n_viewers AS DOUBLE))
+             + 1.959964 * sqrt((CAST(n_buyers AS DOUBLE) / CAST(n_viewers AS DOUBLE))
+                   * (1.0 - CAST(n_buyers AS DOUBLE) / CAST(n_viewers AS DOUBLE))
+                   / CAST(n_viewers AS DOUBLE)
+                   + 1.959964 * 1.959964
+                     / (4.0 * CAST(n_viewers AS DOUBLE) * CAST(n_viewers AS DOUBLE)))
+               / (1.0 + 1.959964 * 1.959964 / CAST(n_viewers AS DOUBLE)), 6) AS wilson_hi
+FROM cells
+"""
+
+QUERIES["funnel_wilson_ci"] = q_funnel_wilson_ci
+ORACLE_SQL["funnel_wilson_ci"] = SQL_FUNNEL_WILSON_CI

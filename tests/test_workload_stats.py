@@ -216,3 +216,24 @@ def test_join_delta_rule_partitions_the_new_join(spark):
         set(map(key, full.collect())) - set(map(key, old.collect()))
     )
     assert got == want  # sorted list vs sorted set: also proves no dups
+
+
+def test_survival_curve_monotone_nonincreasing(spark):
+    rows = sorted(
+        ws.q_reorder_survival(spark, SF).collect(), key=lambda r: r.t
+    )
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert 0.0 < r.survival <= 1.0
+        assert r.survival <= prev + 1e-9, "S(t) must be non-increasing"
+        assert r.d_t >= 1 and r.at_risk >= r.d_t
+        prev = r.survival
+
+
+def test_wilson_interval_brackets_conversion(spark):
+    rows = ws.q_funnel_wilson_ci(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.conversion <= r.wilson_hi <= 1.0
+        assert r.n_buyers <= r.n_viewers
