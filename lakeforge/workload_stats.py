@@ -1333,3 +1333,127 @@ FROM cells
 
 QUERIES["funnel_wilson_ci"] = q_funnel_wilson_ci
 ORACLE_SQL["funnel_wilson_ci"] = SQL_FUNNEL_WILSON_CI
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: all replicates in ONE scan via deterministic weights.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+# cumulative Poisson(1) pmf, pinned literals (identical on both engines)
+_POIS_CDF = [
+    0.367879441171,  # P(W=0)
+    0.735758882343,
+    0.919698602929,
+    0.981011843124,
+    0.996340153172,
+    0.999405815182,
+    0.999916758850,
+]  # W capped at 7
+
+
+def q_bootstrap_price_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean order price.
+
+    The scalable bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams"; Kleiner et al.'s BLB is the heavier cousin):
+    instead of materializing B resamples, each row gets B independent
+    Poisson(1) weights and ONE scan computes every replicate's weighted
+    (sum, count) with map-side combine — the shuffle carries B tiny
+    partials, so the 100 TB bootstrap costs one pass regardless of B.
+    Weights are deterministic: a 60-bit md5 of (replicate, orderkey)
+    scaled to [0,1) and inverted through the pinned Poisson(1) CDF
+    literals — bit-reproducible in the oracle, so the whole resampling
+    procedure (not just its output shape) is value-checked.
+    Emitted: point estimate and the normal-approximation CI from the
+    replicate spread (avoids cross-engine percentile-semantics drift).
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("b")
+    rows = o.select("o_orderkey", "o_totalprice", b)
+    u = (
+        md5_int(F.concat_ws("\x1f", F.col("b").cast("string"),
+                            F.col("o_orderkey").cast("string")))
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    w = F.lit(len(_POIS_CDF))
+    for i in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[i]), F.lit(i)).otherwise(w)
+    reps = (
+        rows.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w").cast("decimal(18,0)")
+                      * F.col("o_totalprice").cast(DEC))
+                .cast("double")
+                / F.sum("w").cast("double")
+            ).alias("mean_b")
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    point = o.agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("mean_price"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    spread = reps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.stddev_samp("mean_b").alias("boot_sd"),
+    )
+    return (
+        point.crossJoin(F.broadcast(spread))  # two 1-row frames
+        .select(
+            "n_orders",
+            "n_replicates",
+            F.round("mean_price", 6).alias("mean_price"),
+            F.round(d("mean_price") - 1.959964 * d("boot_sd"), 6).alias("ci_lo"),
+            F.round(d("mean_price") + 1.959964 * d("boot_sd"), 6).alias("ci_hi"),
+        )
+    )
+
+
+def _pois_w_sql(u: str) -> str:
+    expr = str(len(_POIS_CDF))
+    for i in range(len(_POIS_CDF) - 1, -1, -1):
+        expr = f"CASE WHEN {u} < {_POIS_CDF[i]!r} THEN {i} ELSE {expr} END"
+    return expr
+
+
+_U_SQL = (
+    "CAST(" + duckdb_md5_int_sql(["b", "o_orderkey"]) + " AS DOUBLE) / "
+    + repr(float(1 << 60))
+)
+
+SQL_BOOTSTRAP_PRICE_CI = f"""
+WITH reps AS (
+  SELECT b,
+         CAST(SUM(CAST(w AS DECIMAL(18,0)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(SUM(w) AS DOUBLE) AS mean_b
+  FROM (
+    SELECT o_orderkey, o_totalprice, b, {_pois_w_sql(_U_SQL)} AS w
+    FROM orders CROSS JOIN (SELECT UNNEST(range({_BOOT_B})) AS b)
+  )
+  GROUP BY b
+),
+pt AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_price,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders
+),
+sp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+         stddev_samp(mean_b) AS boot_sd
+  FROM reps
+)
+SELECT n_orders, n_replicates,
+       round(mean_price, 6) AS mean_price,
+       round(mean_price - 1.959964 * boot_sd, 6) AS ci_lo,
+       round(mean_price + 1.959964 * boot_sd, 6) AS ci_hi
+FROM pt CROSS JOIN sp
+"""
+
+QUERIES["bootstrap_price_ci"] = q_bootstrap_price_ci
+ORACLE_SQL["bootstrap_price_ci"] = SQL_BOOTSTRAP_PRICE_CI

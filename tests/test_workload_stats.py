@@ -237,3 +237,13 @@ def test_wilson_interval_brackets_conversion(spark):
     for r in rows:
         assert 0.0 <= r.wilson_lo <= r.conversion <= r.wilson_hi <= 1.0
         assert r.n_buyers <= r.n_viewers
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    r = ws.q_bootstrap_price_ci(spark, SF).collect()[0]
+    assert r.n_replicates == ws._BOOT_B
+    assert r.ci_lo <= r.mean_price <= r.ci_hi
+    # Poisson-bootstrap SE of the mean ~ sd/sqrt(n): CI half-width should
+    # be small relative to the estimate but strictly positive
+    half = (r.ci_hi - r.ci_lo) / 2
+    assert 0 < half < 0.2 * r.mean_price
