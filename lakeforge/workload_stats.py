@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lakeforge.cache import persist_tracked
 from lakeforge.functions.keys import duckdb_md5_int_sql, md5_int
 
 DEC = "decimal(18,2)"
@@ -60,7 +61,9 @@ def q_basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
+    # baskets feeds the scalar total, the marginals, and BOTH self-join
+    # sides: persist so the lineitem><part dedup pipeline runs once.
+    baskets = persist_tracked(
         li.join(p, li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
@@ -155,7 +158,9 @@ def q_segment_priority_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    cells = (
+    # cells (<=25 rows) feeds marginals, total, and the MI join — persist
+    # so the fact join underneath runs ONCE, not once per DAG branch.
+    cells = persist_tracked(
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
@@ -352,6 +357,7 @@ def q_woe_quantity_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("kept", (F.col("n") - F.col("returned")).cast("bigint"))
     )
+    cells = persist_tracked(cells)  # feeds totals AND the output projection
     tot = cells.agg(
         F.sum("returned").alias("ret_tot"), F.sum("kept").alias("kept_tot")
     )
@@ -419,7 +425,9 @@ def q_kmv_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = _t(spark, sf_dir, "orders").select("o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    pairs = (
+    # pairs feeds the exact count AND the sketch selection: persist the
+    # distinct (segment, hash) set so the fact join runs once.
+    pairs = persist_tracked(
         o.join(c, o.o_custkey == c.c_custkey)
         .select("c_mktsegment", md5_int("o_custkey").alias("h"))
         .distinct()
@@ -529,7 +537,10 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frontier is tiny by nature → broadcast back onto part for n_parts.
     """
     p = _t(spark, sf_dir, "part").select("p_retailprice", "p_size")
-    pts = p.groupBy("p_retailprice").agg(F.max("p_size").alias("p_size"))
+    # pts feeds the within-block window AND the block summary
+    pts = persist_tracked(
+        p.groupBy("p_retailprice").agg(F.max("p_size").alias("p_size"))
+    )
     blocked = pts.withColumn(
         "bk", F.floor(F.col("p_retailprice") / 100).cast("bigint")
     )
@@ -684,7 +695,7 @@ def q_kmv_year_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", F.year("o_orderdate").alias("yr")
     )
-    sets = (
+    sets = persist_tracked(
         o.filter(F.col("yr").isin(1995, 1996))
         .select("yr", md5_int("o_custkey").alias("h"))
         .distinct()
@@ -693,8 +704,11 @@ def q_kmv_year_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the two-level block variant in q_kmv_distinct_segments applies when a
     # set is fact-sized)
     w_set = Window.partitionBy("yr").orderBy("h")
-    sk = sets.withColumn("rn", F.row_number().over(w_set)).where(
-        F.col("rn") <= _KMV_K
+    # sk (<=2k rows) feeds the union sketch and both membership probes
+    sk = persist_tracked(
+        sets.withColumn("rn", F.row_number().over(w_set)).where(
+            F.col("rn") <= _KMV_K
+        )
     )
     union_hashes = sk.select("h").distinct()
     w_u = Window.orderBy("h")  # ≤ 2k rows
@@ -818,8 +832,11 @@ def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("sp")
     )
-    blocked = spend.withColumn(
-        "bk", F.floor(F.col("sp").cast("double") / 100000.0).cast("bigint")
+    # blocked feeds the in-block rank AND the block summary
+    blocked = persist_tracked(
+        spend.withColumn(
+            "bk", F.floor(F.col("sp").cast("double") / 100000.0).cast("bigint")
+        )
     )
     w_in = Window.partitionBy("bk").orderBy("sp", "o_custkey")
     local = blocked.withColumn("rn_local", F.row_number().over(w_in))
@@ -899,8 +916,12 @@ def q_price_ks_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1).otherwise(0).alias("ib"),
         )
     )
-    cells = x.groupBy("o_totalprice").agg(
-        F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+    # cells feeds the within-block cumsum AND the block summary — persist
+    # so the fact join + aggregation runs once.
+    cells = persist_tracked(
+        x.groupBy("o_totalprice").agg(
+            F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+        )
     )
     blocked = cells.withColumn(
         "bk", F.floor(F.col("o_totalprice") / 10000).cast("bigint")
@@ -996,8 +1017,11 @@ def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties on the max break to the earliest day (deterministic).
     """
     o = _t(spark, sf_dir, "orders")
-    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    # daily (date-dimension rows) feeds the scalar stats AND the cumsum
+    daily = persist_tracked(
+        o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+        )
     )
     stats = daily.agg(
         F.sum("rev").alias("total"), F.count(F.lit(1)).alias("n")
@@ -1009,10 +1033,13 @@ def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum", F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    dev = cum.crossJoin(F.broadcast(stats)).select(
-        "day",
-        "n",
-        F.abs(d("cum") - d("i") * (d("total") / d("n"))).alias("ad"),
+    # dev feeds the max probe AND the argmax filter
+    dev = persist_tracked(
+        cum.crossJoin(F.broadcast(stats)).select(
+            "day",
+            "n",
+            F.abs(d("cum") - d("i") * (d("total") / d("n"))).alias("ad"),
+        )
     )
     mx = dev.agg(F.max("ad").alias("m"))
     return (
@@ -1148,9 +1175,12 @@ def q_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("nd").isNotNull(), 1).otherwise(0).alias("ev"),
         )
     )
-    cells = dur.groupBy("t").agg(
-        F.sum("ev").cast("bigint").alias("d_t"),
-        F.sum(1 - F.col("ev")).cast("bigint").alias("c_t"),
+    # cells (duration-dimension rows) feeds the total AND the risk table
+    cells = persist_tracked(
+        dur.groupBy("t").agg(
+            F.sum("ev").cast("bigint").alias("d_t"),
+            F.sum(1 - F.col("ev")).cast("bigint").alias("c_t"),
+        )
     )
     n_total = cells.agg(F.sum(F.col("d_t") + F.col("c_t")).alias("n"))
     w_t = Window.orderBy("t")  # duration-dimension-bounded
@@ -1160,8 +1190,11 @@ def q_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    risk = cells.crossJoin(F.broadcast(n_total)).withColumn(
-        "at_risk", (F.col("n") - prior).cast("bigint")
+    # risk feeds the zero-collapse probe AND the factor table
+    risk = persist_tracked(
+        cells.crossJoin(F.broadcast(n_total)).withColumn(
+            "at_risk", (F.col("n") - prior).cast("bigint")
+        )
     )
     dd = lambda c: F.col(c).cast("double")  # noqa: E731
     # stop before the first t where every at-risk unit dies (S would be 0)
