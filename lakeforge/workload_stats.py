@@ -1392,58 +1392,84 @@ def q_bootstrap_price_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Massive Data Streams"; Kleiner et al.'s BLB is the heavier cousin):
     instead of materializing B resamples, each row gets B independent
     Poisson(1) weights and ONE scan computes every replicate's weighted
-    (sum, count) with map-side combine — the shuffle carries B tiny
-    partials, so the 100 TB bootstrap costs one pass regardless of B.
-    Weights are deterministic: a 60-bit md5 of (replicate, orderkey)
-    scaled to [0,1) and inverted through the pinned Poisson(1) CDF
-    literals — bit-reproducible in the oracle, so the whole resampling
-    procedure (not just its output shape) is value-checked.
-    Emitted: point estimate and the normal-approximation CI from the
-    replicate spread (avoids cross-engine percentile-semantics drift).
+    (sum, count) as 2B conditional aggregates with map-side combine — no
+    row inflation, and the shuffle carries one 2B-column partial per
+    task, so the 100 TB bootstrap costs one pass regardless of B.
+
+    Weights are deterministic AND cheap: one md5 per (digest-group, row)
+    yields FOUR 32-bit uniforms (hex slices of the 128-bit digest), so B
+    replicates cost B/4 digests per row; each uniform inverts through the
+    pinned Poisson(1) CDF literals.  Bit-reproducible in the oracle, so
+    the whole resampling procedure (not just its output shape) is
+    value-checked.  Emitted: point estimate and the normal-approximation
+    CI from the replicate spread (avoids cross-engine
+    percentile-semantics drift).
     """
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    b = F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("b")
-    rows = o.select("o_orderkey", "o_totalprice", b)
-    u = (
-        md5_int(F.concat_ws("\x1f", F.col("b").cast("string"),
-                            F.col("o_orderkey").cast("string")))
-        .cast("double")
-        / F.lit(float(1 << 60))
+    # The B-weight projection is compute-bound (B/4 digests + B CDF
+    # inversions per row); a small single-file local input arrives as ONE
+    # split and would serialize it, so spread rows across the cluster
+    # first.  At 100 TB the scan has ample natural splits and this
+    # round-robin exchange is noise next to the projection it feeds.
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    w = F.lit(len(_POIS_CDF))
-    for i in range(len(_POIS_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_POIS_CDF[i]), F.lit(i)).otherwise(w)
-    reps = (
-        rows.withColumn("w", w)
-        .groupBy("b")
-        .agg(
-            (
-                F.sum(F.col("w").cast("decimal(18,0)")
-                      * F.col("o_totalprice").cast(DEC))
-                .cast("double")
-                / F.sum("w").cast("double")
-            ).alias("mean_b")
+    price = F.col("o_totalprice").cast(DEC)
+
+    def w_col(b: int) -> F.Column:
+        g, j = divmod(b, 4)
+        digest = F.md5(
+            F.concat_ws("\x1f", F.lit(str(g)), F.col("o_orderkey").cast("string"))
         )
+        u = (
+            F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("double")
+            / F.lit(float(1 << 32))
+        )
+        w = F.lit(len(_POIS_CDF))
+        for i in range(len(_POIS_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(_POIS_CDF[i]), F.lit(i)).otherwise(w)
+        return w
+
+    aggs = []
+    for b in range(_BOOT_B):
+        w = w_col(b)
+        aggs.append(F.sum(w.cast("decimal(18,0)") * price).alias(f"s{b}"))
+        aggs.append(F.sum(w).alias(f"c{b}"))
+    aggs.append(F.sum(price).alias("tot"))
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    wide = o.agg(*aggs)  # one scan, one 2B+2-column row
+    stack_args = []
+    for b in range(_BOOT_B):
+        stack_args += [
+            F.lit(b),
+            F.col(f"s{b}").cast("double") / F.col(f"c{b}").cast("double"),
+        ]
+    reps = wide.select(
+        "tot",
+        "n_orders",
+        F.stack(F.lit(_BOOT_B), *stack_args).alias("b", "mean_b"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    point = o.agg(
-        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
-         / F.count(F.lit(1)).cast("double")).alias("mean_price"),
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-    )
-    spread = reps.agg(
+    agg = reps.groupBy("tot", "n_orders").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
         F.stddev_samp("mean_b").alias("boot_sd"),
     )
+    mean_price = d("tot") / d("n_orders")
+    return agg.select(
+        "n_orders",
+        "n_replicates",
+        F.round(mean_price, 6).alias("mean_price"),
+        F.round(mean_price - 1.959964 * d("boot_sd"), 6).alias("ci_lo"),
+        F.round(mean_price + 1.959964 * d("boot_sd"), 6).alias("ci_hi"),
+    )
+
+
+def _u32_sql(g: int, j: int) -> str:
+    concat = f"COALESCE(CAST('{g}' AS VARCHAR), chr(30)) || chr(31) || COALESCE(CAST(o_orderkey AS VARCHAR), chr(30))"
     return (
-        point.crossJoin(F.broadcast(spread))  # two 1-row frames
-        .select(
-            "n_orders",
-            "n_replicates",
-            F.round("mean_price", 6).alias("mean_price"),
-            F.round(d("mean_price") - 1.959964 * d("boot_sd"), 6).alias("ci_lo"),
-            F.round(d("mean_price") + 1.959964 * d("boot_sd"), 6).alias("ci_hi"),
-        )
+        f"CAST(CAST(('0x' || substr(md5({concat}), {1 + 8 * j}, 8)) AS UBIGINT)"
+        f" AS DOUBLE) / {float(1 << 32)!r}"
     )
 
 
@@ -1454,38 +1480,48 @@ def _pois_w_sql(u: str) -> str:
     return expr
 
 
-_U_SQL = (
-    "CAST(" + duckdb_md5_int_sql(["b", "o_orderkey"]) + " AS DOUBLE) / "
-    + repr(float(1 << 60))
-)
+def _boot_wide_sql() -> str:
+    cols = []
+    for b in range(_BOOT_B):
+        g, j = divmod(b, 4)
+        w = _pois_w_sql(_u32_sql(g, j))
+        cols.append(
+            f"SUM(CAST(({w}) AS DECIMAL(18,0)) * CAST(o_totalprice AS DECIMAL(18,2))) AS s{b}"
+        )
+        cols.append(f"SUM(({w})) AS c{b}")
+    cols.append("SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot")
+    cols.append("CAST(count(*) AS BIGINT) AS n_orders")
+    return ",\n         ".join(cols)
+
+
+def _boot_reps_sql() -> str:
+    return "\n  UNION ALL\n  ".join(
+        f"SELECT tot, n_orders, CAST(s{b} AS DOUBLE) / CAST(c{b} AS DOUBLE) AS mean_b FROM wide"
+        for b in range(_BOOT_B)
+    )
+
 
 SQL_BOOTSTRAP_PRICE_CI = f"""
-WITH reps AS (
-  SELECT b,
-         CAST(SUM(CAST(w AS DECIMAL(18,0)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-           / CAST(SUM(w) AS DOUBLE) AS mean_b
-  FROM (
-    SELECT o_orderkey, o_totalprice, b, {_pois_w_sql(_U_SQL)} AS w
-    FROM orders CROSS JOIN (SELECT UNNEST(range({_BOOT_B})) AS b)
-  )
-  GROUP BY b
-),
-pt AS (
-  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-           / CAST(count(*) AS DOUBLE) AS mean_price,
-         CAST(count(*) AS BIGINT) AS n_orders
+WITH wide AS (
+  SELECT {_boot_wide_sql()}
   FROM orders
 ),
-sp AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+reps AS (
+  {_boot_reps_sql()}
+),
+agg AS (
+  SELECT tot, n_orders,
+         CAST(count(*) AS BIGINT) AS n_replicates,
          stddev_samp(mean_b) AS boot_sd
-  FROM reps
+  FROM reps GROUP BY tot, n_orders
 )
 SELECT n_orders, n_replicates,
-       round(mean_price, 6) AS mean_price,
-       round(mean_price - 1.959964 * boot_sd, 6) AS ci_lo,
-       round(mean_price + 1.959964 * boot_sd, 6) AS ci_hi
-FROM pt CROSS JOIN sp
+       round(CAST(tot AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS mean_price,
+       round(CAST(tot AS DOUBLE) / CAST(n_orders AS DOUBLE)
+             - 1.959964 * boot_sd, 6) AS ci_lo,
+       round(CAST(tot AS DOUBLE) / CAST(n_orders AS DOUBLE)
+             + 1.959964 * boot_sd, 6) AS ci_hi
+FROM agg
 """
 
 QUERIES["bootstrap_price_ci"] = q_bootstrap_price_ci
