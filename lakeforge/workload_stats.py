@@ -1526,3 +1526,287 @@ FROM agg
 
 QUERIES["bootstrap_price_ci"] = q_bootstrap_price_ci
 ORACLE_SQL["bootstrap_price_ci"] = SQL_BOOTSTRAP_PRICE_CI
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining: frequent contiguous 3-step paths in sessions.
+# ---------------------------------------------------------------------------
+
+_PATH_MIN_SUPPORT = 20
+
+
+def q_user_path_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent contiguous 3-step event-type paths along each user's
+    ordered journey (the counting core of PrefixSpan-style sequence
+    mining, restricted to contiguous length-3 patterns so support
+    counting stays one window pass + one tiny aggregate).
+
+    Paths come from two LEADs over one per-user sort — one shuffle by
+    user, both windows share it; the support aggregate is
+    |event_types|³-bounded.  A session-scoped variant is the same plan
+    with (user, session) as the window key (events_transition_matrix
+    shows the session derivation); in this synthetic corpus sessions
+    rarely reach three events, so the mined unit is the user journey.
+    """
+    from lakeforge.io.sources import read_events
+
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = ev.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).where(F.col("step3").isNotNull())
+    return (
+        paths.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where(F.col("support") >= _PATH_MIN_SUPPORT)
+    )
+
+
+SQL_USER_PATH_3GRAMS = f"""
+WITH paths AS (
+  SELECT event_type AS step1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+  FROM events
+)
+SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS support
+FROM paths WHERE step3 IS NOT NULL
+GROUP BY step1, step2, step3
+HAVING count(*) >= {_PATH_MIN_SUPPORT}
+"""
+
+QUERIES["user_path_3grams"] = q_user_path_3grams
+ORACLE_SQL["user_path_3grams"] = SQL_USER_PATH_3GRAMS
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences: treatment-effect estimate from a 2x2 design.
+# ---------------------------------------------------------------------------
+
+
+def q_did_segment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the 1996+ change in mean
+    order value for BUILDING-segment customers vs everyone else:
+    DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre).
+
+    One fact scan to a 2×2 cell table (exact DECIMAL sums / bigint
+    counts); the estimator is column arithmetic on four numbers.  The
+    orders↔customer join stays unhinted for AQE.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("treat"),
+            F.when(F.year("o_orderdate") >= 1996, 1).otherwise(0).alias("post"),
+            F.col("o_totalprice").cast(DEC).alias("price"),
+        )
+        .groupBy("treat", "post")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("price").alias("tot"),
+        )
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    m = cells.select(
+        "treat",
+        "post",
+        "n",
+        (d("tot") / d("n")).alias("mean_v"),
+    )
+    pick = lambda t, p: F.max(  # noqa: E731
+        F.when((F.col("treat") == t) & (F.col("post") == p), F.col("mean_v"))
+    )
+    return m.agg(
+        F.sum("n").cast("bigint").alias("n_orders"),
+        F.round(pick(1, 0), 6).alias("treat_pre"),
+        F.round(pick(1, 1), 6).alias("treat_post"),
+        F.round(pick(0, 0), 6).alias("ctrl_pre"),
+        F.round(pick(0, 1), 6).alias("ctrl_post"),
+        F.round(
+            (pick(1, 1) - pick(1, 0)) - (pick(0, 1) - pick(0, 0)), 6
+        ).alias("did_effect"),
+    )
+
+
+SQL_DID_SEGMENT_EFFECT = """
+WITH cells AS (
+  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treat,
+         CASE WHEN year(o_orderdate) >= 1996 THEN 1 ELSE 0 END AS post,
+         CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT treat, post, n, CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v
+  FROM cells
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_orders,
+       round(MAX(CASE WHEN treat = 1 AND post = 0 THEN mean_v END), 6) AS treat_pre,
+       round(MAX(CASE WHEN treat = 1 AND post = 1 THEN mean_v END), 6) AS treat_post,
+       round(MAX(CASE WHEN treat = 0 AND post = 0 THEN mean_v END), 6) AS ctrl_pre,
+       round(MAX(CASE WHEN treat = 0 AND post = 1 THEN mean_v END), 6) AS ctrl_post,
+       round((MAX(CASE WHEN treat = 1 AND post = 1 THEN mean_v END)
+              - MAX(CASE WHEN treat = 1 AND post = 0 THEN mean_v END))
+             - (MAX(CASE WHEN treat = 0 AND post = 1 THEN mean_v END)
+                - MAX(CASE WHEN treat = 0 AND post = 0 THEN mean_v END)), 6) AS did_effect
+FROM m
+"""
+
+QUERIES["did_segment_effect"] = q_did_segment_effect
+ORACLE_SQL["did_segment_effect"] = SQL_DID_SEGMENT_EFFECT
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit of order prices.
+# ---------------------------------------------------------------------------
+
+
+def q_benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order prices vs Benford's
+    law (the classic accounting-fraud / data-quality audit).  One scan to
+    nine cells; expected shares are log10(1+1/d) computed identically on
+    both engines; chi-square contributions per digit.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    cells = (
+        o.where(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cells = persist_tracked(cells)  # feeds the total AND the output
+    tot = cells.agg(F.sum("n").alias("total"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p_obs = d("n") / d("total")
+    p_ben = F.log10(1.0 + 1.0 / d("digit"))
+    exp_n = p_ben * d("total")
+    return (
+        cells.crossJoin(F.broadcast(tot))  # 1-row scalar total
+        .select(
+            "digit",
+            "n",
+            F.round(p_obs, 6).alias("obs_share"),
+            F.round(p_ben, 6).alias("benford_share"),
+            F.round((d("n") - exp_n) * (d("n") - exp_n) / exp_n, 6).alias(
+                "chi2_contrib"
+            ),
+        )
+    )
+
+
+SQL_BENFORD_PRICE_DIGITS = """
+WITH cells AS (
+  SELECT CAST(floor(o_totalprice / power(10.0, floor(log10(o_totalprice)))) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS total FROM cells)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_share,
+       round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_share,
+       round((CAST(n AS DOUBLE) - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * CAST(total AS DOUBLE))
+             * (CAST(n AS DOUBLE) - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * CAST(total AS DOUBLE))
+             / (log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * CAST(total AS DOUBLE)), 6) AS chi2_contrib
+FROM cells CROSS JOIN tot
+"""
+
+QUERIES["benford_price_digits"] = q_benford_price_digits
+ORACLE_SQL["benford_price_digits"] = SQL_BENFORD_PRICE_DIGITS
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-trend decomposition outliers on the daily revenue series.
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_stl_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style decomposition of daily revenue — trend (centered 7-day
+    moving average), day-of-week seasonal component, residual — flagging
+    days whose residual exceeds 2.5 residual standard deviations.
+
+    All decomposition arithmetic runs in exact integer MICRO-units
+    (1e6×): the windowed trend and the per-dow seasonal means use integer
+    division, so the result is independent of aggregation order — only
+    the final z-scores drop to double.  Everything happens on the date
+    dimension (fact collapses first, same posture as revenue_autocorr).
+    """
+    o = _t(spark, sf_dir, "orders")
+    daily = persist_tracked(
+        o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+            (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+            .cast("bigint")
+            .alias("rev_c")  # exact cents
+        )
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)  # date-dimension-bounded
+    trended = daily.select(
+        "day",
+        "rev_c",
+        F.dayofweek("day").alias("dow"),
+        F.expr(
+            "(sum(rev_c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 1000000)"
+            " div (count(1) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))"
+        ).alias("trend_u"),  # micro-cents, exact integer division
+    ).withColumn("detr_u", F.col("rev_c") * 1000000 - F.col("trend_u"))
+    seas = trended.groupBy("dow").agg(
+        F.expr("sum(detr_u) div count(1)").alias("seas_u")
+    )
+    resid = persist_tracked(
+        trended.join(F.broadcast(seas), "dow").withColumn(
+            "resid_u", F.col("detr_u") - F.col("seas_u")
+        )
+    )
+    sd = resid.agg(
+        F.stddev_samp(F.col("resid_u").cast("double")).alias("sd_u")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        resid.crossJoin(F.broadcast(sd))  # 1-row scalar spread
+        .where(F.abs(d("resid_u")) > 2.5 * F.col("sd_u"))
+        .select(
+            "day",
+            (d("rev_c") / 100.0).alias("revenue"),
+            F.round(d("resid_u") / 1e8, 2).alias("residual"),
+            F.round(d("resid_u") / F.col("sd_u"), 3).alias("z"),
+        )
+    )
+
+
+SQL_REVENUE_STL_OUTLIERS = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+),
+trended AS (
+  SELECT day, rev_c, dayofweek(day) + 1 AS dow,
+         (SUM(rev_c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 1000000)
+           // (COUNT(1) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS trend_u
+  FROM daily
+),
+detr AS (SELECT *, rev_c * 1000000 - trend_u AS detr_u FROM trended),
+seas AS (SELECT dow, SUM(detr_u) // COUNT(1) AS seas_u FROM detr GROUP BY dow),
+resid AS (
+  SELECT d.day, d.rev_c, d.detr_u - s.seas_u AS resid_u
+  FROM detr d JOIN seas s USING (dow)
+),
+sd AS (SELECT stddev_samp(CAST(resid_u AS DOUBLE)) AS sd_u FROM resid)
+SELECT day,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       round(CAST(resid_u AS DOUBLE) / 1e8, 2) AS residual,
+       round(CAST(resid_u AS DOUBLE) / sd_u, 3) AS z
+FROM resid CROSS JOIN sd
+WHERE abs(CAST(resid_u AS DOUBLE)) > 2.5 * sd_u
+"""
+
+QUERIES["revenue_stl_outliers"] = q_revenue_stl_outliers
+ORACLE_SQL["revenue_stl_outliers"] = SQL_REVENUE_STL_OUTLIERS

@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from lakeforge import workload_stats as ws
 
@@ -247,3 +248,47 @@ def test_bootstrap_ci_brackets_point_estimate(spark):
     # be small relative to the estimate but strictly positive
     half = (r.ci_hi - r.ci_lo) / 2
     assert 0 < half < 0.2 * r.mean_price
+
+
+def test_user_paths_are_valid_event_types(spark):
+    rows = ws.q_user_path_3grams(spark, SF).collect()
+    types = {
+        r.event_type
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert {r.step1, r.step2, r.step3} <= types
+        assert r.support >= ws._PATH_MIN_SUPPORT
+
+
+def test_did_identity_and_counts(spark):
+    r = ws.q_did_segment_effect(spark, SF).collect()[0]
+    recomputed = (r.treat_post - r.treat_pre) - (r.ctrl_post - r.ctrl_pre)
+    assert abs(r.did_effect - recomputed) < 1e-5
+    n = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert r.n_orders == n
+
+
+def test_benford_shares_sum_to_one(spark):
+    rows = ws.q_benford_price_digits(spark, SF).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.chi2_contrib >= 0.0
+
+
+def test_stl_outliers_exceed_threshold(spark):
+    rows = ws.q_revenue_stl_outliers(spark, SF).collect()
+    n_days = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select(F.to_date("o_orderdate"))
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert abs(r.z) > 2.5
+    # outliers should be a small tail, not the bulk of the series
+    assert len(rows) < 0.05 * n_days
