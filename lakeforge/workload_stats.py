@@ -1810,3 +1810,162 @@ WHERE abs(CAST(resid_u AS DOUBLE)) > 2.5 * sd_u
 
 QUERIES["revenue_stl_outliers"] = q_revenue_stl_outliers
 ORACLE_SQL["revenue_stl_outliers"] = SQL_REVENUE_STL_OUTLIERS
+
+
+# ---------------------------------------------------------------------------
+# Drift monitoring: PSI and Jensen–Shannon divergence.
+# ---------------------------------------------------------------------------
+
+
+def q_price_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-price distribution, 1995
+    (expected) vs 1996 (actual) — THE standard model-monitoring drift
+    metric: PSI = Σ (a_i − e_i)·ln(a_i/e_i) over fixed price bands.
+
+    Bands are closed-form (no quantile pass), so the whole query is one
+    scan → band×period cells → broadcast totals → column arithmetic;
+    Laplace-smoothed shares (+1 per cell) keep the logs finite when a
+    band empties on one side, identically on both engines.  Per-band
+    contributions are emitted so the drifting bands are visible, not
+    just the scalar.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    band = F.least(F.lit(9), F.floor(F.col("o_totalprice") / 50000)).cast("int")
+    cells = (
+        o.where(F.year("o_orderdate").isin(1995, 1996))
+        .select(
+            band.alias("price_band"),
+            F.when(F.year("o_orderdate") == 1995, 1).otherwise(0).alias("is_e"),
+        )
+        .groupBy("price_band")
+        .agg(
+            (F.sum("is_e") + 1).cast("bigint").alias("e_n"),  # +1 smoothing
+            (F.sum(1 - F.col("is_e")) + 1).cast("bigint").alias("a_n"),
+        )
+    )
+    cells = persist_tracked(cells)  # feeds totals AND the output
+    tot = cells.agg(F.sum("e_n").alias("e_tot"), F.sum("a_n").alias("a_tot"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    e_p = d("e_n") / d("e_tot")
+    a_p = d("a_n") / d("a_tot")
+    return (
+        cells.crossJoin(F.broadcast(tot))  # 1-row scalar totals
+        .select(
+            "price_band",
+            (F.col("e_n") - 1).alias("n_1995"),
+            (F.col("a_n") - 1).alias("n_1996"),
+            F.round((a_p - e_p) * F.log(a_p / e_p), 6).alias("psi_contrib"),
+        )
+    )
+
+
+SQL_PRICE_PSI_DRIFT = """
+WITH cells AS (
+  SELECT CAST(least(9, floor(o_totalprice / 50000)) AS INT) AS price_band,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS e_n,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS a_n
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY 1
+),
+tot AS (SELECT SUM(e_n) AS e_tot, SUM(a_n) AS a_tot FROM cells)
+SELECT price_band,
+       CAST(e_n - 1 AS BIGINT) AS n_1995,
+       CAST(a_n - 1 AS BIGINT) AS n_1996,
+       round((CAST(a_n AS DOUBLE) / CAST(a_tot AS DOUBLE)
+              - CAST(e_n AS DOUBLE) / CAST(e_tot AS DOUBLE))
+             * ln((CAST(a_n AS DOUBLE) / CAST(a_tot AS DOUBLE))
+                  / (CAST(e_n AS DOUBLE) / CAST(e_tot AS DOUBLE))), 6) AS psi_contrib
+FROM cells CROSS JOIN tot
+"""
+
+QUERIES["price_psi_drift"] = q_price_psi_drift
+ORACLE_SQL["price_psi_drift"] = SQL_PRICE_PSI_DRIFT
+
+
+def q_source_lang_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between each document source's language
+    distribution and the corpus-wide distribution — the symmetric,
+    bounded ([0, ln 2]) drift metric for categorical mixtures (e.g.
+    catching a crawl source whose language mix shifted between ingests).
+
+    One scan → (source, lang) cells; the corpus marginal and per-source
+    totals broadcast back; JS = ½KL(p‖m) + ½KL(q‖m) with m the midpoint,
+    computed per (source, lang) and summed per source.  Cells where one
+    side is zero contribute only the present side's ½·p·ln(p/m) term —
+    handled by the full outer join of per-source against corpus cells.
+    """
+    docs = _t(spark, sf_dir, "documents").select("source", "lang")
+    cells = persist_tracked(
+        docs.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+    )
+    src_tot = cells.groupBy("source").agg(F.sum("n").alias("src_n"))
+    corpus = cells.groupBy("lang").agg(F.sum("n").alias("lang_n"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    j = (
+        cells.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(corpus), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = d("n") / d("src_n")  # source's lang share
+    q = d("lang_n") / d("total")  # corpus lang share (always > 0 here)
+    m = (p + q) / 2.0
+    # per-cell JS terms; langs absent from a source contribute the
+    # corpus-side term only, accumulated via the corpus-minus-source sum:
+    # JS(source) = 1/2 Σ_present p ln(p/m) + 1/2 Σ_all q ln(q/m_q)
+    # where for langs absent from the source m_q = q/2.
+    term_p = p / 2.0 * F.log(p / m)
+    term_q = q / 2.0 * F.log(q / m)
+    present = j.groupBy("source").agg(
+        F.sum(term_p + term_q).alias("js_present"),
+        F.sum(q).alias("q_covered"),
+    )
+    # absent langs: q ln(q / (q/2)) / 2 = q ln(2) / 2, summed over the
+    # corpus mass NOT covered by this source's language set.
+    ln2 = 0.6931471805599453
+    out = present.select(
+        "source",
+        F.round(
+            F.col("js_present") + (1.0 - F.col("q_covered")) * ln2 / 2.0, 6
+        ).alias("js_divergence"),
+    )
+    return out.join(F.broadcast(src_tot), "source").select(
+        "source", F.col("src_n").cast("bigint").alias("n_docs"), "js_divergence"
+    )
+
+
+SQL_SOURCE_LANG_JS = """
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+src_tot AS (SELECT source, SUM(n) AS src_n FROM cells GROUP BY source),
+corpus AS (SELECT lang, SUM(n) AS lang_n FROM cells GROUP BY lang),
+tot AS (SELECT SUM(n) AS total FROM cells),
+j AS (
+  SELECT c.source, c.lang, c.n, s.src_n, l.lang_n, t.total,
+         CAST(c.n AS DOUBLE) / CAST(s.src_n AS DOUBLE) AS p,
+         CAST(l.lang_n AS DOUBLE) / CAST(t.total AS DOUBLE) AS q
+  FROM cells c
+  JOIN src_tot s USING (source)
+  JOIN corpus l USING (lang)
+  CROSS JOIN tot t
+),
+present AS (
+  SELECT source,
+         SUM(p / 2.0 * ln(p / ((p + q) / 2.0))
+             + q / 2.0 * ln(q / ((p + q) / 2.0))) AS js_present,
+         SUM(q) AS q_covered
+  FROM j GROUP BY source
+)
+SELECT p.source,
+       CAST(s.src_n AS BIGINT) AS n_docs,
+       round(p.js_present + (1.0 - p.q_covered) * 0.6931471805599453 / 2.0, 6)
+         AS js_divergence
+FROM present p JOIN src_tot s USING (source)
+"""
+
+QUERIES["source_lang_js_divergence"] = q_source_lang_js_divergence
+ORACLE_SQL["source_lang_js_divergence"] = SQL_SOURCE_LANG_JS

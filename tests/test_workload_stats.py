@@ -292,3 +292,22 @@ def test_stl_outliers_exceed_threshold(spark):
         assert abs(r.z) > 2.5
     # outliers should be a small tail, not the bulk of the series
     assert len(rows) < 0.05 * n_days
+
+
+def test_psi_contributions_nonnegative(spark):
+    rows = ws.q_price_psi_drift(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # (a-e)ln(a/e) >= 0 for positive smoothed shares
+        assert r.psi_contrib >= -1e-9
+        assert r.n_1995 >= 0 and r.n_1996 >= 0
+
+
+def test_js_divergence_bounded(spark):
+    import math
+
+    rows = ws.q_source_lang_js_divergence(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.js_divergence <= math.log(2) + 1e-9
+        assert r.n_docs > 0
