@@ -1208,12 +1208,17 @@ apply_canonicalization(QUERIES, ORACLE_SQL)
 # trade_sssp_hops, jaccard_prefix_pairs, and the ten statistics/mining
 # queries (basket rules, MI, OLS, WOE, KMV, skyline, interval coalesce,
 # Gini, KS, changepoint) — growing the cumulative driver-attested set
-# from 94 toward ~131 of 187.  Displaced to r6 (all green in both
+# from 94 toward ~131 of 197.  Displaced to r6 (all green in both
 # LOCAL_CORRECTNESS files + pytest): docs_repetition_score,
 # docs_char_entropy, bpe_pair_counts, docs_bigram_likelihood,
 # token_counts_arrow, token_runs_udtf, packing_efficiency,
 # trade_triangles, part_name_linkage, stats_profile, orders_expectations,
-# events_trending, kmv_year_overlap, revenue_autocorr.  THIRTEEN attested
+# events_trending, kmv_year_overlap, revenue_autocorr, plus the late-
+# round-5 additions whose families already have an in-window flagship:
+# ivm_join_nation_revenue, reorder_survival, funnel_wilson_ci,
+# bootstrap_price_ci, user_path_3grams, did_segment_effect,
+# benford_price_digits, revenue_stl_outliers, price_psi_drift,
+# source_lang_js_divergence.  THIRTEEN attested
 # flagships stay inside so every SURVEY §2 family keeps driver coverage
 # in the current window: SCD2/windows -> scd2_orders; merge/CDC ->
 # cdc_merge_orders; temporal join -> temporal_fact_resolve; quality ->

@@ -36,6 +36,7 @@ OPS = [
     "neardup_clusters",
     "minhash_calibration",
     "ngram_jaccard_pairs",
+    "jaccard_prefix_pairs",
     "docs_bigram_likelihood",
 ]
 
