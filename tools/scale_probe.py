@@ -208,10 +208,19 @@ def main() -> None:
         "to LSH candidates.",
         "- `ngram_jaccard_pairs`: shingle-bucket join (pairs only form "
         "inside shared-shingle buckets), with a length-ratio prefilter.",
+        "- `jaccard_prefix_pairs`: same result via AllPairs/PPJoin prefix "
+        "filtering — only each doc's p rarest shingles are indexed, and "
+        "positional/length bounds prune candidates before the verify join; "
+        "the rare-token index keeps per-bucket fan-out bounded, so the "
+        "data-dependent term grows with qualifying pairs, not corpus size "
+        "(hence the near-flat 10x->100x leg on this corpus).",
         "- `docs_bigram_likelihood`: two groupBys (unigram, bigram) plus a "
         "broadcast of the (bounded-vocabulary) model — O(tokens).",
         "",
-        "Regenerate: `python tools/scale_probe.py` (writes this file).",
+        "Regenerate: `python tools/scale_probe.py` (writes this file).  "
+        "The design-level scale annotations (partitioning strategy, shuffle "
+        "shapes, the 100 TB / 1000-executor sizing walkthrough) live in "
+        "`docs/SCALE.md`.",
     ]
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = os.path.join(here, "docs", "SCALE_PROBE.md")
