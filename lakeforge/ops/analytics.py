@@ -1,0 +1,100 @@
+"""Reusable analytic operators with global-order cores decomposed
+two-level (the peak_concurrency seam pattern), extracted from the
+workload so they are property-testable against naive reference models
+(tests/test_properties.py) and composable outside the registry queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    block_width: float = 100.0,
+) -> DataFrame:
+    """Pareto-optimal (minimize_col, maximize_col) points: no other point
+    is <= on the minimized axis AND >= on the maximized axis with at
+    least one strict.  Returns the distinct frontier points.
+
+    Reduction first (max of the maximized axis per distinct minimized
+    value — one parallel shuffle), then the running max over the
+    minimized order runs two-level: within value-range blocks in
+    parallel, block maxima prefix-combined over the tiny block summary,
+    carry-in joined back broadcast.  Identical to a single-pass running
+    max because blocks follow the sort order.
+    """
+    from lakeforge.cache import persist_tracked
+
+    # pts feeds the within-block window AND the block summary
+    pts = persist_tracked(
+        df.groupBy(minimize_col).agg(F.max(maximize_col).alias(maximize_col))
+    )
+    blocked = pts.withColumn(
+        "__bk", F.floor(F.col(minimize_col) / block_width).cast("bigint")
+    )
+    w_in = (
+        Window.partitionBy("__bk")
+        .orderBy(minimize_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = blocked.withColumn("__prev_in", F.max(maximize_col).over(w_in))
+    blk = blocked.groupBy("__bk").agg(F.max(maximize_col).alias("__blk_max"))
+    w_blk = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    carry = blk.withColumn("__prev_blk", F.max("__blk_max").over(w_blk)).select(
+        "__bk", "__prev_blk"
+    )
+    return (
+        within.join(F.broadcast(carry), "__bk")
+        .withColumn(
+            "__best_prev",
+            F.greatest(
+                F.coalesce("__prev_in", F.lit(float("-inf"))),
+                F.coalesce("__prev_blk", F.lit(float("-inf"))),
+            ),
+        )
+        .filter(F.col(maximize_col) > F.col("__best_prev"))
+        .select(minimize_col, maximize_col)
+    )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping-or-touching [start, end) intervals per key into
+    maximal islands (one row per island with island start/end).
+
+    Gaps-and-islands over RANGES: a new island starts when the next
+    start exceeds the running max of ALL previous ends — running max,
+    not lag(end), because an earlier long interval can swallow several
+    later ones.  Windows partition by key: parallel across keys, bounded
+    within.
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_end: Column = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn(
+            "__new",
+            F.when(prev_end.isNull() | (F.col(start_col) > prev_end), 1).otherwise(
+                0
+            ),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(key_col, "__island")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+        )
+        .drop("__island")
+    )

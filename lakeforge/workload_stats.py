@@ -537,37 +537,9 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frontier is tiny by nature → broadcast back onto part for n_parts.
     """
     p = _t(spark, sf_dir, "part").select("p_retailprice", "p_size")
-    # pts feeds the within-block window AND the block summary
-    pts = persist_tracked(
-        p.groupBy("p_retailprice").agg(F.max("p_size").alias("p_size"))
-    )
-    blocked = pts.withColumn(
-        "bk", F.floor(F.col("p_retailprice") / 100).cast("bigint")
-    )
-    w_in = (
-        Window.partitionBy("bk")
-        .orderBy("p_retailprice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    within = blocked.withColumn("prev_in", F.max("p_size").over(w_in))
-    blk = blocked.groupBy("bk").agg(F.max("p_size").alias("blk_max"))
-    # per-block summary: tiny by design (|price range| / block width rows)
-    w_blk = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
-    carry = blk.withColumn("prev_blk", F.max("blk_max").over(w_blk)).select(
-        "bk", "prev_blk"
-    )
-    frontier = (
-        within.join(F.broadcast(carry), "bk")
-        .withColumn(
-            "best_prev",
-            F.greatest(
-                F.coalesce("prev_in", F.lit(-1)),
-                F.coalesce("prev_blk", F.lit(-1)),
-            ),
-        )
-        .filter(F.col("p_size") > F.col("best_prev"))
-        .select("p_retailprice", "p_size")
-    )
+    from lakeforge.ops.analytics import pareto_frontier_2d
+
+    frontier = pareto_frontier_2d(p, "p_retailprice", "p_size", block_width=100.0)
     return (
         p.join(F.broadcast(frontier), ["p_retailprice", "p_size"])
         .groupBy("p_retailprice", "p_size")
@@ -614,25 +586,16 @@ def q_customer_activity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", F.to_date("o_orderdate").alias("s")
     )
+    from lakeforge.ops.analytics import coalesce_intervals
+
     iv = o.withColumn("e", F.date_add("s", 30))
-    w = Window.partitionBy("o_custkey").orderBy("s", "e")
-    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    isl = (
-        iv.withColumn(
-            "new_isl",
-            F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
-        )
-        .withColumn(
-            "island",
-            F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy("o_custkey", "island")
-        .agg(F.min("s").alias("i_start"), F.max("e").alias("i_end"))
-    )
+    isl = coalesce_intervals(iv, "o_custkey", "s", "e")
     return isl.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_periods"),
-        F.sum(F.datediff("i_end", "i_start")).cast("bigint").alias("covered_days"),
-        F.datediff(F.max("i_end"), F.min("i_start"))
+        F.sum(F.datediff("island_end", "island_start"))
+        .cast("bigint")
+        .alias("covered_days"),
+        F.datediff(F.max("island_end"), F.min("island_start"))
         .cast("bigint")
         .alias("span_days"),
     )

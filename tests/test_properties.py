@@ -399,3 +399,115 @@ def test_merge_aggregates_property(spark, old, delta):
     got = sorted(tuple(r) for r in merged.collect())
     want = sorted(tuple(r) for r in agg(old + delta).collect())
     assert got == want
+
+
+_POINTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),   # minimized axis
+        st.integers(min_value=0, max_value=40),   # maximized axis
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(pts=_POINTS)
+def test_pareto_frontier_matches_naive_dominance(spark, pts):
+    from lakeforge.cache import release_all
+    from lakeforge.ops.analytics import pareto_frontier_2d
+
+    df = spark.createDataFrame(pts, ["price", "size"])
+    got = {
+        (r.price, r.size)
+        for r in pareto_frontier_2d(df, "price", "size", block_width=7.0).collect()
+    }
+    release_all()
+    # naive O(n^2) dominance over the reduced point set
+    reduced = {}
+    for p, sz in pts:
+        reduced[p] = max(reduced.get(p, -1), sz)
+    cand = set(reduced.items())
+    want = {
+        (p, sz)
+        for p, sz in cand
+        if not any(
+            (p2 <= p and sz2 >= sz and (p2 < p or sz2 > sz)) for p2, sz2 in cand
+        )
+    }
+    assert got == want
+
+
+_INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # key
+        st.integers(min_value=0, max_value=30),   # start
+        st.integers(min_value=1, max_value=10),   # length
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**_SETTINGS)
+@given(ivs=_INTERVALS)
+def test_interval_coalescing_matches_naive_merge(spark, ivs):
+    from lakeforge.cache import release_all
+    from lakeforge.ops.analytics import coalesce_intervals
+
+    rows = [(k, s, s + ln) for k, s, ln in ivs]
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    got = sorted(
+        (r.k, r.island_start, r.island_end)
+        for r in coalesce_intervals(df, "k", "s", "e").collect()
+    )
+    release_all()
+    # naive per-key sweep over sorted intervals ([s, e) semantics: touching
+    # intervals merge because s == prev_end is not a gap)
+    by_key: dict[int, list] = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    want = []
+    for k, lst in by_key.items():
+        lst.sort()
+        cur_s, cur_e = lst[0]
+        for s, e in lst[1:]:
+            if s > cur_e:
+                want.append((k, cur_s, cur_e))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        want.append((k, cur_s, cur_e))
+    assert got == sorted(want)
+
+
+_DELTA_TABLES = st.tuples(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 9)), max_size=12),  # A rows
+    st.lists(st.tuples(st.integers(0, 5), st.integers(10, 19)), max_size=6),  # dA
+    st.lists(st.tuples(st.integers(0, 5), st.integers(20, 29)), max_size=12),  # B rows
+    st.lists(st.tuples(st.integers(0, 5), st.integers(30, 39)), max_size=6),  # dB
+)
+
+
+@settings(**_SETTINGS)
+@given(tabs=_DELTA_TABLES)
+def test_join_delta_multiset_property(spark, tabs):
+    """Δ(A⋈B) must equal new-join MINUS old-join as a MULTISET — duplicate
+    join keys on both sides are where naive delta rules double-count."""
+    from collections import Counter
+
+    from lakeforge.ops.merge import join_delta
+
+    a_rows, da_rows, b_rows, db_rows = tabs
+    mk = lambda rows, vcol: spark.createDataFrame(  # noqa: E731
+        rows, ["k", vcol]
+    ) if rows else spark.createDataFrame([], "k int, %s int" % vcol)
+    a, da = mk(a_rows, "va"), mk(da_rows, "va")
+    b, db = mk(b_rows, "vb"), mk(db_rows, "vb")
+    delta = join_delta(a, da, b, db, "k")
+    full = a.unionByName(da).join(b.unionByName(db), "k")
+    old = a.join(b, "k")
+    key = lambda r: (r.k, r.va, r.vb)  # noqa: E731
+    got = Counter(map(key, delta.collect()))
+    want = Counter(map(key, full.collect())) - Counter(map(key, old.collect()))
+    assert got == want
