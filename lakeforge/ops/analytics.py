@@ -98,3 +98,45 @@ def coalesce_intervals(
         )
         .drop("__island")
     )
+
+
+def psi_between(
+    expected: DataFrame,
+    actual: DataFrame,
+    band_col: str,
+    count_col: str = "n",
+) -> DataFrame:
+    """Population Stability Index contributions between two banded count
+    frames: PSI = Σ (a_i − e_i)·ln(a_i/e_i) over shares.
+
+    Laplace-smoothed (+1 per cell after a full-outer band align) so bands
+    present on only one side stay finite.  Both inputs are already
+    aggregated (bands × counts — tiny), so this is pure column
+    arithmetic; sum `psi_contrib` downstream for the scalar.
+    """
+    e = expected.select(
+        band_col, F.col(count_col).cast("bigint").alias("__e_raw")
+    )
+    a = actual.select(
+        band_col, F.col(count_col).cast("bigint").alias("__a_raw")
+    )
+    j = (
+        e.join(a, band_col, "full_outer")
+        .withColumn("__e_n", F.coalesce("__e_raw", F.lit(0)) + 1)
+        .withColumn("__a_n", F.coalesce("__a_raw", F.lit(0)) + 1)
+    )
+    tot = j.agg(
+        F.sum("__e_n").alias("__e_tot"), F.sum("__a_n").alias("__a_tot")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    e_p = d("__e_n") / d("__e_tot")
+    a_p = d("__a_n") / d("__a_tot")
+    return (
+        j.crossJoin(F.broadcast(tot))  # 1-row scalar totals
+        .select(
+            band_col,
+            F.coalesce("__e_raw", F.lit(0)).cast("bigint").alias("expected_n"),
+            F.coalesce("__a_raw", F.lit(0)).cast("bigint").alias("actual_n"),
+            F.round((a_p - e_p) * F.log(a_p / e_p), 6).alias("psi_contrib"),
+        )
+    )

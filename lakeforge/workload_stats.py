@@ -1792,9 +1792,14 @@ def q_price_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions are emitted so the drifting bands are visible, not
     just the scalar.
     """
+    from lakeforge.ops.analytics import psi_between
+
     o = _t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
     band = F.least(F.lit(9), F.floor(F.col("o_totalprice") / 50000)).cast("int")
-    cells = (
+    # one scan builds BOTH periods' band counts; the tiny cell frame is
+    # persisted and split, so psi_between's full-outer align runs on two
+    # ≤10-row inputs.
+    cells = persist_tracked(
         o.where(F.year("o_orderdate").isin(1995, 1996))
         .select(
             band.alias("price_band"),
@@ -1802,23 +1807,21 @@ def q_price_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("price_band")
         .agg(
-            (F.sum("is_e") + 1).cast("bigint").alias("e_n"),  # +1 smoothing
-            (F.sum(1 - F.col("is_e")) + 1).cast("bigint").alias("a_n"),
+            F.sum("is_e").cast("bigint").alias("e_raw"),
+            F.sum(1 - F.col("is_e")).cast("bigint").alias("a_raw"),
         )
     )
-    cells = persist_tracked(cells)  # feeds totals AND the output
-    tot = cells.agg(F.sum("e_n").alias("e_tot"), F.sum("a_n").alias("a_tot"))
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    e_p = d("e_n") / d("e_tot")
-    a_p = d("a_n") / d("a_tot")
-    return (
-        cells.crossJoin(F.broadcast(tot))  # 1-row scalar totals
-        .select(
-            "price_band",
-            (F.col("e_n") - 1).alias("n_1995"),
-            (F.col("a_n") - 1).alias("n_1996"),
-            F.round((a_p - e_p) * F.log(a_p / e_p), 6).alias("psi_contrib"),
-        )
+    expected = cells.where(F.col("e_raw") > 0).select(
+        "price_band", F.col("e_raw").alias("n")
+    )
+    actual = cells.where(F.col("a_raw") > 0).select(
+        "price_band", F.col("a_raw").alias("n")
+    )
+    return psi_between(expected, actual, "price_band").select(
+        "price_band",
+        F.col("expected_n").alias("n_1995"),
+        F.col("actual_n").alias("n_1996"),
+        "psi_contrib",
     )
 
 

@@ -932,3 +932,73 @@ def test_stream_maintains_join_view_via_ivm(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(state).collect())
     want = sorted(tuple(r) for r in view(orders).collect())
     assert got == want
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_stream_psi_drift_monitor_per_batch(spark, tmp_path):
+    """Streaming drift monitoring: foreachBatch computes each micro-batch's
+    PSI against a frozen reference band distribution and appends one row
+    per (batch, band) to a monitoring table.  The drifted batch (prices
+    shifted up a band) must show a strictly larger PSI total than the
+    same-distribution batch, and every per-band contribution is >= 0."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from lakeforge.ops.analytics import psi_between
+
+    src = tmp_path / "in"
+    monitor = str(tmp_path / "monitor")
+    src.mkdir()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    band = F.least(F.lit(9), F.floor(F.col("o_totalprice") / 50000)).cast("int")
+
+    def bands(df):
+        return df.select(band.alias("price_band")).groupBy("price_band").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+
+    # frozen reference distribution (persisted parquet, like production)
+    ref_path = str(tmp_path / "reference")
+    bands(orders).write.mode("overwrite").parquet(ref_path)
+
+    # batch a: same distribution; batch b: shifted one band up (drift)
+    shifted = orders.withColumn(
+        "o_totalprice", F.col("o_totalprice") + 50000.0
+    )
+    for name, frame in (("a", orders), ("b", shifted)):
+        out = str(tmp_path / f"split_{name}")
+        frame.coalesce(1).write.mode("overwrite").parquet(out)
+        shutil.copy(
+            _glob.glob(os.path.join(out, "part-*.parquet"))[0],
+            src / f"{name}.parquet",
+        )
+
+    def monitor_batch(batch_df, batch_id):
+        ref = batch_df.sparkSession.read.parquet(ref_path)
+        out = psi_between(ref, bands(batch_df), "price_band").withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        out.write.mode("append").parquet(monitor)
+
+    q = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(monitor_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.read.parquet(monitor).collect()
+    assert {r.batch_id for r in rows} == {0, 1}
+    psi = {}
+    for r in rows:
+        assert r.psi_contrib >= -1e-9
+        psi[r.batch_id] = psi.get(r.batch_id, 0.0) + r.psi_contrib
+    # file order a,b => batch 0 is the clean one.  Clean batch PSI is ~0
+    # (only Laplace noise); the shifted batch must clearly exceed it.
+    assert psi[0] < 0.01
+    assert psi[1] > psi[0] + 0.05
