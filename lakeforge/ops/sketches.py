@@ -143,3 +143,27 @@ def bitmap_distinct_counts(
     return bitmaps.groupBy(*group_cols).agg(
         F.sum(F.expr("bitmap_count(bitmap)")).cast("bigint").alias("n_distinct")
     )
+
+
+def count_min_join_size(a_counters: DataFrame, b_counters: DataFrame) -> DataFrame:
+    """CMS inner-product estimate of an equi-join's size (Cormode &
+    Muthukrishnan §4.2): |A ⋈_k B| = Σ_k fA(k)·fB(k) is estimated per
+    depth by Σ_bucket cellA·cellB, taking the MIN over depths (each
+    depth's estimate is upper-biased by hash collisions).
+
+    Runs entirely on the two ≤ depth×width counter grids — the full
+    tables are never joined, which is the point: at 100 TB this predicts
+    a join's output size (for planning / guardrails) from two sketch
+    scans that a previous pass already paid for.  Buckets absent from
+    one side contribute zero via the inner join.
+    """
+    a = a_counters.select("depth", "bucket", F.col("n").alias("na"))
+    b = b_counters.select("depth", "bucket", F.col("n").alias("nb"))
+    per_depth = (
+        a.join(b, ["depth", "bucket"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("ip"))
+    )
+    return per_depth.agg(
+        F.coalesce(F.min("ip"), F.lit(0)).cast("bigint").alias("join_size_est")
+    )

@@ -1935,3 +1935,89 @@ FROM present p JOIN src_tot s USING (source)
 
 QUERIES["source_lang_js_divergence"] = q_source_lang_js_divergence
 ORACLE_SQL["source_lang_js_divergence"] = SQL_SOURCE_LANG_JS
+
+
+# ---------------------------------------------------------------------------
+# CMS inner product: sketch-based equi-join size estimation.
+# ---------------------------------------------------------------------------
+
+
+def q_suppkey_joinsize_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict the size of the supplier-key equi-join between pre-1995
+    and 1995+ lineitems from count-min sketches alone (CMS inner
+    product), next to the exact answer.
+
+    Each period is sketched once (ops/sketches.py grid — mergeable,
+    O(grid) shuffle); the estimate never joins the periods.  The exact
+    side is Σ_k fA(k)·fB(k) via per-key counts — a dim-sized join on
+    suppkey.  CMS inner product is upper-biased: overcount >= 0 always.
+    """
+    from lakeforge.ops.sketches import count_min_counters, count_min_join_size
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_shipdate")
+    a = li.where(F.col("l_shipdate") < "1997-01-01").select("l_suppkey")
+    b = li.where(F.col("l_shipdate") >= "1997-01-01").select("l_suppkey")
+    est = count_min_join_size(
+        count_min_counters(a, "l_suppkey"), count_min_counters(b, "l_suppkey")
+    )
+    fa = a.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("fa"))
+    fb = b.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("fb"))
+    exact = fa.join(fb, "l_suppkey").agg(
+        F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0))
+        .cast("bigint")
+        .alias("exact_join_size")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_join_size",
+        "join_size_est",
+        (F.col("join_size_est") - F.col("exact_join_size"))
+        .cast("bigint")
+        .alias("overcount"),
+    )
+
+
+def _cms_grid_sql(src_pred: str, d: int) -> str:
+    h = duckdb_md5_int_sql(["l_suppkey", "'cms'", str(d)])
+    return (
+        f"SELECT {d} AS depth, (({h}) % 1024 + 1024) % 1024 AS bucket,"
+        f" CAST(count(*) AS BIGINT) AS n"
+        f" FROM lineitem WHERE {src_pred} GROUP BY 1, 2"
+    )
+
+
+def _cms_join_sql() -> str:
+    ga = "\nUNION ALL\n".join(
+        _cms_grid_sql("CAST(l_shipdate AS DATE) < DATE '1997-01-01'", d)
+        for d in range(4)
+    )
+    gb = "\nUNION ALL\n".join(
+        _cms_grid_sql("CAST(l_shipdate AS DATE) >= DATE '1997-01-01'", d)
+        for d in range(4)
+    )
+    return f"""
+WITH ga AS ({ga}),
+gb AS ({gb}),
+per_depth AS (
+  SELECT ga.depth, CAST(SUM(ga.n * gb.n) AS BIGINT) AS ip
+  FROM ga JOIN gb ON ga.depth = gb.depth AND ga.bucket = gb.bucket
+  GROUP BY ga.depth
+),
+est AS (SELECT CAST(COALESCE(MIN(ip), 0) AS BIGINT) AS join_size_est FROM per_depth),
+exact AS (
+  SELECT CAST(COALESCE(SUM(fa * fb), 0) AS BIGINT) AS exact_join_size
+  FROM (SELECT l_suppkey, count(*) AS fa FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) < DATE '1997-01-01' GROUP BY 1) a
+  JOIN (SELECT l_suppkey, count(*) AS fb FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01' GROUP BY 1) b
+  USING (l_suppkey)
+)
+SELECT exact_join_size, join_size_est,
+       CAST(join_size_est - exact_join_size AS BIGINT) AS overcount
+FROM exact CROSS JOIN est
+"""
+
+
+SQL_SUPPKEY_JOINSIZE_ESTIMATE = _cms_join_sql()
+
+QUERIES["suppkey_joinsize_estimate"] = q_suppkey_joinsize_estimate
+ORACLE_SQL["suppkey_joinsize_estimate"] = SQL_SUPPKEY_JOINSIZE_ESTIMATE

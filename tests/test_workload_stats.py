@@ -311,3 +311,10 @@ def test_js_divergence_bounded(spark):
     for r in rows:
         assert -1e-9 <= r.js_divergence <= math.log(2) + 1e-9
         assert r.n_docs > 0
+
+
+def test_cms_join_size_never_underestimates(spark):
+    r = ws.q_suppkey_joinsize_estimate(spark, SF).collect()[0]
+    assert r.overcount >= 0, "CMS inner product is upper-biased"
+    assert r.join_size_est == r.exact_join_size + r.overcount
+    assert r.exact_join_size > 0
