@@ -2021,3 +2021,71 @@ SQL_SUPPKEY_JOINSIZE_ESTIMATE = _cms_join_sql()
 
 QUERIES["suppkey_joinsize_estimate"] = q_suppkey_joinsize_estimate
 ORACLE_SQL["suppkey_joinsize_estimate"] = SQL_SUPPKEY_JOINSIZE_ESTIMATE
+
+
+# ---------------------------------------------------------------------------
+# Vector aggregation: per-group embedding centroid, exact integer math.
+# ---------------------------------------------------------------------------
+
+_EMB_SCALE = 1_000_000_000  # same fixed-point contract as the cosine oracle
+
+
+def q_lang_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per document language — the vector
+    aggregate every embedding pipeline needs (class prototypes, domain
+    centroids, nearest-centroid routing), as a first-class operator
+    rather than a k-means internal.
+
+    posexplode → (lang, dimension) partial sums gives full map-side
+    combine: the shuffle carries |langs|×dim cells, not vectors.
+    Components scale to 1e-9 fixed-point BIGINTs first (the cosine
+    oracle's contract), the mean is a FLOOR division emulated in exact
+    integer arithmetic ((s − pmod(s, n)) / n) because Spark's `div`
+    truncates toward zero while DuckDB's // floors — they disagree on
+    negative sums.  One row per (lang, pos): scalar columns only, no
+    array comparison at the driver boundary.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = emb.join(docs, emb.vec_id == docs.doc_id)
+    comp = j.select(
+        "lang", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "lang",
+        "pos",
+        F.round(F.col("v").cast("double") * _EMB_SCALE).cast("bigint").alias("sv"),
+    )
+    g = comp.groupBy("lang", "pos").agg(
+        F.sum("sv").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    floordiv = (F.col("s") - F.pmod("s", F.col("n_vectors"))) / F.col("n_vectors")
+    return g.select(
+        "lang",
+        "pos",
+        "n_vectors",
+        floordiv.cast("bigint").alias("mean_scaled"),
+    )
+
+
+SQL_LANG_EMBEDDING_CENTROID = f"""
+WITH j AS (
+  SELECT d.lang, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+comp AS (
+  SELECT lang, i AS pos,
+         CAST(round(CAST(embedding[i + 1] AS DOUBLE) * {_EMB_SCALE}) AS BIGINT) AS sv
+  FROM j CROSS JOIN (SELECT UNNEST(range(64)) AS i)
+),
+g AS (
+  SELECT lang, pos, SUM(sv) AS s, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM comp GROUP BY lang, pos
+)
+SELECT lang, pos, n_vectors,
+       CAST((s - (((s % n_vectors) + n_vectors) % n_vectors)) / n_vectors AS BIGINT)
+         AS mean_scaled
+FROM g
+"""
+
+QUERIES["lang_embedding_centroid"] = q_lang_embedding_centroid
+ORACLE_SQL["lang_embedding_centroid"] = SQL_LANG_EMBEDDING_CENTROID

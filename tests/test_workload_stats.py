@@ -318,3 +318,16 @@ def test_cms_join_size_never_underestimates(spark):
     assert r.overcount >= 0, "CMS inner product is upper-biased"
     assert r.join_size_est == r.exact_join_size + r.overcount
     assert r.exact_join_size > 0
+
+
+def test_embedding_centroid_within_component_range(spark):
+    rows = ws.q_lang_embedding_centroid(spark, SF).collect()
+    assert rows
+    dims = {}
+    for r in rows:
+        dims.setdefault(r.lang, set()).add(r.pos)
+        # centroid component must lie within the raw component range
+        assert abs(r.mean_scaled) <= 1 * ws._EMB_SCALE
+        assert r.n_vectors > 0
+    for lang, ps in dims.items():
+        assert ps == set(range(64)), f"{lang} missing dimensions"
