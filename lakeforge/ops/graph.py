@@ -171,6 +171,88 @@ def pagerank_nano(
     return ranks
 
 
+def hits_ppm(
+    edges: DataFrame,
+    hub: str = "hub",
+    auth: str = "auth",
+    rounds: int = 2,
+    scale: int = 1_000_000,
+    broadcast_scores: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) in exact integer
+    parts-per-million arithmetic — returns ``(hubs, auths)`` frames with
+    columns ``(hub, hub_ppm)`` / ``(auth, auth_ppm)``.
+
+    Each round is the mutual-reinforcement update on the bipartite edge
+    list: ``auth(a) = Σ hub(h)`` over incident edges, renormalized to
+    ppm of the round's max by floor division, then ``hub(h) = Σ auth(a)``
+    renormalized the same way.  Hubs start at ``scale`` (uniform), which
+    lets round 1's auth step collapse to ``scale * in-degree`` — one
+    aggregate instead of a score join (applied below).  All integer ops +
+    fixed round count ⇒ bit-identical on any engine / partitioning, so an
+    unrolled-CTE SQL oracle can replay the rounds.
+
+    Scale design:
+    - Per round: two shuffle aggregates over the 2-column edge list and
+      two single-row max aggregates; the max enters via a broadcast-scalar
+      ``crossJoin`` (the documented BNLJ broadcast-scalar fan-out shape —
+      no shuffle, no driver collect in the loop).
+    - ``broadcast_scores=True`` broadcasts the vertex-dimension score
+      vector into the edge join (never re-shuffles the edge list), the
+      right regime for dim-sized vertex sets; set False to shuffle-join
+      when the vertex vector outgrows the broadcast threshold.
+    - Overflow headroom: scores are ≤ ``scale`` post-normalization, so the
+      pre-normalization sums are ≤ scale·max_degree and the renormalizing
+      product ≤ scale²·max_degree — fine in bigint up to ~9e18/1e12 ≈ 9e6
+      max degree at the default scale; drop ``scale`` for denser graphs.
+    """
+    from lakeforge import cache
+
+    ed = cache.persist_tracked(edges.select(hub, auth).distinct())
+
+    def _normed(scores: DataFrame, key: str, col: str) -> DataFrame:
+        # scores feeds BOTH the max aggregate and the renormalizing join —
+        # without a persist each normalization level would recompute its
+        # whole upstream chain twice (2^levels blowup); persisted, the DAG
+        # is linear in rounds.  The frame is vertex-dimension sized.
+        scores = cache.persist_tracked(scores)
+        mx = scores.agg(F.max(col).alias("_mx"))
+        return scores.crossJoin(F.broadcast(mx)).select(
+            key, F.expr(f"({col} * {scale}) div _mx").alias(col)
+        )
+
+    hubs = None
+    auths = None
+    for i in range(rounds):
+        if i == 0:
+            # Uniform hub init means round 1's auth sum is algebraically
+            # scale * in-degree — one aggregate, no score join at all.
+            pre = ed.groupBy(auth).agg(
+                (F.count(F.lit(1)) * scale).cast("bigint").alias("auth_ppm")
+            )
+        else:
+            hub_side = F.broadcast(hubs) if broadcast_scores else hubs
+            pre = (
+                ed.join(hub_side, ed[hub] == hubs.h)
+                .groupBy(auth)
+                .agg(F.sum("hub_ppm").alias("auth_ppm"))
+            )
+        auths = _normed(pre, auth, "auth_ppm")
+        # rename the key before joining back onto ed — auths descends from
+        # ed, so ed[auth] == auths[auth] would resolve to a trivially-true
+        # self-comparison instead of a join condition
+        a_scores = auths.select(F.col(auth).alias("_a"), "auth_ppm")
+        auth_side = F.broadcast(a_scores) if broadcast_scores else a_scores
+        hubs = _normed(
+            ed.join(auth_side, ed[auth] == F.col("_a"))
+            .select(F.col(hub).alias("h"), "auth_ppm")
+            .groupBy("h")
+            .agg(F.sum("auth_ppm").alias("hub_ppm")),
+            "h", "hub_ppm",
+        )
+    return hubs.select(F.col("h").alias(hub), "hub_ppm"), auths
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-vertex triangle participation — (vertex, n_triangles) — via the
     degree-ordered wedge join (the standard distributed formulation; cf.

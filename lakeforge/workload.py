@@ -677,7 +677,7 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 # Registry
 # ---------------------------------------------------------------------------
 
-from lakeforge import workload_llm, workload_rel, workload_stats  # noqa: E402  (registered below)
+from lakeforge import workload_llm, workload_rec, workload_rel, workload_stats  # noqa: E402  (registered below)
 
 QUERIES: dict[str, QueryFn] = {
     "scd2_orders": q_scd2_orders,
@@ -731,6 +731,8 @@ QUERIES.update(workload_rel.QUERIES)
 ORACLE_SQL.update(workload_rel.ORACLE_SQL)
 QUERIES.update(workload_stats.QUERIES)
 ORACLE_SQL.update(workload_stats.ORACLE_SQL)
+QUERIES.update(workload_rec.QUERIES)
+ORACLE_SQL.update(workload_rec.ORACLE_SQL)
 
 
 # ---------------------------------------------------------------------------

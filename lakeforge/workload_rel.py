@@ -3901,9 +3901,12 @@ def q_trade_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes any graph traversal before you run it (a frontier that covers
     the graph by depth 2 means propagation converges in ~2 rounds).
 
-    Spark has no recursive CTE, so the engine's iterative
-    frontier-expansion answers it; the DuckDB oracle IS a recursive CTE —
-    two maximally different formulations that must agree exactly.
+    Spark 4's native recursive CTE only supports UNION ALL steps (no
+    UNION-dedup, probed on 4.1.2 — see workload_rec.py), under which a
+    graph frontier explodes into walk enumeration; the engine's iterative
+    frontier-expansion answers it instead, and the DuckDB oracle IS a
+    (UNION-deduping) recursive CTE — two maximally different formulations
+    that must agree exactly.
     Parity node encoding (part=2k, supplier=2k+1) shared with
     pagerank_trade / trade_degree_histogram."""
     from lakeforge.ops.graph import bfs_depths
