@@ -336,3 +336,80 @@ def join_delta(
         .unionByName(old_a.join(F.broadcast(delta_b), on))
         .unionByName(delta_a.join(F.broadcast(delta_b), on))
     )
+
+
+def merkle_bucket_digests(
+    df: DataFrame,
+    key_cols: list[str],
+    hash_cols: list[str],
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-bucket content digest of a snapshot — (bucket, digest, n_rows).
+
+    Rows are assigned to ``pmod(md5_int(key_cols), n_buckets)`` buckets and
+    each bucket's digest is ``bit_xor`` of the 60-bit row content hash over
+    ``hash_cols`` — XOR is commutative/associative, so the digest is
+    partitioning- and order-independent (and engine-reproducible via the
+    md5 convention, functions/keys.py).  Map-side combine means the shuffle
+    carries at most ``n_buckets`` rows per task regardless of table size.
+
+    Callers pass CANONICALIZED hash columns (cents not doubles, dates not
+    timestamps) — raw double/timestamp string renderings are not guaranteed
+    identical across engines.
+
+    Caveat (same class as table_diff's): XOR of 60-bit hashes can collide —
+    a pair of changed rows whose hash deltas cancel (~2^-60 per bucket)
+    makes a differing bucket read equal.  Acceptable for reconciliation
+    triage; row-level verification of flagged buckets is the second pass.
+    """
+    from lakeforge.functions.keys import md5_int
+
+    return (
+        df.select(
+            F.pmod(md5_int(*key_cols), F.lit(n_buckets)).alias("bucket"),
+            md5_int(*hash_cols).alias("__rh"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.expr("bit_xor(__rh)").alias("digest"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+def merkle_bucket_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    hash_cols: list[str],
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Anti-entropy reconciliation of two snapshots WITHOUT joining them:
+    compare per-bucket digests and report each bucket's status —
+    (bucket, status 'equal'|'differs', n_a, n_b).
+
+    This is the Merkle/anti-entropy pattern (Dynamo-style replica sync,
+    DeWitt et al.'s hash-partitioned verification): at 100 TB a full keyed
+    diff (table_diff) shuffles both tables by key; this first pass shuffles
+    ``n_buckets`` digest rows instead, and only the differing fraction of
+    buckets needs the row-level pass (a semi join on the bucket id which
+    prunes cleanly if the tables are bucket-partitioned on the same key
+    hash).  Empty buckets on one side surface as count 0, never NULL.
+    """
+    da = merkle_bucket_digests(a, key_cols, hash_cols, n_buckets)
+    db = merkle_bucket_digests(b, key_cols, hash_cols, n_buckets)
+    ja = da.select("bucket", F.col("digest").alias("d_a"), F.col("n_rows").alias("n_a"))
+    jb = db.select("bucket", F.col("digest").alias("d_b"), F.col("n_rows").alias("n_b"))
+    j = ja.join(jb, "bucket", "full_outer")
+    return j.select(
+        "bucket",
+        F.when(
+            F.col("d_a").eqNullSafe(F.col("d_b"))
+            & F.col("n_a").eqNullSafe(F.col("n_b")),
+            F.lit("equal"),
+        )
+        .otherwise(F.lit("differs"))
+        .alias("status"),
+        F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+    )

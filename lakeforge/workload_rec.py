@@ -313,3 +313,119 @@ FROM a2n ORDER BY auth_ppm DESC, s_suppkey ASC LIMIT 15
 
 QUERIES["trade_hits_scores"] = q_trade_hits_scores
 ORACLE_SQL["trade_hits_scores"] = SQL_TRADE_HITS_SCORES
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style anti-entropy snapshot reconciliation.
+# ---------------------------------------------------------------------------
+
+def q_snapshot_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation of two order snapshots WITHOUT joining
+    them (ops/merge.py::merkle_bucket_diff): rows hash into 16384 buckets
+    by key, each bucket's content digest is an XOR of 60-bit row hashes
+    (commutative -> partitioning-independent, md5-based -> engine-
+    reproducible), and only bucket digests are compared.  Reports per
+    status ('equal' / 'differs') how many buckets and rows fall on each
+    side.  The v2 snapshot reuses orders_snapshot_diff's perturbation
+    (removals %101, price bumps %97, negated-key additions %103), so the
+    two reconciliation styles cross-check: the keyed table_diff sees the
+    same drift this digest pass flags.
+
+    At 100 TB the keyed diff shuffles both tables; this first pass
+    shuffles 16384 digest rows after map-side combine, and only the
+    differing fraction of buckets would need the row-level second pass.
+    Hash columns are canonicalized first (cents not doubles, date strings
+    not timestamps) — raw double renderings differ across engines.
+    """
+    from lakeforge.ops.merge import merkle_bucket_diff
+
+    o = _t(spark, sf_dir, "orders")
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+
+    v1 = canon(o)
+    v2 = canon(
+        o.filter(F.col("o_custkey") % 101 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_custkey") % 97 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_custkey") % 103 == 0).withColumn(
+                "o_orderkey", -F.col("o_orderkey")
+            )
+        )
+    )
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "price_cents",
+            "order_date", "o_orderpriority"]
+    d = merkle_bucket_diff(v1, v2, ["o_orderkey"], cols, n_buckets=16384)
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("n_a").cast("bigint").alias("rows_v1"),
+        F.sum("n_b").cast("bigint").alias("rows_v2"),
+    )
+
+
+def _sql_merkle_diff() -> str:
+    from lakeforge.functions.keys import duckdb_md5_int_sql
+
+    canon_cols = (
+        "o_orderkey, o_custkey, o_orderstatus, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents, "
+        "CAST(o_orderdate AS DATE) AS order_date, o_orderpriority"
+    )
+    parts = ["o_orderkey", "o_custkey", "o_orderstatus", "price_cents",
+             "order_date", "o_orderpriority"]
+    rowh = duckdb_md5_int_sql(parts)
+    keyh = duckdb_md5_int_sql(["o_orderkey"])
+    return f"""
+WITH v1 AS (SELECT {canon_cols} FROM orders),
+v2_src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_custkey % 97 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_custkey % 101 <> 0
+  UNION ALL
+  SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_custkey % 103 = 0
+),
+v2 AS (SELECT {canon_cols} FROM v2_src),
+da AS (
+  SELECT {keyh} % 16384 AS bucket, bit_xor({rowh}) AS d, 
+         CAST(count(*) AS BIGINT) AS n
+  FROM v1 GROUP BY 1
+),
+db AS (
+  SELECT {keyh} % 16384 AS bucket, bit_xor({rowh}) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM v2 GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(da.bucket, db.bucket) AS bucket,
+         CASE WHEN da.d IS NOT DISTINCT FROM db.d
+               AND da.n IS NOT DISTINCT FROM db.n
+              THEN 'equal' ELSE 'differs' END AS status,
+         COALESCE(da.n, 0) AS n_a, COALESCE(db.n, 0) AS n_b
+  FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(n_a) AS BIGINT) AS rows_v1,
+       CAST(SUM(n_b) AS BIGINT) AS rows_v2
+FROM j GROUP BY status
+"""
+
+
+QUERIES["snapshot_merkle_diff"] = q_snapshot_merkle_diff
+ORACLE_SQL["snapshot_merkle_diff"] = _sql_merkle_diff()

@@ -269,3 +269,57 @@ def test_merge_aggregates_equals_full_recompute(spark):
     import pytest
     with pytest.raises(ValueError, match="unsupported combine"):
         merge_aggregates(agg(old_rows), agg(delta_rows), ["k"], {"s": "avg"})
+
+
+# ---------------------------------------------------------------------------
+# Merkle bucket reconciliation (merkle_bucket_digests / merkle_bucket_diff).
+# ---------------------------------------------------------------------------
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+def test_merkle_identical_snapshots_all_equal(spark):
+    from lakeforge.ops.merge import merkle_bucket_diff
+
+    a = _snap(spark, [(1, "x"), (2, "y"), (3, "z")])
+    b = _snap(spark, [(3, "z"), (1, "x"), (2, "y")])  # order must not matter
+    out = merkle_bucket_diff(a, b, ["k"], ["k", "v"], n_buckets=4).collect()
+    assert out and all(r.status == "equal" for r in out)
+    assert sum(r.n_a for r in out) == 3 and sum(r.n_b for r in out) == 3
+
+
+def test_merkle_flags_modified_added_removed_buckets(spark):
+    from lakeforge.functions.keys import md5_int
+    from lakeforge.ops.merge import merkle_bucket_diff
+    from pyspark.sql import functions as F
+
+    a = _snap(spark, [(1, "x"), (2, "y"), (3, "z")])
+    b = _snap(spark, [(1, "x"), (2, "CHANGED"), (4, "new")])  # 3 removed
+    out = {r.bucket: r for r in merkle_bucket_diff(
+        a, b, ["k"], ["k", "v"], n_buckets=64
+    ).collect()}
+    buckets = {
+        r.k: r.b for r in a.unionByName(b).select(
+            "k", F.pmod(md5_int("k"), F.lit(64)).alias("b")
+        ).collect()
+    }
+    assert out[buckets[1]].status == "equal"
+    assert out[buckets[2]].status == "differs"  # modified payload
+    assert out[buckets[3]].status == "differs"  # removed: n_b side lighter
+    assert out[buckets[4]].status == "differs"  # added
+    # counts are 0, never NULL, on the absent side
+    assert out[buckets[4]].n_a == 0 and out[buckets[4]].n_b >= 1
+
+
+def test_merkle_digest_partitioning_independent(spark):
+    from lakeforge.ops.merge import merkle_bucket_digests
+
+    rows = [(i, f"v{i}") for i in range(50)]
+    one = merkle_bucket_digests(
+        _snap(spark, rows).repartition(1), ["k"], ["k", "v"], n_buckets=8
+    )
+    many = merkle_bucket_digests(
+        _snap(spark, rows).repartition(7), ["k"], ["k", "v"], n_buckets=8
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
