@@ -2089,3 +2089,146 @@ FROM g
 
 QUERIES["lang_embedding_centroid"] = q_lang_embedding_centroid
 ORACLE_SQL["lang_embedding_centroid"] = SQL_LANG_EMBEDDING_CENTROID
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: winsorized means and Theil–Sen trend.
+# ---------------------------------------------------------------------------
+
+def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean order price per priority: clamp each price into the
+    group's [p05, p95] band, then average — the outlier-robust location
+    estimate every data-cleaning / feature pipeline needs before training.
+
+    Bounds use ``percentile_disc`` (discrete: smallest value at cumulative
+    share >= p — an ACTUAL data value, no interpolation), because
+    interpolated percentiles are float arithmetic whose last bits are not
+    engine-portable; discrete selection + integer-cents clamping + floor-
+    division mean keeps every output bit-exact vs the oracle.
+
+    Plan shape: two fact scans — a bounds aggregate, then the bounds frame
+    (group-dimension sized, unhinted so AQE broadcasts it) re-joined for a
+    map-side-combined clamp+mean.  Scale caveat, stated not hidden:
+    percentile_disc buffers each group's values on its reducer, so with
+    billions of rows per group the bounds pass swaps to a two-level
+    count-by-value selection (cents are a bounded domain — the spend_gini
+    block-decomposition posture) or approx_percentile bounds; the
+    join/clamp/mean stages are scale-clean as-is.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pr"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    bounds = o.groupBy("pr").agg(
+        F.expr("percentile_disc(0.05) within group (order by c)")
+        .cast("bigint").alias("lo"),
+        F.expr("percentile_disc(0.95) within group (order by c)")
+        .cast("bigint").alias("hi"),
+    )
+    return (
+        o.join(bounds, "pr")
+        .groupBy("pr", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr("sum(least(greatest(c, lo), hi)) div count(*)")
+            .cast("bigint").alias("winsor_mean_cents"),
+            F.expr("sum(c) div count(*)").cast("bigint").alias("raw_mean_cents"),
+        )
+        .select(
+            F.col("pr").alias("o_orderpriority"),
+            "n_orders", "lo", "hi", "winsor_mean_cents", "raw_mean_cents",
+        )
+    )
+
+
+SQL_WINSORIZED_PRICE_STATS = """
+WITH base AS (
+  SELECT o_orderpriority AS pr,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+b AS (
+  SELECT pr,
+         CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY c) AS BIGINT) AS lo,
+         CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY c) AS BIGINT) AS hi
+  FROM base GROUP BY pr
+)
+SELECT base.pr AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders, lo, hi,
+       CAST(SUM(LEAST(GREATEST(c, lo), hi)) // count(*) AS BIGINT)
+           AS winsor_mean_cents,
+       CAST(SUM(c) // count(*) AS BIGINT) AS raw_mean_cents
+FROM base JOIN b ON base.pr = b.pr
+GROUP BY base.pr, lo, hi
+"""
+
+QUERIES["winsorized_price_stats"] = q_winsorized_price_stats
+ORACLE_SQL["winsorized_price_stats"] = SQL_WINSORIZED_PRICE_STATS
+
+
+def q_theilsen_nation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of yearly revenue per nation: the median of
+    all pairwise slopes (rev_j - rev_i) / (year_j - year_i) — up to ~29%
+    contaminated years cannot drag the estimate, unlike OLS
+    (price_qty_ols), making the pair a robust/classical contrast on the
+    same revenue series.
+
+    Exactness: slopes are integer cents/year via floor division; the
+    median is ``percentile_disc`` (an actual slope from the pair set, no
+    interpolation) — bit-exact vs the oracle.
+
+    Scale: the fact collapses to the nation x year dimension FIRST (exact
+    cents sums, map-side combined), so the O(k²) pairwise self-join runs
+    on |nations| * |years| rows — bounded by the time dimension, never by
+    fact size.  Same posture as revenue_autocorr's daily-series collapse.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "yr")
+        .agg(F.sum("c").alias("rev"))
+    )
+    a = yearly.select("n_name", F.col("yr").alias("y1"), F.col("rev").alias("r1"))
+    b = yearly.select("n_name", F.col("yr").alias("y2"), F.col("rev").alias("r2"))
+    slopes = (
+        a.join(b, "n_name")
+        .filter(F.col("y1") < F.col("y2"))
+        .select("n_name", F.expr("(r2 - r1) div (y2 - y1)").alias("slope"))
+    )
+    return slopes.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile_disc(0.5) within group (order by slope)")
+        .cast("bigint").alias("ts_slope_cents_per_year"),
+    )
+
+
+SQL_THEILSEN_NATION_TREND = """
+WITH yearly AS (
+  SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS yr,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, yr
+),
+slopes AS (
+  SELECT a.n_name,
+         CAST((b.rev - a.rev) // (b.yr - a.yr) AS BIGINT) AS slope
+  FROM yearly a JOIN yearly b
+    ON a.n_name = b.n_name AND a.yr < b.yr
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope) AS BIGINT)
+           AS ts_slope_cents_per_year
+FROM slopes GROUP BY n_name
+"""
+
+QUERIES["theilsen_nation_trend"] = q_theilsen_nation_trend
+ORACLE_SQL["theilsen_nation_trend"] = SQL_THEILSEN_NATION_TREND

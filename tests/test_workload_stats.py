@@ -331,3 +331,45 @@ def test_embedding_centroid_within_component_range(spark):
         assert r.n_vectors > 0
     for lang, ps in dims.items():
         assert ps == set(range(64)), f"{lang} missing dimensions"
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: winsorized mean, Theil–Sen trend.
+# ---------------------------------------------------------------------------
+
+def test_winsorized_mean_is_outlier_robust(spark, tmp_path):
+    # 19 orders at $10 + one $1e6 outlier, single priority group.
+    rows = [(i, "1-URGENT", 10.0) for i in range(19)] + [(99, "1-URGENT", 1e6)]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    r = ws.q_winsorized_price_stats(spark, str(tmp_path)).collect()[0]
+    assert r.n_orders == 20
+    # p95 over 20 rows picks the 19th value = 1000 cents -> outlier clamped
+    assert r.lo == 1000 and r.hi == 1000
+    assert r.winsor_mean_cents == 1000           # robust: outlier neutralized
+    assert r.raw_mean_cents == (19 * 1000 + 100_000_000) // 20  # raw: dragged
+
+
+def test_theilsen_slope_resists_one_bad_year(spark, tmp_path):
+    # One customer/nation; clean $100/yr growth 1995-2000 except a wild 1998.
+    orders = []
+    for i, yr in enumerate([1995, 1996, 1997, 1998, 1999, 2000]):
+        price = 1e7 if yr == 1998 else 100.0 * (yr - 1994)
+        orders.append((i, 1, f"{yr}-06-01", price))
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint, o_orderdate string, o_totalprice double"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 7)], "c_custkey bigint, c_nationkey bigint"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [(7, "FRANCE")], "n_nationkey bigint, n_name string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/nation.parquet")
+    r = ws.q_theilsen_nation_trend(spark, str(tmp_path)).collect()[0]
+    assert r.n_name == "FRANCE" and r.n_pairs == 15
+    # 10 of 15 pairwise slopes avoid 1998 and equal exactly 10000 cents/yr;
+    # the median lands on the clean slope despite the 1e7 spike
+    assert r.ts_slope_cents_per_year == 10_000
