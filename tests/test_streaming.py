@@ -1002,3 +1002,94 @@ def test_stream_psi_drift_monitor_per_batch(spark, tmp_path):
     # (only Laplace noise); the shifted batch must clearly exceed it.
     assert psi[0] < 0.01
     assert psi[1] > psi[0] + 0.05
+
+
+def test_stream_scd2_matches_batch_rebuild(spark, tmp_path):
+    """Streaming SCD2 (stream_scd2_to_dim): CDC files arriving across two
+    availableNow passes must leave the dimension IDENTICAL to a one-shot
+    batch scd2() over the full timeline — including a later version that
+    closes an interval left open by the first pass."""
+    from pyspark.sql import functions as F
+
+    from lakeforge.ops.scd2 import scd2
+    from lakeforge.streaming.events import stream_scd2_to_dim
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    schema = "acc string, status string, change_date date"
+    batch1 = [("A", "open", "2024-01-01"), ("A", "open", "2024-02-01"),
+              ("B", "open", "2024-01-15")]
+    batch2 = [("A", "frozen", "2024-03-01"),  # closes A's open interval
+              ("C", "open", "2024-02-10")]
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, "acc string, status string, change_date string") \
+            .withColumn("change_date", F.col("change_date").cast("date")) \
+            .coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    def run(name):
+        q = stream_scd2_to_dim(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+                 .parquet(f"{src}/*"),
+            timeline_path=str(tmp_path / "timeline"),
+            dim_path=str(tmp_path / "dim"),
+            keys=["acc"], tracked_cols=["status"], order_col="change_date",
+            checkpoint=str(tmp_path / "ckpt"),
+            n_buckets=8, query_name=name,
+        )
+        q.awaitTermination()
+
+    write_file(batch1, "b1")
+    run("scd2_s1")
+    dim1 = spark.read.parquet(str(tmp_path / "dim"))
+    # A's duplicate status row collapsed; its single interval still open
+    a1 = dim1.filter("acc = 'A'").collect()
+    assert len(a1) == 1 and a1[0].is_current
+
+    write_file(batch2, "b2")
+    run("scd2_s2")
+    dim2 = spark.read.parquet(str(tmp_path / "dim")).drop("__bkt")
+
+    full = spark.createDataFrame(
+        batch1 + batch2, "acc string, status string, change_date string"
+    ).withColumn("change_date", F.col("change_date").cast("date"))
+    expected = scd2(full.dropDuplicates(["acc", "change_date"]),
+                    ["acc"], ["status"], "change_date", null_safe=True)
+    assert sorted(map(tuple, dim2.collect())) == sorted(map(tuple, expected.collect()))
+    # A now has a closed first interval and a current 'frozen' one
+    a2 = {r.status: r.is_current for r in dim2.filter("acc='A'").collect()}
+    assert a2 == {"open": False, "frozen": True}
+
+
+def test_stream_scd2_replay_is_idempotent(spark, tmp_path):
+    """Redelivering the same CDC file under a fresh checkpoint must not
+    change the dimension (idempotent timeline merge + pure bucket rebuild)."""
+    from pyspark.sql import functions as F
+
+    from lakeforge.streaming.events import stream_scd2_to_dim
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    spark.createDataFrame(
+        [("A", "open", "2024-01-01"), ("B", "hold", "2024-01-02")],
+        "acc string, status string, change_date string",
+    ).withColumn("change_date", F.col("change_date").cast("date")) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+
+    def run(name):
+        q = stream_scd2_to_dim(
+            spark.readStream.schema("acc string, status string, change_date date")
+                 .parquet(f"{src}/*"),
+            timeline_path=str(tmp_path / "timeline"),
+            dim_path=str(tmp_path / "dim"),
+            keys=["acc"], tracked_cols=["status"], order_col="change_date",
+            checkpoint=str(tmp_path / f"ckpt_{name}"),  # fresh -> redelivery
+            n_buckets=4, query_name=name,
+        )
+        q.awaitTermination()
+
+    run("scd2_r1")
+    first = sorted(map(tuple, spark.read.parquet(str(tmp_path / "dim")).collect()))
+    run("scd2_r2")
+    second = sorted(map(tuple, spark.read.parquet(str(tmp_path / "dim")).collect()))
+    assert first == second
