@@ -4274,3 +4274,53 @@ FROM {prev} GROUP BY dist
 
 QUERIES["trade_sssp_hops"] = q_trade_sssp_hops
 ORACLE_SQL["trade_sssp_hops"] = _sql_trade_sssp()
+
+
+def q_multiset_status_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — ``exceptAll`` / ``intersectAll``:
+    compare the (status, priority) tuple BAGS of even- vs odd-keyed orders,
+    keeping multiplicities.  EXCEPT ALL retains surplus copies (a tuple
+    appearing 7x on the even side and 4x on the odd side survives 3x) and
+    INTERSECT ALL keeps min(multiplicity) — semantics DISTINCT-based
+    subtract (workload_rel.py:261) cannot express.  The engine's §2.3 set
+    operators are otherwise DISTINCT-flavored; this closes the bag half.
+
+    Plan: both operators compile to a single hash shuffle on the full
+    tuple (Spark rewrites them as count-compare aggregates under the
+    hood — no join of the two sides materializes); the grouped counts
+    after are map-side combined.
+    """
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+
+    def agg(df: DataFrame, op: str) -> DataFrame:
+        return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ).select(F.lit(op).alias("setop"), "o_orderstatus", "o_orderpriority", "n")
+
+    return agg(a.exceptAll(b), "except_all").unionByName(
+        agg(a.intersectAll(b), "intersect_all")
+    )
+
+
+SQL_MULTISET_STATUS_DIFF = """
+WITH a AS (SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0),
+b AS (SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1),
+ex AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+inter AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+SELECT 'except_all' AS setop, o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n
+FROM ex GROUP BY o_orderstatus, o_orderpriority
+UNION ALL
+SELECT 'intersect_all' AS setop, o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n
+FROM inter GROUP BY o_orderstatus, o_orderpriority
+"""
+
+QUERIES["multiset_status_diff"] = q_multiset_status_diff
+ORACLE_SQL["multiset_status_diff"] = SQL_MULTISET_STATUS_DIFF
