@@ -317,3 +317,79 @@ def range_sorted_write(
         else df.repartitionByRange(*sort_cols)
     )
     out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# File-statistics manifest + planner-visible data skipping.
+# ---------------------------------------------------------------------------
+
+MANIFEST_DIR = "_stats_manifest"
+
+
+def write_stats_manifest(spark, path: str, stat_cols: list[str]) -> None:
+    """Build and persist a file-level statistics manifest for the parquet
+    table at ``path``: one row per data file with row count and min/max of
+    each ``stat_cols`` column, stored under ``<path>/_stats_manifest``
+    (underscore-prefixed → invisible to the data reader).
+
+    This is the Iceberg/Delta manifest idea with Spark primitives: parquet
+    footers already hold per-row-group min/max, but at 100 TB with millions
+    of files, OPENING every footer at planning time is itself the
+    bottleneck — a manifest makes pruning a metadata query (one tiny scan)
+    instead of a filesystem walk.  One full scan builds it (the price is
+    paid once per table rewrite, e.g. right after range_sorted_write /
+    zorder_write, whose clustering is what makes the min/max ranges tight
+    and the pruning effective).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    (
+        df.select(F.col("_metadata.file_path").alias("file"), *stat_cols)
+        .groupBy("file")
+        .agg(*aggs)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{MANIFEST_DIR}")
+    )
+
+
+def prune_files(spark, path: str, col: str, lo, hi) -> tuple[list[str], int]:
+    """Return ``(candidate_files, total_files)`` for a ``col BETWEEN lo
+    AND hi`` predicate using the stats manifest: a file survives iff its
+    [min, max] range overlaps [lo, hi] (NULL stats — all-NULL column in
+    that file — keep the file: skipping must never be lossy).
+
+    The collect is bounded by the pruned file count — the same
+    planning-time materialization every table format performs; the
+    manifest scan itself is one row per file.
+    """
+    from pyspark.sql import functions as F
+
+    m = spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+    total = m.count()
+    keep = m.filter(
+        ~(F.col(f"max_{col}") < F.lit(lo)) & ~(F.col(f"min_{col}") > F.lit(hi))
+        | F.col(f"min_{col}").isNull()
+        | F.col(f"max_{col}").isNull()
+    )
+    return [r.file for r in keep.select("file").collect()], total
+
+
+def skipping_scan(spark, path: str, col: str, lo, hi):
+    """Scan ``path`` for rows with ``col BETWEEN lo AND hi``, reading ONLY
+    the files whose manifest stats overlap the band (plus the row-level
+    filter, which parquet row-group stats then prune further within each
+    surviving file).  Exactly equal to the full-scan filter by
+    construction — the manifest keeps any file it cannot rule out.
+    """
+    from pyspark.sql import functions as F
+
+    files, _total = prune_files(spark, path, col, lo, hi)
+    pred = F.col(col).between(F.lit(lo), F.lit(hi))
+    if not files:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(pred)

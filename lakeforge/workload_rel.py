@@ -4324,3 +4324,58 @@ FROM inter GROUP BY o_orderstatus, o_orderpriority
 
 QUERIES["multiset_status_diff"] = q_multiset_status_diff
 ORACLE_SQL["multiset_status_diff"] = SQL_MULTISET_STATUS_DIFF
+
+
+def q_manifest_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-driven data skipping end-to-end (ops/layout.py): orders are
+    rewritten range-clustered on o_totalprice (range_sorted_write → 16
+    files with near-disjoint min/max), a file-stats manifest is built
+    (one row per file), and a price-band scan reads ONLY the files whose
+    manifest range overlaps — the Iceberg/Delta pruning idea with Spark
+    primitives.  The result must equal the plain full-scan filter (the
+    oracle runs exactly that), because skipping keeps any file it cannot
+    rule out; pruning EFFECTIVENESS (files actually skipped) is asserted
+    in tests/test_layout.py, where it belongs — the query contract is
+    equality.
+
+    At 100 TB: the rewrite is one range shuffle paid at layout time; the
+    manifest scan is one row per file; per query the scan cost tracks the
+    band's file fraction, not the table.
+    """
+    import tempfile
+
+    from lakeforge.ops.layout import (
+        range_sorted_write, skipping_scan, write_stats_manifest,
+    )
+
+    stage = tempfile.mkdtemp(prefix="lf_skip_")
+    path = f"{stage}/orders_rs"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    range_sorted_write(o, path, ["o_totalprice"], num_files=16)
+    write_stats_manifest(spark, path, ["o_totalprice"])
+    band = skipping_scan(spark, path, "o_totalprice", 100000.0, 200000.0)
+    return band.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("band_cents"),
+        F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+        F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+    )
+
+
+SQL_MANIFEST_SKIPPING_SCAN = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS band_cents,
+       CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(max(o_orderkey) AS BIGINT) AS max_orderkey
+FROM orders
+WHERE o_totalprice BETWEEN 100000.0 AND 200000.0
+GROUP BY o_orderpriority
+"""
+
+QUERIES["manifest_skipping_scan"] = q_manifest_skipping_scan
+ORACLE_SQL["manifest_skipping_scan"] = SQL_MANIFEST_SKIPPING_SCAN

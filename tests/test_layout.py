@@ -265,3 +265,64 @@ def test_range_sorted_write_produces_disjoint_file_ranges(spark, tmp_path):
     assert len(hit_files) == 1
     # and the data still round-trips completely
     assert spark.read.parquet(out).count() == 100_000
+
+
+def test_manifest_skipping_prunes_files_and_preserves_results(spark, tmp_path):
+    """write_stats_manifest + skipping_scan: a narrow band over a
+    range-clustered table must (a) rule out most files via the manifest
+    alone and (b) return exactly the full-scan filter result."""
+    from pyspark.sql import functions as F
+
+    from lakeforge.ops.layout import (
+        prune_files, range_sorted_write, skipping_scan, write_stats_manifest,
+    )
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    path = str(tmp_path / "t")
+    range_sorted_write(df, path, ["k"], num_files=10)
+    write_stats_manifest(spark, path, ["k"])
+
+    # the manifest dir must be invisible to the data reader
+    assert spark.read.parquet(path).count() == 10_000
+
+    files, total = prune_files(spark, path, "k", 2_000, 2_999)
+    assert total == len(
+        [p for p in (tmp_path / "t").glob("part-*.parquet")]
+    ), "manifest rows == data files"
+    assert 0 < len(files) < total, f"expected real pruning, got {len(files)}/{total}"
+
+    got = sorted(
+        map(tuple, skipping_scan(spark, path, "k", 2_000, 2_999).collect())
+    )
+    want = sorted(
+        map(tuple, spark.read.parquet(path).filter(F.col("k").between(2000, 2999)).collect())
+    )
+    assert got == want and len(got) == 1_000
+
+
+def test_manifest_skipping_empty_band_and_null_stats_kept(spark, tmp_path):
+    """A band outside every file's range reads zero files but returns an
+    empty frame with the right schema; a file whose stat column is
+    all-NULL is never pruned (skipping must stay lossless)."""
+    from pyspark.sql import functions as F
+
+    from lakeforge.ops.layout import prune_files, skipping_scan, write_stats_manifest
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "a bigint, v bigint"
+    ).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [(3, None), (4, None)], "a bigint, v bigint"
+    ).coalesce(1).write.mode("append").parquet(path)
+    write_stats_manifest(spark, path, ["v"])
+
+    # all-NULL-stats file survives any band
+    files, total = prune_files(spark, path, "v", 99_999, 100_000)
+    assert total == 2 and len(files) == 1
+
+    out = skipping_scan(spark, path, "v", 99_999, 100_000)
+    assert out.columns == spark.read.parquet(path).columns
+    assert out.count() == 0  # row-level filter still applies within kept file
