@@ -1220,17 +1220,21 @@ apply_canonicalization(QUERIES, ORACLE_SQL)
 # ivm_join_nation_revenue, reorder_survival, funnel_wilson_ci,
 # bootstrap_price_ci, user_path_3grams, did_segment_effect,
 # benford_price_digits, revenue_stl_outliers, price_psi_drift,
-# source_lang_js_divergence.  THIRTEEN attested
-# flagships stay inside so every SURVEY §2 family keeps driver coverage
-# in the current window: SCD2/windows -> scd2_orders; merge/CDC ->
-# cdc_merge_orders; temporal join -> temporal_fact_resolve; quality ->
-# quality_summary_orders; streaming -> events_sessionize; iterative ->
-# pagerank_trade; text -> text_stats; dedup -> docs_exact_dedup;
-# similarity -> embedding_cosine_topk; sampling -> events_train_test;
-# composed pipeline -> docs_training_pipeline; grouping sets ->
-# grouping_sets_revenue; window funcs -> rank_orders_top3.  Everything
-# rotated out (all driver-green in r01-r04) stays covered by pytest and
-# the committed two-SF local oracle evidence (LOCAL_CORRECTNESS*.json).
+# source_lang_js_divergence.  The NINE late-round-5 operator flagships
+# enter the window the round they ship (same principle as above):
+# recursive_month_spine + recursive_balance_depletion (native Spark-4
+# WITH RECURSIVE), trade_hits_scores (HITS link analysis),
+# copurchase_item_sim (co-occurrence recommender), snapshot_merkle_diff
+# (anti-entropy reconciliation), winsorized_price_stats +
+# theilsen_nation_trend (robust statistics), multiset_status_diff
+# (exceptAll/intersectAll), manifest_skipping_scan (file-stats data
+# skipping) — 46 first-time names this window.  FOUR attested flagships
+# stay inside as cross-round canaries for the core families:
+# SCD2/windows -> scd2_orders; streaming -> events_sessionize;
+# iterative -> pagerank_trade; composed pipeline ->
+# docs_training_pipeline.  Everything rotated out (all driver-green in
+# r01-r04) stays covered by pytest and the committed two-SF local
+# oracle evidence (LOCAL_CORRECTNESS*.json).
 PRIORITY: list[str] = [
     # --- first-time driver attestation: dedup / similarity / text ---
     "minhash_calibration",
@@ -1278,20 +1282,21 @@ PRIORITY: list[str] = [
     "events_quality_gate",
     "events_session_window",
     "events_attribution_full",
-    # --- attested family flagships kept in-window ---
+    # --- first-time: late-round-5 operator families ---
+    "recursive_month_spine",
+    "recursive_balance_depletion",
+    "trade_hits_scores",
+    "copurchase_item_sim",
+    "snapshot_merkle_diff",
+    "winsorized_price_stats",
+    "theilsen_nation_trend",
+    "multiset_status_diff",
+    "manifest_skipping_scan",
+    # --- attested family flagships kept in-window (cross-round canaries) ---
     "scd2_orders",
-    "cdc_merge_orders",
-    "temporal_fact_resolve",
-    "quality_summary_orders",
     "events_sessionize",
     "pagerank_trade",
-    "text_stats",
-    "docs_exact_dedup",
-    "embedding_cosine_topk",
-    "events_train_test",
     "docs_training_pipeline",
-    "grouping_sets_revenue",
-    "rank_orders_top3",
 ]
 
 
