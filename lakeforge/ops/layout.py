@@ -393,3 +393,78 @@ def skipping_scan(spark, path: str, col: str, lo, hi):
     if not files:
         return spark.read.parquet(path).filter(F.lit(False))
     return spark.read.parquet(*files).filter(pred)
+
+
+def manifest_profile(spark, path: str):
+    """Metadata-only table profile: (n_files, n_rows, min_*, max_*) answered
+    ENTIRELY from the stats manifest — zero data files opened.  The
+    COUNT(*) / MIN / MAX class of query that table formats serve from
+    snapshot metadata; correctness holds because the manifest is rebuilt
+    (or incrementally extended, ``update_stats_manifest``) on every layout
+    commit, and min/max/count are mergeable across files by construction.
+    """
+    from pyspark.sql import functions as F
+
+    m = spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+    stat_cols = sorted(
+        {c[4:] for c in m.columns if c.startswith("min_")}
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    ]
+    for c in stat_cols:
+        aggs += [F.min(f"min_{c}").alias(f"min_{c}"), F.max(f"max_{c}").alias(f"max_{c}")]
+    return m.agg(*aggs)
+
+
+def update_stats_manifest(spark, path: str, stat_cols: list[str]) -> int:
+    """Incrementally extend the stats manifest with files appended since it
+    was last written: list the data files, scan ONLY the unmanifested ones
+    (the append delta), and union their stats into the manifest.  Returns
+    the number of newly manifested files.
+
+    At 100 TB this is the difference between a metadata commit that costs
+    O(appended bytes) and one that re-reads the table; the listing itself
+    is the filesystem's job (bounded by file count, same as any planner).
+    ``stat_cols`` must match the manifest's existing columns — mixed
+    manifests would make pruning silently lossy, so it raises instead.
+    """
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    mpath = f"{path}/{MANIFEST_DIR}"
+    m = spark.read.parquet(mpath)
+    want = {f"min_{c}" for c in stat_cols} | {f"max_{c}" for c in stat_cols}
+    have = {c for c in m.columns if c.startswith(("min_", "max_"))}
+    if want != have:
+        raise ValueError(
+            f"update_stats_manifest: stat_cols {sorted(want)} != manifest's "
+            f"{sorted(have)} — rebuild with write_stats_manifest instead"
+        )
+    # membership by basename: the manifest stores URI-schemed paths
+    # (file:///...) while the listing yields local paths; within one flat
+    # table directory part-file names are unique by construction
+    known = {_os.path.basename(r.file) for r in m.select("file").collect()}
+    new_files = sorted(
+        p
+        for p in _glob.glob(f"{path}/*.parquet")
+        if not _os.path.basename(p).startswith(("_", "."))
+        and _os.path.basename(p) not in known
+    )
+    if not new_files:
+        return 0
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    delta = (
+        spark.read.parquet(*new_files)
+        .select(F.col("_metadata.file_path").alias("file"), *stat_cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+    merged = m.unionByName(delta.select(*m.columns)).localCheckpoint(eager=True)
+    merged.coalesce(1).write.mode("overwrite").parquet(mpath)
+    return len(new_files)

@@ -326,3 +326,57 @@ def test_manifest_skipping_empty_band_and_null_stats_kept(spark, tmp_path):
     out = skipping_scan(spark, path, "v", 99_999, 100_000)
     assert out.columns == spark.read.parquet(path).columns
     assert out.count() == 0  # row-level filter still applies within kept file
+
+
+def test_manifest_profile_is_metadata_only_and_exact(spark, tmp_path):
+    """manifest_profile answers count/min/max from the manifest alone and
+    must equal the data-scan profile."""
+    from pyspark.sql import functions as F
+
+    from lakeforge.ops.layout import (
+        manifest_profile, range_sorted_write, write_stats_manifest,
+    )
+
+    df = spark.range(0, 5_000).select(F.col("id").alias("k"))
+    path = str(tmp_path / "t")
+    range_sorted_write(df, path, ["k"], num_files=5)
+    write_stats_manifest(spark, path, ["k"])
+    p = manifest_profile(spark, path).collect()[0]
+    assert (p.n_files, p.n_rows, p.min_k, p.max_k) == (5, 5_000, 0, 4_999)
+    # the profile plan scans the manifest schema, never the data columns
+    # (the location string is elided in the plan text, but the ReadSchema
+    # proves which table the single scan reads)
+    plan = manifest_profile(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<n_rows:bigint" in plan
+    assert "struct<k:bigint>" not in plan
+
+
+def test_update_stats_manifest_scans_only_the_append_delta(spark, tmp_path):
+    """Appending files then update_stats_manifest: only new files are
+    manifested (return value), stats stay exact, and mismatched stat
+    columns raise instead of silently mixing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lakeforge.ops.layout import (
+        manifest_profile, prune_files, update_stats_manifest,
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(F.col("id").alias("k")).coalesce(1) \
+        .write.parquet(path)
+    write_stats_manifest(spark, path, ["k"])
+    assert update_stats_manifest(spark, path, ["k"]) == 0  # nothing new
+
+    spark.range(100, 300).select(F.col("id").alias("k")).coalesce(2) \
+        .write.mode("append").parquet(path)
+    assert update_stats_manifest(spark, path, ["k"]) == 2
+
+    p = manifest_profile(spark, path).collect()[0]
+    assert (p.n_files, p.n_rows, p.min_k, p.max_k) == (3, 300, 0, 299)
+    files, total = prune_files(spark, path, "k", 0, 50)
+    assert total == 3 and len(files) == 1  # appended files pruned by band
+
+    with pytest.raises(ValueError, match="rebuild"):
+        update_stats_manifest(spark, path, ["k", "other"])
