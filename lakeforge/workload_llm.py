@@ -2901,3 +2901,128 @@ FROM out WHERE (n_inter * 1000) // n_union >= 600
 
 QUERIES["jaccard_prefix_pairs"] = q_jaccard_prefix_pairs
 ORACLE_SQL["jaccard_prefix_pairs"] = SQL_JACCARD_PREFIX_PAIRS
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/eval split: split by NEAR-DUP CLUSTER, not by doc.
+# ---------------------------------------------------------------------------
+
+def q_docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/eval split: assign each near-dup CLUSTER
+    (MinHash+LSH pairs -> connected components; singletons are their own
+    cluster) wholly to one split by hashing the cluster id — a near-dup of
+    a training doc can never land in eval.  The output quantifies exactly
+    that: ``straddle_cluster_split`` (clusters seen in both splits under
+    the cluster-hash policy — 0 by construction, REPORTED not assumed) vs
+    ``straddle_naive_split`` (the same count under the usual doc-id-hash
+    split — positive, the leak every naive split ships).
+
+    Scale: reuses the neardup pipeline's banded LSH (never all-pairs) and
+    hash-partitioned components; split assignment and both audits are one
+    aggregate each over the (doc, cluster) frame, which is persisted
+    because four branches consume it.
+    """
+    from lakeforge import cache
+    from lakeforge.functions.keys import md5_int
+    from lakeforge.ops.graph import connected_components
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    sig = minhash_signatures(corpus, "text", "doc_id", k=_K, shingle_n=3)
+    pairs = lsh_candidate_pairs(sig, k=_K, bands=_BANDS, min_match=_MIN_MATCH)
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    docs = cache.persist_tracked(
+        corpus.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.when(F.pmod(md5_int("cluster_id"), F.lit(10)) < 8, "train")
+            .otherwise("eval").alias("split"),
+            F.when(F.pmod(md5_int("doc_id"), F.lit(10)) < 8, "train")
+            .otherwise("eval").alias("naive_split"),
+        )
+    )
+    per_split = docs.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+    )
+
+    def straddle(col: str, alias: str) -> DataFrame:
+        return (
+            docs.groupBy("cluster_id")
+            .agg(F.countDistinct(col).alias("ns"))
+            .agg(
+                F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+                .cast("bigint").alias(alias)
+            )
+        )
+
+    return per_split.crossJoin(
+        F.broadcast(straddle("split", "straddle_cluster_split"))
+    ).crossJoin(F.broadcast(straddle("naive_split", "straddle_naive_split")))
+
+
+def _sql_leakage_safe_split() -> str:
+    pairs_sql = _sql_minhash_lsh_pairs()
+    cl_hash = duckdb_md5_int_sql(["cluster_id"])
+    doc_hash = duckdb_md5_int_sql(["doc_id"])
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(v, r) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.v
+),
+comp AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+ids AS (
+    SELECT doc_id FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 FROM documents WHERE doc_id % 5 = 0
+),
+docs AS (
+    SELECT i.doc_id,
+           COALESCE(c.cluster_id, i.doc_id) AS cluster_id
+    FROM ids i LEFT JOIN comp c ON c.doc_id = i.doc_id
+),
+tagged AS (
+    SELECT doc_id, cluster_id,
+           CASE WHEN {cl_hash} % 10 < 8 THEN 'train' ELSE 'eval' END AS split,
+           CASE WHEN {doc_hash} % 10 < 8 THEN 'train' ELSE 'eval' END
+               AS naive_split
+    FROM docs
+),
+per_split AS (
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM tagged GROUP BY split
+),
+sc AS (
+    SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS straddle_cluster_split
+    FROM (SELECT cluster_id, count(DISTINCT split) AS ns
+          FROM tagged GROUP BY cluster_id)
+),
+sn AS (
+    SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS straddle_naive_split
+    FROM (SELECT cluster_id, count(DISTINCT naive_split) AS ns
+          FROM tagged GROUP BY cluster_id)
+)
+SELECT per_split.*, sc.straddle_cluster_split, sn.straddle_naive_split
+FROM per_split, sc, sn
+"""
+
+
+QUERIES["docs_leakage_safe_split"] = q_docs_leakage_safe_split
+ORACLE_SQL["docs_leakage_safe_split"] = _sql_leakage_safe_split()

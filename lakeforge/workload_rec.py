@@ -1,4 +1,4 @@
-"""Recursive-CTE and link-analysis workload.
+"""Recursive-CTE, link-analysis, and reconciliation workload.
 
 Spark 4 ships native ``WITH RECURSIVE`` (SPARK-24497): the anchor seeds a
 working table, the recursive step (``UNION ALL`` only — UNION-distinct is

@@ -171,10 +171,29 @@ def main() -> None:
             pagerank_nano(edges, "src", "dst", iters=3).write.format(
                 "noop").mode("overwrite").save()
 
+        def run_hits(edges=edges):
+            from lakeforge.ops.graph import hits_ppm
+            _hubs, auths = hits_ppm(edges, "src", "dst", rounds=2)
+            auths.write.format("noop").mode("overwrite").save()
+
+        def run_merkle(label=label):
+            from lakeforge.ops.merge import merkle_bucket_diff
+            rows = {"1x": 150_000, "10x": 1_500_000, "100x": 15_000_000}[label]
+            a = spark.range(rows).select(
+                F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+            )
+            b = a.withColumn(
+                "v", F.when(F.col("k") % 101 == 0, F.col("v") + 1).otherwise(F.col("v"))
+            )
+            merkle_bucket_diff(a, b, ["k"], ["k", "v"], n_buckets=4096).write.format(
+                "noop").mode("overwrite").save()
+
         for op, fn in (("kmeans_assignments(k=8,it=2)", run_kmeans),
                        ("sq8_topk(Q=20)", run_sq8),
                        ("bfs_depths(d=4)", run_bfs),
-                       ("pagerank_nano(it=3)", run_pagerank)):
+                       ("pagerank_nano(it=3)", run_pagerank),
+                       ("hits_ppm(rounds=2)", run_hits),
+                       ("merkle_bucket_diff(4096)", run_merkle)):
             t = _time(fn)
             ann_graph.setdefault(op, {})[label] = t
             print(f"{op:28s} {label:>4s}: {t:7.3f}s", flush=True)
