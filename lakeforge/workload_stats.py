@@ -2232,3 +2232,248 @@ FROM slopes GROUP BY n_name
 
 QUERIES["theilsen_nation_trend"] = q_theilsen_nation_trend
 ORACLE_SQL["theilsen_nation_trend"] = SQL_THEILSEN_NATION_TREND
+
+
+# ---------------------------------------------------------------------------
+# Model-evaluation metrics: distributed ROC-AUC and score calibration.
+# Any scalar quality signal a training pipeline produces (classifier score,
+# heuristic quality permille, one probe dimension of an embedding) needs
+# these two evaluations before it gates data.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC of one embedding dimension as a classifier
+    score for a binary label (label < 5), via the score-histogram
+    formulation of the Mann-Whitney U statistic.
+
+    Scale design: a naive AUC ranks every row globally (one giant sort).
+    Instead, one groupBy(score) shuffle reduces n rows to k distinct
+    scores with per-score (pos, neg) counts; the only ordered pass is a
+    cumulative sum over that k-row histogram.  With average-rank tie
+    handling, 2U = sum_i pos_i * (2*cumneg_i + neg_i) — kept doubled so
+    every intermediate stays an exact BIGINT.  At 100 TB with a
+    continuous score, quantize the score (e.g. round to 1e-6) to bound k;
+    the result is then exact for the quantized score, which is what any
+    rank metric over float scores means in practice.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.col("embedding")[0].cast("double").alias("score"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+    )
+    hist = scored.groupBy("score").agg(
+        F.sum("pos").cast("bigint").alias("pos_n"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("neg_n"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "cumneg", F.coalesce(F.sum("neg_n").over(w), F.lit(0)).cast("bigint")
+    )
+    return cum.agg(
+        F.sum("pos_n").cast("bigint").alias("n_pos"),
+        F.sum("neg_n").cast("bigint").alias("n_neg"),
+        F.sum(F.col("pos_n") * (2 * F.col("cumneg") + F.col("neg_n")))
+        .cast("bigint")
+        .alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.expr("(1000 * u2) div (2 * n_pos * n_neg)")
+        .cast("bigint")
+        .alias("auc_permille"),
+    )
+
+
+SQL_EMBEDDING_AUC = """
+WITH s AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS score,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+),
+hist AS (
+  SELECT score, CAST(SUM(pos) AS BIGINT) AS pos_n,
+         CAST(SUM(1 - pos) AS BIGINT) AS neg_n
+  FROM s GROUP BY score
+),
+c AS (
+  SELECT pos_n, neg_n,
+         CAST(COALESCE(SUM(neg_n) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumneg
+  FROM hist
+)
+SELECT CAST(SUM(pos_n) AS BIGINT) AS n_pos,
+       CAST(SUM(neg_n) AS BIGINT) AS n_neg,
+       CAST(SUM(pos_n * (2 * cumneg + neg_n)) AS BIGINT) AS u2,
+       CAST((1000 * SUM(pos_n * (2 * cumneg + neg_n)))
+            // (2 * SUM(pos_n) * SUM(neg_n)) AS BIGINT) AS auc_permille
+FROM c
+"""
+
+QUERIES["embedding_auc"] = q_embedding_auc
+ORACLE_SQL["embedding_auc"] = SQL_EMBEDDING_AUC
+
+
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for a scalar score vs a binary label: fixed-width
+    score bins (floor(score*20)), per-bin trials, positives, observed
+    positive rate (permille), and the exact bin score mass in micro units
+    — the table an ECE / reliability-diagram computation consumes.
+
+    Single groupBy(bin) shuffle; every output is an exact integer
+    (floor(score*1e6) summed, never a float mean), so the result hashes
+    identically at any partitioning.  Negative sums are emitted raw
+    rather than divided: integer division of negatives differs between
+    engines (Spark `div` truncates, DuckDB `//` floors), so only
+    non-negative quantities are ratioed.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    b = emb.select(
+        F.floor(F.col("embedding")[0].cast("double") * 20)
+        .cast("bigint")
+        .alias("bin"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+        F.floor(F.col("embedding")[0].cast("double") * 1000000)
+        .cast("bigint")
+        .alias("micros"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.expr("(1000 * sum(pos)) div count(1)")
+            .cast("bigint")
+            .alias("pos_permille"),
+            F.sum("micros").cast("bigint").alias("sum_score_micros"),
+        )
+        .orderBy("bin")
+    )
+
+
+SQL_SCORE_CALIBRATION = """
+WITH s AS (
+  SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 20) AS BIGINT) AS bin,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+         CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+             AS micros
+  FROM embeddings
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST((1000 * SUM(pos)) // COUNT(*) AS BIGINT) AS pos_permille,
+       CAST(SUM(micros) AS BIGINT) AS sum_score_micros
+FROM s GROUP BY bin ORDER BY bin
+"""
+
+QUERIES["score_calibration"] = q_score_calibration
+ORACLE_SQL["score_calibration"] = SQL_SCORE_CALIBRATION
+
+
+def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line quantity and extended price,
+    with exact average-rank tie handling — the robust (monotone, outlier-
+    resistant) complement to the Pearson `qty_price_corr`.
+
+    Scale design: no global row sort.  Each variable is reduced to a
+    value histogram (groupBy value → count), average ranks come from a
+    cumulative sum over the small distinct-value table, and rows get
+    their ranks back via equi-joins (the 50-row quantity histogram is
+    broadcast; the price histogram join is a plain shuffle equi-join).
+    Doubled average ranks (2r = 2*cum_before + cnt + 1) are exact
+    BIGINTs, so all five moment sums are exact integers; the single
+    float step is the final rho division (rounded to 6 dp, identical
+    IEEE inputs on both engines).  Moment sums fit BIGINT through
+    ~sf1; promote to decimal(38,0) sums beyond that.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    li = persist_tracked(li)
+    try:
+        def ranks(col: str) -> DataFrame:
+            h = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+            w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+            return h.select(
+                col,
+                (
+                    2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                    + F.col("cnt")
+                    + 1
+                )
+                .cast("bigint")
+                .alias(f"r2{col}"),
+            )
+
+        j = li.join(F.broadcast(ranks("x")), "x").join(ranks("y"), "y")
+        m = j.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("r2x").cast("decimal(38,0)").alias("sx"),
+            F.sum("r2y").cast("decimal(38,0)").alias("sy"),
+            F.sum(F.col("r2x") * F.col("r2x")).cast("decimal(38,0)").alias("sxx"),
+            F.sum(F.col("r2y") * F.col("r2y")).cast("decimal(38,0)").alias("syy"),
+            F.sum(F.col("r2x") * F.col("r2y")).cast("decimal(38,0)").alias("sxy"),
+        )
+        return m.select(
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / (
+                    F.sqrt(
+                        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                        .cast("double")
+                    )
+                    * F.sqrt(
+                        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                        .cast("double")
+                    )
+                ),
+                6,
+            ).alias("spearman_rho"),
+        )
+    finally:
+        li.unpersist()
+
+
+SQL_SPEARMAN_QTY_PRICE = """
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+hx AS (
+  SELECT x, CAST(2 * COALESCE(SUM(cnt) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS BIGINT) AS r2x
+  FROM (SELECT x, COUNT(*) AS cnt FROM base GROUP BY x)
+),
+hy AS (
+  SELECT y, CAST(2 * COALESCE(SUM(cnt) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS BIGINT) AS r2y
+  FROM (SELECT y, COUNT(*) AS cnt FROM base GROUP BY y)
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(r2x) AS HUGEINT) AS sx,
+         CAST(SUM(r2y) AS HUGEINT) AS sy,
+         CAST(SUM(r2x * r2x) AS HUGEINT) AS sxx,
+         CAST(SUM(r2y * r2y) AS HUGEINT) AS syy,
+         CAST(SUM(r2x * r2y) AS HUGEINT) AS sxy
+  FROM base JOIN hx USING (x) JOIN hy USING (y)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           AS spearman_rho
+FROM m
+"""
+
+QUERIES["spearman_qty_price"] = q_spearman_qty_price
+ORACLE_SQL["spearman_qty_price"] = SQL_SPEARMAN_QTY_PRICE

@@ -373,3 +373,66 @@ def test_theilsen_slope_resists_one_bad_year(spark, tmp_path):
     # 10 of 15 pairwise slopes avoid 1998 and equal exactly 10000 cents/yr;
     # the median lands on the clean slope despite the 1e7 spike
     assert r.ts_slope_cents_per_year == 10_000
+
+
+def test_auc_matches_independent_numpy_mann_whitney(spark):
+    """q_embedding_auc's histogram-cumsum formulation must equal the
+    classical average-rank Mann-Whitney AUC computed independently in
+    NumPy on the same rows (pins tie handling — the oracle shares the
+    histogram formulation, so it alone can't catch a shared tie bug)."""
+    import pandas as pd
+
+    row = ws.q_embedding_auc(spark, SF).collect()[0]
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    scores = np.array([float(v[0]) for v in pdf["embedding"]], dtype=np.float64)
+    pos = (pdf["label"].to_numpy() < 5).astype(np.int64)
+    n_pos, n_neg = int(pos.sum()), int((1 - pos).sum())
+    # average ranks (1-based) with tie groups sharing the mean rank
+    order = np.argsort(scores, kind="stable")
+    sorted_scores = scores[order]
+    ranks = np.empty(len(scores), dtype=np.float64)
+    i = 0
+    while i < len(sorted_scores):
+        j = i
+        while j + 1 < len(sorted_scores) and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    u = float(ranks[pos == 1].sum()) - n_pos * (n_pos + 1) / 2.0
+    assert row.n_pos == n_pos and row.n_neg == n_neg
+    assert row.u2 == int(round(2 * u))
+    assert row.auc_permille == (1000 * row.u2) // (2 * n_pos * n_neg)
+    assert 0 <= row.auc_permille <= 1000
+
+
+def test_calibration_bins_partition_the_table(spark):
+    rows = ws.q_score_calibration(spark, SF).collect()
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    assert sum(r.n for r in rows) == len(pdf)
+    bins = [r.bin for r in rows]
+    assert bins == sorted(bins) and len(set(bins)) == len(bins)
+    for r in rows:
+        assert 0 <= r.n_pos <= r.n
+        assert r.pos_permille == (1000 * r.n_pos) // r.n
+        # bin invariant: every score micro-sum sits inside the bin's range
+        # (bin = floor(score*20); micros = floor(score*1e6)) => mean within
+        lo, hi = r.bin * 50000, (r.bin + 1) * 50000
+        assert lo * r.n <= r.sum_score_micros < hi * r.n
+
+
+def test_spearman_matches_numpy_rank_pearson(spark):
+    """q_spearman_qty_price's histogram-join formulation must equal
+    Pearson-on-average-ranks computed independently row-wise in NumPy."""
+    import pandas as pd
+
+    row = ws.q_spearman_qty_price(spark, SF).collect()[0]
+    pdf = pd.read_parquet(f"{SF}/lineitem.parquet")
+    x = pdf["l_quantity"].astype("int64").to_numpy()
+    y = np.round(pdf["l_extendedprice"].to_numpy() * 100).astype("int64")
+    rx = pd.Series(x).rank(method="average").to_numpy()
+    ry = pd.Series(y).rank(method="average").to_numpy()
+    rho = np.corrcoef(rx, ry)[0, 1]
+    assert row.n == len(pdf)
+    assert abs(float(row.spearman_rho) - rho) < 1e-6
