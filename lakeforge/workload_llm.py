@@ -3026,3 +3026,58 @@ FROM per_split, sc, sn
 
 QUERIES["docs_leakage_safe_split"] = q_docs_leakage_safe_split
 ORACLE_SQL["docs_leakage_safe_split"] = _sql_leakage_safe_split()
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix: which corpus sources contaminate each
+# other.  The per-pair near-dup detector (MinHash+LSH banding) is reused
+# as-is; this rolls its output up to the source x source level — the view
+# a corpus curator actually acts on (e.g. "crawl-B is 40% re-hosted
+# crawl-A content, downweight it").
+# ---------------------------------------------------------------------------
+
+
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair counts aggregated by unordered source pair.
+
+    Scale design: candidate pairs come from the banded-LSH equi-join
+    (already bounded, never all-pairs); the source lookup joins a slim
+    (doc_id, source) projection twice — a dimension-sized side that AQE
+    broadcasts when small and shuffle-joins otherwise; the final matrix
+    is |sources|^2 rows.  Mutated corpus members (+1_000_000 ids) map to
+    their origin's source via doc_id % 1_000_000 on both engines.
+    """
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    src = _documents(spark, sf_dir).select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("_ida"), F.col("source").alias("_sa"))
+    b = src.select(F.col("doc_id").alias("_idb"), F.col("source").alias("_sb"))
+    j = (
+        pairs.withColumn("_oa", F.col("doc_a") % 1000000)
+        .withColumn("_ob", F.col("doc_b") % 1000000)
+        .join(a, F.col("_oa") == F.col("_ida"))
+        .join(b, F.col("_ob") == F.col("_idb"))
+    )
+    return j.groupBy(
+        F.least("_sa", "_sb").alias("source_lo"),
+        F.greatest("_sa", "_sb").alias("source_hi"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dup_pairs"),
+        F.sum("n_match").cast("bigint").alias("sum_match"),
+    )
+
+
+SQL_CROSS_SOURCE_DUP_MATRIX = f"""
+WITH pairs AS (SELECT * FROM ({_sql_minhash_lsh_pairs()}) _p),
+src AS (SELECT doc_id, source FROM documents)
+SELECT LEAST(sa.source, sb.source) AS source_lo,
+       GREATEST(sa.source, sb.source) AS source_hi,
+       CAST(COUNT(*) AS BIGINT) AS dup_pairs,
+       CAST(SUM(p.n_match) AS BIGINT) AS sum_match
+FROM pairs p
+JOIN src sa ON p.doc_a % 1000000 = sa.doc_id
+JOIN src sb ON p.doc_b % 1000000 = sb.doc_id
+GROUP BY 1, 2
+"""
+
+QUERIES["cross_source_dup_matrix"] = q_cross_source_dup_matrix
+ORACLE_SQL["cross_source_dup_matrix"] = SQL_CROSS_SOURCE_DUP_MATRIX

@@ -2477,3 +2477,53 @@ FROM m
 
 QUERIES["spearman_qty_price"] = q_spearman_qty_price
 ORACLE_SQL["spearman_qty_price"] = SQL_SPEARMAN_QTY_PRICE
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding column: count, exact value
+    mass, extrema, and second moment in micro fixed-point — the feature-
+    variance table that drives whitening / dead-dimension detection
+    before embeddings feed ANN indexes or probes.
+
+    One posexplode (rows x dims, JVM-side generator, no Python) and one
+    groupBy(dim) shuffle of d partial aggregates per task — map-side
+    combine reduces the shuffle to O(tasks x d).  All outputs are exact
+    BIGINTs (floor(v * 1e6)), so results hash identically at any
+    partitioning; second-moment sums fit BIGINT through ~1e9 rows at
+    |v| <= 1 and promote to decimal(38,0) beyond.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000000).cast("bigint").alias("m"),
+    )
+    return d.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("sum_micros"),
+        F.min("m").cast("bigint").alias("min_micros"),
+        F.max("m").cast("bigint").alias("max_micros"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("sumsq_micros2"),
+    )
+
+
+SQL_EMBEDDING_DIM_STATS = """
+WITH dims AS (
+  SELECT UNNEST(generate_series(1,
+         (SELECT MAX(len(embedding)) FROM embeddings))) AS i
+),
+d AS (
+  SELECT CAST(i - 1 AS INT) AS dim,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS m
+  FROM embeddings CROSS JOIN dims
+  WHERE i <= len(embedding)
+)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(m) AS BIGINT) AS sum_micros,
+       CAST(MIN(m) AS BIGINT) AS min_micros,
+       CAST(MAX(m) AS BIGINT) AS max_micros,
+       CAST(SUM(m * m) AS BIGINT) AS sumsq_micros2
+FROM d GROUP BY dim
+"""
+
+QUERIES["embedding_dim_stats"] = q_embedding_dim_stats
+ORACLE_SQL["embedding_dim_stats"] = SQL_EMBEDDING_DIM_STATS
