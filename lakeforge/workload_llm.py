@@ -3081,3 +3081,97 @@ GROUP BY 1, 2
 
 QUERIES["cross_source_dup_matrix"] = q_cross_source_dup_matrix
 ORACLE_SQL["cross_source_dup_matrix"] = SQL_CROSS_SOURCE_DUP_MATRIX
+
+
+# ---------------------------------------------------------------------------
+# Dedup-weighted effective token mass: what the corpus is actually worth
+# for training after near-duplicate discounting.  Raw token counts
+# overstate a corpus with heavy internal duplication; weighting each doc
+# by 1/cluster_size makes duplicated content count once in aggregate.
+# ---------------------------------------------------------------------------
+
+
+def q_effective_token_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus sizing after near-dup discounting.
+
+    Composition: near-dup components (checkpointed min-label propagation
+    over the banded-LSH pairs) give each doc a cluster size (absent docs
+    are singletons, size 1); each doc contributes
+    floor(1000 * n_tokens / cluster_size) millitokens — an exact
+    integer, so the per-source rollup hashes identically everywhere.
+    Shuffles: the LSH pipeline's own, one left join of the slim
+    (doc_id, size) table, one groupBy(source).  Text is tokenized once
+    and never shuffled (token COUNT, not tokens, leaves the first
+    Project).
+    """
+    from lakeforge.llm.dedup import lsh_candidate_pairs, minhash_signatures
+    from lakeforge.llm.text import tokens_col
+    from lakeforge.ops.graph import connected_components
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    sig = minhash_signatures(corpus, "text", "doc_id", k=_K, shingle_n=3)
+    pairs = lsh_candidate_pairs(sig, k=_K, bands=_BANDS, min_match=_MIN_MATCH)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("csize")
+    )
+    doc_size = comp.join(sizes, "component").select(
+        F.col("vertex").alias("doc_id"), "csize"
+    )
+    toks = corpus.select(
+        "doc_id", F.size(tokens_col("text")).cast("bigint").alias("n_tokens")
+    )
+    src = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("_sid"), "source"
+    )
+    per_doc = (
+        toks.join(doc_size, "doc_id", "left")
+        .withColumn("csize", F.coalesce("csize", F.lit(1)))
+        .join(src, toks["doc_id"] % 1000000 == F.col("_sid"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("csize") > 1).cast("int")).cast("bigint").alias("dup_docs"),
+        F.sum("n_tokens").cast("bigint").alias("raw_tokens"),
+        F.sum(F.expr("(1000 * n_tokens) div csize"))
+        .cast("bigint")
+        .alias("eff_millitokens"),
+    )
+
+
+def _sql_effective_token_mass() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_minhash_lsh_pairs()}),
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(v, r) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.v
+),
+comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component),
+doc_size AS (SELECT c.doc_id, s.csize FROM comp c JOIN sizes s USING (component)),
+{_NEARDUP_CORPUS.strip()},
+toks AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM corpus),
+per_doc AS (
+    SELECT t.doc_id, t.n_tokens, COALESCE(d.csize, 1) AS csize, s.source
+    FROM toks t
+    LEFT JOIN doc_size d ON d.doc_id = t.doc_id
+    JOIN (SELECT doc_id, source FROM documents) s
+      ON t.doc_id % 1000000 = s.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+       CAST(SUM((1000 * n_tokens) // csize) AS BIGINT) AS eff_millitokens
+FROM per_doc GROUP BY source
+"""
+
+
+QUERIES["effective_token_mass"] = q_effective_token_mass
+ORACLE_SQL["effective_token_mass"] = _sql_effective_token_mass()

@@ -2527,3 +2527,94 @@ FROM d GROUP BY dim
 
 QUERIES["embedding_dim_stats"] = q_embedding_dim_stats
 ORACLE_SQL["embedding_dim_stats"] = SQL_EMBEDDING_DIM_STATS
+
+
+def q_threshold_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix plus precision/recall/F1 (permille) for the
+    score >= t classifier at a grid of thresholds — with AUC
+    (`embedding_auc`) and the reliability table (`score_calibration`)
+    this completes the scalar-signal evaluation family.
+
+    One scan: each row contributes to every threshold via a small
+    literal threshold array (posexplode of a 7-element lit array — a
+    constant fan-out, not a join); one groupBy(threshold) shuffle of
+    four partial counts.  All ratios are integer permille; F1's
+    denominator uses 2TP+FP+FN so it stays in integers too.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    # thresholds in micros: -300k .. +300k step 100k
+    ts = F.array(*[F.lit(t) for t in range(-300000, 300001, 100000)])
+    base = emb.select(
+        F.floor(F.col("embedding")[0].cast("double") * 1000000)
+        .cast("bigint")
+        .alias("score_micros"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+    )
+    e = base.select("score_micros", "pos", F.explode(ts).alias("t"))
+    pred = (F.col("score_micros") >= F.col("t")).cast("int")
+    cells = e.groupBy("t").agg(
+        F.sum(pred * F.col("pos")).cast("bigint").alias("tp"),
+        F.sum(pred * (1 - F.col("pos"))).cast("bigint").alias("fp"),
+        F.sum((1 - pred) * F.col("pos")).cast("bigint").alias("fn"),
+        F.sum((1 - pred) * (1 - F.col("pos"))).cast("bigint").alias("tn"),
+    )
+    return cells.select(
+        F.col("t").cast("bigint").alias("threshold_micros"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            "CASE WHEN tp + fp > 0 THEN (1000 * tp) div (tp + fp) END"
+        )
+        .cast("bigint")
+        .alias("precision_permille"),
+        F.expr(
+            "CASE WHEN tp + fn > 0 THEN (1000 * tp) div (tp + fn) END"
+        )
+        .cast("bigint")
+        .alias("recall_permille"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn > 0"
+            "     THEN (2000 * tp) div (2 * tp + fp + fn) END"
+        )
+        .cast("bigint")
+        .alias("f1_permille"),
+    )
+
+
+SQL_THRESHOLD_CONFUSION = """
+WITH base AS (
+  SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+             AS score_micros,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+),
+grid AS (
+  SELECT UNNEST([-300000, -200000, -100000, 0, 100000, 200000, 300000]) AS t
+),
+cells AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN score_micros >= t THEN pos ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN score_micros >= t THEN 1 - pos ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN score_micros < t THEN pos ELSE 0 END)
+              AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN score_micros < t THEN 1 - pos ELSE 0 END)
+              AS BIGINT) AS tn
+  FROM base CROSS JOIN grid GROUP BY t
+)
+SELECT CAST(t AS BIGINT) AS threshold_micros, tp, fp, fn, tn,
+       CAST(CASE WHEN tp + fp > 0 THEN (1000 * tp) // (tp + fp) END
+            AS BIGINT) AS precision_permille,
+       CAST(CASE WHEN tp + fn > 0 THEN (1000 * tp) // (tp + fn) END
+            AS BIGINT) AS recall_permille,
+       CAST(CASE WHEN 2 * tp + fp + fn > 0
+                 THEN (2000 * tp) // (2 * tp + fp + fn) END
+            AS BIGINT) AS f1_permille
+FROM cells
+"""
+
+QUERIES["threshold_confusion"] = q_threshold_confusion
+ORACLE_SQL["threshold_confusion"] = SQL_THRESHOLD_CONFUSION
