@@ -898,3 +898,33 @@ def test_pq_topk_recovers_clustered_structure(spark):
     # share pattern (0,0) — ids {4,8,12} plus pattern-sharing ties
     same_pattern = {v for v in range(16) if ((v >> 1) & 1, v & 1) == (0, 0)}
     assert set(by_q[0][:3]) <= same_pattern - {0}
+
+
+def test_cross_source_dup_matrix_accounts_every_pair(spark):
+    """The source-pair rollup must conserve the underlying pair count and
+    keep unordered-pair keys canonical (lo <= hi)."""
+    from lakeforge import workload_llm as wl
+
+    sf = "/root/testdata/sf0.001"
+    n_pairs = wl.q_minhash_lsh_pairs(spark, sf).count()
+    rows = wl.q_cross_source_dup_matrix(spark, sf).collect()
+    assert sum(r.dup_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.source_lo <= r.source_hi
+        assert r.sum_match >= r.dup_pairs * 16  # min_match floor
+
+
+def test_effective_token_mass_bounded_by_raw(spark):
+    """Dedup weighting can only discount: eff <= 1000*raw, with equality
+    exactly when a source has no docs in any multi-member cluster."""
+    from lakeforge import workload_llm as wl
+
+    sf = "/root/testdata/sf0.001"
+    rows = wl.q_effective_token_mass(spark, sf).collect()
+    assert rows
+    assert any(r.dup_docs > 0 for r in rows), "mutated corpus must dup"
+    for r in rows:
+        assert 0 <= r.dup_docs <= r.n_docs
+        assert r.eff_millitokens <= 1000 * r.raw_tokens
+        if r.dup_docs == 0:
+            assert r.eff_millitokens == 1000 * r.raw_tokens
