@@ -2618,3 +2618,111 @@ FROM cells
 
 QUERIES["threshold_confusion"] = q_threshold_confusion
 ORACLE_SQL["threshold_confusion"] = SQL_THRESHOLD_CONFUSION
+
+
+def q_return_risk_auc_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation exact ROC-AUC of order price as a predictor of return
+    risk (any lineitem returned) — the grouped variant of
+    `embedding_auc`, and the fully scalable plan shape: the cumulative
+    pass runs over per-nation score histograms with a PARTITIONED
+    window, so no global ordering exists anywhere in the plan.
+
+    Labels: one semi-style aggregation over lineitem (max of
+    returnflag='R') keyed by order; groups: customer→nation broadcast
+    chain.  Histogram per (nation, price-cent); doubled-rank integer
+    arithmetic as in `embedding_auc`.  Nations with a degenerate class
+    (all returned / none returned) emit NULL AUC rather than dividing
+    by zero.
+    """
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("pos")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("score"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("n_name", "score", "pos")
+    )
+    hist = base.groupBy("n_name", "score").agg(
+        F.sum("pos").cast("bigint").alias("pos_n"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("neg_n"),
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "cumneg", F.coalesce(F.sum("neg_n").over(w), F.lit(0)).cast("bigint")
+    )
+    agg = cum.groupBy("n_name").agg(
+        F.sum("pos_n").cast("bigint").alias("n_pos"),
+        F.sum("neg_n").cast("bigint").alias("n_neg"),
+        F.sum(F.col("pos_n") * (2 * F.col("cumneg") + F.col("neg_n")))
+        .cast("bigint")
+        .alias("u2"),
+    )
+    return agg.select(
+        "n_name",
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CASE WHEN n_pos > 0 AND n_neg > 0"
+            "     THEN (1000 * u2) div (2 * n_pos * n_neg) END"
+        )
+        .cast("bigint")
+        .alias("auc_permille"),
+    )
+
+
+SQL_RETURN_RISK_AUC_BY_NATION = """
+WITH lab AS (
+  SELECT l_orderkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+  FROM lineitem GROUP BY l_orderkey
+),
+base AS (
+  SELECT n.n_name,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS score,
+         lab.pos
+  FROM orders o
+  JOIN lab ON o.o_orderkey = lab.l_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+hist AS (
+  SELECT n_name, score,
+         CAST(SUM(pos) AS BIGINT) AS pos_n,
+         CAST(SUM(1 - pos) AS BIGINT) AS neg_n
+  FROM base GROUP BY n_name, score
+),
+c2 AS (
+  SELECT n_name, pos_n, neg_n,
+         CAST(COALESCE(SUM(neg_n) OVER (PARTITION BY n_name ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumneg
+  FROM hist
+),
+agg AS (
+  SELECT n_name,
+         CAST(SUM(pos_n) AS BIGINT) AS n_pos,
+         CAST(SUM(neg_n) AS BIGINT) AS n_neg,
+         CAST(SUM(pos_n * (2 * cumneg + neg_n)) AS BIGINT) AS u2
+  FROM c2 GROUP BY n_name
+)
+SELECT n_name, n_pos, n_neg,
+       CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+                 THEN (1000 * u2) // (2 * n_pos * n_neg) END
+            AS BIGINT) AS auc_permille
+FROM agg
+"""
+
+QUERIES["return_risk_auc_by_nation"] = q_return_risk_auc_by_nation
+ORACLE_SQL["return_risk_auc_by_nation"] = SQL_RETURN_RISK_AUC_BY_NATION
