@@ -199,3 +199,25 @@ def test_q21_shape_has_single_fact_join(spark):
     plan = _plan(q_sole_late_supplier(spark, SF))
     scans = len(re.findall(r"Scan parquet +\(\d+\)", plan))
     assert scans <= 3  # lineitem + orders + supplier, each once
+
+
+def test_auc_global_window_sees_histogram_not_rows(spark):
+    """embedding_auc's only global ordering must run AFTER the
+    groupBy(score) reduction: the single-partition exchange feeding the
+    window has to sit above a HashAggregate, never above the scan."""
+    from lakeforge.workload_stats import q_embedding_auc
+
+    plan = _plan(q_embedding_auc(spark, SF))
+    assert "SinglePartition" in plan
+    single = plan.index("SinglePartition")
+    assert "HashAggregate" in plan[:single], plan[:single]
+
+
+def test_grouped_auc_has_no_global_ordering(spark):
+    """return_risk_auc_by_nation must use only hashpartitioned exchanges
+    (partitioned window) — no single-partition exchange anywhere."""
+    from lakeforge.workload_stats import q_return_risk_auc_by_nation
+
+    plan = _plan(q_return_risk_auc_by_nation(spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
