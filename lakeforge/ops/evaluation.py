@@ -1,0 +1,117 @@
+"""Model-evaluation operators over (score, binary-label) columns.
+
+Any scalar signal a pipeline produces — a classifier score, a heuristic
+quality permille, one probe dimension of an embedding — gets evaluated
+with the same three primitives: ranking power (ROC-AUC), calibration
+(reliability table), and operating points (confusion grid).  These are
+the reusable cores behind the `embedding_auc`, `return_risk_auc_by_nation`,
+`score_calibration`, and `threshold_confusion` registry queries.
+
+Scale design (shared): never rank rows globally.  `roc_auc` reduces n
+rows to a per-(group, score) histogram first (one groupBy shuffle with
+map-side combine), and the only ordered pass is a cumulative sum over
+that histogram — partitioned by group when groups are given, a
+single-partition pass over k distinct scores when not (quantize the
+score upstream to bound k at very large n).  Doubled average ranks keep
+every intermediate an exact BIGINT, so results hash identically under
+any partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    pos_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact tie-aware ROC-AUC via the score-histogram Mann-Whitney form.
+
+    ``pos_col`` must be 0/1.  Returns one row per group (one row total
+    when ``group_cols`` is empty) with ``n_pos``, ``n_neg``, ``u2``
+    (doubled U statistic, exact BIGINT under average-rank tie handling:
+    2U = sum_i pos_i * (2*cumneg_i + neg_i)) and ``auc_permille``
+    (integer division; NULL for degenerate single-class groups).
+    """
+    g = list(group_cols)
+    hist = df.groupBy(*g, score_col).agg(
+        F.sum(pos_col).cast("bigint").alias("pos_n"),
+        F.sum(F.lit(1) - F.col(pos_col)).cast("bigint").alias("neg_n"),
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "cumneg", F.coalesce(F.sum("neg_n").over(w), F.lit(0)).cast("bigint")
+    )
+    agg = cum.groupBy(*g).agg(
+        F.sum("pos_n").cast("bigint").alias("n_pos"),
+        F.sum("neg_n").cast("bigint").alias("n_neg"),
+        F.sum(F.col("pos_n") * (2 * F.col("cumneg") + F.col("neg_n")))
+        .cast("bigint")
+        .alias("u2"),
+    )
+    return agg.select(
+        *g,
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.expr(
+            "CASE WHEN n_pos > 0 AND n_neg > 0"
+            "     THEN (1000 * u2) div (2 * n_pos * n_neg) END"
+        )
+        .cast("bigint")
+        .alias("auc_permille"),
+    )
+
+
+def confusion_grid(
+    df: DataFrame,
+    score_col: str,
+    pos_col: str,
+    thresholds: Sequence[int],
+) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 (integer permille) for the
+    ``score >= t`` classifier at each integer threshold.
+
+    One scan: the threshold grid is a constant literal-array explode
+    (fan-out |thresholds|, not a join), then one groupBy(threshold)
+    shuffle of four partial counts.  F1 uses the 2TP/(2TP+FP+FN) form so
+    it stays in integer arithmetic.
+    """
+    ts = F.array(*[F.lit(int(t)) for t in thresholds])
+    e = df.select(score_col, pos_col, F.explode(ts).alias("t"))
+    pred = (F.col(score_col) >= F.col("t")).cast("int")
+    cells = e.groupBy("t").agg(
+        F.sum(pred * F.col(pos_col)).cast("bigint").alias("tp"),
+        F.sum(pred * (1 - F.col(pos_col))).cast("bigint").alias("fp"),
+        F.sum((1 - pred) * F.col(pos_col)).cast("bigint").alias("fn"),
+        F.sum((1 - pred) * (1 - F.col(pos_col))).cast("bigint").alias("tn"),
+    )
+    return cells.select(
+        F.col("t").cast("bigint").alias("threshold_micros"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("CASE WHEN tp + fp > 0 THEN (1000 * tp) div (tp + fp) END")
+        .cast("bigint")
+        .alias("precision_permille"),
+        F.expr("CASE WHEN tp + fn > 0 THEN (1000 * tp) div (tp + fn) END")
+        .cast("bigint")
+        .alias("recall_permille"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn > 0"
+            "     THEN (2000 * tp) div (2 * tp + fp + fn) END"
+        )
+        .cast("bigint")
+        .alias("f1_permille"),
+    )

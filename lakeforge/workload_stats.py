@@ -2257,33 +2257,14 @@ def q_embedding_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is then exact for the quantized score, which is what any
     rank metric over float scores means in practice.
     """
+    from lakeforge.ops.evaluation import roc_auc
+
     emb = _t(spark, sf_dir, "embeddings")
     scored = emb.select(
         F.col("embedding")[0].cast("double").alias("score"),
         F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
     )
-    hist = scored.groupBy("score").agg(
-        F.sum("pos").cast("bigint").alias("pos_n"),
-        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("neg_n"),
-    )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    cum = hist.withColumn(
-        "cumneg", F.coalesce(F.sum("neg_n").over(w), F.lit(0)).cast("bigint")
-    )
-    return cum.agg(
-        F.sum("pos_n").cast("bigint").alias("n_pos"),
-        F.sum("neg_n").cast("bigint").alias("n_neg"),
-        F.sum(F.col("pos_n") * (2 * F.col("cumneg") + F.col("neg_n")))
-        .cast("bigint")
-        .alias("u2"),
-    ).select(
-        "n_pos",
-        "n_neg",
-        "u2",
-        F.expr("(1000 * u2) div (2 * n_pos * n_neg)")
-        .cast("bigint")
-        .alias("auc_permille"),
-    )
+    return roc_auc(scored, "score", "pos")
 
 
 SQL_EMBEDDING_AUC = """
@@ -2541,45 +2522,18 @@ def q_threshold_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     four partial counts.  All ratios are integer permille; F1's
     denominator uses 2TP+FP+FN so it stays in integers too.
     """
+    from lakeforge.ops.evaluation import confusion_grid
+
     emb = _t(spark, sf_dir, "embeddings")
-    # thresholds in micros: -300k .. +300k step 100k
-    ts = F.array(*[F.lit(t) for t in range(-300000, 300001, 100000)])
     base = emb.select(
         F.floor(F.col("embedding")[0].cast("double") * 1000000)
         .cast("bigint")
         .alias("score_micros"),
         F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
     )
-    e = base.select("score_micros", "pos", F.explode(ts).alias("t"))
-    pred = (F.col("score_micros") >= F.col("t")).cast("int")
-    cells = e.groupBy("t").agg(
-        F.sum(pred * F.col("pos")).cast("bigint").alias("tp"),
-        F.sum(pred * (1 - F.col("pos"))).cast("bigint").alias("fp"),
-        F.sum((1 - pred) * F.col("pos")).cast("bigint").alias("fn"),
-        F.sum((1 - pred) * (1 - F.col("pos"))).cast("bigint").alias("tn"),
-    )
-    return cells.select(
-        F.col("t").cast("bigint").alias("threshold_micros"),
-        "tp",
-        "fp",
-        "fn",
-        "tn",
-        F.expr(
-            "CASE WHEN tp + fp > 0 THEN (1000 * tp) div (tp + fp) END"
-        )
-        .cast("bigint")
-        .alias("precision_permille"),
-        F.expr(
-            "CASE WHEN tp + fn > 0 THEN (1000 * tp) div (tp + fn) END"
-        )
-        .cast("bigint")
-        .alias("recall_permille"),
-        F.expr(
-            "CASE WHEN 2 * tp + fp + fn > 0"
-            "     THEN (2000 * tp) div (2 * tp + fp + fn) END"
-        )
-        .cast("bigint")
-        .alias("f1_permille"),
+    # thresholds in micros: -300k .. +300k step 100k
+    return confusion_grid(
+        base, "score_micros", "pos", range(-300000, 300001, 100000)
     )
 
 
@@ -2650,35 +2604,10 @@ def q_return_risk_auc_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .select("n_name", "score", "pos")
     )
-    hist = base.groupBy("n_name", "score").agg(
-        F.sum("pos").cast("bigint").alias("pos_n"),
-        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("neg_n"),
-    )
-    w = (
-        Window.partitionBy("n_name")
-        .orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = hist.withColumn(
-        "cumneg", F.coalesce(F.sum("neg_n").over(w), F.lit(0)).cast("bigint")
-    )
-    agg = cum.groupBy("n_name").agg(
-        F.sum("pos_n").cast("bigint").alias("n_pos"),
-        F.sum("neg_n").cast("bigint").alias("n_neg"),
-        F.sum(F.col("pos_n") * (2 * F.col("cumneg") + F.col("neg_n")))
-        .cast("bigint")
-        .alias("u2"),
-    )
-    return agg.select(
-        "n_name",
-        "n_pos",
-        "n_neg",
-        F.expr(
-            "CASE WHEN n_pos > 0 AND n_neg > 0"
-            "     THEN (1000 * u2) div (2 * n_pos * n_neg) END"
-        )
-        .cast("bigint")
-        .alias("auc_permille"),
+    from lakeforge.ops.evaluation import roc_auc
+
+    return roc_auc(base, "score", "pos", ["n_name"]).select(
+        "n_name", "n_pos", "n_neg", "auc_permille"
     )
 
 

@@ -511,3 +511,73 @@ def test_join_delta_multiset_property(spark, tabs):
     got = Counter(map(key, delta.collect()))
     want = Counter(map(key, full.collect())) - Counter(map(key, old.collect()))
     assert got == want
+
+
+# --- evaluation ops: AUC vs brute-force pair counting --------------------
+
+from hypothesis import assume
+
+from lakeforge.ops.evaluation import confusion_grid, roc_auc
+
+# (group, integer score, is_positive) — small score range forces heavy ties
+_SCORED = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),
+        st.integers(min_value=-4, max_value=4),
+        st.booleans(),
+    ),
+    min_size=2,
+    max_size=24,
+)
+
+
+def _brute_u2(members):
+    pos = [s for s, p in members if p]
+    neg = [s for s, p in members if not p]
+    return sum(
+        2 if sp > sn else (1 if sp == sn else 0) for sp in pos for sn in neg
+    )
+
+
+@settings(**_SETTINGS)
+@given(rows=_SCORED)
+def test_roc_auc_equals_bruteforce_pair_count(spark, rows):
+    df = spark.createDataFrame(
+        [(g, float(s), 1 if p else 0) for g, s, p in rows], ["g", "score", "pos"]
+    )
+    out = {r.g: r for r in roc_auc(df, "score", "pos", ["g"]).collect()}
+    for g in {r[0] for r in rows}:
+        members = [(s, p) for gg, s, p in rows if gg == g]
+        n_pos = sum(1 for _, p in members if p)
+        n_neg = len(members) - n_pos
+        r = out[g]
+        assert r.n_pos == n_pos and r.n_neg == n_neg
+        assert r.u2 == _brute_u2(members)
+        if n_pos and n_neg:
+            assert r.auc_permille == (1000 * r.u2) // (2 * n_pos * n_neg)
+        else:
+            assert r.auc_permille is None
+
+
+@settings(**_SETTINGS)
+@given(rows=_SCORED)
+def test_confusion_grid_conserves_classes_and_is_monotone(spark, rows):
+    assume(any(p for _, _, p in rows) and any(not p for _, _, p in rows))
+    df = spark.createDataFrame(
+        [(int(s), 1 if p else 0) for _, s, p in rows], ["score", "pos"]
+    )
+    grid = sorted(
+        confusion_grid(df, "score", "pos", range(-4, 5, 2)).collect(),
+        key=lambda r: r.threshold_micros,
+    )
+    n_pos = sum(1 for _, _, p in rows if p)
+    n_neg = len(rows) - n_pos
+    prev_tp = None
+    for r in grid:
+        assert r.tp + r.fn == n_pos
+        assert r.fp + r.tn == n_neg
+        bf_tp = sum(1 for _, s, p in rows if p and s >= r.threshold_micros)
+        assert r.tp == bf_tp
+        if prev_tp is not None:
+            assert r.tp <= prev_tp  # raising t can only shrink predictions
+        prev_tp = r.tp
