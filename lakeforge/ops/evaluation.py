@@ -115,3 +115,40 @@ def confusion_grid(
         .cast("bigint")
         .alias("f1_permille"),
     )
+
+
+def calibration_table(
+    df: DataFrame,
+    score_col: str,
+    pos_col: str,
+    bins_per_unit: int = 20,
+) -> DataFrame:
+    """Reliability table: fixed-width score bins (floor(score *
+    bins_per_unit)), per-bin trials, positives, observed positive rate
+    (integer permille) and the exact bin score mass in micro units —
+    what an ECE / reliability-diagram computation consumes.
+
+    Single groupBy(bin) shuffle; all-integer outputs (floor(score*1e6)
+    summed, never a float mean) hash identically at any partitioning.
+    Negative sums are emitted raw rather than divided: integer division
+    of negatives differs between engines (Spark `div` truncates toward
+    zero, DuckDB `//` floors), so only non-negative quantities ratio.
+    """
+    s = F.col(score_col).cast("double")
+    b = df.select(
+        F.floor(s * bins_per_unit).cast("bigint").alias("bin"),
+        F.col(pos_col).alias("pos"),
+        F.floor(s * 1000000).cast("bigint").alias("micros"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.expr("(1000 * sum(pos)) div count(1)")
+            .cast("bigint")
+            .alias("pos_permille"),
+            F.sum("micros").cast("bigint").alias("sum_score_micros"),
+        )
+        .orderBy("bin")
+    )

@@ -2310,28 +2310,14 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (Spark `div` truncates, DuckDB `//` floors), so only
     non-negative quantities are ratioed.
     """
+    from lakeforge.ops.evaluation import calibration_table
+
     emb = _t(spark, sf_dir, "embeddings")
-    b = emb.select(
-        F.floor(F.col("embedding")[0].cast("double") * 20)
-        .cast("bigint")
-        .alias("bin"),
+    scored = emb.select(
+        F.col("embedding")[0].cast("double").alias("score"),
         F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
-        F.floor(F.col("embedding")[0].cast("double") * 1000000)
-        .cast("bigint")
-        .alias("micros"),
     )
-    return (
-        b.groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("pos").cast("bigint").alias("n_pos"),
-            F.expr("(1000 * sum(pos)) div count(1)")
-            .cast("bigint")
-            .alias("pos_permille"),
-            F.sum("micros").cast("bigint").alias("sum_score_micros"),
-        )
-        .orderBy("bin")
-    )
+    return calibration_table(scored, "score", "pos", bins_per_unit=20)
 
 
 SQL_SCORE_CALIBRATION = """

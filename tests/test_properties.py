@@ -581,3 +581,37 @@ def test_confusion_grid_conserves_classes_and_is_monotone(spark, rows):
         if prev_tp is not None:
             assert r.tp <= prev_tp  # raising t can only shrink predictions
         prev_tp = r.tp
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(min_value=-2.0, max_value=2.0, allow_nan=False),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_calibration_table_partitions_rows_into_floor_bins(spark, rows):
+    import math
+
+    from lakeforge.ops.evaluation import calibration_table
+
+    df = spark.createDataFrame(
+        [(float(s), 1 if p else 0) for s, p in rows], ["score", "pos"]
+    )
+    out = calibration_table(df, "score", "pos", bins_per_unit=4).collect()
+    assert sum(r.n for r in out) == len(rows)
+    by_bin = {}
+    for s, p in rows:
+        by_bin.setdefault(math.floor(s * 4), [0, 0, 0])
+        b = by_bin[math.floor(s * 4)]
+        b[0] += 1
+        b[1] += 1 if p else 0
+        b[2] += math.floor(s * 1e6)
+    for r in out:
+        n, n_pos, micros = by_bin[r.bin]
+        assert (r.n, r.n_pos, r.sum_score_micros) == (n, n_pos, micros)
+        assert r.pos_permille == (1000 * n_pos) // n
