@@ -140,3 +140,44 @@ def psi_between(
             F.round((a_p - e_p) * F.log(a_p / e_p), 6).alias("psi_contrib"),
         )
     )
+
+
+def blocked_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    sum_col: str,
+    block_expr: Column,
+    out_col: str = "prefix_sum",
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``sum_col`` over the global ``order_col``
+    order, decomposed two-level so no single-partition pass ever sees
+    more than one block: within-block prefix sums run under a
+    partitioned window, block totals prefix-combine over the tiny block
+    summary, and the carry-in joins back broadcast.
+
+    ``block_expr`` must be monotone non-decreasing in ``order_col``
+    (e.g. ``F.floor(F.col(order_col) / width)``) and ``order_col``
+    values must be unique (histogram keys) — then the result is
+    identical to a global cumulative window, at any block width.
+    """
+    from lakeforge.cache import persist_tracked
+
+    blocked = persist_tracked(df.withColumn("__bk", block_expr))
+    w_in = (
+        Window.partitionBy("__bk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = blocked.withColumn(
+        "__in", F.coalesce(F.sum(sum_col).over(w_in), F.lit(0))
+    )
+    blk = blocked.groupBy("__bk").agg(F.sum(sum_col).alias("__bt"))
+    w_blk = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    carry = blk.withColumn(
+        "__carry", F.coalesce(F.sum("__bt").over(w_blk), F.lit(0))
+    ).select("__bk", "__carry")
+    return (
+        within.join(F.broadcast(carry), "__bk")
+        .withColumn(out_col, (F.col("__in") + F.col("__carry")).cast("bigint"))
+        .drop("__bk", "__in", "__carry")
+    )

@@ -2361,21 +2361,31 @@ def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = persist_tracked(li)
     try:
-        def ranks(col: str) -> DataFrame:
+        from lakeforge.ops.analytics import blocked_prefix_sum
+
+        def ranks(col: str, block_width: int) -> DataFrame:
+            # Two-level prefix sum: the price histogram has ~|rows|/2
+            # distinct cents at this SF, so a single global cumulative
+            # window would funnel it through one partition.  Value-range
+            # blocks keep the ordered pass parallel (identical result).
             h = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-            w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+            h = blocked_prefix_sum(
+                h,
+                col,
+                "cnt",
+                F.floor(F.col(col) / F.lit(block_width)).cast("bigint"),
+                out_col="__cum",
+            )
             return h.select(
                 col,
-                (
-                    2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
-                    + F.col("cnt")
-                    + 1
-                )
+                (2 * F.col("__cum") + F.col("cnt") + 1)
                 .cast("bigint")
                 .alias(f"r2{col}"),
             )
 
-        j = li.join(F.broadcast(ranks("x")), "x").join(ranks("y"), "y")
+        j = li.join(F.broadcast(ranks("x", 10)), "x").join(
+            ranks("y", 1000000), "y"
+        )
         m = j.agg(
             F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
             F.sum("r2x").cast("decimal(38,0)").alias("sx"),

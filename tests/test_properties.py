@@ -615,3 +615,35 @@ def test_calibration_table_partitions_rows_into_floor_bins(spark, rows):
         n, n_pos, micros = by_bin[r.bin]
         assert (r.n, r.n_pos, r.sum_score_micros) == (n, n_pos, micros)
         assert r.pos_permille == (1000 * n_pos) // n
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    ),
+    width=st.sampled_from([1, 3, 7, 1000]),
+)
+def test_blocked_prefix_sum_equals_global_cumsum(spark, rows, width):
+    """Two-level decomposition must be exactly a global exclusive cumsum
+    at ANY block width (1 = every value its own block, 1000 = one block)."""
+    from lakeforge.ops.analytics import blocked_prefix_sum
+
+    df = spark.createDataFrame(rows, ["v", "cnt"])
+    out = blocked_prefix_sum(
+        df, "v", "cnt", F.floor(F.col("v") / width).cast("bigint")
+    ).collect()
+    expect = {}
+    acc = 0
+    for v, c in sorted(rows):
+        expect[v] = acc
+        acc += c
+    assert len(out) == len(rows)
+    for r in out:
+        assert r.prefix_sum == expect[r.v], (r.v, width)
