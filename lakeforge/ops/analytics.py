@@ -145,15 +145,17 @@ def psi_between(
 def blocked_prefix_sum(
     df: DataFrame,
     order_col: str,
-    sum_col: str,
+    sum_col: "str | list[str]",
     block_expr: Column,
-    out_col: str = "prefix_sum",
+    out_col: "str | list[str]" = "prefix_sum",
 ) -> DataFrame:
-    """EXCLUSIVE running sum of ``sum_col`` over the global ``order_col``
-    order, decomposed two-level so no single-partition pass ever sees
-    more than one block: within-block prefix sums run under a
-    partitioned window, block totals prefix-combine over the tiny block
-    summary, and the carry-in joins back broadcast.
+    """EXCLUSIVE running sum(s) of ``sum_col`` over the global
+    ``order_col`` order, decomposed two-level so no single-partition
+    pass ever sees more than one block: within-block prefix sums run
+    under a partitioned window, block totals prefix-combine over the
+    tiny block summary, and the carry-in joins back broadcast.  Passing
+    lists computes several prefix sums in ONE decomposition (shared
+    windows and one carry join).
 
     ``block_expr`` must be monotone non-decreasing in ``order_col``
     (e.g. ``F.floor(F.col(order_col) / width)``) and ``order_col``
@@ -162,22 +164,39 @@ def blocked_prefix_sum(
     """
     from lakeforge.cache import persist_tracked
 
+    sum_cols = [sum_col] if isinstance(sum_col, str) else list(sum_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    assert len(sum_cols) == len(out_cols)
+
     blocked = persist_tracked(df.withColumn("__bk", block_expr))
     w_in = (
         Window.partitionBy("__bk")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    within = blocked.withColumn(
-        "__in", F.coalesce(F.sum(sum_col).over(w_in), F.lit(0))
+    within = blocked
+    for i, c in enumerate(sum_cols):
+        within = within.withColumn(
+            f"__in{i}", F.coalesce(F.sum(c).over(w_in), F.lit(0))
+        )
+    blk = blocked.groupBy("__bk").agg(
+        *[F.sum(c).alias(f"__bt{i}") for i, c in enumerate(sum_cols)]
     )
-    blk = blocked.groupBy("__bk").agg(F.sum(sum_col).alias("__bt"))
     w_blk = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
-    carry = blk.withColumn(
-        "__carry", F.coalesce(F.sum("__bt").over(w_blk), F.lit(0))
-    ).select("__bk", "__carry")
-    return (
-        within.join(F.broadcast(carry), "__bk")
-        .withColumn(out_col, (F.col("__in") + F.col("__carry")).cast("bigint"))
-        .drop("__bk", "__in", "__carry")
+    carry = blk.select(
+        "__bk",
+        *[
+            F.coalesce(F.sum(f"__bt{i}").over(w_blk), F.lit(0)).alias(
+                f"__carry{i}"
+            )
+            for i in range(len(sum_cols))
+        ],
     )
+    out = within.join(F.broadcast(carry), "__bk")
+    drop = ["__bk"]
+    for i, oc in enumerate(out_cols):
+        out = out.withColumn(
+            oc, (F.col(f"__in{i}") + F.col(f"__carry{i}")).cast("bigint")
+        )
+        drop += [f"__in{i}", f"__carry{i}"]
+    return out.drop(*drop)

@@ -152,3 +152,55 @@ def calibration_table(
         )
         .orderBy("bin")
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    pos_col: str,
+    block_expr: "F.Column",
+) -> DataFrame:
+    """Full precision-recall curve: one row per distinct score cut s with
+    the exact TP/FP of the ``score >= s`` classifier and integer-permille
+    precision/recall — the complete table behind any PR plot or
+    average-precision computation, produced without a global sort.
+
+    TP at an inclusive cut is a SUFFIX count, derived from the exclusive
+    prefix counts: tp(s) = n_pos - prefix_pos(s).  Both prefix counts
+    come from ONE two-level blocked decomposition
+    (:func:`lakeforge.ops.analytics.blocked_prefix_sum` with two sum
+    columns), and the (n_pos, n_neg) totals attach as a broadcast-scalar
+    fan-out.  All outputs are exact integers.
+    """
+    from lakeforge.ops.analytics import blocked_prefix_sum
+
+    hist = df.groupBy(score_col).agg(
+        F.sum(pos_col).cast("bigint").alias("pos_n"),
+        F.sum(F.lit(1) - F.col(pos_col)).cast("bigint").alias("neg_n"),
+    )
+    cum = blocked_prefix_sum(
+        hist,
+        score_col,
+        ["pos_n", "neg_n"],
+        block_expr,
+        out_col=["cum_pos", "cum_neg"],
+    )
+    totals = hist.agg(
+        F.sum("pos_n").cast("bigint").alias("n_pos"),
+        F.sum("neg_n").cast("bigint").alias("n_neg"),
+    )
+    j = cum.crossJoin(F.broadcast(totals))
+    return j.select(
+        F.col(score_col).alias("score_cut"),
+        (F.col("n_pos") - F.col("cum_pos")).cast("bigint").alias("tp"),
+        (F.col("n_neg") - F.col("cum_neg")).cast("bigint").alias("fp"),
+        F.expr("(1000 * (n_pos - cum_pos)) div ((n_pos - cum_pos) + (n_neg - cum_neg))")
+        .cast("bigint")
+        .alias("precision_permille"),
+        F.expr(
+            "CASE WHEN n_pos > 0"
+            "     THEN (1000 * (n_pos - cum_pos)) div n_pos END"
+        )
+        .cast("bigint")
+        .alias("recall_permille"),
+    )

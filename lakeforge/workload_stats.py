@@ -2651,3 +2651,63 @@ FROM agg
 
 QUERIES["return_risk_auc_by_nation"] = q_return_risk_auc_by_nation
 ORACLE_SQL["return_risk_auc_by_nation"] = SQL_RETURN_RISK_AUC_BY_NATION
+
+
+def q_embedding_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PR curve for the embedding-dimension probe score
+    (`embedding_auc`'s signal): one row per distinct score cut.
+
+    The histogram's two prefix counts run through ONE two-level blocked
+    decomposition (no single-partition ordered pass over the score
+    domain — blocks of 0.05 in score space), totals attach broadcast.
+    See ops/evaluation.pr_curve.
+    """
+    from lakeforge.ops.evaluation import pr_curve
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.col("embedding")[0].cast("double").alias("score"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+    )
+    return pr_curve(
+        scored, "score", "pos", F.floor(F.col("score") * 20).cast("bigint")
+    )
+
+
+SQL_EMBEDDING_PR_CURVE = """
+WITH s AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS score,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+),
+hist AS (
+  SELECT score, CAST(SUM(pos) AS BIGINT) AS pos_n,
+         CAST(SUM(1 - pos) AS BIGINT) AS neg_n
+  FROM s GROUP BY score
+),
+cum AS (
+  SELECT score, pos_n, neg_n,
+         CAST(COALESCE(SUM(pos_n) OVER w, 0) AS BIGINT) AS cum_pos,
+         CAST(COALESCE(SUM(neg_n) OVER w, 0) AS BIGINT) AS cum_neg
+  FROM hist
+  WINDOW w AS (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+tot AS (
+  SELECT CAST(SUM(pos_n) AS BIGINT) AS n_pos,
+         CAST(SUM(neg_n) AS BIGINT) AS n_neg
+  FROM hist
+)
+SELECT score AS score_cut,
+       CAST(n_pos - cum_pos AS BIGINT) AS tp,
+       CAST(n_neg - cum_neg AS BIGINT) AS fp,
+       CAST((1000 * (n_pos - cum_pos))
+            // ((n_pos - cum_pos) + (n_neg - cum_neg)) AS BIGINT)
+           AS precision_permille,
+       CAST(CASE WHEN n_pos > 0
+                 THEN (1000 * (n_pos - cum_pos)) // n_pos END AS BIGINT)
+           AS recall_permille
+FROM cum CROSS JOIN tot
+"""
+
+QUERIES["embedding_pr_curve"] = q_embedding_pr_curve
+ORACLE_SQL["embedding_pr_curve"] = SQL_EMBEDDING_PR_CURVE

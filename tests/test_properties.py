@@ -647,3 +647,25 @@ def test_blocked_prefix_sum_equals_global_cumsum(spark, rows, width):
     assert len(out) == len(rows)
     for r in out:
         assert r.prefix_sum == expect[r.v], (r.v, width)
+
+
+@settings(**_SETTINGS)
+@given(rows=_SCORED)
+def test_pr_curve_matches_bruteforce_cuts(spark, rows):
+    from lakeforge.ops.evaluation import pr_curve
+
+    assume(any(p for _, _, p in rows))
+    data = [(float(s), 1 if p else 0) for _, s, p in rows]
+    df = spark.createDataFrame(data, ["score", "pos"])
+    out = pr_curve(
+        df, "score", "pos", F.floor(F.col("score") / 3).cast("bigint")
+    ).collect()
+    n_pos = sum(p for _, p in data)
+    cuts = sorted({s for s, _ in data})
+    assert len(out) == len(cuts)
+    for r in out:
+        tp = sum(p for s, p in data if s >= r.score_cut)
+        fp = sum(1 - p for s, p in data if s >= r.score_cut)
+        assert (r.tp, r.fp) == (tp, fp)
+        assert r.precision_permille == (1000 * tp) // (tp + fp)
+        assert r.recall_permille == (1000 * tp) // n_pos
