@@ -30,6 +30,7 @@ def roc_auc(
     score_col: str,
     pos_col: str,
     group_cols: Sequence[str] = (),
+    block_expr: "F.Column | None" = None,
 ) -> DataFrame:
     """Exact tie-aware ROC-AUC via the score-histogram Mann-Whitney form.
 
@@ -38,20 +39,35 @@ def roc_auc(
     (doubled U statistic, exact BIGINT under average-rank tie handling:
     2U = sum_i pos_i * (2*cumneg_i + neg_i)) and ``auc_permille``
     (integer division; NULL for degenerate single-class groups).
+
+    Grouped calls run the cumulative pass under a PARTITIONED window
+    (always parallel).  Ungrouped calls accept ``block_expr`` (monotone
+    in the score, e.g. ``F.floor(F.col(score) * 20)``) to route the
+    cumulative pass through the two-level blocked decomposition instead
+    of a single-partition window — use it whenever the distinct-score
+    count is unbounded.
     """
     g = list(group_cols)
     hist = df.groupBy(*g, score_col).agg(
         F.sum(pos_col).cast("bigint").alias("pos_n"),
         F.sum(F.lit(1) - F.col(pos_col)).cast("bigint").alias("neg_n"),
     )
-    w = (
-        Window.partitionBy(*g)
-        .orderBy(score_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = hist.withColumn(
-        "cumneg", F.coalesce(F.sum("neg_n").over(w), F.lit(0)).cast("bigint")
-    )
+    if not g and block_expr is not None:
+        from lakeforge.ops.analytics import blocked_prefix_sum
+
+        cum = blocked_prefix_sum(
+            hist, score_col, "neg_n", block_expr, out_col="cumneg"
+        )
+    else:
+        w = (
+            Window.partitionBy(*g)
+            .orderBy(score_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum = hist.withColumn(
+            "cumneg",
+            F.coalesce(F.sum("neg_n").over(w), F.lit(0)).cast("bigint"),
+        )
     agg = cum.groupBy(*g).agg(
         F.sum("pos_n").cast("bigint").alias("n_pos"),
         F.sum("neg_n").cast("bigint").alias("n_neg"),

@@ -2264,7 +2264,12 @@ def q_embedding_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding")[0].cast("double").alias("score"),
         F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
     )
-    return roc_auc(scored, "score", "pos")
+    return roc_auc(
+        scored,
+        "score",
+        "pos",
+        block_expr=F.floor(F.col("score") * 20).cast("bigint"),
+    )
 
 
 SQL_EMBEDDING_AUC = """

@@ -546,6 +546,11 @@ def test_roc_auc_equals_bruteforce_pair_count(spark, rows):
         [(g, float(s), 1 if p else 0) for g, s, p in rows], ["g", "score", "pos"]
     )
     out = {r.g: r for r in roc_auc(df, "score", "pos", ["g"]).collect()}
+    # global blocked path must agree with the grouped path's pooled input
+    blocked = roc_auc(
+        df, "score", "pos", block_expr=F.floor(F.col("score") / 3).cast("bigint")
+    ).collect()[0]
+    assert blocked.u2 == _brute_u2([(s, p) for _, s, p in rows])
     for g in {r[0] for r in rows}:
         members = [(s, p) for gg, s, p in rows if gg == g]
         n_pos = sum(1 for _, p in members if p)
