@@ -1266,7 +1266,11 @@ PRIORITY: list[str] = [
     # revenue_autocorr, ivm_join_nation_revenue, reorder_survival and
     # funnel_wilson_ci wait for r6 — siblings kmv_distinct_segments /
     # revenue_changepoint / ivm_distinct_customers / the in-window stats
-    # flagships carry those families this round) ---
+    # flagships carry those families this round.  Also queued for the r6
+    # rotation: the post-window late-round-5 evaluation/curation ops
+    # embedding_auc, embedding_pr_curve, score_calibration,
+    # threshold_confusion, spearman_qty_price, return_risk_auc_by_nation,
+    # cross_source_dup_matrix, effective_token_mass, embedding_dim_stats) ---
     "basket_brand_rules",
     "segment_priority_mi",
     "price_qty_ols",
