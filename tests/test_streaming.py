@@ -1093,3 +1093,65 @@ def test_stream_scd2_replay_is_idempotent(spark, tmp_path):
     run("scd2_r2")
     second = sorted(map(tuple, spark.read.parquet(str(tmp_path / "dim")).collect()))
     assert first == second
+
+
+def test_stream_auc_monitor_per_batch(spark, tmp_path):
+    """Streaming model-quality monitoring: foreachBatch runs the reusable
+    exact-AUC core (ops/evaluation.roc_auc) on each micro-batch of
+    (score, label) rows and appends one summary row per batch.  The
+    batch whose score still separates the classes must show a clearly
+    higher AUC than the batch whose scores were shuffled against the
+    labels (ranking power destroyed -> AUC ~ 500 permille)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from lakeforge.ops.evaluation import roc_auc
+
+    src = tmp_path / "in"
+    monitor = str(tmp_path / "monitor")
+    src.mkdir()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # strong signal: score = +1 for positives, noise dim for negatives
+    scored = emb.select(
+        F.col("vec_id"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+    ).withColumn(
+        "score",
+        F.when(F.col("pos") == 1, F.lit(1.0)).otherwise(
+            (F.col("vec_id") % 100).cast("double") / 100.0
+        ),
+    )
+    # broken signal: score keyed to vec_id alone (independent of label)
+    broken = scored.withColumn(
+        "score", (F.col("vec_id") % 97).cast("double") / 97.0
+    )
+    for name, frame in (("a", scored), ("b", broken)):
+        out = str(tmp_path / f"split_{name}")
+        frame.coalesce(1).write.mode("overwrite").parquet(out)
+        shutil.copy(
+            _glob.glob(os.path.join(out, "part-*.parquet"))[0],
+            src / f"{name}.parquet",
+        )
+
+    def monitor_batch(batch_df, batch_id):
+        out = roc_auc(batch_df, "score", "pos").withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        out.write.mode("append").parquet(monitor)
+
+    q = (
+        spark.readStream.schema(scored.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(monitor_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = {r.batch_id: r for r in spark.read.parquet(monitor).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].auc_permille >= 900  # positives all rank at the top
+    assert 350 <= rows[1].auc_permille <= 650  # shuffled ~ coin flip
