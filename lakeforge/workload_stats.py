@@ -2716,3 +2716,163 @@ FROM cum CROSS JOIN tot
 
 QUERIES["embedding_pr_curve"] = q_embedding_pr_curve
 ORACLE_SQL["embedding_pr_curve"] = SQL_EMBEDDING_PR_CURVE
+
+
+def q_quantile_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile estimation calibrated against the
+    exact rank percentile — the sketch-quality eval for the quantile
+    path you actually run at 100 TB (a fixed equi-width histogram is
+    mergeable across partitions/files; Spark's exact `percentile`
+    buffers values per group and is not).
+
+    Estimate path: 256 equi-width bins over the integer cent domain
+    (one groupBy(bin) shuffle), rank interpolation inside the target
+    bin in pure integer math.  Exact path: distinct-cent histogram with
+    the two-level blocked prefix sum — percentile_disc semantics
+    (smallest value whose cumulative count reaches ceil(q*n)) without a
+    global single-partition pass.  Both sides join the 3-row target
+    table as broadcast fan-outs; every output is an exact BIGINT, and
+    the DuckDB oracle replays the estimator bit-for-bit (so estimator
+    REGRESSIONS, not just bounds, fail the gate).
+    """
+    from lakeforge.ops.analytics import blocked_prefix_sum
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    o = persist_tracked(o)
+    try:
+        stats = o.agg(
+            F.min("c").alias("cmin"),
+            F.max("c").alias("cmax"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        qs = spark.range(1).select(
+            F.explode(F.array(F.lit(500), F.lit(900), F.lit(990))).alias(
+                "q_permille"
+            )
+        )
+        targets = qs.crossJoin(F.broadcast(stats)).select(
+            "q_permille",
+            "cmin",
+            "n",
+            ((F.col("cmax") - F.col("cmin")) / 256 + 1)
+            .cast("bigint")
+            .alias("width"),
+            F.expr("(q_permille * n + 999) div 1000").alias("t"),
+        )
+        # --- estimate: 256-bin equi-width histogram + integer interpolation
+        binned = (
+            o.crossJoin(F.broadcast(stats.select("cmin", "cmax")))
+            .select(
+                F.expr(
+                    "(c - cmin) div (((cmax - cmin) div 256) + 1)"
+                ).alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+        bins = binned.withColumn(
+            "cum", F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("bigint")
+        )  # <=256 rows: the tiny-summary global window is the design
+        est = (
+            bins.join(
+                F.broadcast(targets),
+                (F.col("cum") < F.col("t"))
+                & (F.col("t") <= F.col("cum") + F.col("cnt")),
+            )
+            .select(
+                "q_permille",
+                (
+                    F.col("cmin")
+                    + F.col("b") * F.col("width")
+                    + F.expr("((t - cum) * width) div cnt")
+                )
+                .cast("bigint")
+                .alias("est_cents"),
+            )
+        )
+        # --- exact: distinct-cent histogram, blocked prefix sum, rank pick
+        h = o.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        h = blocked_prefix_sum(
+            h, "c", "cnt", F.expr("c div 1000000"), out_col="cum"
+        )
+        exact = (
+            h.join(
+                F.broadcast(targets.select("q_permille", "t")),
+                (F.col("cum") < F.col("t"))
+                & (F.col("t") <= F.col("cum") + F.col("cnt")),
+            )
+            .select("q_permille", F.col("c").alias("exact_cents"))
+        )
+        return (
+            est.join(exact, "q_permille")
+            .select(
+                F.col("q_permille").cast("bigint").alias("q_permille"),
+                "exact_cents",
+                "est_cents",
+                F.abs(F.col("est_cents") - F.col("exact_cents"))
+                .cast("bigint")
+                .alias("abs_err_cents"),
+            )
+        )
+    finally:
+        o.unpersist()
+
+
+SQL_QUANTILE_SKETCH_CALIBRATION = """
+WITH c0 AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+stats AS (
+  SELECT MIN(c) AS cmin, MAX(c) AS cmax, CAST(COUNT(*) AS BIGINT) AS n
+  FROM c0
+),
+targets AS (
+  SELECT q_permille, cmin, n,
+         ((cmax - cmin) // 256) + 1 AS width,
+         (q_permille * n + 999) // 1000 AS t
+  FROM (SELECT UNNEST([500, 900, 990]) AS q_permille) CROSS JOIN stats
+),
+binned AS (
+  SELECT (c - cmin) // (((cmax - cmin) // 256) + 1) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c0 CROSS JOIN stats GROUP BY 1
+),
+bins AS (
+  SELECT b, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum
+  FROM binned
+),
+est AS (
+  SELECT tg.q_permille,
+         CAST(tg.cmin + bins.b * tg.width
+              + ((tg.t - bins.cum) * tg.width) // bins.cnt AS BIGINT)
+             AS est_cents
+  FROM bins JOIN targets tg
+    ON bins.cum < tg.t AND tg.t <= bins.cum + bins.cnt
+),
+h AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum
+  FROM c0 GROUP BY c
+),
+exact AS (
+  SELECT tg.q_permille, h.c AS exact_cents
+  FROM h JOIN targets tg
+    ON h.cum < tg.t AND tg.t <= h.cum + h.cnt
+)
+SELECT CAST(est.q_permille AS BIGINT) AS q_permille,
+       exact.exact_cents, est.est_cents,
+       CAST(ABS(est.est_cents - exact.exact_cents) AS BIGINT)
+           AS abs_err_cents
+FROM est JOIN exact USING (q_permille)
+"""
+
+QUERIES["quantile_sketch_calibration"] = q_quantile_sketch_calibration
+ORACLE_SQL["quantile_sketch_calibration"] = SQL_QUANTILE_SKETCH_CALIBRATION
