@@ -2876,3 +2876,113 @@ FROM est JOIN exact USING (q_permille)
 
 QUERIES["quantile_sketch_calibration"] = q_quantile_sketch_calibration
 ORACLE_SQL["quantile_sketch_calibration"] = SQL_QUANTILE_SKETCH_CALIBRATION
+
+
+def q_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for orders.o_custkey — the measurement that
+    decides between a plain shuffle join, AQE skew splitting, and
+    explicit salting (`salted_skew_revenue` is the remedy; this is the
+    diagnosis).
+
+    Two cheap reductions: per-key counts (the join's own shuffle
+    geometry), then the freq-of-freq histogram (|distinct frequencies|
+    rows — tiny) whose cumulative pass picks exact p50/p99 frequencies.
+    Outputs are exact integers: skew_ratio_permille =
+    1000*max_freq*n_keys/n_rows (max partition-key load vs perfectly
+    even), and recommended_salt = ceil(max_freq / p50_freq) — the
+    fan-out that levels the hottest key to a median key's cost.
+    """
+    per_key = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    fof = per_key.groupBy("f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk")
+    )
+    w = Window.orderBy("f").rowsBetween(Window.unboundedPreceding, -1)
+    cum = fof.withColumn(
+        "cum", F.coalesce(F.sum("nk").over(w), F.lit(0)).cast("bigint")
+    )  # |distinct frequencies| rows — single tiny ordered pass by design
+    tot = cum.agg(
+        F.sum(F.col("f") * F.col("nk")).cast("bigint").alias("n_rows"),
+        F.sum("nk").cast("bigint").alias("n_keys"),
+        F.max("f").cast("bigint").alias("max_freq"),
+    )
+    picks = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            "nk",
+            "cum",
+            "n_keys",
+            F.expr("(500 * n_keys + 999) div 1000").alias("t50"),
+            F.expr("(990 * n_keys + 999) div 1000").alias("t99"),
+        )
+    )
+    p50 = picks.filter(
+        (F.col("cum") < F.col("t50")) & (F.col("t50") <= F.col("cum") + F.col("nk"))
+    ).select(F.col("f").alias("p50_freq"))
+    p99 = picks.filter(
+        (F.col("cum") < F.col("t99")) & (F.col("t99") <= F.col("cum") + F.col("nk"))
+    ).select(F.col("f").alias("p99_freq"))
+    return (
+        tot.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_freq",
+            "p50_freq",
+            "p99_freq",
+            F.expr("(1000 * max_freq * n_keys) div n_rows")
+            .cast("bigint")
+            .alias("skew_ratio_permille"),
+            F.expr("(max_freq + p50_freq - 1) div p50_freq")
+            .cast("bigint")
+            .alias("recommended_salt"),
+        )
+    )
+
+
+SQL_JOIN_SKEW_ADVISOR = """
+WITH per_key AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS f
+  FROM orders GROUP BY o_custkey
+),
+fof AS (
+  SELECT f, CAST(COUNT(*) AS BIGINT) AS nk FROM per_key GROUP BY f
+),
+cum AS (
+  SELECT f, nk,
+         CAST(COALESCE(SUM(nk) OVER (ORDER BY f
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum
+  FROM fof
+),
+tot AS (
+  SELECT CAST(SUM(f * nk) AS BIGINT) AS n_rows,
+         CAST(SUM(nk) AS BIGINT) AS n_keys,
+         CAST(MAX(f) AS BIGINT) AS max_freq
+  FROM cum
+),
+p50 AS (
+  SELECT f AS p50_freq FROM cum CROSS JOIN tot
+  WHERE cum < (500 * n_keys + 999) // 1000
+    AND (500 * n_keys + 999) // 1000 <= cum + nk
+),
+p99 AS (
+  SELECT f AS p99_freq FROM cum CROSS JOIN tot
+  WHERE cum < (990 * n_keys + 999) // 1000
+    AND (990 * n_keys + 999) // 1000 <= cum + nk
+)
+SELECT n_rows, n_keys, max_freq, p50_freq, p99_freq,
+       CAST((1000 * max_freq * n_keys) // n_rows AS BIGINT)
+           AS skew_ratio_permille,
+       CAST((max_freq + p50_freq - 1) // p50_freq AS BIGINT)
+           AS recommended_salt
+FROM tot CROSS JOIN p50 CROSS JOIN p99
+"""
+
+QUERIES["join_skew_advisor"] = q_join_skew_advisor
+ORACLE_SQL["join_skew_advisor"] = SQL_JOIN_SKEW_ADVISOR
