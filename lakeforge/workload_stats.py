@@ -2986,3 +2986,94 @@ FROM tot CROSS JOIN p50 CROSS JOIN p99
 
 QUERIES["join_skew_advisor"] = q_join_skew_advisor
 ORACLE_SQL["join_skew_advisor"] = SQL_JOIN_SKEW_ADVISOR
+
+
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution with deterministic integer credit:
+    every view in the 30 minutes before a same-user purchase shares the
+    purchase's 1000 permille of credit equally; the integer remainder
+    goes to the LAST touch (closest view, ties broken by view_id) so the
+    split is exact and engine-independent.  Credit mass rolls up by the
+    view's hour-of-day — "which hours' impressions actually convert".
+
+    The pair generation is the bounded interval join (the batch twin of
+    streaming/events.attribute_purchases — shuffle by
+    user_id, per-user fan-out bounded by the gap window); the per-
+    purchase window is keyed by purchase_id (parallel), and the rollup
+    is one tiny groupBy(hour).
+    """
+    from lakeforge.io.sources import read_events
+
+    ev = read_events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    # same bounded interval-join shape as streaming/events.attribute_
+    # purchases (which projects view_ts away); shuffle by user, per-user
+    # fan-out bounded by the 30-minute window
+    pairs = v.join(
+        p,
+        (v["user_id"] == p["p_user_id"])
+        & (p["purchase_ts"] >= v["view_ts"])
+        & (
+            p["purchase_ts"]
+            <= v["view_ts"] + F.expr("INTERVAL 30 MINUTES")
+        ),
+    )
+    w = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy(
+        F.col("view_ts").desc(), F.col("view_id").desc()
+    )
+    credited = pairs.select(
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.row_number().over(wr).alias("rn"),
+    ).withColumn(
+        "credit",
+        F.expr("1000 div n + CASE WHEN rn = 1 THEN 1000 % n ELSE 0 END"),
+    )
+    return credited.groupBy(F.hour("view_ts").alias("view_hour")).agg(
+        F.sum("credit").cast("bigint").alias("credit_permille"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.countDistinct("purchase_id").cast("bigint").alias("purchases_touched"),
+    )
+
+
+SQL_MULTITOUCH_ATTRIBUTION = """
+WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, user_id AS p_user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT v.view_id, v.view_ts, p.purchase_id
+  FROM v JOIN p
+    ON v.user_id = p.p_user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+),
+credited AS (
+  SELECT view_id, view_ts, purchase_id,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS n,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY view_ts DESC, view_id DESC) AS rn
+  FROM pairs
+)
+SELECT CAST(hour(view_ts) AS INT) AS view_hour,
+       CAST(SUM(1000 // n + CASE WHEN rn = 1 THEN 1000 % n ELSE 0 END)
+            AS BIGINT) AS credit_permille,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS purchases_touched
+FROM credited GROUP BY 1
+"""
+
+QUERIES["multitouch_attribution"] = q_multitouch_attribution
+ORACLE_SQL["multitouch_attribution"] = SQL_MULTITOUCH_ATTRIBUTION
