@@ -3077,3 +3077,86 @@ FROM credited GROUP BY 1
 
 QUERIES["multitouch_attribution"] = q_multitouch_attribution
 ORACLE_SQL["multitouch_attribution"] = SQL_MULTITOUCH_ATTRIBUTION
+
+
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    FK relationship, child row count, orphan rows (no parent key), and
+    distinct orphan keys — the cross-table completeness gate that
+    row-level expectations (orders_expectations) can't express.
+
+    Each relationship is one LEFT ANTI join on the key (parent side is
+    a slim key projection — broadcast at dim scale, shuffle otherwise;
+    AQE decides), aggregated to a single summary row; the five
+    summaries union into the audit table.  Counting DISTINCT orphan
+    keys costs nothing extra on an anti-join output that is empty in a
+    healthy warehouse.
+    """
+    rels = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    outs = []
+    for name, child, ck, parent, pk in rels:
+        c = _t(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        orphans = c.join(p, "k", "left_anti")
+        outs.append(
+            c.agg(F.count(F.lit(1)).cast("bigint").alias("child_rows"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("orphan_rows"),
+                    F.countDistinct("k").cast("bigint").alias("orphan_keys"),
+                )
+            )
+            .select(
+                F.lit(name).alias("relationship"),
+                "child_rows",
+                "orphan_rows",
+                "orphan_keys",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+SQL_FK_INTEGRITY_AUDIT = """
+SELECT 'orders.o_custkey->customer' AS relationship,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS child_rows,
+       CAST(COUNT(*) AS BIGINT) AS orphan_rows,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS orphan_keys
+FROM orders WHERE NOT EXISTS
+  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT c_nationkey) AS BIGINT)
+FROM customer WHERE NOT EXISTS
+  (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+"""
+
+QUERIES["fk_integrity_audit"] = q_fk_integrity_audit
+ORACLE_SQL["fk_integrity_audit"] = SQL_FK_INTEGRITY_AUDIT
