@@ -436,3 +436,34 @@ def test_spearman_matches_numpy_rank_pearson(spark):
     rho = np.corrcoef(rx, ry)[0, 1]
     assert row.n == len(pdf)
     assert abs(float(row.spearman_rho) - rho) < 1e-6
+
+
+def test_quantile_estimate_within_one_bin(spark):
+    """The equi-width histogram estimate can be off by at most one bin
+    width (interpolation stays inside the bin containing the target
+    rank), and the exact side must reproduce percentile_disc."""
+    import pandas as pd
+
+    rows = {r.q_permille: r for r in
+            ws.q_quantile_sketch_calibration(spark, SF).collect()}
+    assert set(rows) == {500, 900, 990}
+    pdf = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = np.round(pdf["o_totalprice"].to_numpy() * 100).astype("int64")
+    width = (int(cents.max()) - int(cents.min())) // 256 + 1
+    n = len(cents)
+    srt = np.sort(cents)
+    for q, r in rows.items():
+        t = (q * n + 999) // 1000
+        assert r.exact_cents == int(srt[t - 1])  # percentile_disc rank
+        assert r.abs_err_cents <= width
+
+
+def test_join_skew_advisor_bounds(spark):
+    r = ws.q_join_skew_advisor(spark, SF).collect()[0]
+    assert r.n_rows >= r.n_keys >= 1
+    assert r.max_freq >= r.p99_freq >= r.p50_freq >= 1
+    # hottest key is at least the mean key load => ratio >= 1000 permille
+    assert r.skew_ratio_permille >= 1000
+    assert r.recommended_salt >= 1
+    # salting by the recommendation levels the hot key to <= p50 load
+    assert (r.max_freq + r.recommended_salt - 1) // r.recommended_salt <= r.p50_freq
