@@ -3160,3 +3160,81 @@ FROM customer WHERE NOT EXISTS
 
 QUERIES["fk_integrity_audit"] = q_fk_integrity_audit
 ORACLE_SQL["fk_integrity_audit"] = SQL_FK_INTEGRITY_AUDIT
+
+
+def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile in ONE pass: per column, row count,
+    nulls, distinct values, and the mode (top-1) frequency — the generic
+    profiler a catalog runs on every landed table, as opposed to the
+    typed per-column profiles (stats_profile / string_profile).
+
+    Columns unpivot through a stack() projection into (col, val) rows
+    — a constant 6-way fan-out, no join — then one groupBy(col, val)
+    histogram feeds a per-column rollup.  Values render through
+    engine-stable casts (integers/strings verbatim, money as cents,
+    timestamps to dates) so the profile hashes identically on both
+    engines; all outputs are exact BIGINTs.
+    """
+    o = _t(spark, sf_dir, "orders")
+    pairs = o.select(
+        F.expr(
+            "stack(6,"
+            " 'o_orderkey', CAST(o_orderkey AS STRING),"
+            " 'o_custkey', CAST(o_custkey AS STRING),"
+            " 'o_orderstatus', o_orderstatus,"
+            " 'o_totalprice_cents', CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING),"
+            " 'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS STRING),"
+            " 'o_orderpriority', o_orderpriority"
+            ") AS (col, val)"
+        )
+    )
+    hist = pairs.groupBy("col", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return hist.groupBy("col").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.sum(F.when(F.col("val").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_distinct"),
+        F.max(F.when(F.col("val").isNotNull(), F.col("cnt")))
+        .cast("bigint")
+        .alias("mode_freq"),
+    )
+
+
+SQL_ORDERS_COLUMN_PROFILE = """
+WITH pairs AS (
+  SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS val FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'o_totalprice_cents',
+         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders
+),
+hist AS (
+  SELECT col, val, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY col, val
+)
+SELECT col,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN val IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       CAST(SUM(CASE WHEN val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_distinct,
+       CAST(MAX(CASE WHEN val IS NOT NULL THEN cnt END) AS BIGINT)
+           AS mode_freq
+FROM hist GROUP BY col
+"""
+
+QUERIES["orders_column_profile"] = q_orders_column_profile
+ORACLE_SQL["orders_column_profile"] = SQL_ORDERS_COLUMN_PROFILE
