@@ -3238,3 +3238,130 @@ FROM hist GROUP BY col
 
 QUERIES["orders_column_profile"] = q_orders_column_profile
 ORACLE_SQL["orders_column_profile"] = SQL_ORDERS_COLUMN_PROFILE
+
+
+def q_segmented_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented regression around the CUSUM changepoint: the classic
+    'find the break, then refit each regime' workflow as one query.
+    Locates the change day exactly as `revenue_changepoint`, then fits
+    closed-form OLS of daily revenue (cents) on the day index on each
+    side of the break.
+
+    Everything after the fact→date collapse is dimension-bounded
+    (~thousands of day rows); moment sums for each side are exact
+    DECIMAL(38,0); the only floats are the final slope divisions
+    (round 6, identical IEEE on both engines).  Ties in the CUSUM max
+    break to the earliest day, so the segmentation is deterministic.
+    """
+    o = _t(spark, sf_dir, "orders")
+    daily = persist_tracked(
+        o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy("day")  # date-dimension-bounded (post-aggregate)
+    cum = daily.withColumn("i", F.row_number().over(w)).withColumn(
+        "cum",
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    stats = daily.agg(
+        F.sum("rev").cast("decimal(38,0)").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dev = persist_tracked(
+        cum.crossJoin(F.broadcast(stats)).select(
+            "day",
+            "i",
+            "rev",
+            F.abs(d("cum") - d("i") * (d("total") / d("n"))).alias("ad"),
+        )
+    )
+    mx = dev.agg(F.max("ad").alias("m"))
+    cp = (
+        dev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ad") == F.col("m"))
+        .agg(F.min("day").alias("cp_day"))
+    )
+    sides = dev.crossJoin(F.broadcast(cp)).select(
+        F.when(F.col("day") <= F.col("cp_day"), F.lit("before"))
+        .otherwise(F.lit("after"))
+        .alias("side"),
+        "i",
+        "rev",
+    )
+    m = sides.groupBy("side").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("i").cast("decimal(38,0)").alias("sx"),
+        F.sum("rev").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("i") * F.col("i")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("i") * F.col("rev")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return m.select(
+        "side",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("sy").cast("bigint").alias("total_rev_cents"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).cast("double"),
+            6,
+        ).alias("slope_cents_per_day"),
+    )
+
+
+SQL_SEGMENTED_REVENUE_TREND = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT day, rev,
+         ROW_NUMBER() OVER (ORDER BY day) AS i,
+         SUM(rev) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM daily
+),
+stats AS (SELECT CAST(SUM(rev) AS HUGEINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+dev AS (
+  SELECT day, i, rev,
+         ABS(CAST(cum AS DOUBLE)
+             - CAST(i AS DOUBLE) * (CAST(total AS DOUBLE) / CAST(n AS DOUBLE)))
+             AS ad
+  FROM cum CROSS JOIN stats
+),
+mx AS (SELECT MAX(ad) AS m FROM dev),
+cp AS (SELECT MIN(day) AS cp_day FROM dev CROSS JOIN mx WHERE ad = m),
+sides AS (
+  SELECT CASE WHEN day <= cp_day THEN 'before' ELSE 'after' END AS side,
+         i, rev
+  FROM dev CROSS JOIN cp
+),
+m AS (
+  SELECT side,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(i) AS HUGEINT) AS sx,
+         CAST(SUM(rev) AS HUGEINT) AS sy,
+         CAST(SUM(i * i) AS HUGEINT) AS sxx,
+         CAST(SUM(i * rev) AS HUGEINT) AS sxy
+  FROM sides GROUP BY side
+)
+SELECT side,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(sy AS BIGINT) AS total_rev_cents,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           AS slope_cents_per_day
+FROM m
+"""
+
+QUERIES["segmented_revenue_trend"] = q_segmented_revenue_trend
+ORACLE_SQL["segmented_revenue_trend"] = SQL_SEGMENTED_REVENUE_TREND
