@@ -3365,3 +3365,144 @@ FROM m
 
 QUERIES["segmented_revenue_trend"] = q_segmented_revenue_trend
 ORACLE_SQL["segmented_revenue_trend"] = SQL_SEGMENTED_REVENUE_TREND
+
+
+def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B metric: per-user purchase
+    value in the later half of the event window (metric y), adjusted by
+    the earlier-half value (pre-period covariate x) with the pooled
+    theta = cov(x,y)/var(x) — the standard experimentation technique
+    that shrinks metric variance by corr(x,y)^2 without biasing the
+    difference between arms.  Variant assignment is the deterministic
+    user_id % 2 (the synthetic events carry no experiment column).
+
+    One scan builds per-user (x, y) in exact cents (the epoch-seconds
+    midpoint is integer arithmetic); pooled moments are exact
+    DECIMAL(38,0) sums, per-variant means likewise; theta, adjusted
+    means, and the variance-reduction ratio are the only float steps
+    (round 6 / permille floor — identical IEEE on both engines).
+    """
+    from lakeforge.io.sources import read_events
+
+    ev = read_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    ev = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("es"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ev = persist_tracked(ev)
+    span = ev.agg(
+        F.expr("(min(es) + max(es)) div 2").cast("bigint").alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("es") < F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("es") >= F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    per_user = persist_tracked(per_user)
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    g = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("decimal(38,0)").alias("vsx"),
+        F.sum("y").cast("decimal(38,0)").alias("vsy"),
+    )
+    return (
+        g.crossJoin(F.broadcast(pooled))
+        .select(
+            "variant",
+            "n_users",
+            F.round(d("vsy") / F.col("n_users"), 6).alias("mean_y_cents"),
+            F.round(
+                d("vsy") / F.col("n_users")
+                - (
+                    (d("n") * d("sxy") - d("sx") * d("sy"))
+                    / (d("n") * d("sxx") - d("sx") * d("sx"))
+                )
+                * (d("vsx") / F.col("n_users") - d("sx") / d("n")),
+                6,
+            ).alias("adjusted_mean_y_cents"),
+            F.floor(
+                F.lit(1000.0)
+                * F.pow(d("n") * d("sxy") - d("sx") * d("sy"), F.lit(2.0))
+                / (
+                    (d("n") * d("sxx") - d("sx") * d("sx"))
+                    * (d("n") * d("syy") - d("sy") * d("sy"))
+                )
+            )
+            .cast("bigint")
+            .alias("var_reduction_permille"),
+        )
+        .orderBy("variant")
+    )
+
+
+SQL_CUPED_ADJUSTED_LIFT = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(epoch(ts) AS BIGINT) AS es,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+span AS (SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM ev),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN es < mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN es >= mid THEN cents ELSE 0 END) AS BIGINT) AS y,
+         CAST(user_id % 2 AS INT) AS variant
+  FROM ev CROSS JOIN span GROUP BY user_id
+),
+pooled AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(y * y) AS HUGEINT) AS syy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy
+  FROM per_user
+),
+g AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS HUGEINT) AS vsx,
+         CAST(SUM(y) AS HUGEINT) AS vsy
+  FROM per_user GROUP BY variant
+)
+SELECT variant, n_users,
+       round(CAST(vsy AS DOUBLE) / n_users, 6) AS mean_y_cents,
+       round(CAST(vsy AS DOUBLE) / n_users
+             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+               * (CAST(vsx AS DOUBLE) / n_users
+                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+           AS adjusted_mean_y_cents,
+       CAST(FLOOR(1000.0
+            * POW(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2.0)
+            / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)
+           AS var_reduction_permille
+FROM g CROSS JOIN pooled
+ORDER BY variant
+"""
+
+QUERIES["cuped_adjusted_lift"] = q_cuped_adjusted_lift
+ORACLE_SQL["cuped_adjusted_lift"] = SQL_CUPED_ADJUSTED_LIFT
