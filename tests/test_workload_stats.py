@@ -467,3 +467,49 @@ def test_join_skew_advisor_bounds(spark):
     assert r.recommended_salt >= 1
     # salting by the recommendation levels the hot key to <= p50 load
     assert (r.max_freq + r.recommended_salt - 1) // r.recommended_salt <= r.p50_freq
+
+
+def test_multitouch_credit_conserves_purchases(spark):
+    """Total distributed credit must equal exactly 1000 permille per
+    credited purchase (remainder-to-last-touch makes splits exact)."""
+    rows = ws.q_multitouch_attribution(spark, SF).collect()
+    assert rows
+    import duckdb
+
+    purchases_with_touch = duckdb.connect().execute(f"""
+        WITH v AS (SELECT user_id, ts FROM '{SF}/events.parquet'
+                   WHERE event_type = 'view'),
+        p AS (SELECT event_id, user_id, ts FROM '{SF}/events.parquet'
+              WHERE event_type = 'purchase')
+        SELECT COUNT(DISTINCT p.event_id) FROM p JOIN v
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """).fetchone()[0]
+    assert sum(r.credit_permille for r in rows) == 1000 * purchases_with_touch
+
+
+def test_cuped_matches_pandas_reference(spark):
+    import pandas as pd
+
+    rows = {r.variant: r for r in ws.q_cuped_adjusted_lift(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev.event_type == "purchase"].copy()
+    es = ev.ts.astype("int64") // 10**9
+    mid = (es.min() + es.max()) // 2
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    ev["x"] = ev.cents.where(es < mid, 0)
+    ev["y"] = ev.cents.where(es >= mid, 0)
+    pu = ev.groupby("user_id")[["x", "y"]].sum().reset_index()
+    theta = np.cov(pu.x, pu.y, ddof=0)[0, 1] / np.var(pu.x)
+    gx = pu.x.mean()
+    for v in (0, 1):
+        sub = pu[pu.user_id % 2 == v]
+        adj = sub.y.mean() - theta * (sub.x.mean() - gx)
+        assert rows[v].n_users == len(sub)
+        assert abs(float(rows[v].adjusted_mean_y_cents) - adj) < 1e-3
+    # CUPED must not move the pooled mean by construction of theta
+    pooled_raw = pu.y.mean()
+    pooled_adj = sum(
+        float(rows[v].adjusted_mean_y_cents) * rows[v].n_users for v in (0, 1)
+    ) / len(pu)
+    assert abs(pooled_adj - pooled_raw) < 1e-3
