@@ -677,7 +677,13 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 # Registry
 # ---------------------------------------------------------------------------
 
-from lakeforge import workload_llm, workload_rec, workload_rel, workload_stats  # noqa: E402  (registered below)
+from lakeforge import (  # noqa: E402  (registered below)
+    workload_ext,
+    workload_llm,
+    workload_rec,
+    workload_rel,
+    workload_stats,
+)
 
 QUERIES: dict[str, QueryFn] = {
     "scd2_orders": q_scd2_orders,
@@ -733,6 +739,8 @@ QUERIES.update(workload_stats.QUERIES)
 ORACLE_SQL.update(workload_stats.ORACLE_SQL)
 QUERIES.update(workload_rec.QUERIES)
 ORACLE_SQL.update(workload_rec.ORACLE_SQL)
+QUERIES.update(workload_ext.QUERIES)
+ORACLE_SQL.update(workload_ext.ORACLE_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -1225,10 +1233,28 @@ apply_canonicalization(QUERIES, ORACLE_SQL)
 # recursive_month_spine + recursive_balance_depletion (native Spark-4
 # WITH RECURSIVE), trade_hits_scores (HITS link analysis),
 # copurchase_item_sim (co-occurrence recommender), snapshot_merkle_diff
-# (anti-entropy reconciliation), winsorized_price_stats +
-# theilsen_nation_trend (robust statistics), multiset_status_diff
-# (exceptAll/intersectAll), manifest_skipping_scan (file-stats data
-# skipping) — 46 first-time names this window.  FOUR attested flagships
+# (anti-entropy reconciliation), winsorized_price_stats (robust
+# statistics), manifest_skipping_scan (file-stats data skipping) —
+# and the SEVEN workload_ext flagships shipped at the very end of
+# round 5, each a new family: orc_roundtrip_revenue (format
+# round-trip), late_arriving_dim + periodic_month_snapshot (Kimball
+# warehouse modeling), dp_noisy_counts (DP-style noisy release),
+# target_encode_oof (leakage-safe ML encoding), bitemporal_orders_asof
+# (two-clock as-of), consistent_hash_reshard (partition management).
+# To make room, seven round-5 ops whose FAMILY keeps an in-window
+# representative moved to the r6 queue: sq8_recall_at_k (ivf_recall
+# carries ANN eval), media_downsample (media_pixels carries media),
+# trade_sssp_hops (trade_bfs_reach carries traversal),
+# recursive_balance_depletion (recursive_month_spine carries WITH
+# RECURSIVE), customer_activity_intervals (concurrency_seconds carries
+# intervals), theilsen_nation_trend (winsorized carries robust stats),
+# multiset_status_diff (snapshot_merkle_diff carries reconciliation);
+# also r6-queued: the five non-flagship workload_ext variants
+# (json_roundtrip_events — orc carries round-trips; scd3 — scd2
+# canary carries SCD; prorata_rebate_allocation — multitouch carries
+# apportionment; mannwhitney_price_rank — the stats block carries
+# rank tests; embedding_dim_corr — embedding_dim_stats family).
+# 46 first-time names this window.  FOUR attested flagships
 # stay inside as cross-round canaries for the core families:
 # SCD2/windows -> scd2_orders; streaming -> events_sessionize;
 # iterative -> pagerank_trade; composed pipeline ->
@@ -1256,11 +1282,11 @@ PRIORITY: list[str] = [
     "trade_degree_histogram",
     "key_skew_orders",
     "bpe_train_merges",
-    "sq8_recall_at_k",
-    "media_downsample",
+    "orc_roundtrip_revenue",
+    "late_arriving_dim",
     "ivm_distinct_customers",
     "trade_bfs_reach",
-    "trade_sssp_hops",
+    "periodic_month_snapshot",
     # --- first-time: round-5 statistics / mining family (shipped this
     # round, in-window the round they shipped; kmv_year_overlap,
     # revenue_autocorr, ivm_join_nation_revenue, reorder_survival and
@@ -1277,7 +1303,7 @@ PRIORITY: list[str] = [
     "woe_quantity_returns",
     "kmv_distinct_segments",
     "part_skyline",
-    "customer_activity_intervals",
+    "target_encode_oof",
     "spend_gini",
     "price_ks_segments",
     "revenue_changepoint",
@@ -1288,13 +1314,13 @@ PRIORITY: list[str] = [
     "events_attribution_full",
     # --- first-time: late-round-5 operator families ---
     "recursive_month_spine",
-    "recursive_balance_depletion",
+    "dp_noisy_counts",
     "trade_hits_scores",
     "copurchase_item_sim",
     "snapshot_merkle_diff",
     "winsorized_price_stats",
-    "theilsen_nation_trend",
-    "multiset_status_diff",
+    "bitemporal_orders_asof",
+    "consistent_hash_reshard",
     "manifest_skipping_scan",
     # --- attested family flagships kept in-window (cross-round canaries) ---
     "scd2_orders",
