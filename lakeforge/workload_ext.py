@@ -1168,3 +1168,245 @@ FROM (SELECT * FROM ring_stats UNION ALL SELECT * FROM mod_stats)
 
 QUERIES["consistent_hash_reshard"] = q_consistent_hash_reshard
 ORACLE_SQL["consistent_hash_reshard"] = SQL_CONSISTENT_HASH_RESHARD
+
+
+# ---------------------------------------------------------------------------
+# Geospatial: grid-bucketed spatial join and density map.  Coordinates are
+# derived deterministically from keys (micro-degree fixed point), so both
+# engines synthesize the identical geometry and every distance is exact
+# BIGINT arithmetic — no trig, no floats, no cross-engine divergence.
+# ---------------------------------------------------------------------------
+
+_GEO_LAT_SPACE = 180_000_000  # micro-degrees, kept non-negative [0, 180M)
+_GEO_LON_SPACE = 360_000_000  # [0, 360M)
+_GEO_CELL = 10_000_000        # 10-degree grid cell
+
+
+def _geo_lat(kind: str, key) -> Column:
+    return F.pmod(
+        md5_int(F.lit(f"geo-{kind}-lat-v1"), key), F.lit(_GEO_LAT_SPACE)
+    )
+
+
+def _geo_lon(kind: str, key) -> Column:
+    return F.pmod(
+        md5_int(F.lit(f"geo-{kind}-lon-v1"), key), F.lit(_GEO_LON_SPACE)
+    )
+
+
+def _geo_lat_sql(kind: str, key: str) -> str:
+    return (
+        duckdb_md5_int_sql([f"'geo-{kind}-lat-v1'", key])
+        + f" % {_GEO_LAT_SPACE}"
+    )
+
+
+def _geo_lon_sql(kind: str, key: str) -> str:
+    return (
+        duckdb_md5_int_sql([f"'geo-{kind}-lon-v1'", key])
+        + f" % {_GEO_LON_SPACE}"
+    )
+
+
+def q_spatial_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial nearest-neighbor join: each customer finds its
+    nearest supplier within the surrounding 3x3 block of 10-degree grid
+    cells (squared Euclidean distance in micro-degrees — exact BIGINT),
+    rolled up per supplier nation.
+
+    This is THE scalable spatial-join shape: bucket both sides by grid
+    cell, fan the probe side out to its 9 neighbor cells (a bounded x9
+    row multiply, NOT a cross join), equi-join on the cell key, and take
+    the per-probe minimum.  Candidate generation is O(customers x 9 x
+    cell occupancy); an all-pairs distance join would be O(customers x
+    suppliers) and is never built.  Customers with no supplier in their
+    neighborhood drop out (inner-join semantics, documented); the search
+    radius grows by widening the neighborhood, not by rescanning.
+
+    Plan: supplier side is dimension-sized -> broadcast hash join on the
+    cell key; per-customer min is one struct-min aggregate (no window);
+    the nation rollup is a second tiny aggregate.  Sums ship as
+    d2 div 1000 so the nation totals stay far inside BIGINT at any SF.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _geo_lat("c", F.col("c_custkey")).alias("clat"),
+        _geo_lon("c", F.col("c_custkey")).alias("clon"),
+    ).select(
+        "*",
+        F.expr(f"clat div {_GEO_CELL}").alias("cell_lat"),
+        F.expr(f"clon div {_GEO_CELL}").alias("cell_lon"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        _geo_lat("s", F.col("s_suppkey")).alias("slat"),
+        _geo_lon("s", F.col("s_suppkey")).alias("slon"),
+    ).select(
+        "*",
+        F.expr(f"slat div {_GEO_CELL}").alias("s_cell_lat"),
+        F.expr(f"slon div {_GEO_CELL}").alias("s_cell_lon"),
+    )
+    offs = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    probe = (
+        cust.select("*", F.explode(offs).alias("dlat"))
+        .select("*", F.explode(offs).alias("dlon"))
+        .select(
+            "c_custkey", "clat", "clon",
+            (F.col("cell_lat") + F.col("dlat")).alias("p_cell_lat"),
+            (F.col("cell_lon") + F.col("dlon")).alias("p_cell_lon"),
+        )
+    )
+    d2 = (
+        (F.col("clat") - F.col("slat")) * (F.col("clat") - F.col("slat"))
+        + (F.col("clon") - F.col("slon")) * (F.col("clon") - F.col("slon"))
+    )
+    best = (
+        probe.join(
+            F.broadcast(supp),
+            (F.col("p_cell_lat") == F.col("s_cell_lat"))
+            & (F.col("p_cell_lon") == F.col("s_cell_lon")),
+        )
+        .select(
+            "c_custkey",
+            F.struct(
+                d2.alias("d2"),
+                F.col("s_suppkey").alias("sk"),
+                F.col("s_nationkey").alias("nk"),
+            ).alias("cand"),
+        )
+        .groupBy("c_custkey")
+        .agg(F.min("cand").alias("m"))
+        .select(
+            "c_custkey",
+            F.col("m.d2").alias("d2"),
+            F.col("m.nk").alias("s_nationkey"),
+        )
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(
+            F.broadcast(nation), best.s_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.min("d2").cast("bigint").alias("min_d2"),
+            F.sum(F.expr("d2 div 1000")).cast("bigint").alias("sum_d2_k"),
+        )
+    )
+
+
+SQL_SPATIAL_NEAREST_SUPPLIER = f"""
+WITH cust AS (
+    SELECT c_custkey,
+           {_geo_lat_sql("c", "c_custkey")} AS clat,
+           {_geo_lon_sql("c", "c_custkey")} AS clon
+    FROM customer
+),
+supp AS (
+    SELECT s_suppkey, s_nationkey,
+           {_geo_lat_sql("s", "s_suppkey")} AS slat,
+           {_geo_lon_sql("s", "s_suppkey")} AS slon
+    FROM supplier
+),
+probe AS (
+    SELECT c.c_custkey, c.clat, c.clon,
+           c.clat // {_GEO_CELL} + o1.dlat AS p_cell_lat,
+           c.clon // {_GEO_CELL} + o2.dlon AS p_cell_lon
+    FROM cust c
+    CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dlat) o1
+    CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dlon) o2
+),
+cand AS (
+    SELECT p.c_custkey, s.s_suppkey, s.s_nationkey,
+           (p.clat - s.slat) * (p.clat - s.slat)
+           + (p.clon - s.slon) * (p.clon - s.slon) AS d2
+    FROM probe p
+    JOIN supp s
+      ON p.p_cell_lat = s.slat // {_GEO_CELL}
+     AND p.p_cell_lon = s.slon // {_GEO_CELL}
+),
+best AS (
+    SELECT c_custkey, d2, s_nationkey,
+           ROW_NUMBER() OVER (PARTITION BY c_custkey
+                              ORDER BY d2, s_suppkey) AS rn
+    FROM cand
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(MIN(b.d2) AS BIGINT) AS min_d2,
+       CAST(SUM(b.d2 // 1000) AS BIGINT) AS sum_d2_k
+FROM best b JOIN nation n ON b.s_nationkey = n.n_nationkey
+WHERE b.rn = 1
+GROUP BY n.n_name
+"""
+
+QUERIES["spatial_nearest_supplier"] = q_spatial_nearest_supplier
+ORACLE_SQL["spatial_nearest_supplier"] = SQL_SPATIAL_NEAREST_SUPPLIER
+
+
+def q_spatial_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density map: per 10-degree grid cell, how many customers
+    and suppliers land there (geohash-style space indexing — the layout
+    that makes the nearest-neighbor join above an equi-join).  Cells with
+    customers but zero suppliers are the 'supplier deserts' a coverage
+    planner looks for.
+
+    Plan: one hash aggregate per side (map-side combined), then a full
+    outer join of two <=648-row frames — the cell universe is bounded by
+    the grid (18 x 36), NOT by data volume, so the join cost is constant
+    at any SF.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        _geo_lat("c", F.col("c_custkey")).alias("lat"),
+        _geo_lon("c", F.col("c_custkey")).alias("lon"),
+    ).select(
+        F.expr(f"lat div {_GEO_CELL}").alias("cell_lat"),
+        F.expr(f"lon div {_GEO_CELL}").alias("cell_lon"),
+    ).groupBy("cell_lat", "cell_lon").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        _geo_lat("s", F.col("s_suppkey")).alias("lat"),
+        _geo_lon("s", F.col("s_suppkey")).alias("lon"),
+    ).select(
+        F.expr(f"lat div {_GEO_CELL}").alias("cell_lat"),
+        F.expr(f"lon div {_GEO_CELL}").alias("cell_lon"),
+    ).groupBy("cell_lat", "cell_lon").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_supp")
+    )
+    return (
+        cust.join(supp, ["cell_lat", "cell_lon"], "full_outer")
+        .select(
+            "cell_lat",
+            "cell_lon",
+            F.coalesce("n_cust", F.lit(0)).cast("bigint").alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).cast("bigint").alias("n_supp"),
+        )
+    )
+
+
+SQL_SPATIAL_GRID_DENSITY = f"""
+WITH cust AS (
+    SELECT ({_geo_lat_sql("c", "c_custkey")}) // {_GEO_CELL} AS cell_lat,
+           ({_geo_lon_sql("c", "c_custkey")}) // {_GEO_CELL} AS cell_lon,
+           CAST(count(*) AS BIGINT) AS n_cust
+    FROM customer GROUP BY 1, 2
+),
+supp AS (
+    SELECT ({_geo_lat_sql("s", "s_suppkey")}) // {_GEO_CELL} AS cell_lat,
+           ({_geo_lon_sql("s", "s_suppkey")}) // {_GEO_CELL} AS cell_lon,
+           CAST(count(*) AS BIGINT) AS n_supp
+    FROM supplier GROUP BY 1, 2
+)
+SELECT COALESCE(c.cell_lat, s.cell_lat) AS cell_lat,
+       COALESCE(c.cell_lon, s.cell_lon) AS cell_lon,
+       CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
+FROM cust c FULL OUTER JOIN supp s
+  ON c.cell_lat = s.cell_lat AND c.cell_lon = s.cell_lon
+"""
+
+QUERIES["spatial_grid_density"] = q_spatial_grid_density
+ORACLE_SQL["spatial_grid_density"] = SQL_SPATIAL_GRID_DENSITY
