@@ -243,11 +243,12 @@ def merge_on_read_view(
     all_rows = b.unionByName(deltas.select(*b.columns))
     # (keys, seq) SHOULD be unique in the delta log; if two deltas share a
     # seq for one key, break the tie deterministically on a hash of the
-    # VALUE columns (the key columns are constant within the window
-    # partition, so they can never break a tie).
+    # VALUE columns plus the delete marker (the key columns are constant
+    # within the window partition, so they can never break a tie, but a
+    # delete marker and an upsert with identical value columns CAN share
+    # (keys, seq) — ADVICE r05 #2 — so deleted_col must participate).
     value_cols = [
-        c for c in all_rows.columns
-        if c not in (*keys, seq_col, deleted_col)
+        c for c in all_rows.columns if c not in (*keys, seq_col)
     ]
     w = Window.partitionBy(*keys).orderBy(
         F.col(seq_col).desc_nulls_last(),

@@ -395,15 +395,21 @@ def _dp_noise_sql(u_expr: str) -> str:
 
 
 def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private-style count release: per-(priority, status)
-    order counts plus integer noise drawn from a two-sided geometric
-    (discrete Laplace) distribution with alpha = 1/2 — the geometric
-    mechanism, epsilon = ln 2 for counting queries — via an exact
-    integer inverse-CDF ladder seeded from md5(group key || salt).
+    """UNSAFE FOR RELEASE — mechanism-shape DEMO ONLY, NOT a privacy
+    mechanism (ADVICE r05 #4).  The noise is seeded DETERMINISTICALLY
+    from the group key (zero privacy: anyone can recompute it) and the
+    exact ``true_n`` is emitted beside the noisy value, so this output
+    must never be published as a DP release.  The output column is named
+    ``demo_released_n`` to make copy-paste misuse loud.
 
-    Seeded noise makes the release REPRODUCIBLE (and oracle-checkable);
-    a production release would draw real randomness at publish time and
-    keep this exact pipeline shape.  Noise is truncated at |8| (total
+    What it demonstrates: per-(priority, status) order counts plus
+    integer noise from a two-sided geometric (discrete Laplace)
+    distribution with alpha = 1/2 — the geometric mechanism, epsilon =
+    ln 2 for counting queries — via an exact integer inverse-CDF ladder
+    seeded from md5(group key || salt).  A production release keeps this
+    exact pipeline shape but draws REAL randomness at publish time and
+    drops ``true_n`` from the output.  Seeding makes the demo
+    reproducible and oracle-checkable.  Noise is truncated at |8| (total
     truncated mass ~2^-8, folded into 0 — documented bias, standard for
     bounded-release mechanisms).
 
@@ -427,7 +433,7 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(
             F.lit(0).cast("bigint"),
             (F.col("true_n") + _dp_noise_spark(u)).cast("bigint"),
-        ).alias("released_n"),
+        ).alias("demo_released_n"),
     )
 
 
@@ -448,7 +454,7 @@ seeded AS (
 SELECT o_orderpriority, o_orderstatus, true_n,
        CAST({_dp_noise_sql("u")} AS BIGINT) AS noise,
        CAST(GREATEST(0, true_n + {_dp_noise_sql("u")}) AS BIGINT)
-           AS released_n
+           AS demo_released_n
 FROM seeded
 """
 

@@ -42,6 +42,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _with_recursion_limit(spark: SparkSession, limit: int, build) -> DataFrame:
+    """Run ``build() -> DataFrame`` under a raised
+    ``spark.sql.cteRecursionLevelLimit``, eagerly materialize it
+    (``localCheckpoint``) so the recursion EXECUTES while the raised limit
+    is active, then restore the prior session value (ADVICE r05 #3: a bare
+    ``conf.set`` silently raised the recursion guard for every subsequent
+    query in the shared session).  The checkpoint is safe here because
+    recursive results are spine-sized (months / live suppliers), never
+    fact-sized."""
+    key = "spark.sql.cteRecursionLevelLimit"
+    try:
+        prior = spark.conf.get(key)
+    except Exception:
+        prior = None
+    spark.conf.set(key, str(limit))
+    try:
+        return build().localCheckpoint(eager=True)
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 QUERIES: dict = {}
 ORACLE_SQL: dict[str, str] = {}
 
@@ -69,14 +93,13 @@ def q_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle keeps the pure-SQL bounds CTE (it materializes CTEs),
     so the two formulations also cross-check each other.
     """
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1200")
     orders = _t(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("ord_spine")
     lo, hi = orders.agg(
         F.date_trunc("month", F.min("o_orderdate")).cast("date"),
         F.date_trunc("month", F.max("o_orderdate")).cast("date"),
     ).collect()[0]
-    return spark.sql(f"""
+    return _with_recursion_limit(spark, 1200, lambda: spark.sql(f"""
 WITH RECURSIVE spine(month_start) AS (
   SELECT DATE '{lo.isoformat()}'
   UNION ALL
@@ -93,7 +116,7 @@ SELECT s.month_start,
        CAST(COALESCE(r.n_orders, 0) AS BIGINT) AS n_orders,
        CAST(COALESCE(r.revenue_cents, 0) AS BIGINT) AS revenue_cents
 FROM spine s LEFT JOIN rev r ON r.month_start = s.month_start
-""")
+"""))
 
 
 SQL_RECURSIVE_MONTH_SPINE = """
@@ -143,9 +166,8 @@ def q_recursive_balance_depletion(spark: SparkSession, sf_dir: str) -> DataFrame
     balances, so termination is guaranteed; depth is O(log balance)
     (~30 levels for 6-digit balances), far under the raised level limit.
     """
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1200")
     _t(spark, sf_dir, "supplier").createOrReplaceTempView("supp_dep")
-    return spark.sql("""
+    return _with_recursion_limit(spark, 1200, lambda: spark.sql("""
 WITH RECURSIVE dep(s_suppkey, balance_cents, r) AS (
   SELECT s_suppkey, CAST(ROUND(s_acctbal * 100) AS BIGINT), 0
   FROM supp_dep WHERE s_acctbal > 0
@@ -161,7 +183,7 @@ SELECT CAST(rounds_to_deplete AS INT) AS rounds_to_deplete,
        CAST(min(s_suppkey) AS BIGINT) AS min_suppkey,
        CAST(max(s_suppkey) AS BIGINT) AS max_suppkey
 FROM fin GROUP BY 1
-""")
+"""))
 
 
 SQL_RECURSIVE_BALANCE_DEPLETION = """

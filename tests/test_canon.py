@@ -100,3 +100,13 @@ def test_strict_comparator_discriminates():
     s_date = pd.DataFrame([(dt.date(2020, 1, 2),)], columns=["d"], dtype=object)
     d_ts = pd.DataFrame({"d": [pd.Timestamp("2020-01-02 00:00:00")]})
     assert not compare_strict(s_date, d_ts)
+
+
+def test_raw_queries_covers_full_registry():
+    """ADVICE r05 #1 regression: RAW_QUERIES is snapshotted AFTER every
+    registration (including the late events_attribution_* pair), so the
+    MONEY_DOUBLE completeness guard above iterates the COMPLETE registry
+    and canonicalization wraps every entry."""
+    assert set(workload.RAW_QUERIES) == set(workload.QUERIES)
+    for name in ("events_attribution_unmatched", "events_attribution_full"):
+        assert name in workload.RAW_QUERIES, name

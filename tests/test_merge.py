@@ -241,6 +241,30 @@ def test_merge_on_read_latest_wins_and_deletes(spark):
     assert got == [(1, "a", 12), (3, "c", 30), (4, "d", 40), (5, "e", 50)]
 
 
+def test_merge_on_read_delete_vs_upsert_tiebreak_deterministic(spark):
+    """ADVICE r05 #2 regression: two deltas sharing (key, seq) where one
+    is a delete marker and the other an upsert with IDENTICAL value
+    columns must resolve deterministically — the xxhash64 tiebreak now
+    includes deleted_col, so the two rows can never hash equal.  The
+    winner must be stable across repeated runs and across input
+    partitioning."""
+    from lakeforge.ops.merge import merge_on_read_view
+
+    base = spark.createDataFrame([(1, "a", 10)], ["k", "name", "v"])
+    # same (k, seq), same value columns, delete marker differs
+    rows = [(1, "a", 11, 5, True), (1, "a", 11, 5, False)]
+    outcomes = set()
+    for nparts in (1, 2, 4):
+        for rev in (False, True):
+            data = list(reversed(rows)) if rev else rows
+            deltas = spark.createDataFrame(
+                data, ["k", "name", "v", "seq", "_deleted"]
+            ).repartition(nparts)
+            out = merge_on_read_view(base, deltas, keys=["k"], seq_col="seq")
+            outcomes.add(tuple(sorted(tuple(r) for r in out.collect())))
+    assert len(outcomes) == 1, f"nondeterministic MOR tiebreak: {outcomes}"
+
+
 def test_merge_aggregates_equals_full_recompute(spark):
     """IVM combine of old+delta aggregates == aggregate over the union,
     including keys present on only one side and null-safe min/max."""

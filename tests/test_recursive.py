@@ -105,3 +105,32 @@ def test_copurchase_pairs_ordered_and_bounded(spark, tmp_path):
         (200, 300, 1, 2, 1, 5000),
         (100, 300, 1, 3, 1, 3333),
     ]
+
+
+def test_recursion_limit_restored_after_recursive_queries(spark, tmp_path):
+    """ADVICE r05 #3 regression: the recursive queries raise
+    spark.sql.cteRecursionLevelLimit for their own execution but must
+    RESTORE the prior session value afterwards (a bare conf.set silently
+    raised the recursion guard for every later query in the shared
+    session)."""
+    import datetime
+
+    key = "spark.sql.cteRecursionLevelLimit"
+    prior = spark.conf.get(key)
+    spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 15), 10.0),
+         (2, datetime.date(2024, 4, 2), 20.0)],
+        "o_orderkey bigint, o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 39.99)], "s_suppkey bigint, s_acctbal double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/supplier.parquet")
+    from lakeforge.workload_rec import (
+        q_recursive_balance_depletion,
+        q_recursive_month_spine,
+    )
+
+    assert q_recursive_month_spine(spark, str(tmp_path)).count() == 4
+    assert spark.conf.get(key) == prior
+    assert q_recursive_balance_depletion(spark, str(tmp_path)).count() >= 1
+    assert spark.conf.get(key) == prior

@@ -47,8 +47,8 @@ def test_dp_noisy_counts_bounded_noise_and_nonnegative_release(spark):
     assert rows
     for r in rows:
         assert -8 <= r.noise <= 8
-        assert r.released_n >= 0
-        assert r.released_n == max(0, r.true_n + r.noise)
+        assert r.demo_released_n >= 0
+        assert r.demo_released_n == max(0, r.true_n + r.noise)
 
 
 def test_target_encode_oof_matches_pandas(spark):
