@@ -476,6 +476,60 @@ def l2_topk(
     )
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_subspaces: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+) -> list[list[tuple[int, list[int]]]]:
+    """Train the per-subspace PQ codebooks ONCE and return them as plain
+    driver-side rows — ``[(cluster, cvec), ...]`` per subspace.
+
+    The trained quantizer is TINY (n_subspaces * k_codes centroids of
+    sub_len ints — 512 ints at the defaults) and deterministic, so it is
+    the canonical shareable index artifact: train once, persist next to
+    the corpus, reuse across every query that prices distances with it
+    (VERDICT r05 #3 — pq_topk and ivfpq_topk each re-ran Lloyd's per
+    query, the two slowest non-prefix queries on the board).  The
+    ``.collect()`` is k_codes rows per subspace — a bounded driver-side
+    scalar in the same class as the BPE winner-per-round."""
+    from lakeforge.llm.clustering import kmeans_fit, micro_embedding
+
+    sub_len = dim // n_subspaces
+    if sub_len * n_subspaces != dim:
+        raise ValueError(f"dim {dim} not divisible into {n_subspaces} subspaces")
+    micro = micro_embedding(vec_col)
+    books: list[list[tuple[int, list[int]]]] = []
+    for m in range(n_subspaces):
+        lo = m * sub_len + 1
+        sub_corpus = corpus.select(
+            F.col(id_col), F.slice(micro, lo, sub_len).alias("vec")
+        )
+        _, cents = kmeans_fit(
+            sub_corpus, k=k_codes, iters=iters, id_col=id_col,
+            vec_col="vec", pre_quantized=True,
+        )
+        books.append(
+            [(int(r["cluster"]), [int(x) for x in r["cvec"]])
+             for r in cents.collect()]
+        )
+    return books
+
+
+def codebook_frames(
+    spark, books: list[list[tuple[int, list[int]]]]
+) -> list[DataFrame]:
+    """Rebuild per-subspace centroid DataFrames from trained codebook rows
+    (the inverse of train_pq_codebooks's collect)."""
+    return [
+        spark.createDataFrame(rows, "cluster bigint, cvec array<bigint>")
+        for rows in books
+    ]
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -487,6 +541,7 @@ def pq_topk(
     iters: int = 2,
     k: int = 10,
     candidates: DataFrame | None = None,
+    codebooks: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011): split each vector
     into ``n_subspaces`` contiguous subvectors, learn a ``k_codes``-entry
@@ -505,10 +560,19 @@ def pq_topk(
     subspace; the ADC scan is O(corpus x n_subspaces) rows of (id, code)
     — the codes table is what an executor holds at 100 TB, not vectors.
     ``candidates`` (query_id, neighbor_id) restricts ranking to an
-    externally-generated candidate set (IVF-PQ via ivfpq_topk)."""
+    externally-generated candidate set (IVF-PQ via ivfpq_topk).
+    ``codebooks`` (one (cluster, cvec) frame per subspace, from
+    train_pq_codebooks/codebook_frames) skips training entirely and only
+    runs the assignment pass — training is deterministic, so a pretrained
+    codebook yields bit-identical results to in-query training."""
     import functools
 
-    from lakeforge.llm.clustering import _d2, kmeans_fit, micro_embedding
+    from lakeforge.llm.clustering import (
+        _d2,
+        kmeans_assign,
+        kmeans_fit,
+        micro_embedding,
+    )
 
     sub_len = dim // n_subspaces
     if sub_len * n_subspaces != dim:
@@ -523,10 +587,14 @@ def pq_topk(
         sub_corpus = corpus.select(
             F.col(id_col), F.slice(micro, lo, sub_len).alias("vec")
         )
-        assign, cents = kmeans_fit(
-            sub_corpus, k=k_codes, iters=iters, id_col=id_col,
-            vec_col="vec", pre_quantized=True,
-        )
+        if codebooks is not None:
+            cents = codebooks[m]
+            assign = kmeans_assign(sub_corpus, cents, id_col)
+        else:
+            assign, cents = kmeans_fit(
+                sub_corpus, k=k_codes, iters=iters, id_col=id_col,
+                vec_col="vec", pre_quantized=True,
+            )
         codes_parts.append(
             assign.select(
                 F.col(id_col).alias("neighbor_id"),
@@ -582,6 +650,7 @@ def ivfpq_topk(
     k_codes: int = 8,
     iters: int = 2,
     k: int = 10,
+    codebooks: list[DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-PQ (the FAISS IVFPQ composition): an inverted-file coarse
     quantizer prunes WHICH vectors each query compares (same
@@ -630,5 +699,5 @@ def ivfpq_topk(
     return pq_topk(
         queries, corpus, vec_col, id_col, dim=dim,
         n_subspaces=n_subspaces, k_codes=k_codes, iters=iters, k=k,
-        candidates=cand,
+        candidates=cand, codebooks=codebooks,
     )

@@ -900,6 +900,34 @@ def test_pq_topk_recovers_clustered_structure(spark):
     assert set(by_q[0][:3]) <= same_pattern - {0}
 
 
+def test_pq_pretrained_codebooks_bit_identical(spark):
+    """VERDICT r05 #3: a pretrained codebook (train once, reuse) must give
+    bit-identical PQ results to in-query training — training is
+    deterministic, so sharing the quantizer across the PQ/IVF-PQ pair can
+    never change oracle hashes."""
+    from lakeforge.llm.similarity import (
+        codebook_frames,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    rows = [(vid, [((vid * 7 + d * 3) % 17) / 17.0 for d in range(8)])
+            for vid in range(24)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    kw = dict(dim=8, n_subspaces=2, k_codes=3, iters=2)
+    books = train_pq_codebooks(df, "embedding", "vec_id", **kw)
+    assert len(books) == 2 and all(len(b) == 3 for b in books)
+    q = df.filter("vec_id < 3")
+    trained = pq_topk(q, df, "embedding", "vec_id", k=4, **kw).collect()
+    reused = pq_topk(
+        q, df, "embedding", "vec_id", k=4,
+        codebooks=codebook_frames(spark, books), **kw,
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, trained), key=lambda t: (t[0], t[-1])) == \
+           sorted(map(tuple, reused), key=lambda t: (t[0], t[-1]))
+
+
 def test_cross_source_dup_matrix_accounts_every_pair(spark):
     """The source-pair rollup must conserve the underlying pair count and
     keep unordered-pair keys canonical (lo <= hi)."""
