@@ -457,3 +457,68 @@ def sssp_hops(
         lambda blocking=False: cache.unpersist_rdd_ids(spark, final_ids, blocking)
     )
     return dist
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 6,
+) -> DataFrame:
+    """(node, core_deg): nodes surviving ``rounds`` synchronized peeling
+    rounds at threshold ``k`` — each round drops every node whose degree
+    in the CURRENT subgraph is < k, then recomputes degrees.  With enough
+    rounds this converges to the exact k-core (Matula & Beck 1983); a
+    FIXED round count keeps the computation replayable as an unrolled SQL
+    CTE chain, so the DuckDB oracle states the identical rounds and the
+    two formulations check each other (same contract as bfs_depths).
+    The final projection keeps only nodes whose residual degree is >= k.
+
+    ``edges`` must already be symmetric (both directions present), so
+    degree = out-degree and each round is ONE aggregate + two semi-joins.
+
+    Scale design: per round, work is O(current edges) — one map-side-
+    combined degree aggregate (shuffle carries (node, partial count), at
+    most |nodes| rows per task) and two hash semi-joins on node id; the
+    survivor set only shrinks, so later rounds get cheaper.  The edge
+    frame is localCheckpoint-ed per round (lineage cut, prior round's
+    blocks released immediately) — the same cache discipline as the
+    other iterative operators here.  Early exit when a round removes
+    nothing (converged: the fixed remaining rounds would be no-ops, so
+    skipping them cannot change the result vs the unrolled oracle)."""
+    from lakeforge import cache
+
+    spark = edges.sparkSession
+    cur = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    seen = cache.rdd_ids(spark)
+    cur = cur.localCheckpoint()
+    prev_ids = cache.rdd_ids(spark) - seen
+    n_edges = cur.count()
+    for _ in range(rounds):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        nxt = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        seen = cache.rdd_ids(spark)
+        nxt = nxt.localCheckpoint()
+        new_ids = cache.rdd_ids(spark) - seen
+        n_next = nxt.count()
+        cache.unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
+        cur, converged = nxt, n_next == n_edges
+        n_edges = n_next
+        if converged:
+            break
+    final_ids = prev_ids
+    cache.track_releaser(
+        lambda blocking=False: cache.unpersist_rdd_ids(spark, final_ids, blocking)
+    )
+    return (
+        cur.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
+    )

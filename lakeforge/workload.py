@@ -678,6 +678,7 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 # ---------------------------------------------------------------------------
 
 from lakeforge import (  # noqa: E402  (registered below)
+    workload_aux,
     workload_ext,
     workload_llm,
     workload_rec,
@@ -741,6 +742,8 @@ QUERIES.update(workload_rec.QUERIES)
 ORACLE_SQL.update(workload_rec.ORACLE_SQL)
 QUERIES.update(workload_ext.QUERIES)
 ORACLE_SQL.update(workload_ext.ORACLE_SQL)
+QUERIES.update(workload_aux.QUERIES)
+ORACLE_SQL.update(workload_aux.ORACLE_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -1210,8 +1213,16 @@ ORACLE_SQL["orders_merge_on_read"] = SQL_ORDERS_MERGE_ON_READ
 # THREE attested flagships stay as cross-round canaries (SCD2/windows ->
 # scd2_orders, iterative -> pagerank_trade, composed pipeline ->
 # docs_training_pipeline); events_sessionize rotates out this round
-# (driver-green r1-r5) to make room.  New r6 operators enter the window
-# the round they ship, swapping out backlog names (which move to r7).
+# (driver-green r1-r5) to make room.  The SEVEN new r6 operators
+# (workload_aux.py: orders_ldiversity_release, cms_heavy_status,
+# feature_hash_segments, nation_spend_locf, supplier_transit_occupancy,
+# docs_repeated_spans, trade_kcore) enter the window the round they
+# ship; to make room, seven backlog names whose family keeps an
+# in-window representative move to the r7 queue: docs_repetition_score,
+# docs_char_entropy, bpe_pair_counts, stats_profile, embedding_dim_stats
+# (embedding_dim_corr carries the family), kmv_year_overlap
+# (cms_heavy_status carries sketches), revenue_autocorr
+# (revenue_stl_outliers carries time-series).
 _PRIORITY_R6: list[str] = [
     # --- zero-evidence-at-r5 spatial pair (VERDICT #1) ---
     "spatial_grid_density",
@@ -1249,8 +1260,6 @@ _PRIORITY_R6: list[str] = [
     "revenue_stl_outliers",
     "price_psi_drift",
     "source_lang_js_divergence",
-    "kmv_year_overlap",
-    "revenue_autocorr",
     # --- r5 displaced-ops queue: evaluation/curation block ---
     "embedding_auc",
     "embedding_pr_curve",
@@ -1260,12 +1269,14 @@ _PRIORITY_R6: list[str] = [
     "return_risk_auc_by_nation",
     "cross_source_dup_matrix",
     "effective_token_mass",
-    "embedding_dim_stats",
-    # --- remaining heavyweight never-attested ---
-    "docs_repetition_score",
-    "docs_char_entropy",
-    "bpe_pair_counts",
-    "stats_profile",
+    # --- NEW r6 operator flagships (in-window the round they ship) ---
+    "orders_ldiversity_release",
+    "cms_heavy_status",
+    "feature_hash_segments",
+    "nation_spend_locf",
+    "supplier_transit_occupancy",
+    "docs_repeated_spans",
+    "trade_kcore",
     # --- attested family flagships kept in-window (cross-round canaries) ---
     "scd2_orders",
     "pagerank_trade",

@@ -215,9 +215,107 @@ def main() -> None:
         lines.append(
             f"| {op} | {r['1x']:.3f} | {r['10x']:.3f} | {r['100x']:.3f} | {alpha:.2f} |"
         )
+    # ---- Round-5 relational / geometry families (VERDICT r05 #5) ------
+    # Synthetic TPC-H-shaped tables generated with spark.range (exact
+    # deterministic columns, no external data) at 1x = sf0.1's row counts.
+    def make_rel(n_orders: int, out_dir: str) -> None:
+        n_cust = max(n_orders // 10, 5)
+        n_supp = max(n_orders // 150, 2)
+        segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                "MACHINERY"]
+        spark.range(1, n_cust + 1).select(
+            F.col("id").alias("c_custkey"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in segs]),
+                (F.col("id") % 5 + 1).cast("int"),
+            ).alias("c_mktsegment"),
+        ).write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+        spark.range(1, n_supp + 1).select(
+            F.col("id").alias("s_suppkey"),
+            (F.col("id") % 25).alias("s_nationkey"),
+        ).write.mode("overwrite").parquet(f"{out_dir}/supplier.parquet")
+        spark.range(1, n_orders + 1).select(
+            F.col("id").alias("o_orderkey"),
+            (F.col("id") % n_cust + 1).alias("o_custkey"),
+            ((F.col("id") * 7919 % 900000) / 100.0 + 100.0)
+            .alias("o_totalprice"),
+        ).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    R5_OPS = [
+        "embedding_dim_corr",        # Gram/co-moment Arrow matmul
+        "target_encode_oof",         # leakage-safe OOF encoding
+        "bootstrap_price_ci",        # B replicates as 2B conditional aggs
+        "spatial_grid_density",      # geohash-grid density map
+        "spatial_nearest_supplier",  # grid-bucketed 3x3 NN join
+        "consistent_hash_reshard",   # ring remap + movement audit
+    ]
+    rel_sizes = {"1x": 150_000, "10x": 1_500_000, "100x": 15_000_000}
+    r5: dict[str, dict[str, float]] = {op: {} for op in R5_OPS}
+    with tempfile.TemporaryDirectory() as tmp:
+        dirs = {}
+        for label, rows in rel_sizes.items():
+            d = os.path.join(tmp, label)
+            os.makedirs(d)
+            make_rel(rows, d)
+            # embeddings scale with the ANN section's sizes
+            (
+                spark.read.format("lakeforge_docgen")
+                .option("kind", "embeddings")
+                .option("rows", emb_sizes[label])
+                .option("numPartitions", 32).load()
+            ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+            dirs[label] = d
+        for op in R5_OPS:
+            for label in rel_sizes:
+                t = time_op(spark, op, dirs[label], args.runs)
+                r5[op][label] = round(t, 3)
+                print(f"{op:28s} {label:>4s}: {t:7.3f}s", flush=True)
+
     lines += [
         "",
-        "Why these stay ~linear by construction:",
+        "## Round-5 relational / geometry families (VERDICT r05 #5)",
+        "",
+        f"Synthetic TPC-H-shaped tables via spark.range at orders = "
+        f"{rel_sizes['1x']:,}/{rel_sizes['10x']:,}/{rel_sizes['100x']:,} "
+        "(1x = sf0.1's count; customers = orders/10, suppliers = "
+        "orders/150), embeddings as in the ANN section.  Same protocol.",
+        "",
+        "| op | t(1x) s | t(10x) s | t(100x) s | alpha (10x->100x) |",
+        "|---|---|---|---|---|",
+    ]
+    for op in R5_OPS:
+        r = r5[op]
+        alpha = math.log10(r["100x"] / r["10x"]) if r["10x"] > 0 else float("nan")
+        lines.append(
+            f"| {op} | {r['1x']:.3f} | {r['10x']:.3f} | {r['100x']:.3f} "
+            f"| {alpha:.2f} |"
+        )
+    lines += [
+        "",
+        "Why the r5 family stays ~linear by construction:",
+        "- `embedding_dim_corr`: each Arrow batch contributes ONE d x d "
+        "int64 matmul and emits d*(d+1)/2 partial rows — the shuffle is "
+        "O(tasks x d^2), never O(rows).",
+        "- `target_encode_oof`: one hash aggregate to the (segment, fold) "
+        "cell table; the OOF means come from a window over that tiny "
+        "frame, so the data-dependent term is the single scan.",
+        "- `bootstrap_price_ci`: all B replicates ride ONE scan as 2B "
+        "conditional aggregates; cost = O(rows x B) map-side, shuffle is "
+        "B-bounded.",
+        "- `spatial_grid_density`: two map-side-combined grid aggregates "
+        "joined over a <=648-cell universe — join cost constant in SF.",
+        "- `spatial_nearest_supplier`: candidate pairs only form inside a "
+        "3x3 grid-cell neighborhood equi-join (bounded x9 fan-out), never "
+        "cross-join; per-cell supplier lists are broadcast-sized.",
+        "- `consistent_hash_reshard`: ring remap is a broadcast of the "
+        "k-point ring against a row-local hash — one scan, no shuffle "
+        "beyond the movement-audit aggregate.",
+    ]
+
+    lines += [
+        "",
+        "Why the LLM-op family (first table) stays ~linear by "
+        "construction:",
         "- `neardup_survivors` / `neardup_clusters`: MinHash LSH banding — "
         "candidate pairs are per-band bucket joins, O(docs x bands), plus "
         "checkpointed min-label propagation whose per-iteration cost is "
