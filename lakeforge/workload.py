@@ -1217,12 +1217,18 @@ ORACLE_SQL["orders_merge_on_read"] = SQL_ORDERS_MERGE_ON_READ
 # (workload_aux.py: orders_ldiversity_release, cms_heavy_status,
 # feature_hash_segments, nation_spend_locf, supplier_transit_occupancy,
 # docs_repeated_spans, trade_kcore) enter the window the round they
-# ship; to make room, seven backlog names whose family keeps an
-# in-window representative move to the r7 queue: docs_repetition_score,
+# ship, as do the FOUR wave-2 r6 operators (tcloseness_priorities,
+# matryoshka_recall, zorder_skipping_audit, nearest_view_join); to make
+# room, eleven backlog names whose family keeps an in-window
+# representative move to the r7 queue: docs_repetition_score,
 # docs_char_entropy, bpe_pair_counts, stats_profile, embedding_dim_stats
 # (embedding_dim_corr carries the family), kmv_year_overlap
 # (cms_heavy_status carries sketches), revenue_autocorr
-# (revenue_stl_outliers carries time-series).
+# (revenue_stl_outliers carries time-series), benford_price_digits +
+# did_segment_effect (the in-window stats block carries hypothesis
+# tests; cuped carries causal), reorder_survival (funnel_wilson_ci
+# carries funnel/survival), price_psi_drift (source_lang_js_divergence
+# carries drift).
 _PRIORITY_R6: list[str] = [
     # --- zero-evidence-at-r5 spatial pair (VERDICT #1) ---
     "spatial_grid_density",
@@ -1252,13 +1258,9 @@ _PRIORITY_R6: list[str] = [
     "embedding_dim_corr",
     # --- r5 displaced-ops queue: late-round-5 additions ---
     "ivm_join_nation_revenue",
-    "reorder_survival",
     "funnel_wilson_ci",
     "user_path_3grams",
-    "did_segment_effect",
-    "benford_price_digits",
     "revenue_stl_outliers",
-    "price_psi_drift",
     "source_lang_js_divergence",
     # --- r5 displaced-ops queue: evaluation/curation block ---
     "embedding_auc",
@@ -1277,6 +1279,10 @@ _PRIORITY_R6: list[str] = [
     "supplier_transit_occupancy",
     "docs_repeated_spans",
     "trade_kcore",
+    "tcloseness_priorities",
+    "matryoshka_recall",
+    "zorder_skipping_audit",
+    "nearest_view_join",
     # --- attested family flagships kept in-window (cross-round canaries) ---
     "scd2_orders",
     "pagerank_trade",

@@ -660,3 +660,499 @@ FROM spans GROUP BY doc_id
 
 QUERIES["docs_repeated_spans"] = q_docs_repeated_spans
 ORACLE_SQL["docs_repeated_spans"] = SQL_DOCS_REPEATED_SPANS
+
+
+# ---------------------------------------------------------------------------
+# Privacy: t-closeness (completes the k-anonymity / l-diversity / t-closeness
+# release triad).
+# ---------------------------------------------------------------------------
+
+_TCLOSE_T_PERMILLE = 200
+
+
+def q_tcloseness_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) over the same
+    (segment, year) quasi-identifier as the l-diversity release: a group
+    passes only if its o_orderpriority DISTRIBUTION is within t of the
+    GLOBAL distribution — diversity alone cannot stop a skewness attack
+    (a group can hold 3 distinct priorities yet be 95% '1-URGENT' while
+    the population is 20%).  Distance = total variation (the categorical
+    Earth-Mover with unit ground distance), computed EXACTLY in integers:
+    tvd_permille = 500 * sum_v |n_gv*N - n_v*N_g| / (N_g*N), floor div.
+
+    Plan: one fact aggregate to (group, value) cells; the value universe
+    spine is group-table x 5-row broadcast (documented BNLJ fan-out) so
+    ABSENT values contribute their full |0 - n_v*N_g| mass; global counts
+    join broadcast.  Nothing wider than the cell table ever shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rows = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        "c_mktsegment",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_orderpriority",
+    )
+    cells = rows.groupBy("c_mktsegment", "order_year", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gv")
+    )
+    groups = rows.groupBy("c_mktsegment", "order_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    glob = rows.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v")
+    )
+    total = rows.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    spine = groups.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(total))
+    full = spine.join(
+        cells, ["c_mktsegment", "order_year", "o_orderpriority"], "left"
+    ).select(
+        "c_mktsegment",
+        "order_year",
+        "n_g",
+        "n_total",
+        F.abs(
+            F.coalesce("n_gv", F.lit(0)) * F.col("n_total")
+            - F.col("n_v") * F.col("n_g")
+        ).alias("dev"),
+    )
+    agg = full.groupBy("c_mktsegment", "order_year", "n_g", "n_total").agg(
+        F.sum("dev").alias("dev_sum")
+    )
+    tvd = F.expr("500 * dev_sum div (n_g * n_total)")
+    return agg.select(
+        "c_mktsegment",
+        "order_year",
+        F.col("n_g").alias("n"),
+        tvd.cast("bigint").alias("tvd_permille"),
+        (tvd <= _TCLOSE_T_PERMILLE).alias("released_t"),
+    )
+
+
+SQL_TCLOSENESS_PRIORITIES = f"""
+WITH rows_ AS (
+    SELECT c.c_mktsegment,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           o.o_orderpriority
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cells AS (
+    SELECT c_mktsegment, order_year, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_gv
+    FROM rows_ GROUP BY 1, 2, 3
+),
+groups AS (
+    SELECT c_mktsegment, order_year, CAST(count(*) AS BIGINT) AS n_g
+    FROM rows_ GROUP BY 1, 2
+),
+gdist AS (
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_v
+    FROM rows_ GROUP BY 1
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM rows_),
+spine AS (SELECT * FROM groups, gdist, total),
+full_ AS (
+    SELECT s.c_mktsegment, s.order_year, s.n_g, s.n_total,
+           ABS(COALESCE(c.n_gv, 0) * s.n_total - s.n_v * s.n_g) AS dev
+    FROM spine s LEFT JOIN cells c
+      USING (c_mktsegment, order_year, o_orderpriority)
+),
+agg AS (
+    SELECT c_mktsegment, order_year, n_g, n_total, SUM(dev) AS dev_sum
+    FROM full_ GROUP BY 1, 2, 3, 4
+)
+SELECT c_mktsegment, order_year, n_g AS n,
+       CAST(500 * dev_sum // (n_g * n_total) AS BIGINT) AS tvd_permille,
+       (500 * dev_sum // (n_g * n_total)) <= {_TCLOSE_T_PERMILLE}
+           AS released_t
+FROM agg
+"""
+
+QUERIES["tcloseness_priorities"] = q_tcloseness_priorities
+ORACLE_SQL["tcloseness_priorities"] = SQL_TCLOSENESS_PRIORITIES
+
+
+# ---------------------------------------------------------------------------
+# Embedding: Matryoshka truncation quality (recall@k of prefix dims).
+# ---------------------------------------------------------------------------
+
+_MRL_QUERIES, _MRL_TOPK = 20, 10
+_MRL_DIMS = (16, 32)
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka evaluation (Kusupati et al. 2022, MRL): recall@10 of
+    exact L2 search over PREFIX-truncated embeddings (first 16 / first
+    32 of 64 dims) against full-dimension exact search — the measurement
+    that tells you how much of the ANN serving bill a nested-dimension
+    embedding can shed before quality falls off.  Everything exact
+    integer micro-units, so even the ranking ties resolve identically on
+    both engines.
+
+    Plan: both sides are the broadcast-query-side exact scan (l2_topk),
+    restricted to the standard 20-probe set — the truncated scans touch
+    the SAME corpus pass shape with shorter arrays, which is precisely
+    the cost model MRL exploits at scale."""
+    from lakeforge.llm.similarity import l2_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < _MRL_QUERIES)
+    exact = _aux_l2_truth(spark, sf_dir)
+    parts = []
+    for d in _MRL_DIMS:
+        trunc = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        tq = queries.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        approx = l2_topk(tq, trunc, "embedding", "vec_id", k=_MRL_TOPK).select(
+            F.lit(d).cast("int").alias("trunc_dim"),
+            "query_id",
+            F.col("neighbor_id").alias("a_nb"),
+        )
+        parts.append(approx)
+    approx_all = parts[0].unionByName(parts[1])
+    hits = (
+        exact.join(
+            approx_all,
+            (exact.query_id == approx_all.query_id)
+            & (F.col("e_nb") == F.col("a_nb")),
+            "left",
+        )
+        .groupBy("trunc_dim", exact.query_id)
+        .agg(F.count("a_nb").cast("bigint").alias("n_hits"))
+    )
+    # LEFT join puts NULL trunc_dim on queries with zero hits at some dim;
+    # regenerate the dense (dim x query) grid instead of risking dropouts.
+    grid = (
+        exact.select("query_id").distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(d,) for d in _MRL_DIMS], "trunc_dim int"
+                )
+            )
+        )
+    )
+    out = grid.join(hits, ["trunc_dim", "query_id"], "left").select(
+        "trunc_dim",
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+    )
+    return out.select(
+        "trunc_dim",
+        "query_id",
+        "n_hits",
+        F.expr(f"(n_hits * 1000) div {_MRL_TOPK}")
+        .cast("bigint")
+        .alias("recall_permille"),
+    )
+
+
+_AUX_L2_TRUTH: dict[tuple, list] = {}
+
+
+def _aux_l2_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-dimension exact-L2 ground truth (query_id, e_nb) for the
+    20-probe set — the same memoized-evaluation-artifact pattern as
+    workload_llm._l2_ground_truth (train/compute once per corpus)."""
+    from lakeforge.llm.similarity import l2_topk
+
+    key = (spark.sparkContext.applicationId, sf_dir, _MRL_QUERIES, _MRL_TOPK)
+    if key not in _AUX_L2_TRUTH:
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        q = emb.filter(F.col("vec_id") < _MRL_QUERIES)
+        _AUX_L2_TRUTH[key] = [
+            (int(r["query_id"]), int(r["neighbor_id"]))
+            for r in l2_topk(q, emb, "embedding", "vec_id", k=_MRL_TOPK)
+            .select("query_id", "neighbor_id")
+            .collect()
+        ]
+    return spark.createDataFrame(
+        _AUX_L2_TRUTH[key], "query_id bigint, e_nb bigint"
+    )
+
+
+def _sql_matryoshka() -> str:
+    per_dim = []
+    for d in _MRL_DIMS:
+        per_dim.append(f"""
+exd{d} AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM((q.x - c.x) * (q.x - c.x)) AS d2
+  FROM exl q JOIN exl c USING (pos)
+  WHERE q.pos <= {d} AND q.vec_id < {_MRL_QUERIES}
+    AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+ap{d} AS (
+  SELECT {d} AS trunc_dim, query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY d2 ASC, neighbor_id ASC) AS rn
+    FROM exd{d}) WHERE rn <= {_MRL_TOPK}
+)""")
+    approx_union = " UNION ALL ".join(
+        f"SELECT * FROM ap{d}" for d in _MRL_DIMS
+    )
+    dims_values = ", ".join(f"({d})" for d in _MRL_DIMS)
+    return f"""
+WITH mb AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+      v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS vec
+  FROM embeddings
+),
+exl AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(vec, 1) AS pos, unnest(vec) AS x
+  FROM mb
+),
+exdf AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM((q.x - c.x) * (q.x - c.x)) AS d2
+  FROM exl q JOIN exl c USING (pos)
+  WHERE q.vec_id < {_MRL_QUERIES} AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY d2 ASC, neighbor_id ASC) AS rn
+    FROM exdf) WHERE rn <= {_MRL_TOPK}
+),
+{",".join(per_dim)},
+approx AS ({approx_union}),
+dims(trunc_dim) AS (VALUES {dims_values}),
+grid AS (
+  SELECT d.trunc_dim, e.query_id
+  FROM dims d, (SELECT DISTINCT query_id FROM exact) e
+),
+hits AS (
+  SELECT a.trunc_dim, e.query_id,
+         CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM exact e LEFT JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT g.trunc_dim, g.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) * 1000 // {_MRL_TOPK} AS BIGINT)
+           AS recall_permille
+FROM grid g LEFT JOIN hits h
+  ON g.trunc_dim = h.trunc_dim AND g.query_id = h.query_id
+"""
+
+
+QUERIES["matryoshka_recall"] = q_matryoshka_recall
+ORACLE_SQL["matryoshka_recall"] = _sql_matryoshka()
+
+
+# ---------------------------------------------------------------------------
+# Layout: Z-order vs linear file-skipping audit.
+# ---------------------------------------------------------------------------
+
+_ZA_BITS = 10          # 1024 x 1024 key domain (matches zorder_keys)
+_ZA_FILES = 64         # value-range "files" per layout
+_ZA_PROBES = 16        # yq point probes (secondary-dimension workload)
+
+
+def q_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measures WHY Z-ordering exists: lay the orders fact out into 64
+    value-range files two ways — linear (range-partitioned by xq, the
+    customer hash) and Z-order (range-partitioned by the interleaved
+    zval) — record per-file min/max of the SECONDARY dimension yq (order
+    date offset), then replay a 16-point yq probe workload against the
+    min/max index.  ``files_scanned`` is how many files the engine must
+    touch per probe; linear layout keeps ~the full yq range in every
+    file (nothing prunes), Z-order bounds both dimensions per file.
+
+    Plan: file ids are row-local bit arithmetic (NO global sort — value-
+    range bucketing is exactly what a range-partitioned write produces);
+    one map-side-combined min/max aggregate per layout; the probe replay
+    is a 16-row broadcast against the 128-row file index (documented
+    BNLJ fan-out).  This is the audit you run BEFORE paying for a
+    100 TB OPTIMIZE ZORDER rewrite."""
+    from lakeforge.ops.layout import zorder_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 1024).alias("xq"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            )
+            % 1024
+        ).cast("bigint").alias("yq"),
+    )
+    zval = zorder_key(["xq", "yq"], bits=_ZA_BITS)
+    keyed = o.select(
+        "xq", "yq",
+        F.expr(f"xq div {1024 // _ZA_FILES}").cast("int").alias("linear_file"),
+        (zval / F.lit(2 ** (2 * _ZA_BITS) // _ZA_FILES))
+        .cast("int").alias("zorder_file"),
+    )
+    idx = None
+    for layout in ("linear", "zorder"):
+        part = keyed.groupBy(
+            F.lit(layout).alias("layout"),
+            F.col(f"{layout}_file").alias("file_id"),
+        ).agg(
+            F.min("yq").alias("min_yq"), F.max("yq").alias("max_yq")
+        )
+        idx = part if idx is None else idx.unionByName(part)
+    probes = spark.createDataFrame(
+        [(32 + 64 * i,) for i in range(_ZA_PROBES)], "probe bigint"
+    )
+    hits = (
+        idx.crossJoin(F.broadcast(probes))
+        .select(
+            "layout",
+            "file_id",
+            ((F.col("probe") >= F.col("min_yq"))
+             & (F.col("probe") <= F.col("max_yq"))).cast("int").alias("hit"),
+        )
+    )
+    return hits.groupBy("layout").agg(
+        F.countDistinct("file_id").cast("bigint").alias("n_files"),
+        F.sum("hit").cast("bigint").alias("files_scanned_total"),
+        F.expr(
+            f"1000 * sum(hit) div (count(distinct file_id) * {_ZA_PROBES})"
+        ).cast("bigint").alias("scan_permille"),
+    )
+
+
+def _sql_zorder_audit() -> str:
+    terms = []
+    for b in range(_ZA_BITS):
+        terms.append(f"(((xq >> {b}) & 1) << {b * 2})")
+        terms.append(f"(((yq >> {b}) & 1) << {b * 2 + 1})")
+    zexpr = " + ".join(terms)
+    probes = ", ".join(f"({32 + 64 * i})" for i in range(_ZA_PROBES))
+    return f"""
+WITH o AS (
+  SELECT o_custkey % 1024 AS xq,
+         CAST(datediff('day', DATE '1995-01-01',
+              CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS yq
+  FROM orders
+),
+keyed AS (
+  SELECT xq, yq,
+         CAST(xq // {1024 // _ZA_FILES} AS INT) AS linear_file,
+         CAST(({zexpr}) // {2 ** (2 * _ZA_BITS) // _ZA_FILES} AS INT)
+             AS zorder_file
+  FROM o
+),
+idx AS (
+  SELECT 'linear' AS layout, linear_file AS file_id,
+         MIN(yq) AS min_yq, MAX(yq) AS max_yq
+  FROM keyed GROUP BY 2
+  UNION ALL
+  SELECT 'zorder', zorder_file, MIN(yq), MAX(yq)
+  FROM keyed GROUP BY 2
+),
+probes(probe) AS (VALUES {probes}),
+hits AS (
+  SELECT layout, file_id,
+         CAST(probe >= min_yq AND probe <= max_yq AS INT) AS hit
+  FROM idx, probes
+)
+SELECT layout,
+       CAST(count(DISTINCT file_id) AS BIGINT) AS n_files,
+       CAST(SUM(hit) AS BIGINT) AS files_scanned_total,
+       CAST(1000 * SUM(hit) // (count(DISTINCT file_id) * {_ZA_PROBES})
+            AS BIGINT) AS scan_permille
+FROM hits GROUP BY layout
+"""
+
+
+QUERIES["zorder_skipping_audit"] = q_zorder_skipping_audit
+ORACLE_SQL["zorder_skipping_audit"] = _sql_zorder_audit()
+
+
+# ---------------------------------------------------------------------------
+# Join: nearest-event join (closest view to each purchase, +-30 min).
+# ---------------------------------------------------------------------------
+
+_NV_GAP_S = 1800
+
+
+def q_nearest_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join: for every purchase, the SAME-USER view closest
+    in time within +-30 minutes (ties -> earlier view, then lower id) —
+    the bidirectional cousin of the backward-only as-of join already in
+    the registry, and the standard attach-telemetry-to-transaction
+    primitive.
+
+    Plan: both streams bucket into 30-minute epochs; each purchase probes
+    its own and both ADJACENT buckets (a |gap| <= 30 min match cannot
+    span further), so candidates form in a (user, bucket) equi-join with
+    a bounded x3 fan-out — never a full temporal cross join.  One window
+    per purchase ranks the survivors.  At 100 TB the bucket width is the
+    knob: it trades probe fan-out against per-bucket candidate count."""
+    from lakeforge.io.sources import read_events
+
+    ev = read_events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        (F.unix_timestamp("ts") / F.lit(_NV_GAP_S)).cast("bigint").alias("vb"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        (F.unix_timestamp("ts") / F.lit(_NV_GAP_S)).cast("bigint").alias("pb"),
+    )
+    probes = p.select(
+        "purchase_id", "user_id", "purchase_ts",
+        F.explode(
+            F.array(F.col("pb") - 1, F.col("pb"), F.col("pb") + 1)
+        ).alias("vb"),
+    )
+    gap = F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+    cand = (
+        probes.join(v, ["user_id", "vb"])
+        .select(
+            "purchase_id",
+            "view_id",
+            "view_ts",
+            gap.cast("bigint").alias("gap_seconds"),
+        )
+        .filter(F.abs(F.col("gap_seconds")) <= _NV_GAP_S)
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.abs(F.col("gap_seconds")).asc(),
+        F.col("view_ts").asc(),
+        F.col("view_id").asc(),
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "view_id", "gap_seconds")
+    )
+
+
+SQL_NEAREST_VIEW_JOIN = f"""
+WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+cand AS (
+  SELECT p.purchase_id, v.view_id, v.view_ts,
+         CAST(date_diff('second', v.view_ts, p.purchase_ts) AS BIGINT)
+             AS gap_seconds
+  FROM p JOIN v USING (user_id)
+  WHERE ABS(date_diff('second', v.view_ts, p.purchase_ts)) <= {_NV_GAP_S}
+)
+SELECT purchase_id, view_id, gap_seconds FROM (
+  SELECT purchase_id, view_id, gap_seconds,
+         row_number() OVER (PARTITION BY purchase_id
+             ORDER BY ABS(gap_seconds) ASC, view_ts ASC, view_id ASC) AS rn
+  FROM cand) WHERE rn = 1
+"""
+
+QUERIES["nearest_view_join"] = q_nearest_view_join
+ORACLE_SQL["nearest_view_join"] = SQL_NEAREST_VIEW_JOIN

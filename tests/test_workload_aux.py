@@ -142,3 +142,108 @@ def test_kcore_recovers_planted_clique(spark):
     edges = spark.createDataFrame(und, "src bigint, dst bigint")
     got = {r.node: r.core_deg for r in kcore_nodes(edges, k=3, rounds=6).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_tcloseness_whole_population_group_is_zero(spark, tmp_path):
+    # One segment, one year -> the single group IS the population, so
+    # TVD must be exactly 0 and the group releases.
+    import datetime as dt
+    rows = [(i, 1, dt.datetime(2024, 1, 1 + i % 20), "P%d" % (i % 3)) for i in range(60)]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp,"
+        " o_orderpriority string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, "SEG")], "c_custkey bigint, c_mktsegment string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    out = wa.q_tcloseness_priorities(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].tvd_permille == 0 and bool(out[0].released_t)
+
+
+def test_tcloseness_bounds_and_conservation(spark):
+    rows = wa.q_tcloseness_priorities(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.tvd_permille <= 1000
+        assert r.released_t == (r.tvd_permille <= wa._TCLOSE_T_PERMILLE)
+    assert sum(r.n for r in rows) == _n_orders(spark)
+
+
+def test_matryoshka_constant_tail_dims_give_perfect_recall(spark, tmp_path):
+    # If dims 17..64 are CONSTANT, truncating to 16 cannot change any
+    # L2 ranking -> recall@k must be exactly 1000 for trunc_dim=16.
+    rows = [
+        (vid, [((vid * 13 + d * 7) % 23) / 23.0 for d in range(16)]
+              + [0.5] * 48)
+        for vid in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = wa.q_matryoshka_recall(spark, str(tmp_path)).collect()
+    d16 = [r for r in out if r.trunc_dim == 16]
+    assert len(d16) == wa._MRL_QUERIES
+    assert all(r.recall_permille == 1000 for r in d16)
+
+
+def test_matryoshka_grid_complete_and_bounded(spark):
+    out = wa.q_matryoshka_recall(spark, SF).collect()
+    assert len(out) == len(wa._MRL_DIMS) * wa._MRL_QUERIES
+    for r in out:
+        assert 0 <= r.n_hits <= wa._MRL_TOPK
+        assert r.recall_permille == r.n_hits * 1000 // wa._MRL_TOPK
+
+
+def test_zorder_prunes_secondary_dimension_better_than_linear(spark):
+    out = {r.layout: r for r in wa.q_zorder_skipping_audit(spark, SF).collect()}
+    assert set(out) == {"linear", "zorder"}
+    for r in out.values():
+        assert 1 <= r.n_files <= wa._ZA_FILES
+        assert 0 <= r.scan_permille <= 1000
+    assert out["zorder"].scan_permille < out["linear"].scan_permille
+
+
+def test_nearest_view_join_picks_closest_and_crosses_buckets(spark, tmp_path):
+    # Purchase at 10:00:00.  Views at 09:31 (29 min before, PREVIOUS
+    # 30-min bucket -> must still be found), 10:05 (5 min after ->
+    # nearest), 10:20, and one out of range at 11:00.  Tie case: user 2
+    # has views exactly +-7 min -> earlier wins.
+    import datetime as dt
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    ev = [
+        (100, 1, "purchase", base),
+        (1, 1, "view", base - dt.timedelta(minutes=29)),
+        (2, 1, "view", base + dt.timedelta(minutes=5)),
+        (3, 1, "view", base + dt.timedelta(minutes=20)),
+        (4, 1, "view", base + dt.timedelta(minutes=60)),
+        (200, 2, "purchase", base),
+        (5, 2, "view", base - dt.timedelta(minutes=7)),
+        (6, 2, "view", base + dt.timedelta(minutes=7)),
+    ]
+    spark.createDataFrame(
+        ev, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r.purchase_id: (r.view_id, r.gap_seconds)
+           for r in wa.q_nearest_view_join(spark, str(tmp_path)).collect()}
+    assert out[100] == (2, -300)       # +5 min view, gap = purchase - view
+    assert out[200] == (5, 420)        # tie on |gap| -> earlier view wins
+
+
+def test_nearest_view_bucket_boundary_equals_oracle_bruteforce(spark, tmp_path):
+    # A view exactly 30:00 before the purchase sits 2 buckets away only
+    # if the purchase is at a bucket start — place it so the candidate
+    # comes from the adjacent bucket and verify it is NOT missed.
+    import datetime as dt
+    base = dt.datetime(2024, 3, 1, 10, 30, 0)  # bucket boundary
+    ev = [
+        (300, 9, "purchase", base),
+        (7, 9, "view", base - dt.timedelta(minutes=30)),  # exactly -1800s
+    ]
+    spark.createDataFrame(
+        ev, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = wa.q_nearest_view_join(spark, str(tmp_path)).collect()
+    assert [(r.purchase_id, r.view_id, r.gap_seconds) for r in out] == [
+        (300, 7, 1800)
+    ]
