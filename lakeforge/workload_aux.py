@@ -343,7 +343,10 @@ def q_nation_spend_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "n_name")
         .crossJoin(F.broadcast(months))
     )
-    joined = spine.join(cells, ["nationkey", "month"], "left")
+    # cells is nations x months at ANY fact size — broadcast explicitly
+    # (post-aggregate stats are unknown to Catalyst, which otherwise
+    # plans an SMJ for this dimension-sized join).
+    joined = spine.join(F.broadcast(cells), ["nationkey", "month"], "left")
     w = (
         Window.partitionBy("nationkey")
         .orderBy("month")
@@ -705,8 +708,11 @@ def q_tcloseness_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = rows.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     spine = groups.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(total))
+    # cells is |groups| x 5 at any fact size — broadcast explicitly (same
+    # post-aggregate-stats reasoning as nation_spend_locf).
     full = spine.join(
-        cells, ["c_mktsegment", "order_year", "o_orderpriority"], "left"
+        F.broadcast(cells),
+        ["c_mktsegment", "order_year", "o_orderpriority"], "left"
     ).select(
         "c_mktsegment",
         "order_year",
@@ -814,8 +820,10 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         parts.append(approx)
     approx_all = parts[0].unionByName(parts[1])
+    # exact is the |probes| x k collected truth (200 rows) — broadcast it
+    # so the recall join never shuffles the approx side on a tiny build.
     hits = (
-        exact.join(
+        F.broadcast(exact).join(
             approx_all,
             (exact.query_id == approx_all.query_id)
             & (F.col("e_nb") == F.col("a_nb")),
@@ -836,7 +844,8 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    out = grid.join(hits, ["trunc_dim", "query_id"], "left").select(
+    # hits is at most |dims| x |probes| rows — broadcast (see above).
+    out = grid.join(F.broadcast(hits), ["trunc_dim", "query_id"], "left").select(
         "trunc_dim",
         "query_id",
         F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),

@@ -234,6 +234,11 @@ def main() -> None:
             F.col("id").alias("s_suppkey"),
             (F.col("id") % 25).alias("s_nationkey"),
         ).write.mode("overwrite").parquet(f"{out_dir}/supplier.parquet")
+        spark.range(0, 25).select(
+            F.col("id").cast("int").alias("n_nationkey"),
+            F.concat(F.lit("NATION_"), F.col("id").cast("string"))
+            .alias("n_name"),
+        ).write.mode("overwrite").parquet(f"{out_dir}/nation.parquet")
         spark.range(1, n_orders + 1).select(
             F.col("id").alias("o_orderkey"),
             (F.col("id") % n_cust + 1).alias("o_custkey"),
