@@ -1218,9 +1218,13 @@ ORACLE_SQL["orders_merge_on_read"] = SQL_ORDERS_MERGE_ON_READ
 # feature_hash_segments, nation_spend_locf, supplier_transit_occupancy,
 # docs_repeated_spans, trade_kcore) enter the window the round they
 # ship, as do the FOUR wave-2 r6 operators (tcloseness_priorities,
-# matryoshka_recall, zorder_skipping_audit, nearest_view_join); to make
-# room, eleven backlog names whose family keeps an in-window
-# representative move to the r7 queue: docs_repetition_score,
+# matryoshka_recall, zorder_skipping_audit, nearest_view_join) and the
+# TWO wave-3 ops (docs_strip_repeated_spans, active_years_bitmap); to
+# make room, thirteen backlog names whose family keeps an in-window or
+# already-attested representative move to the r7 queue:
+# ivm_join_nation_revenue (ivm_distinct_customers attested r5),
+# user_path_3grams (events_sequence_match attested r5),
+# docs_repetition_score,
 # docs_char_entropy, bpe_pair_counts, stats_profile, embedding_dim_stats
 # (embedding_dim_corr carries the family), kmv_year_overlap
 # (cms_heavy_status carries sketches), revenue_autocorr
@@ -1257,9 +1261,7 @@ _PRIORITY_R6: list[str] = [
     "mannwhitney_price_rank",
     "embedding_dim_corr",
     # --- r5 displaced-ops queue: late-round-5 additions ---
-    "ivm_join_nation_revenue",
     "funnel_wilson_ci",
-    "user_path_3grams",
     "revenue_stl_outliers",
     "source_lang_js_divergence",
     # --- r5 displaced-ops queue: evaluation/curation block ---
@@ -1283,6 +1285,8 @@ _PRIORITY_R6: list[str] = [
     "matryoshka_recall",
     "zorder_skipping_audit",
     "nearest_view_join",
+    "docs_strip_repeated_spans",
+    "active_years_bitmap",
     # --- attested family flagships kept in-window (cross-round canaries) ---
     "scd2_orders",
     "pagerank_trade",

@@ -1165,3 +1165,229 @@ SELECT purchase_id, view_id, gap_seconds FROM (
 
 QUERIES["nearest_view_join"] = q_nearest_view_join
 ORACLE_SQL["nearest_view_join"] = SQL_NEAREST_VIEW_JOIN
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr ACTION: strip repeated spans and fingerprint the cleaned text.
+# ---------------------------------------------------------------------------
+
+
+def q_docs_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACT half of ExactSubstr dedup (detection = docs_repeated_spans):
+    remove every token covered by a cross-document repeated span and
+    fingerprint the surviving text.  Emitting (tokens_before,
+    tokens_removed, cleaned_fp) instead of the cleaned text keeps the
+    result compact while still value-checking the RECONSTRUCTION — an
+    off-by-one in span coverage or a nondeterministic token order flips
+    the fingerprint.
+
+    Plan: span coverage explodes back to token positions (fan-out =
+    repeated token mass <= doc length, so total stays O(tokens)); kept
+    tokens anti-join coverage on (doc, pos); the rebuild is a sorted
+    collect_list per doc — deterministic because the sort key is the
+    token position, mirrored by the oracle's string_agg(... ORDER BY
+    pos).  Text shuffles ONCE (the rebuild); detection still shuffles
+    hashes only."""
+    n = _SPAN_N
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "").alias("toks"),
+    )
+    tok_pos = toks.select(
+        "doc_id",
+        F.posexplode("toks").alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN "
+                f"transform(sequence(1, size(toks) - {n} + 1), "
+                f"i -> concat_ws(' ', slice(toks, i, {n}))) "
+                f"ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), md5_int("gram").alias("gram_h"))
+    rep = (
+        grams.groupBy("gram_h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram_h")
+    )
+    hits = grams.join(rep, "gram_h", "left_semi").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    brk = F.when(F.col("i") - F.lag("i").over(w) <= n, F.lit(0)).otherwise(F.lit(1))
+    spans = (
+        hits.withColumn("brk", brk)
+        .withColumn(
+            "span_id",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(F.min("i").alias("s"), F.max("i").alias("e"))
+    )
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("s"), F.col("e") + n - 1)).alias("pos"),
+    ).distinct()
+    kept = tok_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_after"),
+        md5_int(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("cleaned_fp"),
+    )
+    before = tok_pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_before")
+    )
+    return (
+        before.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            (
+                F.col("n_tokens_before") - F.coalesce("n_tokens_after", F.lit(0))
+            ).cast("bigint").alias("n_tokens_removed"),
+            # a fully-stripped doc has no surviving tokens: fingerprint of
+            # the empty string on both engines
+            F.coalesce(
+                F.col("cleaned_fp"), md5_int(F.lit(""))
+            ).alias("cleaned_fp"),
+        )
+    )
+
+
+SQL_DOCS_STRIP_REPEATED_SPANS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+tok_pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+                   unnest(toks) AS tok
+            FROM toks),
+pos AS (SELECT doc_id,
+               unnest(range(1, greatest(len(toks) - {_SPAN_N} + 2, 1))) AS i,
+               toks
+        FROM toks),
+grams AS (SELECT doc_id, i,
+                 {duckdb_md5_int_sql([f"array_to_string(toks[i:i+{_SPAN_N - 1}], ' ')"])}
+                     AS gram_h
+          FROM pos),
+rep AS (SELECT gram_h FROM grams GROUP BY gram_h
+        HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.i FROM grams g
+         WHERE g.gram_h IN (SELECT gram_h FROM rep)),
+brk AS (SELECT doc_id, i,
+               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                         <= {_SPAN_N} THEN 0 ELSE 1 END AS brk
+        FROM hits),
+isl AS (SELECT doc_id, i,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS span_id
+        FROM brk),
+spans AS (SELECT doc_id, span_id, MIN(i) AS s, MAX(i) AS e
+          FROM isl GROUP BY doc_id, span_id),
+covered AS (SELECT DISTINCT doc_id,
+                   unnest(range(s, e + {_SPAN_N})) AS pos
+            FROM spans),
+kept AS (SELECT t.doc_id, t.pos, t.tok
+         FROM tok_pos t LEFT JOIN covered c
+           ON t.doc_id = c.doc_id AND t.pos = c.pos
+         WHERE c.pos IS NULL),
+rebuilt AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens_after,
+                   {duckdb_md5_int_sql(["string_agg(tok, ' ' ORDER BY pos)"])}
+                       AS cleaned_fp
+            FROM kept GROUP BY doc_id),
+before AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_before
+           FROM tok_pos GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens_before,
+       CAST(b.n_tokens_before - COALESCE(r.n_tokens_after, 0) AS BIGINT)
+           AS n_tokens_removed,
+       COALESCE(r.cleaned_fp, {duckdb_md5_int_sql(["''"])}) AS cleaned_fp
+FROM before b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+QUERIES["docs_strip_repeated_spans"] = q_docs_strip_repeated_spans
+ORACLE_SQL["docs_strip_repeated_spans"] = SQL_DOCS_STRIP_REPEATED_SPANS
+
+
+# ---------------------------------------------------------------------------
+# Bitmap index: packed-word set intersections (roaring-style membership).
+# ---------------------------------------------------------------------------
+
+
+def q_active_years_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year active-customer overlap via a PACKED BITMAP index:
+    each (year, word) row packs 63 customers into one BIGINT (bit c%63 of
+    word c//63 — 63, not 64, keeps the sign bit clear so checked engines
+    like DuckDB never see a signed overflow), intersections are bitwise
+    AND + popcount — the bitmap-
+    index representation OLAP engines (Druid, Pinot, ClickHouse) use for
+    high-cardinality membership, here exact and oracle-checkable because
+    DuckDB has the same bit_or/bit_count semantics on BIGINT.
+
+    Against the equivalent self-join (active_both_years in the
+    registry): the bitmap form compresses |active| rows to |active|/64
+    words ONCE, then every pairwise overlap is a word-aligned merge —
+    the reason bitmap indexes win when MANY set operations reuse one
+    index.  Plan: one distinct + one bit_or aggregate (map-side
+    combined) to |years| x |custkeys|/63 rows; the pair join is
+    word-index equi, output one row per year pair."""
+    o = _t(spark, sf_dir, "orders")
+    active = o.select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_custkey").alias("c"),
+    ).distinct()
+    words = active.groupBy(
+        "yr", F.expr("c div 63").cast("bigint").alias("word_idx")
+    ).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(c % 63 AS INT)))")
+        .alias("w"),
+        F.count(F.lit(1)).cast("bigint").alias("n_set"),
+    )
+    a = words.select(
+        F.col("yr").alias("year_a"), "word_idx",
+        F.col("w").alias("wa"), F.col("n_set").alias("na"),
+    )
+    b = words.select(
+        F.col("yr").alias("year_b"), "word_idx",
+        F.col("w").alias("wb"), F.col("n_set").alias("nb"),
+    )
+    pairs = a.join(b, "word_idx").filter(F.col("year_a") < F.col("year_b"))
+    return pairs.groupBy("year_a", "year_b").agg(
+        F.sum(F.expr("bit_count(wa & wb)")).cast("bigint").alias("n_both"),
+        F.sum("na").cast("bigint").alias("n_a_words"),
+        F.sum("nb").cast("bigint").alias("n_b_words"),
+    )
+
+
+SQL_ACTIVE_YEARS_BITMAP = """
+WITH active AS (
+    SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS yr, o_custkey AS c
+    FROM orders
+),
+words AS (
+    SELECT yr, CAST(c // 63 AS BIGINT) AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(c % 63 AS INT)) AS w,
+           CAST(count(*) AS BIGINT) AS n_set
+    FROM active GROUP BY 1, 2
+)
+SELECT a.yr AS year_a, b.yr AS year_b,
+       CAST(SUM(bit_count(a.w & b.w)) AS BIGINT) AS n_both,
+       CAST(SUM(a.n_set) AS BIGINT) AS n_a_words,
+       CAST(SUM(b.n_set) AS BIGINT) AS n_b_words
+FROM words a JOIN words b USING (word_idx)
+WHERE a.yr < b.yr
+GROUP BY 1, 2
+"""
+
+QUERIES["active_years_bitmap"] = q_active_years_bitmap
+ORACLE_SQL["active_years_bitmap"] = SQL_ACTIVE_YEARS_BITMAP

@@ -247,3 +247,43 @@ def test_nearest_view_bucket_boundary_equals_oracle_bruteforce(spark, tmp_path):
     assert [(r.purchase_id, r.view_id, r.gap_seconds) for r in out] == [
         (300, 7, 1800)
     ]
+
+
+def test_strip_spans_removes_exactly_the_shared_passage(spark, tmp_path):
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    docs = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"{shared} epsilon zeta eta theta iota kappa"),
+        (3, "completely unrelated text with no overlap at all here now"),
+    ]
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in
+           wa.q_docs_strip_repeated_spans(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_tokens_before == 14 and out[1].n_tokens_removed == 10
+    assert out[2].n_tokens_before == 16 and out[2].n_tokens_removed == 10
+    assert out[3].n_tokens_removed == 0
+    # survivors fingerprint to the expected cleaned text
+    from lakeforge.functions.keys import md5_int
+    exp = spark.createDataFrame(
+        [("alpha beta gamma delta",)], "t string"
+    ).select(md5_int("t").alias("fp")).collect()[0].fp
+    assert out[1].cleaned_fp == exp
+
+
+def test_bitmap_overlap_equals_join_count(spark):
+    got = {
+        (r.year_a, r.year_b): r.n_both
+        for r in wa.q_active_years_bitmap(spark, SF).collect()
+    }
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    act = o.select(
+        F.year("o_orderdate").cast("int").alias("yr"), "o_custkey"
+    ).distinct()
+    a = act.toPandas()
+    import itertools
+    by_year = {y: set(g["o_custkey"]) for y, g in a.groupby("yr")}
+    for ya, yb in itertools.combinations(sorted(by_year), 2):
+        assert got[(ya, yb)] == len(by_year[ya] & by_year[yb]), (ya, yb)
