@@ -1219,9 +1219,12 @@ ORACLE_SQL["orders_merge_on_read"] = SQL_ORDERS_MERGE_ON_READ
 # docs_repeated_spans, trade_kcore) enter the window the round they
 # ship, as do the FOUR wave-2 r6 operators (tcloseness_priorities,
 # matryoshka_recall, zorder_skipping_audit, nearest_view_join) and the
-# TWO wave-3 ops (docs_strip_repeated_spans, active_years_bitmap); to
-# make room, thirteen backlog names whose family keeps an in-window or
+# TWO wave-3 ops (docs_strip_repeated_spans, active_years_bitmap) and
+# the TWO wave-4 ops (weighted_median_price, capped_running_balance); to
+# make room, fifteen backlog names whose family keeps an in-window or
 # already-attested representative move to the r7 queue:
+# embedding_pr_curve (embedding_auc carries eval curves),
+# threshold_confusion (score_calibration carries thresholds),
 # ivm_join_nation_revenue (ivm_distinct_customers attested r5),
 # user_path_3grams (events_sequence_match attested r5),
 # docs_repetition_score,
@@ -1266,9 +1269,7 @@ _PRIORITY_R6: list[str] = [
     "source_lang_js_divergence",
     # --- r5 displaced-ops queue: evaluation/curation block ---
     "embedding_auc",
-    "embedding_pr_curve",
     "score_calibration",
-    "threshold_confusion",
     "spearman_qty_price",
     "return_risk_auc_by_nation",
     "cross_source_dup_matrix",
@@ -1287,6 +1288,8 @@ _PRIORITY_R6: list[str] = [
     "nearest_view_join",
     "docs_strip_repeated_spans",
     "active_years_bitmap",
+    "weighted_median_price",
+    "capped_running_balance",
     # --- attested family flagships kept in-window (cross-round canaries) ---
     "scd2_orders",
     "pagerank_trade",

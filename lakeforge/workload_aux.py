@@ -1391,3 +1391,197 @@ GROUP BY 1, 2
 
 QUERIES["active_years_bitmap"] = q_active_years_bitmap
 ORACLE_SQL["active_years_bitmap"] = SQL_ACTIVE_YEARS_BITMAP
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median per group — two-level blocked sweep, no global
+# single-partition window (the spend_gini / orderkey_gaps seam pattern).
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of extended price per return flag: the
+    smallest price whose cumulative quantity reaches half the group's
+    total (lower weighted median; the upper twin is emitted too, so the
+    even/odd boundary case is visible).  Weighted medians are the robust
+    location estimate when rows carry multiplicity — unit-priced line
+    items here, token counts or sample weights in a training pipeline.
+
+    Needs each row's GLOBAL cumulative weight in price order WITHIN its
+    group — assigned two-level: (1) cumulative quantity within
+    (flag, price-range block) — parallel windows; (2) per-block weight
+    totals prefix-summed over the tiny per-flag block summary give each
+    block's offset; global cumw = offset + local.  All integer cents and
+    quantities, so the two-level result is bit-identical to the oracle's
+    single ORDER BY cumulative window."""
+    from lakeforge.cache import persist_tracked
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    blocked = persist_tracked(
+        li.withColumn("bk", F.expr("price_c div 1000000"))
+    )
+    w_in = Window.partitionBy("l_returnflag", "bk").orderBy(
+        "price_c", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = blocked.withColumn("cw_local", F.sum("qty").over(w_in))
+    blk = blocked.groupBy("l_returnflag", "bk").agg(
+        F.sum("qty").alias("bw")
+    )
+    w_blk = (
+        Window.partitionBy("l_returnflag").orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = blk.withColumn(
+        "off", F.coalesce(F.sum("bw").over(w_blk), F.lit(0))
+    ).select("l_returnflag", "bk", "off")
+    ranked = local.join(F.broadcast(offs), ["l_returnflag", "bk"]).withColumn(
+        "cw", F.col("off") + F.col("cw_local")
+    )
+    totals = blocked.groupBy("l_returnflag").agg(
+        F.sum("qty").cast("bigint").alias("w_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+    j = ranked.join(F.broadcast(totals), "l_returnflag")
+    return j.groupBy("l_returnflag", "w_total", "n_items").agg(
+        F.min(
+            F.when(F.col("cw") * 2 >= F.col("w_total"), F.col("price_c"))
+        ).cast("bigint").alias("wmedian_lo_cents"),
+        F.min(
+            F.when(F.col("cw") * 2 > F.col("w_total"), F.col("price_c"))
+        ).cast("bigint").alias("wmedian_hi_cents"),
+    ).select(
+        "l_returnflag", "n_items", "w_total",
+        "wmedian_lo_cents", "wmedian_hi_cents",
+    )
+
+
+SQL_WEIGHTED_MEDIAN_PRICE = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(l_quantity AS BIGINT) AS qty,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+ranked AS (
+  SELECT l_returnflag, price_c, qty,
+         SUM(qty) OVER (PARTITION BY l_returnflag
+             ORDER BY price_c, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM li
+),
+totals AS (
+  SELECT l_returnflag, CAST(SUM(qty) AS BIGINT) AS w_total,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM li GROUP BY l_returnflag
+)
+SELECT r.l_returnflag, t.n_items, t.w_total,
+       CAST(MIN(CASE WHEN r.cw * 2 >= t.w_total THEN r.price_c END)
+            AS BIGINT) AS wmedian_lo_cents,
+       CAST(MIN(CASE WHEN r.cw * 2 > t.w_total THEN r.price_c END)
+            AS BIGINT) AS wmedian_hi_cents
+FROM ranked r JOIN totals t USING (l_returnflag)
+GROUP BY r.l_returnflag, t.n_items, t.w_total
+"""
+
+QUERIES["weighted_median_price"] = q_weighted_median_price
+ORACLE_SQL["weighted_median_price"] = SQL_WEIGHTED_MEDIAN_PRICE
+
+
+# ---------------------------------------------------------------------------
+# Capped running balance — sequential per-key recurrence that built-in
+# window functions CANNOT express (the clamp makes each step depend on the
+# clamped previous step).  Arrow-batched grouped-map is the documented
+# escape hatch (SCALE.md "Python boundary policy"); the DuckDB oracle
+# states the SAME recurrence as a recursive CTE, so two maximally
+# different formulations check each other.
+# ---------------------------------------------------------------------------
+
+
+def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running balance floored at zero: orders arrive in
+    (date, key) order; every 3rd order key is a debit, others credit;
+    balance_i = max(0, balance_{i-1} + delta_i).  The floor is the
+    non-linearity — prefix sums, windows, and segment tricks cannot
+    produce it, because the clamp at step i rewrites the state every
+    later step depends on (inventory floors, prepaid-credit burn-down,
+    budget caps are all this recurrence).
+
+    Plan: ONE shuffle on the grouping key into an Arrow-batched grouped
+    map (applyInPandas); per-group work is O(rows) over a numpy loop on
+    ~group-sized arrays.  At 100 TB per-key history lengths, the same
+    recurrence runs as a stateful streaming fold
+    (applyInPandasWithState) — the batch shape here is its replay twin.
+    Output per customer: final balance, clamp count, order count."""
+    import numpy as np
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        (
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+            * F.when(F.col("o_orderkey") % 3 == 0, F.lit(-1)).otherwise(F.lit(1))
+        ).alias("delta_c"),
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["od", "o_orderkey"])
+        bal, clamps = 0, 0
+        for d in pdf["delta_c"].to_numpy():
+            bal += int(d)
+            if bal < 0:
+                bal, clamps = 0, clamps + 1
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "final_balance_cents": [bal],
+                "n_clamps": [clamps],
+                "n_orders": [len(pdf)],
+            }
+        )
+
+    return o.groupBy("o_custkey").applyInPandas(
+        fold,
+        schema="o_custkey bigint, final_balance_cents bigint,"
+        " n_clamps bigint, n_orders bigint",
+    )
+
+
+SQL_CAPPED_RUNNING_BALANCE = """
+WITH RECURSIVE seq AS (
+  SELECT o_custkey,
+         row_number() OVER (PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS i,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+             * (CASE WHEN o_orderkey % 3 = 0 THEN -1 ELSE 1 END) AS delta_c
+  FROM orders
+),
+n_per AS (SELECT o_custkey, MAX(i) AS n FROM seq GROUP BY o_custkey),
+walk(o_custkey, i, bal, clamps) AS (
+  SELECT o_custkey, 1,
+         GREATEST(0, delta_c),
+         CASE WHEN delta_c < 0 THEN 1 ELSE 0 END
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT w.o_custkey, w.i + 1,
+         GREATEST(0, w.bal + s.delta_c),
+         w.clamps + CASE WHEN w.bal + s.delta_c < 0 THEN 1 ELSE 0 END
+  FROM walk w JOIN seq s ON s.o_custkey = w.o_custkey AND s.i = w.i + 1
+)
+SELECT w.o_custkey,
+       CAST(w.bal AS BIGINT) AS final_balance_cents,
+       CAST(w.clamps AS BIGINT) AS n_clamps,
+       CAST(n.n AS BIGINT) AS n_orders
+FROM walk w JOIN n_per n ON n.o_custkey = w.o_custkey AND w.i = n.n
+"""
+
+QUERIES["capped_running_balance"] = q_capped_running_balance
+ORACLE_SQL["capped_running_balance"] = SQL_CAPPED_RUNNING_BALANCE

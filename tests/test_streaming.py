@@ -1184,3 +1184,73 @@ def test_stream_auc_monitor_per_batch(spark, tmp_path):
     assert set(rows) == {0, 1}
     assert rows[0].auc_permille >= 900  # positives all rank at the top
     assert 350 <= rows[1].auc_permille <= 650  # shuffled ~ coin flip
+
+
+def test_streaming_cms_counters_merge_to_batch_equivalent(spark, tmp_path):
+    """CMS mergeability in STREAMING form: each micro-batch's (r, col)
+    counter increments fold into a persistent counter table via
+    merge_aggregates (sum-combine) in foreachBatch; after draining, the
+    accumulated counters must equal the one-shot batch counters over the
+    same events — the distributive-merge property that makes CMS safe to
+    maintain incrementally (per day, per stream, per cluster)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lakeforge.functions.keys import md5_int
+    from lakeforge.io.sources import read_events, read_parquet_if_exists
+    from lakeforge.ops.merge import merge_aggregates
+    from lakeforge.streaming.events import read_events_stream
+
+    D, W = 4, 64
+    stream_dir = tmp_path / "ev"
+    stream_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", stream_dir / "p0.parquet")
+    out = str(tmp_path / "counters")
+
+    def counters_of(df):
+        cells = [
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(md5_int("event_type", F.lit(f"cms-r{r}")), F.lit(W))
+                .alias("col"),
+            )
+            for r in range(D)
+        ]
+        return (
+            df.select(F.explode(F.array(*cells)).alias("c"))
+            .groupBy(F.col("c.r").alias("r"), F.col("c.col").alias("col"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+
+    def sink(batch_df, batch_id):
+        delta = counters_of(batch_df)
+        old = read_parquet_if_exists(batch_df.sparkSession, out)
+        if old is None:
+            merged = delta
+        else:
+            merged = merge_aggregates(old, delta, ["r", "col"], {"cnt": "sum"})
+        merged.write.mode("overwrite").parquet(out + "_next")
+        # atomic-ish swap for the test: read from _next on the next batch
+        spark_ = batch_df.sparkSession
+        merged2 = spark_.read.parquet(out + "_next")
+        merged2.write.mode("overwrite").parquet(out)
+
+    q = (
+        read_events_stream(spark, str(stream_dir))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.r, r.col): r.cnt
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.r, r.col): r.cnt
+        for r in counters_of(read_events(spark, SF_DIR)).collect()
+    }
+    assert got == want

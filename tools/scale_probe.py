@@ -246,16 +246,26 @@ def main() -> None:
             .alias("o_totalprice"),
         ).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
+    # (op, max size label): spatial_nearest_supplier is CAPPED at 10x —
+    # its grid join's candidate count is O(n_cust * n_supp / 648) with the
+    # FIXED 10-degree grid, and the probe's 100x density (1.5M customers x
+    # 100k suppliers) measured an executor OOM (~2e9 candidate rows).
+    # That is the documented applicability bound of a fixed-cell grid:
+    # production re-grids with density (finer cells sized so each holds
+    # O(1) suppliers, plus ring-expansion fallback for empty neighbor-
+    # hoods).  The cap keeps the finding in the table instead of the
+    # probe dying silently.
     R5_OPS = [
-        "embedding_dim_corr",        # Gram/co-moment Arrow matmul
-        "target_encode_oof",         # leakage-safe OOF encoding
-        "bootstrap_price_ci",        # B replicates as 2B conditional aggs
-        "spatial_grid_density",      # geohash-grid density map
-        "spatial_nearest_supplier",  # grid-bucketed 3x3 NN join
-        "consistent_hash_reshard",   # ring remap + movement audit
+        ("embedding_dim_corr", "100x"),        # Gram/co-moment Arrow matmul
+        ("target_encode_oof", "100x"),         # leakage-safe OOF encoding
+        ("bootstrap_price_ci", "100x"),        # B replicates, 2B cond. aggs
+        ("spatial_grid_density", "100x"),      # geohash-grid density map
+        ("spatial_nearest_supplier", "10x"),   # grid NN join (see note)
+        ("consistent_hash_reshard", "100x"),   # ring remap + movement audit
     ]
+    order = ["1x", "10x", "100x"]
     rel_sizes = {"1x": 150_000, "10x": 1_500_000, "100x": 15_000_000}
-    r5: dict[str, dict[str, float]] = {op: {} for op in R5_OPS}
+    r5: dict[str, dict[str, float | str]] = {op: {} for op, _ in R5_OPS}
     with tempfile.TemporaryDirectory() as tmp:
         dirs = {}
         for label, rows in rel_sizes.items():
@@ -270,9 +280,20 @@ def main() -> None:
                 .option("numPartitions", 32).load()
             ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
             dirs[label] = d
-        for op in R5_OPS:
+        for op, max_label in R5_OPS:
             for label in rel_sizes:
-                t = time_op(spark, op, dirs[label], args.runs)
+                if order.index(label) > order.index(max_label):
+                    r5[op][label] = "capped"
+                    print(f"{op:28s} {label:>4s}: capped (see note)",
+                          flush=True)
+                    continue
+                try:
+                    t = time_op(spark, op, dirs[label], args.runs)
+                except Exception as e:  # survive an OOM, record it
+                    r5[op][label] = "failed"
+                    print(f"{op:28s} {label:>4s}: FAILED "
+                          f"({type(e).__name__})", flush=True)
+                    continue
                 r5[op][label] = round(t, 3)
                 print(f"{op:28s} {label:>4s}: {t:7.3f}s", flush=True)
 
@@ -288,12 +309,19 @@ def main() -> None:
         "| op | t(1x) s | t(10x) s | t(100x) s | alpha (10x->100x) |",
         "|---|---|---|---|---|",
     ]
-    for op in R5_OPS:
+    def _cell(v) -> str:
+        return f"{v:.3f}" if isinstance(v, float) else str(v)
+
+    for op, _ in R5_OPS:
         r = r5[op]
-        alpha = math.log10(r["100x"] / r["10x"]) if r["10x"] > 0 else float("nan")
+        if isinstance(r.get("100x"), float) and isinstance(r.get("10x"), float) \
+                and r["10x"] > 0:
+            alpha = f"{math.log10(r['100x'] / r['10x']):.2f}"
+        else:
+            alpha = "—"
         lines.append(
-            f"| {op} | {r['1x']:.3f} | {r['10x']:.3f} | {r['100x']:.3f} "
-            f"| {alpha:.2f} |"
+            f"| {op} | {_cell(r['1x'])} | {_cell(r['10x'])} "
+            f"| {_cell(r['100x'])} | {alpha} |"
         )
     lines += [
         "",
@@ -310,8 +338,18 @@ def main() -> None:
         "- `spatial_grid_density`: two map-side-combined grid aggregates "
         "joined over a <=648-cell universe — join cost constant in SF.",
         "- `spatial_nearest_supplier`: candidate pairs only form inside a "
-        "3x3 grid-cell neighborhood equi-join (bounded x9 fan-out), never "
-        "cross-join; per-cell supplier lists are broadcast-sized.",
+        "3x3 grid-cell neighborhood equi-join, never a cross join — but "
+        "the fan-out per customer is the 9-cell SUPPLIER OCCUPANCY, so "
+        "with the FIXED 10-degree grid candidates grow "
+        "O(n_cust x n_supp / 648): linear in each side, quadratic when "
+        "both scale together.  The probe measured exactly that — fine "
+        "through 10x, executor OOM (~2e9 candidate rows) at 100x density "
+        "— hence the `capped` cell.  At production density the grid must "
+        "be re-sized so each cell holds O(1) suppliers (finer cells + "
+        "ring-expansion fallback for empty neighborhoods); the fixed "
+        "10-degree cell is the documented applicability bound of the "
+        "oracle-paired formulation, chosen so the 3x3 ring provably "
+        "contains the nearest supplier at the test densities.",
         "- `consistent_hash_reshard`: ring remap is a broadcast of the "
         "k-point ring against a row-local hash — one scan, no shuffle "
         "beyond the movement-audit aggregate.",
