@@ -287,3 +287,42 @@ def test_bitmap_overlap_equals_join_count(spark):
     by_year = {y: set(g["o_custkey"]) for y, g in a.groupby("yr")}
     for ya, yb in itertools.combinations(sorted(by_year), 2):
         assert got[(ya, yb)] == len(by_year[ya] & by_year[yb]), (ya, yb)
+
+
+def test_weighted_median_known_values_and_even_split(spark, tmp_path):
+    # Group R: prices 100,200,300 with weights 1,2,1 (W=4): cum at 200 is
+    # 3 >= 2 -> lo = 200; cum*2 > 4 first at 200 (6 > 4) -> hi = 200.
+    # Group A: prices 100,300 weights 1,1 (W=2): lo = 100 (2 >= 2),
+    # hi = 300 (2 > 2 false at 100, true at 300) -> even-split visible.
+    rows = [
+        (1, 1, "R", 1.00, 1.0), (1, 2, "R", 2.00, 2.0), (1, 3, "R", 3.00, 1.0),
+        (2, 1, "A", 1.00, 1.0), (2, 2, "A", 3.00, 1.0),
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_linenumber int, l_returnflag string,"
+        " l_extendedprice double, l_quantity double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    out = {r.l_returnflag: r for r in
+           wa.q_weighted_median_price(spark, str(tmp_path)).collect()}
+    assert out["R"].wmedian_lo_cents == 200 and out["R"].wmedian_hi_cents == 200
+    assert out["A"].wmedian_lo_cents == 100 and out["A"].wmedian_hi_cents == 300
+    assert out["R"].w_total == 4 and out["A"].w_total == 2
+
+
+def test_capped_balance_clamps_exactly(spark, tmp_path):
+    # customer 1 in date order: +1000, -2500 (clamp -> 0), +500 -> 500.
+    # orderkeys: 1 (+), 3 (debit, %3==0), 4 (+); prices 10.00, 25.00, 5.00.
+    import datetime as dt
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1), 10.00),
+        (3, 1, dt.datetime(2024, 1, 2), 25.00),
+        (4, 1, dt.datetime(2024, 1, 3), 5.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp,"
+        " o_totalprice double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = wa.q_capped_running_balance(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.final_balance_cents, r.n_clamps, r.n_orders) == (500, 1, 3)
