@@ -481,14 +481,17 @@ def jaccard_prefix_pairs(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= df_cap)
     )
-    # rare feeds sizes, the prefix index, and both verify-join sides.
+    # rare feeds the prefix index and both verify-join sides.
     rare = persist_tracked(sh.join(dfreq, "shingle"))
-    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # Global rarity order: ascending (df, shingle) — the tuple is the
-    # total order, so no dense-rank materialization is needed.
-    pos = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy("df", "shingle")
-    )
+    # total order, so no dense-rank materialization is needed.  The set
+    # size n_sh rides the SAME per-doc shuffle as the prefix position
+    # (count over the unbounded frame of one window spec, row_number over
+    # the ordered one) — one exchange instead of a separate
+    # groupBy(doc_id) + join back (r6: −2 stages, identical values).
+    w_doc = Window.partitionBy("doc_id")
+    pos = F.row_number().over(w_doc.orderBy("df", "shingle"))
+    n_sh = F.count(F.lit(1)).over(w_doc)
     # prefix length: |A| - ceil(tau*|A|) + 1  (integer ceil both engines)
     plen = (
         F.col("n_sh")
@@ -497,8 +500,8 @@ def jaccard_prefix_pairs(
     )
     prefix = persist_tracked(
         rare.select("doc_id", "shingle", "df")
-        .join(sizes, "doc_id")
         .withColumn("pos", pos)
+        .withColumn("n_sh", n_sh)
         .filter(F.col("pos") <= plen)
         .select("shingle", "doc_id", "pos", "n_sh")
     )
