@@ -1220,11 +1220,13 @@ ORACLE_SQL["orders_merge_on_read"] = SQL_ORDERS_MERGE_ON_READ
 # ship, as do the FOUR wave-2 r6 operators (tcloseness_priorities,
 # matryoshka_recall, zorder_skipping_audit, nearest_view_join) and the
 # TWO wave-3 ops (docs_strip_repeated_spans, active_years_bitmap) and
-# the TWO wave-4 ops (weighted_median_price, capped_running_balance); to
-# make room, fifteen backlog names whose family keeps an in-window or
-# already-attested representative move to the r7 queue:
+# the TWO wave-4 ops (weighted_median_price, capped_running_balance)
+# and the wave-5 op (rolling_7day_distinct_users); to make room, sixteen
+# backlog names whose family keeps an in-window or already-attested
+# representative move to the r7 queue:
 # embedding_pr_curve (embedding_auc carries eval curves),
 # threshold_confusion (score_calibration carries thresholds),
+# spearman_qty_price (mannwhitney/theilsen carry rank statistics),
 # ivm_join_nation_revenue (ivm_distinct_customers attested r5),
 # user_path_3grams (events_sequence_match attested r5),
 # docs_repetition_score,
@@ -1270,7 +1272,6 @@ _PRIORITY_R6: list[str] = [
     # --- r5 displaced-ops queue: evaluation/curation block ---
     "embedding_auc",
     "score_calibration",
-    "spearman_qty_price",
     "return_risk_auc_by_nation",
     "cross_source_dup_matrix",
     "effective_token_mass",
@@ -1290,6 +1291,7 @@ _PRIORITY_R6: list[str] = [
     "active_years_bitmap",
     "weighted_median_price",
     "capped_running_balance",
+    "rolling_7day_distinct_users",
     # --- attested family flagships kept in-window (cross-round canaries) ---
     "scd2_orders",
     "pagerank_trade",

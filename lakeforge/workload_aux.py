@@ -1585,3 +1585,81 @@ FROM walk w JOIN n_per n ON n.o_custkey = w.o_custkey AND w.i = n.n
 
 QUERIES["capped_running_balance"] = q_capped_running_balance
 ORACLE_SQL["capped_running_balance"] = SQL_CAPPED_RUNNING_BALANCE
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window DISTINCT — the classic non-distributive aggregate, done
+# exactly with a bounded day-bucket fan-out.
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users over a trailing 7-day window, per day.
+    DISTINCT does not decompose over window panes (yesterday's count
+    can't be combined with today's — overlap is unknown), which is why
+    engines either re-scan per window or keep mergeable sketches; this
+    formulation re-deduplicates exactly but bounds the work: events
+    collapse to DISTINCT (day, user) pairs ONCE, each pair fans out to
+    the <= 7 window-end days it can serve (row-local explode), and one
+    aggregate counts distinct users per window end.
+
+    Scale: fan-out is pairs x 7 — independent of event volume after the
+    first dedup; the shuffle key is the window-end day.  At 100 TB the
+    same query keeps per-day KMV/HLL sketches instead (see
+    kmv_distinct_segments / hll_union_regions) and unions 7 sketches per
+    day — this exact form is the oracle those sketches calibrate
+    against.  Output also carries the single-day distinct so the lift of
+    the window is visible."""
+    from lakeforge.io.sources import read_events
+
+    ev = read_events(spark, sf_dir)
+    day_user = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    fan = day_user.select(
+        "user_id",
+        "d",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("win_end"),
+    )
+    # only window ends that are REAL event days (dense output would count
+    # trailing ghost days after the last event)
+    days = day_user.select("d").distinct().withColumnRenamed("d", "win_end")
+    win = fan.join(F.broadcast(days), "win_end").groupBy("win_end").agg(
+        F.countDistinct("user_id").cast("bigint").alias("users_7d")
+    )
+    single = day_user.groupBy(F.col("d").alias("win_end")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("users_1d")
+    )
+    return win.join(single, "win_end").select(
+        "win_end", "users_1d", "users_7d"
+    )
+
+
+SQL_ROLLING_7DAY_DISTINCT_USERS = """
+WITH day_user AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d AS win_end FROM day_user),
+fan AS (
+    SELECT du.user_id,
+           CAST(unnest(generate_series(du.d, du.d + 6, INTERVAL 1 DAY))
+                AS DATE) AS win_end
+    FROM day_user du
+),
+win AS (
+    SELECT f.win_end, CAST(count(DISTINCT f.user_id) AS BIGINT) AS users_7d
+    FROM fan f JOIN days USING (win_end)
+    GROUP BY f.win_end
+),
+single AS (
+    SELECT d AS win_end, CAST(count(DISTINCT user_id) AS BIGINT) AS users_1d
+    FROM day_user GROUP BY d
+)
+SELECT w.win_end, s.users_1d, w.users_7d
+FROM win w JOIN single s USING (win_end)
+"""
+
+QUERIES["rolling_7day_distinct_users"] = q_rolling_7day_distinct_users
+ORACLE_SQL["rolling_7day_distinct_users"] = SQL_ROLLING_7DAY_DISTINCT_USERS

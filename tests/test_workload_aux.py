@@ -326,3 +326,28 @@ def test_capped_balance_clamps_exactly(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert (r.final_balance_cents, r.n_clamps, r.n_orders) == (500, 1, 3)
+
+
+def test_rolling_distinct_windows_exactly(spark, tmp_path):
+    # users: day1 {A,B}, day2 {B}, day9 {A}.  Window ends on event days:
+    # d1 -> {A,B}=2, d2 -> {A,B}=2 (d1 within 7d), d9 -> {A} only
+    # (d1/d2 are 8+/7+ days before d9 -> d2 is 7 days before: d2+6 = d8
+    # < d9, so excluded) = 1.
+    import datetime as dt
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    ev = [
+        (1, 100, "view", base),
+        (2, 200, "view", base),
+        (3, 200, "view", base + dt.timedelta(days=1)),
+        (4, 100, "view", base + dt.timedelta(days=8)),
+    ]
+    spark.createDataFrame(
+        ev, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {str(r.win_end): (r.users_1d, r.users_7d)
+           for r in wa.q_rolling_7day_distinct_users(spark, str(tmp_path)).collect()}
+    assert out == {
+        "2024-05-01": (2, 2),
+        "2024-05-02": (1, 2),
+        "2024-05-09": (1, 1),
+    }
