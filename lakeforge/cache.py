@@ -93,6 +93,20 @@ def unpersist_rdd_ids(spark, ids: set[int], blocking: bool = False) -> None:
             jmap.get(k).unpersist(blocking)
 
 
+def checkpoint_eager(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """Eager ``localCheckpoint`` returning ``(checkpointed_df, new_rdd_ids)``.
+
+    For TERMINAL checkpoints — a frame checkpointed only to break a
+    read->overwrite lineage and consumed by exactly one following write
+    action — the caller unpersists the returned ids immediately after the
+    write (``unpersist_rdd_ids``), so the blocks never outlive the query
+    (VERDICT r06 #1: three such sites leaked for the session lifetime)."""
+    spark = df.sparkSession
+    before = rdd_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    return out, rdd_ids(spark) - before
+
+
 def n_cached_rdds(spark) -> int:
     """Number of RDDs the JVM currently holds cached blocks for — the
     between-queries leak probe (0 after release_all + ContextCleaner)."""

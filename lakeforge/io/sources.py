@@ -32,6 +32,34 @@ TESTDATA_TABLES = (
 )
 
 
+def data_version(path: str) -> tuple[int, int]:
+    """Cheap content-version fingerprint of a parquet file/directory:
+    (total bytes, max mtime_ns) over its data files.
+
+    Used as a memo-key component wherever a driver-side artifact (trained
+    codebook, exact-kNN ground truth) is cached per corpus (ADVICE r06 #1:
+    keying only on (applicationId, path, params) silently served stale
+    artifacts if the files at ``path`` were rewritten within one Spark
+    application).  A rewrite changes bytes and/or mtime, so the memo
+    recomputes; the stat walk is driver-side metadata only (no data read)
+    — at 100 TB this is the same O(file count) listing any planner does.
+    """
+    import os
+
+    total, newest = 0, 0
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return st.st_size, st.st_mtime_ns
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            st = os.stat(os.path.join(root, f))
+            total += st.st_size
+            newest = max(newest, st.st_mtime_ns)
+    return total, newest
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

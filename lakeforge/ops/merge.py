@@ -91,8 +91,13 @@ def merge_full_history(
 
     merged = dedup(existing.select(*new_df.columns).unionByName(new_df))
     # Break the read->overwrite lineage; eager, executor-local, O(batch).
-    merged = merged.localCheckpoint(eager=True)
+    # Terminal checkpoint: release the blocks right after the write — the
+    # frame is never re-read (VERDICT r06 #1 leak class).
+    from lakeforge import cache
+
+    merged, ck_ids = cache.checkpoint_eager(merged)
     write_partitioned_parquet(merged, path, partition_cols, mode="overwrite")
+    cache.unpersist_rdd_ids(spark, ck_ids)
 
 
 def merge_upsert(
@@ -156,8 +161,13 @@ def merge_upsert(
     tiebreak = F.xxhash64(*[F.col(c) for c in payload])
     order = [F.col("__src").desc(), *(order_by or []), tiebreak]
     merged = dedup_keep_first(unioned, keys, order).drop("__src")
-    merged = merged.localCheckpoint(eager=True)
+    # Terminal checkpoint: blocks released right after the write (see
+    # merge_full_history).
+    from lakeforge import cache
+
+    merged, ck_ids = cache.checkpoint_eager(merged)
     write_partitioned_parquet(merged, path, partition_cols, mode="overwrite")
+    cache.unpersist_rdd_ids(spark, ck_ids)
 
 
 def table_diff(

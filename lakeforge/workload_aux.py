@@ -682,6 +682,11 @@ def q_tcloseness_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     the population is 20%).  Distance = total variation (the categorical
     Earth-Mover with unit ground distance), computed EXACTLY in integers:
     tvd_permille = 500 * sum_v |n_gv*N - n_v*N_g| / (N_g*N), floor div.
+    The 500x scaling runs in DECIMAL(38,0) (ADVICE r06 #2: dev_sum is
+    bounded by 2*N_g*N, so 500*dev_sum can exceed int64 at ~1e9-row fact
+    x 1e8-row groups; the per-cell products themselves stay within int64
+    up to N ~ 9e18/N_g).  The decimal widening changes no value — the
+    result is floor-div exact and cast back to BIGINT.
 
     Plan: one fact aggregate to (group, value) cells; the value universe
     spine is group-table x 5-row broadcast (documented BNLJ fan-out) so
@@ -726,7 +731,9 @@ def q_tcloseness_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = full.groupBy("c_mktsegment", "order_year", "n_g", "n_total").agg(
         F.sum("dev").alias("dev_sum")
     )
-    tvd = F.expr("500 * dev_sum div (n_g * n_total)")
+    tvd = F.expr(
+        "CAST(500 AS DECIMAL(38,0)) * dev_sum div (n_g * n_total)"
+    )
     return agg.select(
         "c_mktsegment",
         "order_year",
@@ -820,11 +827,14 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         parts.append(approx)
     approx_all = parts[0].unionByName(parts[1])
-    # exact is the |probes| x k collected truth (200 rows) — broadcast it
-    # so the recall join never shuffles the approx side on a tiny build.
+    # approx_all is |dims| x |probes| x k rows (400) — broadcast it as the
+    # BUILD side.  The preserved (left) side of a left join cannot be
+    # broadcast (ADVICE r06 #4: the earlier F.broadcast(exact) hint was
+    # silently ignored); hinting the right side is the supported
+    # BroadcastHashJoin shape, so the recall join really is shuffle-free.
     hits = (
-        F.broadcast(exact).join(
-            approx_all,
+        exact.join(
+            F.broadcast(approx_all),
             (exact.query_id == approx_all.query_id)
             & (F.col("e_nb") == F.col("a_nb")),
             "left",
@@ -869,7 +879,11 @@ def _aux_l2_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     workload_llm._l2_ground_truth (train/compute once per corpus)."""
     from lakeforge.llm.similarity import l2_topk
 
-    key = (spark.sparkContext.applicationId, sf_dir, _MRL_QUERIES, _MRL_TOPK)
+    from lakeforge.io.sources import data_version
+
+    key = (spark.sparkContext.applicationId, sf_dir,
+           data_version(f"{sf_dir}/embeddings.parquet"),
+           _MRL_QUERIES, _MRL_TOPK)
     if key not in _AUX_L2_TRUTH:
         emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         q = emb.filter(F.col("vec_id") < _MRL_QUERIES)

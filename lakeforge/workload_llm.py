@@ -2650,7 +2650,12 @@ _PQ_CODEBOOKS: dict[tuple, list] = {}
 def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
     from lakeforge.llm.similarity import codebook_frames, train_pq_codebooks
 
+    from lakeforge.io.sources import data_version
+
+    # data_version guards against an sf_dir rewrite within one application
+    # serving a stale codebook (ADVICE r06 #1).
     key = (spark.sparkContext.applicationId, sf_dir,
+           data_version(f"{sf_dir}/embeddings.parquet"),
            _PQ_M, _PQ_SUB, _PQ_KC, _PQ_IT)
     if key not in _PQ_CODEBOOKS:
         _PQ_CODEBOOKS[key] = train_pq_codebooks(
@@ -2671,7 +2676,10 @@ _L2_TRUTH: dict[tuple, list] = {}
 def _l2_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeforge.llm.similarity import l2_topk
 
-    key = (spark.sparkContext.applicationId, sf_dir, _N_QUERIES, _TOPK)
+    from lakeforge.io.sources import data_version
+
+    key = (spark.sparkContext.applicationId, sf_dir,
+           data_version(f"{sf_dir}/embeddings.parquet"), _N_QUERIES, _TOPK)
     if key not in _L2_TRUTH:
         emb = _embeddings(spark, sf_dir)
         queries = emb.filter(F.col("vec_id") < _N_QUERIES)

@@ -50,7 +50,16 @@ def _with_recursion_limit(spark: SparkSession, limit: int, build) -> DataFrame:
     ``conf.set`` silently raised the recursion guard for every subsequent
     query in the shared session).  The checkpoint is safe here because
     recursive results are spine-sized (months / live suppliers), never
-    fact-sized."""
+    fact-sized.
+
+    The checkpoint's RDD blocks are registered with the cache registry
+    (VERDICT r06 #1 / ADVICE r06 #3: they previously persisted for the
+    session lifetime — ``cache_leaks: 3`` in BENCH_r06).  Same rdd-id
+    diff + ``track_releaser`` discipline as ``ops/graph.py``: the blocks
+    release at the caller's query boundary, after the result has been
+    materialized."""
+    from lakeforge import cache
+
     key = "spark.sql.cteRecursionLevelLimit"
     try:
         prior = spark.conf.get(key)
@@ -58,7 +67,15 @@ def _with_recursion_limit(spark: SparkSession, limit: int, build) -> DataFrame:
         prior = None
     spark.conf.set(key, str(limit))
     try:
-        return build().localCheckpoint(eager=True)
+        seen = cache.rdd_ids(spark)
+        out = build().localCheckpoint(eager=True)
+        new_ids = cache.rdd_ids(spark) - seen
+        cache.track_releaser(
+            lambda blocking=False: cache.unpersist_rdd_ids(
+                spark, new_ids, blocking
+            )
+        )
+        return out
     finally:
         if prior is None:
             spark.conf.unset(key)
