@@ -148,6 +148,7 @@ def blocked_prefix_sum(
     sum_col: "str | list[str]",
     block_expr: Column,
     out_col: "str | list[str]" = "prefix_sum",
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """EXCLUSIVE running sum(s) of ``sum_col`` over the global
     ``order_col`` order, decomposed two-level so no single-partition
@@ -161,16 +162,25 @@ def blocked_prefix_sum(
     (e.g. ``F.floor(F.col(order_col) / width)``) and ``order_col``
     values must be unique (histogram keys) — then the result is
     identical to a global cumulative window, at any block width.
-    """
+
+    ``group_cols`` scopes the prefix to each group (PARTITION BY
+    semantics) while STILL blocking the within-group order: the carry
+    window runs per (group) over that group's touched blocks (bounded by
+    range/width), so even a group holding 1e8 rows — e.g. one heavily
+    tied ORDER BY value — never funnels through one partition.  The
+    (group, block) summary has at most one row per touched cell, <= the
+    input row count; the carry join is a key equi-join (broadcast when
+    ungrouped, shuffle-by-key when grouped)."""
     from lakeforge.cache import persist_tracked
 
+    g = list(group_cols or [])
     sum_cols = [sum_col] if isinstance(sum_col, str) else list(sum_col)
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
     assert len(sum_cols) == len(out_cols)
 
     blocked = persist_tracked(df.withColumn("__bk", block_expr))
     w_in = (
-        Window.partitionBy("__bk")
+        Window.partitionBy(*g, "__bk")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -179,11 +189,16 @@ def blocked_prefix_sum(
         within = within.withColumn(
             f"__in{i}", F.coalesce(F.sum(c).over(w_in), F.lit(0))
         )
-    blk = blocked.groupBy("__bk").agg(
+    blk = blocked.groupBy(*g, "__bk").agg(
         *[F.sum(c).alias(f"__bt{i}") for i, c in enumerate(sum_cols)]
     )
-    w_blk = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    w_blk = (
+        Window.partitionBy(*g)
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     carry = blk.select(
+        *g,
         "__bk",
         *[
             F.coalesce(F.sum(f"__bt{i}").over(w_blk), F.lit(0)).alias(
@@ -192,7 +207,9 @@ def blocked_prefix_sum(
             for i in range(len(sum_cols))
         ],
     )
-    out = within.join(F.broadcast(carry), "__bk")
+    out = within.join(
+        carry if g else F.broadcast(carry), [*g, "__bk"]
+    )
     drop = ["__bk"]
     for i, oc in enumerate(out_cols):
         out = out.withColumn(
@@ -200,3 +217,68 @@ def blocked_prefix_sum(
         )
         drop += [f"__in{i}", f"__carry{i}"]
     return out.drop(*drop)
+
+
+def blocked_ntile(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_tiles: int,
+    value_block: Column,
+    tiebreak_block: Column,
+    out_col: str = "ntile",
+    n_total: "int | None" = None,
+) -> DataFrame:
+    """``ntile(n) OVER (ORDER BY value_col ASC, tiebreak_col ASC)``
+    without the single-partition global sort (VERDICT r06 #2): rank =
+    strict-prefix count over the VALUE HISTOGRAM (blocked) + within-tie
+    rank by tiebreak (grouped-blocked, so a tie group holding 1e8 rows
+    still parallelizes), and the SQL-standard tile from (rank, n):
+    the first n mod k tiles get floor(n/k)+1 rows, the rest floor(n/k).
+    Exact — identical to the window function for any block widths.
+    Descending orders: pass the negated value.
+
+    ``value_col`` must be integral; ``tiebreak_col`` unique within each
+    value (together they form the total order).  ``value_block`` /
+    ``tiebreak_block`` follow blocked_prefix_sum's monotonicity contract
+    over their respective columns."""
+    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__vn"))
+    hist = blocked_prefix_sum(
+        hist, value_col, "__vn", value_block, out_col="__cumv"
+    ).select(value_col, "__cumv")
+    within = blocked_prefix_sum(
+        df.withColumn("__one", F.lit(1)),
+        tiebreak_col,
+        "__one",
+        tiebreak_block,
+        out_col="__cumt",
+        group_cols=[value_col],
+    ).drop("__one")
+    # n is one bounded driver scalar; callers scoring several orderings
+    # over one persisted frame pass it in so the chained plan isn't
+    # re-executed per count.
+    if n_total is None:
+        n_row = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    else:
+        n_row = df.sparkSession.range(1).select(
+            F.lit(int(n_total)).cast("bigint").alias("__n")
+        )
+    ranked = (
+        within.join(hist, value_col)
+        .crossJoin(F.broadcast(n_row))
+        .withColumn("__r", F.col("__cumv") + F.col("__cumt") + F.lit(1))
+    )
+    # Integer div throughout (exact past 2^53, unlike double /).
+    kk = int(n_tiles)
+    ranked = ranked.withColumn("__q", F.expr(f"__n div {kk}")).withColumn(
+        "__cut", (F.col("__n") - F.col("__q") * F.lit(kk)) * (F.col("__q") + 1)
+    )
+    tile = F.when(
+        F.col("__r") <= F.col("__cut"),
+        F.expr("(__r - 1) div (__q + 1) + 1"),
+    ).otherwise(
+        F.expr(f"(__n - __q * {kk}) + (__r - __cut - 1) div greatest(__q, 1) + 1")
+    )
+    return ranked.withColumn(out_col, tile.cast("bigint")).drop(
+        "__cumv", "__cumt", "__n", "__r", "__q", "__cut"
+    )

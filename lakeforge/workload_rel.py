@@ -3678,31 +3678,63 @@ ORACLE_SQL["heavy_hitter_customers"] = _cms_oracle()
 def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per customer, Recency (days since last order),
     Frequency (order count), Monetary (total spend) -> quartile scores
-    via ntile -> named segment.  One shuffle for the per-customer agg;
-    the three ntile windows share one GLOBAL ordering each but run over
-    the aggregated frame (|customers| rows, not orders) — at extreme
-    scale swap ntile for fixed percentile cut points computed once
-    (approx_percentile) to avoid the single-partition sorts."""
+    via ntile semantics -> named segment.
+
+    The three quartile scores ride :func:`blocked_ntile` (VERDICT r06
+    #2: the previous three global ntile windows each funneled every
+    customer through ONE partition — billions of rows at 100 TB).  Each
+    score is now rank-decomposed: strict-prefix over the VALUE histogram
+    (blocked) + within-tie rank by custkey (grouped-blocked, so the
+    frequency=1 tie group — a third of all customers — still
+    parallelizes), then the SQL-standard tile formula.  Exact — proven
+    identical to the window ntile by tests/test_properties.py; the
+    DuckDB oracle still uses plain ntile.  Block widths derive from one
+    bounded 1-row collect of the per-customer maxima (the
+    trade_bfs-style driver-scalar pattern); descending orders negate
+    the value (div-toward-zero blocks stay monotone for negatives)."""
+    from lakeforge.cache import persist_tracked
+    from lakeforge.ops.analytics import blocked_ntile
+
     o = _t(spark, sf_dir, "orders")
     anchor = F.lit("1998-12-31").cast("date")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.min(F.datediff(anchor, F.col("o_orderdate").cast("date")))
-        .cast("bigint")
-        .alias("recency_days"),
-        F.count(F.lit(1)).cast("bigint").alias("frequency"),
-        F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary"),
+    per_cust = persist_tracked(
+        o.groupBy("o_custkey").agg(
+            F.min(F.datediff(anchor, F.col("o_orderdate").cast("date")))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary"),
+        ).withColumn(
+            "neg_freq", -F.col("frequency")
+        ).withColumn(
+            "neg_monc", -F.expr("CAST(monetary * 100 AS BIGINT)")
+        )
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
-    scored = per_cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(wr).cast("bigint").alias("r_score"),
-        F.ntile(4).over(wf).cast("bigint").alias("f_score"),
-        F.ntile(4).over(wm).cast("bigint").alias("m_score"),
+    mx = per_cust.agg(
+        F.max("recency_days"), F.max("frequency"),
+        F.max(-F.col("neg_monc")), F.max("o_custkey"),
+        F.count(F.lit(1)).cast("bigint"),
+    ).collect()[0]
+    w_rec = max(1, (int(mx[0]) + 1) // 64)
+    w_frq = max(1, (int(mx[1]) + 1) // 16)
+    w_mon = max(1, (int(mx[2]) + 1) // 4096)
+    w_ck = max(1, (int(mx[3]) + 1) // 64)
+    n_cust = int(mx[4])
+    tie_blk = F.expr(f"o_custkey div {w_ck}")
+    scored = blocked_ntile(
+        per_cust, "recency_days", "o_custkey", 4,
+        F.expr(f"recency_days div {w_rec}"), tie_blk,
+        out_col="r_score", n_total=n_cust,
+    )
+    scored = blocked_ntile(
+        scored, "neg_freq", "o_custkey", 4,
+        F.expr(f"neg_freq div {w_frq}"), tie_blk,
+        out_col="f_score", n_total=n_cust,
+    )
+    scored = blocked_ntile(
+        scored, "neg_monc", "o_custkey", 4,
+        F.expr(f"neg_monc div {w_mon}"), tie_blk,
+        out_col="m_score", n_total=n_cust,
     )
     seg = (
         F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
@@ -3782,28 +3814,58 @@ def q_customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     = first 70% of cumulative revenue share, B = next 25%, C = tail.
     Share math in integer basis points of the exact DECIMAL total.
 
-    Plan: per-customer agg (one shuffle), then the cumulative window
-    runs over the AGGREGATED |customers| frame.  That window is a global
-    sort — fine while |customers| is dim-like relative to the fact; at
-    extreme cardinality swap in the two-level block-prefix pattern
-    (q_orderkey_gaps) exactly as the RFM note says."""
+    Plan (VERDICT r06 #2): the cumulative revenue rides the two-level
+    block-prefix pattern instead of a global single-partition window —
+    rank-decomposed as strict-prefix SUM over the revenue-cents VALUE
+    histogram (blocked_prefix_sum) plus the within-tie inclusive term
+    (within a tie group every row carries the same rev, so the inclusive
+    cum is strict + (within_rank+1)*rev_c; the within rank is the
+    grouped-blocked prefix COUNT by custkey).  Exact integer cents; the
+    bps division widens to DECIMAL(38,0) so cum_cents*10000 can't
+    overflow int64 at a 100 TB fact (same ADVICE r06 #2 class as
+    t-closeness).  The DuckDB oracle keeps the plain cumulative window —
+    the two formulations cross-check each other."""
+    from lakeforge.cache import persist_tracked
+    from lakeforge.ops.analytics import blocked_prefix_sum
+
     o = _t(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    per_cust = persist_tracked(
+        o.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+        ).withColumn("rev_c", F.expr("CAST(rev * 100 AS BIGINT)"))
+        .withColumn("neg_rc", -F.col("rev_c"))
     )
-    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
-    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    total = per_cust.agg(F.sum("rev").alias("t"))
-    # integer bps of cumulative share, exact: both decimals become
-    # integral ten-thousandth units before the BIGINT division.
+    mx = per_cust.agg(
+        F.max("rev_c"), F.max("o_custkey"), F.sum("rev").alias("t")
+    ).collect()[0]
+    w_val = max(1, (int(mx[0]) + 1) // 4096)
+    w_ck = max(1, (int(mx[1]) + 1) // 64)
+    t_c = int((mx[2] * 100))  # DEC(·,2) * 100 is integral
+    # Strict prefix SUM over the value histogram (order: rev DESC).
+    hist = per_cust.groupBy("neg_rc").agg(F.sum("rev_c").alias("__vs"))
+    hist = blocked_prefix_sum(
+        hist, "neg_rc", "__vs", F.expr(f"neg_rc div {w_val}"),
+        out_col="__cum_strict",
+    ).select("neg_rc", "__cum_strict")
+    # Within-tie rank by custkey (grouped-blocked: huge tie groups stay
+    # parallel).
+    within = blocked_prefix_sum(
+        per_cust.withColumn("__one", F.lit(1)),
+        "o_custkey", "__one", F.expr(f"o_custkey div {w_ck}"),
+        out_col="__tie_rank", group_cols=["neg_rc"],
+    ).drop("__one")
     cum = (
-        per_cust.crossJoin(F.broadcast(total))
-        .withColumn("cum_rev", F.sum("rev").over(wcum))
+        within.join(hist, "neg_rc")
+        .withColumn(
+            "cum_rev_c",
+            F.col("__cum_strict")
+            + (F.col("__tie_rank") + F.lit(1)) * F.col("rev_c"),
+        )
         .withColumn(
             "cum_bps",
             F.expr(
-                "(CAST(cum_rev * 10000 AS BIGINT) * 10000)"
-                " div CAST(t * 10000 AS BIGINT)"
+                f"CAST(CAST(cum_rev_c AS DECIMAL(38,0)) * 10000"
+                f" div {t_c} AS BIGINT)"
             ),
         )
     )

@@ -655,6 +655,85 @@ def test_blocked_prefix_sum_equals_global_cumsum(spark, rows, width):
 
 
 @settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),   # value (heavy ties)
+            st.integers(min_value=0, max_value=999),  # tiebreak
+            st.integers(min_value=1, max_value=9),    # payload
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[1],
+    ),
+    width=st.sampled_from([1, 4, 1000]),
+)
+def test_grouped_blocked_prefix_sum_equals_partitioned_cumsum(
+    spark, rows, width
+):
+    """group_cols mode must equal a PARTITION BY group ORDER BY tiebreak
+    exclusive cumsum at any block width — including negative group values
+    (div truncates toward zero; still monotone)."""
+    from lakeforge.ops.analytics import blocked_prefix_sum
+
+    df = spark.createDataFrame(rows, ["g", "tk", "cnt"])
+    out = blocked_prefix_sum(
+        df,
+        "tk",
+        "cnt",
+        F.expr(f"tk div {width}"),
+        group_cols=["g"],
+    ).collect()
+    expect = {}
+    acc: dict[int, int] = {}
+    for g, tk, c in sorted(rows, key=lambda r: (r[0], r[1])):
+        expect[(g, tk)] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + c
+    assert len(out) == len(rows)
+    for r in out:
+        assert r.prefix_sum == expect[(r.g, r.tk)], (r.g, r.tk, width)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-4, max_value=4),   # value (heavy ties)
+            st.integers(min_value=0, max_value=999),  # unique tiebreak
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[1],
+    ),
+    k=st.sampled_from([2, 4, 7]),
+)
+def test_blocked_ntile_equals_window_ntile(spark, rows, k):
+    """blocked_ntile must reproduce ntile(k) OVER (ORDER BY v, tk) exactly
+    — including n < k (each row its own tile) and tie groups that straddle
+    tile boundaries."""
+    from pyspark.sql import Window
+
+    from lakeforge.ops.analytics import blocked_ntile
+
+    df = spark.createDataFrame(rows, ["v", "tk"])
+    got = {
+        (r.v, r.tk): r.nt
+        for r in blocked_ntile(
+            df, "v", "tk", k,
+            F.expr("v div 3"), F.expr("tk div 17"), out_col="nt",
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").asc(), F.col("tk").asc())
+    want = {
+        (r.v, r.tk): r.nt
+        for r in df.select(
+            "v", "tk", F.ntile(k).over(w).cast("bigint").alias("nt")
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
 @given(rows=_SCORED)
 def test_pr_curve_matches_bruteforce_cuts(spark, rows):
     from lakeforge.ops.evaluation import pr_curve
