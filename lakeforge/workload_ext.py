@@ -1220,74 +1220,66 @@ def q_spatial_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells (squared Euclidean distance in micro-degrees — exact BIGINT),
     rolled up per supplier nation.
 
-    This is THE scalable spatial-join shape: bucket both sides by grid
-    cell, fan the probe side out to its 9 neighbor cells (a bounded x9
-    row multiply, NOT a cross join), equi-join on the cell key, and take
-    the per-probe minimum.  Candidate generation is O(customers x 9 x
-    cell occupancy); an all-pairs distance join would be O(customers x
-    suppliers) and is never built.  Customers with no supplier in their
-    neighborhood drop out (inner-join semantics, documented); the search
-    radius grows by widening the neighborhood, not by rescanning.
-
-    Plan: supplier side is dimension-sized -> broadcast hash join on the
-    cell key; per-customer min is one struct-min aggregate (no window);
-    the nation rollup is a second tiny aggregate.  Sums ship as
-    d2 div 1000 so the nation totals stay far inside BIGINT at any SF.
+    The query SEMANTICS stay the fixed 10-degree neighborhood box (the
+    DuckDB oracle still probes the 3x3 coarse cells), but the EXECUTION
+    now rides ops/spatial.py::nearest_in_box (VERDICT r06 #3): the
+    supplier side is re-bucketed into density-adaptive FINE cells sized
+    so each holds ~2 suppliers, and each customer ring-expands outward
+    (radius doubling, clipped to its box) until its best candidate is
+    provably the box minimum.  Candidates per customer are O(1) in
+    expectation at ANY supplier density — the previous fixed-cell join's
+    candidates grew linearly with density and measured executor OOM at
+    100x in docs/SCALE_PROBE.md.  Customers with no supplier in their
+    box drop out (inner-join semantics, unchanged); d2 ships as
+    div 1000 so nation totals stay far inside BIGINT at any SF.
     """
+    from lakeforge.ops.spatial import adaptive_cell_size, nearest_in_box
+
     cust = _t(spark, sf_dir, "customer").select(
-        "c_custkey",
-        _geo_lat("c", F.col("c_custkey")).alias("clat"),
-        _geo_lon("c", F.col("c_custkey")).alias("clon"),
+        F.col("c_custkey").alias("id"),
+        _geo_lat("c", F.col("c_custkey")).alias("plat"),
+        _geo_lon("c", F.col("c_custkey")).alias("plon"),
     ).select(
         "*",
-        F.expr(f"clat div {_GEO_CELL}").alias("cell_lat"),
-        F.expr(f"clon div {_GEO_CELL}").alias("cell_lon"),
+        F.expr(f"plat div {_GEO_CELL}").alias("cell_lat"),
+        F.expr(f"plon div {_GEO_CELL}").alias("cell_lon"),
+    ).select(
+        "id", "plat", "plon",
+        F.greatest(
+            F.lit(0), (F.col("cell_lat") - 1) * _GEO_CELL
+        ).alias("box_lat_lo"),
+        F.least(
+            F.lit(_GEO_LAT_SPACE), (F.col("cell_lat") + 2) * _GEO_CELL
+        ).alias("box_lat_hi"),
+        F.greatest(
+            F.lit(0), (F.col("cell_lon") - 1) * _GEO_CELL
+        ).alias("box_lon_lo"),
+        F.least(
+            F.lit(_GEO_LON_SPACE), (F.col("cell_lon") + 2) * _GEO_CELL
+        ).alias("box_lon_hi"),
     )
     supp = _t(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        "s_nationkey",
-        _geo_lat("s", F.col("s_suppkey")).alias("slat"),
-        _geo_lon("s", F.col("s_suppkey")).alias("slon"),
-    ).select(
-        "*",
-        F.expr(f"slat div {_GEO_CELL}").alias("s_cell_lat"),
-        F.expr(f"slon div {_GEO_CELL}").alias("s_cell_lon"),
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        F.col("s_nationkey").cast("bigint").alias("s_nationkey"),
+        _geo_lat("s", F.col("s_suppkey")).alias("blat"),
+        _geo_lon("s", F.col("s_suppkey")).alias("blon"),
     )
-    offs = F.array(F.lit(-1), F.lit(0), F.lit(1))
-    probe = (
-        cust.select("*", F.explode(offs).alias("dlat"))
-        .select("*", F.explode(offs).alias("dlon"))
-        .select(
-            "c_custkey", "clat", "clon",
-            (F.col("cell_lat") + F.col("dlat")).alias("p_cell_lat"),
-            (F.col("cell_lon") + F.col("dlon")).alias("p_cell_lon"),
-        )
+    n_supp = supp.count()  # dim-sized; bounded driver scalar
+    cell = adaptive_cell_size(
+        _GEO_LAT_SPACE * _GEO_LON_SPACE, n_supp, tau=2.0
     )
-    d2 = (
-        (F.col("clat") - F.col("slat")) * (F.col("clat") - F.col("slat"))
-        + (F.col("clon") - F.col("slon")) * (F.col("clon") - F.col("slon"))
-    )
-    best = (
-        probe.join(
-            F.broadcast(supp),
-            (F.col("p_cell_lat") == F.col("s_cell_lat"))
-            & (F.col("p_cell_lon") == F.col("s_cell_lon")),
-        )
-        .select(
-            "c_custkey",
-            F.struct(
-                d2.alias("d2"),
-                F.col("s_suppkey").alias("sk"),
-                F.col("s_nationkey").alias("nk"),
-            ).alias("cand"),
-        )
-        .groupBy("c_custkey")
-        .agg(F.min("cand").alias("m"))
-        .select(
-            "c_custkey",
-            F.col("m.d2").alias("d2"),
-            F.col("m.nk").alias("s_nationkey"),
-        )
+    # When the adaptive cell clamps to the coarse 10-degree grid (low
+    # density), every box spans exactly cells {cl-1, cl, cl+1} -> r_box=1
+    # and the operator takes its one-job single-shot path (the classic
+    # 3x3 grid join); at higher densities it ring-expands.
+    best = nearest_in_box(
+        cust, supp, cell,
+        payload_cols=["s_suppkey", "s_nationkey"],
+        n_build=n_supp,
+        box_radius_cells=1 if cell == _GEO_CELL else None,
+        # box bounds are coarse-cell multiples, so they are fine-cell
+        # aligned exactly when the adaptive cell divides the coarse cell
+        box_aligned=(_GEO_CELL % cell == 0),
     )
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (

@@ -753,3 +753,59 @@ def test_pr_curve_matches_bruteforce_cuts(spark, rows):
         assert (r.tp, r.fp) == (tp, fp)
         assert r.precision_permille == (1000 * tp) // (tp + fp)
         assert r.recall_permille == (1000 * tp) // n_pos
+
+
+@settings(**_SETTINGS)
+@given(
+    probes=st.lists(
+        st.tuples(st.integers(0, 999), st.integers(0, 999)),
+        min_size=1, max_size=12,
+    ),
+    builds=st.lists(
+        st.tuples(st.integers(0, 999), st.integers(0, 999)),
+        min_size=0, max_size=15,
+    ),
+    cell=st.sampled_from([7, 50, 400]),
+)
+def test_nearest_in_box_matches_bruteforce(spark, probes, builds, cell):
+    """Ring expansion (iterative path, cell << box) must return exactly the
+    brute-force nearest build point within each probe's box, including
+    dropouts for empty boxes and (d2, payload) tie-breaks."""
+    from lakeforge.ops.spatial import nearest_in_box
+
+    # box: fixed 300-unit neighborhood clipped to [0, 1000)
+    p = spark.createDataFrame(
+        [
+            (i, la, lo, max(0, la - 150), min(1000, la + 150),
+             max(0, lo - 150), min(1000, lo + 150))
+            for i, (la, lo) in enumerate(probes)
+        ],
+        "id bigint, plat bigint, plon bigint, box_lat_lo bigint,"
+        "box_lat_hi bigint, box_lon_lo bigint, box_lon_hi bigint",
+    )
+    b = spark.createDataFrame(
+        [(la, lo, j) for j, (la, lo) in enumerate(builds)],
+        "blat bigint, blon bigint, bkey bigint",
+    ) if builds else spark.createDataFrame([], "blat bigint, blon bigint, bkey bigint")
+    got = {
+        r.id: (r.d2, r.bkey)
+        for r in nearest_in_box(p, b, cell, ["bkey"]).collect()
+    }
+    want = {}
+    for i, (la, lo) in enumerate(probes):
+        best = None
+        for j, (ba, bo) in enumerate(builds):
+            if not (max(0, la - 150) <= ba < min(1000, la + 150)):
+                continue
+            if not (max(0, lo - 150) <= bo < min(1000, lo + 150)):
+                continue
+            d2 = (la - ba) ** 2 + (lo - bo) ** 2
+            if best is None or (d2, j) < best:
+                best = (d2, j)
+        if best is not None:
+            want[i] = best
+    assert got == want
+
+    from lakeforge import cache
+
+    cache.release_all()

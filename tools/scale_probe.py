@@ -246,21 +246,18 @@ def main() -> None:
             .alias("o_totalprice"),
         ).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
-    # (op, max size label): spatial_nearest_supplier is CAPPED at 10x —
-    # its grid join's candidate count is O(n_cust * n_supp / 648) with the
-    # FIXED 10-degree grid, and the probe's 100x density (1.5M customers x
-    # 100k suppliers) measured an executor OOM (~2e9 candidate rows).
-    # That is the documented applicability bound of a fixed-cell grid:
-    # production re-grids with density (finer cells sized so each holds
-    # O(1) suppliers, plus ring-expansion fallback for empty neighbor-
-    # hoods).  The cap keeps the finding in the table instead of the
-    # probe dying silently.
+    # spatial_nearest_supplier's 10x cap is GONE (round 7): the fixed
+    # 10-degree grid whose candidates grew O(n_cust * n_supp / 648) —
+    # measured executor OOM at 100x density (~2e9 candidate rows) — was
+    # replaced by ops/spatial.py::nearest_in_box (density-adaptive fine
+    # cells + ring expansion, O(1) expected candidates per customer), so
+    # the probe now measures it at 100x like every other op.
     R5_OPS = [
         ("embedding_dim_corr", "100x"),        # Gram/co-moment Arrow matmul
         ("target_encode_oof", "100x"),         # leakage-safe OOF encoding
         ("bootstrap_price_ci", "100x"),        # B replicates, 2B cond. aggs
         ("spatial_grid_density", "100x"),      # geohash-grid density map
-        ("spatial_nearest_supplier", "10x"),   # grid NN join (see note)
+        ("spatial_nearest_supplier", "100x"),  # adaptive-grid NN join
         ("consistent_hash_reshard", "100x"),   # ring remap + movement audit
     ]
     order = ["1x", "10x", "100x"]
