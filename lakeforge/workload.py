@@ -1425,7 +1425,80 @@ _PRIORITY_R5: list[str] = [
     "docs_training_pipeline",
 ]
 
-PRIORITY: list[str] = _PRIORITY_R6
+# Round-7 rotation (VERDICT r06 #4): 47 first-time names — the never-
+# driver-attested backlog, judge-named entries first (fk_integrity_audit,
+# quantile_sketch_calibration, price_psi_drift, reorder_survival,
+# ivm_join_nation_revenue, token_counts_arrow, geo_mean_price_udaf,
+# revenue_forecast, events_attribution*, benford_price_digits), then the
+# rest of the 68-query backlog by algorithmic weight.  Cumulative
+# driver-attested coverage goes 187 -> 234 of 255 (target >= 230), with
+# the ~21 remaining (mostly simple relational scans/filters, every one
+# local-green at both SFs) queued for r8.  THREE attested flagships stay
+# as cross-round canaries (SCD2/windows -> scd2_orders, iterative ->
+# pagerank_trade, composed pipeline -> docs_training_pipeline).  New r7
+# operators enter the window the round they ship, displacing tail
+# backlog names to r8 (same family-representation rule as r5/r6).
+_PRIORITY_R7: list[str] = [
+    # --- VERDICT #4 named backlog ---
+    "fk_integrity_audit",
+    "quantile_sketch_calibration",
+    "price_psi_drift",
+    "reorder_survival",
+    "ivm_join_nation_revenue",
+    "token_counts_arrow",
+    "geo_mean_price_udaf",
+    "revenue_forecast",
+    "events_attribution",
+    "events_attribution_unmatched",
+    "benford_price_digits",
+    # --- statistics / hypothesis / causal ---
+    "spearman_qty_price",
+    "did_segment_effect",
+    "qty_price_corr",
+    "priority_status_chi2",
+    "revenue_autocorr",
+    "customer_spend_z",
+    "stats_profile",
+    "geo_mean_price",
+    # --- evaluation / drift / sketches ---
+    "threshold_confusion",
+    "embedding_pr_curve",
+    "embedding_dim_stats",
+    "kmv_year_overlap",
+    "suppkey_joinsize_estimate",
+    "join_skew_advisor",
+    # --- LLM / docs / media ---
+    "docs_repetition_score",
+    "docs_char_entropy",
+    "docs_bigram_likelihood",
+    "docs_boilerplate",
+    "docs_kfold",
+    "docs_weighted_sample",
+    "docs_epoch_shuffle",
+    "bpe_pair_counts",
+    "packing_efficiency",
+    "hard_negatives",
+    "lang_embedding_centroid",
+    "media_energy",
+    # --- events / sequences ---
+    "events_trending",
+    "events_dow_anomaly",
+    "events_transition_matrix",
+    "events_exact_k_sample",
+    "user_path_3grams",
+    "cogroup_activity_recon",
+    # --- relational / profiling ---
+    "orders_ivm_revenue",
+    "orders_expectations",
+    "orders_column_profile",
+    "part_name_linkage",
+    # --- attested family flagships kept in-window (cross-round canaries) ---
+    "scd2_orders",
+    "pagerank_trade",
+    "docs_training_pipeline",
+]
+
+PRIORITY: list[str] = _PRIORITY_R7
 
 
 

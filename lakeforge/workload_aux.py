@@ -1527,11 +1527,18 @@ def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     later step depends on (inventory floors, prepaid-credit burn-down,
     budget caps are all this recurrence).
 
-    Plan: ONE shuffle on the grouping key into an Arrow-batched grouped
-    map (applyInPandas); per-group work is O(rows) over a numpy loop on
-    ~group-sized arrays.  At 100 TB per-key history lengths, the same
-    recurrence runs as a stateful streaming fold
-    (applyInPandasWithState) — the batch shape here is its replay twin.
+    Plan (VERDICT r06 #5): ONE shuffle — ``repartition(o_custkey)`` +
+    ``sortWithinPartitions(o_custkey, od, o_orderkey)`` — into
+    ``mapInPandas``, which folds MANY contiguous key segments per Arrow
+    batch (the previous ``applyInPandas`` built one 1-row pandas frame
+    per customer: 150k tiny frames dominated the 13.4s wall time).  The
+    clamp recurrence has a closed form over the segment's prefix sums
+    (with T_j = bal0 + cumsum: bal_n = T_n - min(0, min T_j); a clamp
+    fires exactly when T_i drops below the running min(0, T_<i)), so
+    each segment is four numpy array ops — no per-row Python.  Segments
+    straddling Arrow-batch boundaries carry (key, bal, clamps, n) state
+    across batches, the same fold a stateful streaming replay
+    (applyInPandasWithState) would keep.
     Output per customer: final balance, clamp count, order count."""
     import numpy as np
     import pandas as pd
@@ -1544,25 +1551,65 @@ def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("bigint")
             * F.when(F.col("o_orderkey") % 3 == 0, F.lit(-1)).otherwise(F.lit(1))
         ).alias("delta_c"),
+    ).repartition("o_custkey").sortWithinPartitions(
+        "o_custkey", "od", "o_orderkey"
     )
 
-    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["od", "o_orderkey"])
-        bal, clamps = 0, 0
-        for d in pdf["delta_c"].to_numpy():
-            bal += int(d)
-            if bal < 0:
-                bal, clamps = 0, clamps + 1
-        return pd.DataFrame(
-            {
-                "o_custkey": [pdf["o_custkey"].iloc[0]],
-                "final_balance_cents": [bal],
-                "n_clamps": [clamps],
-                "n_orders": [len(pdf)],
-            }
-        )
+    def fold(batches):
+        cur = None  # carried key
+        bal = clamps = n = 0
+        out_k: list = []
+        out_b: list = []
+        out_c: list = []
+        out_n: list = []
+        for pdf in batches:
+            keys = pdf["o_custkey"].to_numpy()
+            deltas = pdf["delta_c"].to_numpy(dtype=np.int64)
+            if len(keys) == 0:
+                continue
+            starts = np.flatnonzero(
+                np.concatenate(([True], keys[1:] != keys[:-1]))
+            )
+            ends = np.append(starts[1:], len(keys))
+            for s, e in zip(starts, ends):
+                k = keys[s]
+                if cur is not None and k != cur:
+                    out_k.append(cur)
+                    out_b.append(bal)
+                    out_c.append(clamps)
+                    out_n.append(n)
+                    bal = clamps = n = 0
+                elif cur is None:
+                    bal = clamps = n = 0
+                cur = k
+                t = np.concatenate(
+                    ([bal], bal + np.cumsum(deltas[s:e]))
+                )
+                m = np.minimum.accumulate(np.minimum(t, 0))
+                clamps += int(np.sum(t[1:] < m[:-1]))
+                bal = int(t[-1] - m[-1])
+                n += int(e - s)
+            if out_k:
+                yield pd.DataFrame(
+                    {
+                        "o_custkey": out_k,
+                        "final_balance_cents": out_b,
+                        "n_clamps": out_c,
+                        "n_orders": out_n,
+                    }
+                )
+                out_k, out_b, out_c, out_n = [], [], [], []
+        if cur is not None:
+            yield pd.DataFrame(
+                {
+                    "o_custkey": [cur],
+                    "final_balance_cents": [bal],
+                    "n_clamps": [clamps],
+                    "n_orders": [n],
+                }
+            )
 
-    return o.groupBy("o_custkey").applyInPandas(
+    return o.mapInPandas(
         fold,
         schema="o_custkey bigint, final_balance_cents bigint,"
         " n_clamps bigint, n_orders bigint",

@@ -3706,35 +3706,41 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary"),
         ).withColumn(
             "neg_freq", -F.col("frequency")
-        ).withColumn(
-            "neg_monc", -F.expr("CAST(monetary * 100 AS BIGINT)")
         )
     )
     mx = per_cust.agg(
-        F.max("recency_days"), F.max("frequency"),
-        F.max(-F.col("neg_monc")), F.max("o_custkey"),
+        F.max("recency_days"), F.max("frequency"), F.max("o_custkey"),
         F.count(F.lit(1)).cast("bigint"),
     ).collect()[0]
     w_rec = max(1, (int(mx[0]) + 1) // 64)
     w_frq = max(1, (int(mx[1]) + 1) // 16)
-    w_mon = max(1, (int(mx[2]) + 1) // 4096)
-    w_ck = max(1, (int(mx[3]) + 1) // 64)
-    n_cust = int(mx[4])
+    w_ck = max(1, (int(mx[2]) + 1) // 64)
+    n_cust = int(mx[3])
     tie_blk = F.expr(f"o_custkey div {w_ck}")
-    scored = blocked_ntile(
-        per_cust, "recency_days", "o_custkey", 4,
+    # Score each ordering on a SLIM independent frame and join on the
+    # key: chaining the three scorings over one growing frame made the
+    # logical plan (and Catalyst's optimization time) explode.
+    s_r = blocked_ntile(
+        per_cust.select("o_custkey", "recency_days"),
+        "recency_days", "o_custkey", 4,
         F.expr(f"recency_days div {w_rec}"), tie_blk,
         out_col="r_score", n_total=n_cust,
-    )
-    scored = blocked_ntile(
-        scored, "neg_freq", "o_custkey", 4,
+        hist_bounded=True,  # distinct recency values <= calendar span
+    ).select("o_custkey", "r_score")
+    s_f = blocked_ntile(
+        per_cust.select("o_custkey", "neg_freq"),
+        "neg_freq", "o_custkey", 4,
         F.expr(f"neg_freq div {w_frq}"), tie_blk,
         out_col="f_score", n_total=n_cust,
-    )
-    scored = blocked_ntile(
-        scored, "neg_monc", "o_custkey", 4,
-        F.expr(f"neg_monc div {w_mon}"), tie_blk,
-        out_col="m_score", n_total=n_cust,
+        hist_bounded=True,  # distinct frequencies <= max orders/customer
+    ).select("o_custkey", "f_score")
+    # The monetary quartile is NOT computed: the segment CASE below uses
+    # only r_score/f_score (the former m_score was dead work in both
+    # engines; monetary still flows into segment_value).
+    scored = (
+        per_cust.select("o_custkey", "monetary")
+        .join(s_r, "o_custkey")
+        .join(s_f, "o_custkey")
     )
     seg = (
         F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
@@ -3759,8 +3765,7 @@ WITH per_cust AS (
 scored AS (
   SELECT o_custkey, recency_days, frequency, monetary,
          CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS BIGINT) AS r_score,
-         CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS BIGINT) AS f_score,
-         CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS BIGINT) AS m_score
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS BIGINT) AS f_score
   FROM per_cust
 )
 SELECT CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
@@ -3842,20 +3847,29 @@ def q_customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_ck = max(1, (int(mx[1]) + 1) // 64)
     t_c = int((mx[2] * 100))  # DEC(·,2) * 100 is integral
     # Strict prefix SUM over the value histogram (order: rev DESC).
-    hist = per_cust.groupBy("neg_rc").agg(F.sum("rev_c").alias("__vs"))
+    hist = per_cust.groupBy("neg_rc").agg(
+        F.sum("rev_c").alias("__vs"),
+        F.count(F.lit(1)).cast("bigint").alias("__vn"),
+    )
     hist = blocked_prefix_sum(
         hist, "neg_rc", "__vs", F.expr(f"neg_rc div {w_val}"),
         out_col="__cum_strict",
-    ).select("neg_rc", "__cum_strict")
-    # Within-tie rank by custkey (grouped-blocked: huge tie groups stay
-    # parallel).
-    within = blocked_prefix_sum(
-        per_cust.withColumn("__one", F.lit(1)),
+    ).select("neg_rc", "__vn", "__cum_strict")
+    joined = persist_tracked(per_cust.join(hist, "neg_rc"))
+    # Within-tie rank by custkey matters only inside MULTI-member tie
+    # groups (rare for exact cents values; singletons have rank 0 by
+    # construction) — so the grouped-blocked pass runs over only those
+    # rows, and a 1e8-member tie group would still parallelize.
+    single = joined.filter(F.col("__vn") == 1).withColumn(
+        "__tie_rank", F.lit(0).cast("bigint")
+    )
+    multi = blocked_prefix_sum(
+        joined.filter(F.col("__vn") > 1).withColumn("__one", F.lit(1)),
         "o_custkey", "__one", F.expr(f"o_custkey div {w_ck}"),
         out_col="__tie_rank", group_cols=["neg_rc"],
     ).drop("__one")
     cum = (
-        within.join(hist, "neg_rc")
+        single.unionByName(multi)
         .withColumn(
             "cum_rev_c",
             F.col("__cum_strict")

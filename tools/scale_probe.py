@@ -352,6 +352,113 @@ def main() -> None:
         "beyond the movement-audit aggregate.",
     ]
 
+    # ---- Round-7 wave-2..5 ops (VERDICT r06 #7) ------------------------
+    # Synthetic lineitem/events via spark.range (deterministic columns);
+    # 1x = sf0.1's ~600k lineitem rows.
+    def make_wave(n_li: int, out_dir: str) -> None:
+        n_part = max(n_li // 30, 5)
+        n_supp = max(n_li // 600, 2)
+        n_user = max(n_li // 100, 5)
+        spark.range(1, n_li + 1).select(
+            F.col("id").alias("l_orderkey"),
+            (F.col("id") % 7).cast("int").alias("l_linenumber"),
+            (F.col("id") % n_part + 1).alias("l_partkey"),
+            (F.col("id") % n_supp + 1).alias("l_suppkey"),
+            (F.col("id") % 50 + 1).cast("double").alias("l_quantity"),
+            (((F.col("id") * 7919) % 900000) / 100.0 + 1.0)
+            .alias("l_extendedprice"),
+            F.element_at(
+                F.array(F.lit("R"), F.lit("N"), F.lit("A")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("l_returnflag"),
+            F.date_add(
+                F.lit("1995-01-01").cast("date"),
+                (F.col("id") % 2400).cast("int"),
+            ).alias("l_shipdate"),
+        ).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+        # events spread over ~1 year; ts instant-typed micros
+        spark.range(0, n_li).select(
+            F.col("id").alias("event_id"),
+            F.expr(
+                "timestamp_micros(CAST(1704067200000000"
+                " + (id * 2654435761 % 31536000) * 1000000 AS BIGINT))"
+            ).alias("ts"),
+            (F.col("id") % n_user).alias("user_id"),
+            F.lit("click").alias("event_type"),
+            (F.col("id") % 100 / 10.0).alias("value"),
+            F.lit('{"k": 1}').alias("props"),
+        ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    R7_OPS = [
+        ("weighted_median_price", "100x"),       # two-level blocked sweep
+        ("supplier_transit_occupancy", "100x"),  # interval occupancy
+        ("trade_kcore", "100x"),                 # iterative peel
+        ("rolling_7day_distinct_users", "100x"), # day-bucket fan-out
+    ]
+    wave_sizes = {"1x": 600_000, "10x": 6_000_000, "100x": 60_000_000}
+    r7: dict[str, dict[str, float | str]] = {op: {} for op, _ in R7_OPS}
+    with tempfile.TemporaryDirectory() as tmp:
+        dirs = {}
+        for label, rows in wave_sizes.items():
+            d = os.path.join(tmp, label)
+            os.makedirs(d)
+            make_wave(rows, d)
+            dirs[label] = d
+        for op, max_label in R7_OPS:
+            for label in wave_sizes:
+                if order.index(label) > order.index(max_label):
+                    r7[op][label] = "capped"
+                    continue
+                try:
+                    t = time_op(spark, op, dirs[label], args.runs)
+                except Exception as e:
+                    r7[op][label] = "failed"
+                    print(f"{op:28s} {label:>4s}: FAILED "
+                          f"({type(e).__name__})", flush=True)
+                    continue
+                r7[op][label] = round(t, 3)
+                print(f"{op:28s} {label:>4s}: {t:7.3f}s", flush=True)
+
+    lines += [
+        "",
+        "## Round-7 wave-2..5 ops (VERDICT r06 #7)",
+        "",
+        f"Synthetic lineitem/events via spark.range at "
+        f"{wave_sizes['1x']:,}/{wave_sizes['10x']:,}/"
+        f"{wave_sizes['100x']:,} rows (1x = sf0.1's lineitem count; "
+        "parts = rows/30, suppliers = rows/600, users = rows/100, events "
+        "spread over one year).  Same protocol.",
+        "",
+        "| op | t(1x) s | t(10x) s | t(100x) s | alpha (10x->100x) |",
+        "|---|---|---|---|---|",
+    ]
+    for op, _ in R7_OPS:
+        r = r7[op]
+        if isinstance(r.get("100x"), float) and isinstance(r.get("10x"), float) \
+                and r["10x"] > 0:
+            alpha = f"{math.log10(r['100x'] / r['10x']):.2f}"
+        else:
+            alpha = "—"
+        lines.append(
+            f"| {op} | {_cell(r['1x'])} | {_cell(r['10x'])} "
+            f"| {_cell(r['100x'])} | {alpha} |"
+        )
+    lines += [
+        "",
+        "Why the r7 wave family stays ~linear by construction:",
+        "- `weighted_median_price`: the global cumulative weight is "
+        "two-level blocked (per-flag price-range blocks in parallel + a "
+        "tiny per-flag block-summary carry); no single-partition sort.",
+        "- `supplier_transit_occupancy`: each interval explodes onto at "
+        "most ceil(maxdur/month)+1 = 2 months (duration-capped), then one "
+        "map-side-combined aggregate.",
+        "- `trade_kcore`: synchronized peeling rounds, each O(edges) with "
+        "localCheckpoint + prior-round release; rounds bounded by the "
+        "degeneracy ordering, not data volume.",
+        "- `rolling_7day_distinct_users`: events collapse to DISTINCT "
+        "(day, user) pairs once; each pair fans out to <= 7 window ends.",
+    ]
+
     lines += [
         "",
         "Why the LLM-op family (first table) stays ~linear by "
