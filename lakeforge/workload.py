@@ -684,6 +684,7 @@ from lakeforge import (  # noqa: E402  (registered below)
     workload_rec,
     workload_rel,
     workload_stats,
+    workload_wave,
 )
 
 QUERIES: dict[str, QueryFn] = {
@@ -744,6 +745,8 @@ QUERIES.update(workload_ext.QUERIES)
 ORACLE_SQL.update(workload_ext.ORACLE_SQL)
 QUERIES.update(workload_aux.QUERIES)
 ORACLE_SQL.update(workload_aux.ORACLE_SQL)
+QUERIES.update(workload_wave.QUERIES)
+ORACLE_SQL.update(workload_wave.ORACLE_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -1484,14 +1487,18 @@ _PRIORITY_R7: list[str] = [
     "events_trending",
     "events_dow_anomaly",
     "events_transition_matrix",
-    "events_exact_k_sample",
     "user_path_3grams",
-    "cogroup_activity_recon",
-    # --- relational / profiling ---
-    "orders_ivm_revenue",
-    "orders_expectations",
-    "orders_column_profile",
-    "part_name_linkage",
+    # --- NEW r7 operator flagships (in-window the round they ship;
+    # displaced to r8: orders_ivm_revenue, orders_expectations,
+    # orders_column_profile, part_name_linkage, cogroup_activity_recon,
+    # events_exact_k_sample — each family keeps an in-window or
+    # already-attested representative) ---
+    "docs_type_token_ratio",
+    "source_temperature_mix",
+    "events_watermark_lateness",
+    "supplier_link_prediction",
+    "fifo_lot_matching",
+    "embedding_signlsh_neardup",
     # --- attested family flagships kept in-window (cross-round canaries) ---
     "scd2_orders",
     "pagerank_trade",
