@@ -1485,13 +1485,11 @@ _PRIORITY_R7: list[str] = [
     "media_energy",
     # --- events / sequences ---
     "events_trending",
-    "events_dow_anomaly",
-    "events_transition_matrix",
-    "user_path_3grams",
     # --- NEW r7 operator flagships (in-window the round they ship;
     # displaced to r8: orders_ivm_revenue, orders_expectations,
     # orders_column_profile, part_name_linkage, cogroup_activity_recon,
-    # events_exact_k_sample — each family keeps an in-window or
+    # events_exact_k_sample, events_transition_matrix, user_path_3grams,
+    # events_dow_anomaly — each family keeps an in-window or
     # already-attested representative) ---
     "docs_type_token_ratio",
     "source_temperature_mix",
@@ -1499,6 +1497,9 @@ _PRIORITY_R7: list[str] = [
     "supplier_link_prediction",
     "fifo_lot_matching",
     "embedding_signlsh_neardup",
+    "nation_spend_lerp",
+    "orders_temporal_split",
+    "events_rate_limit_replay",
     # --- attested family flagships kept in-window (cross-round canaries) ---
     "scd2_orders",
     "pagerank_trade",

@@ -584,3 +584,342 @@ WHERE d.dot > 0
 
 QUERIES["embedding_signlsh_neardup"] = q_embedding_signlsh_neardup
 ORACLE_SQL["embedding_signlsh_neardup"] = _sql_signlsh()
+
+
+# ---------------------------------------------------------------------------
+# Series repair: LINEAR interpolation gap-fill (LOCF's exact-arithmetic twin).
+# ---------------------------------------------------------------------------
+
+
+def q_nation_spend_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation imputation of each nation's monthly spend over
+    the dense month spine: a missing month between two observations gets
+    prev + (next - prev) * gap_position div gap_length — exact integer
+    cents, floor division, so both engines agree bit-for-bit.  LOCF
+    (nation_spend_locf) repairs steps; LERP repairs trends — the pair
+    covers the two standard pre-feature-extraction imputations.  Edge
+    months with no observation on one side stay NULL (nothing to anchor).
+
+    Plan: identical shape to LOCF — one fact aggregate to (nation, month)
+    cells, dimension-sized spine, then TWO windows per nation (carry last
+    observation forward / first backward); one narrow shuffle of the cell
+    table, never of the fact."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cells = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("nationkey", "month")
+        .agg(F.sum("cents").cast("bigint").alias("spend_cents"))
+    )
+    months = o.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).distinct()
+    spine = (
+        n.select(F.col("n_nationkey").cast("int").alias("nationkey"),
+                 "n_name")
+        .crossJoin(F.broadcast(months))
+    )
+    joined = spine.join(F.broadcast(cells), ["nationkey", "month"], "left")
+    wb = (
+        Window.partitionBy("nationkey").orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("nationkey").orderBy("month")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_month = F.when(F.col("spend_cents").isNotNull(), F.col("month"))
+    anch = joined.select(
+        "nationkey", "n_name", "month", "spend_cents",
+        F.last("spend_cents", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_month, ignorenulls=True).over(wb).alias("pm"),
+        F.first("spend_cents", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_month, ignorenulls=True).over(wf).alias("nm"),
+    )
+    k = F.months_between(F.col("month"), F.col("pm")).cast("bigint")
+    g = F.months_between(F.col("nm"), F.col("pm")).cast("bigint")
+    lerp = (
+        F.when(F.col("spend_cents").isNotNull(), F.col("spend_cents"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + F.expr(
+                "(nv - pv) * CAST(months_between(month, pm) AS BIGINT)"
+                " div CAST(months_between(nm, pm) AS BIGINT)"
+            ),
+        )
+    )
+    _ = (k, g)  # documented derivation; the expr above inlines them
+    return anch.select(
+        "nationkey",
+        "n_name",
+        "month",
+        lerp.cast("bigint").alias("spend_cents_lerp"),
+        F.col("spend_cents").isNull().alias("imputed"),
+    )
+
+
+SQL_NATION_SPEND_LERP = """
+WITH cells AS (
+    SELECT CAST(c.c_nationkey AS INT) AS nationkey,
+           CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+months AS (
+    SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+    FROM orders
+),
+spine AS (
+    SELECT CAST(n.n_nationkey AS INT) AS nationkey, n.n_name, m.month
+    FROM nation n, months m
+),
+anch AS (
+    SELECT s.nationkey, s.n_name, s.month, c.spend_cents,
+           last_value(c.spend_cents IGNORE NULLS) OVER wb AS pv,
+           last_value(CASE WHEN c.spend_cents IS NOT NULL THEN s.month END
+                      IGNORE NULLS) OVER wb AS pm,
+           first_value(c.spend_cents IGNORE NULLS) OVER wf AS nv,
+           first_value(CASE WHEN c.spend_cents IS NOT NULL THEN s.month END
+                       IGNORE NULLS) OVER wf AS nm
+    FROM spine s LEFT JOIN cells c USING (nationkey, month)
+    WINDOW wb AS (PARTITION BY s.nationkey ORDER BY s.month
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY s.nationkey ORDER BY s.month
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT nationkey, n_name, month,
+       CAST(CASE WHEN spend_cents IS NOT NULL THEN spend_cents
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                      pv + (nv - pv) * date_diff('month', pm, month)
+                           // date_diff('month', pm, nm)
+            END AS BIGINT) AS spend_cents_lerp,
+       spend_cents IS NULL AS imputed
+FROM anch
+"""
+
+QUERIES["nation_spend_lerp"] = q_nation_spend_lerp
+ORACLE_SQL["nation_spend_lerp"] = SQL_NATION_SPEND_LERP
+
+
+# ---------------------------------------------------------------------------
+# Curation: temporal holdout split with integer cutoffs from the date
+# histogram (bounded domain -> driver cumulate, the spine-bounds pattern).
+# ---------------------------------------------------------------------------
+
+
+def q_orders_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/val/test split (80/10/10 by ROW COUNT, cut on
+    order-date boundaries): the split every forecasting/feature pipeline
+    needs — hash splits leak the future into training.  Cut dates are
+    the smallest dates whose cumulative row share reaches 80% and 90%
+    (integer compare cum*10 >= n*8 / n*9 — no float shares), derived
+    from the DATE HISTOGRAM, whose size is bounded by the calendar span
+    (the recursive-spine bounded-collect pattern), so no global row sort
+    exists anywhere.  A whole boundary date lands in the EARLIER split
+    (dates are atomic — the guarantee is no temporal leakage, not exact
+    80.000%).
+
+    Plan: one map-side-combined date histogram, one bounded driver
+    cumulate for two cut dates, one scan with a CASE — two scans total,
+    zero wide shuffles beyond the histogram's."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    hist = o.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rows = sorted(
+        (r["d"], int(r["c"])) for r in hist.collect()
+    )  # bounded by calendar span
+    n = sum(c for _, c in rows)
+    cum = 0
+    c1 = c2 = rows[-1][0]
+    for d, c in rows:
+        cum += c
+        if cum * 10 >= n * 8:
+            c1 = d
+            break
+    cum = 0
+    for d, c in rows:
+        cum += c
+        if cum * 10 >= n * 9:
+            c2 = d
+            break
+    split = (
+        F.when(F.col("d") <= F.lit(c1), F.lit("train"))
+        .when(F.col("d") <= F.lit(c2), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return o.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min("d").alias("min_date"),
+        F.max("d").alias("max_date"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+
+
+SQL_ORDERS_TEMPORAL_SPLIT = """
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+hist AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY d
+),
+cum AS (
+  SELECT d, SUM(c) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         (SELECT SUM(c) FROM hist) AS n
+  FROM hist
+),
+cuts AS (
+  SELECT MIN(CASE WHEN cc * 10 >= n * 8 THEN d END) AS c1,
+         MIN(CASE WHEN cc * 10 >= n * 9 THEN d END) AS c2
+  FROM cum
+)
+SELECT CASE WHEN o.d <= cuts.c1 THEN 'train'
+            WHEN o.d <= cuts.c2 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       MIN(o.d) AS min_date,
+       MAX(o.d) AS max_date,
+       CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+FROM o, cuts
+GROUP BY 1
+"""
+
+QUERIES["orders_temporal_split"] = q_orders_temporal_split
+ORACLE_SQL["orders_temporal_split"] = SQL_ORDERS_TEMPORAL_SPLIT
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin: token-bucket rate-limiter replay (stateful fold family).
+# ---------------------------------------------------------------------------
+
+_TB_CAP_MICRO = 3_000_000   # bucket capacity: 3 tokens (micro-tokens)
+_TB_US_PER_TOKEN = 60_000_000  # refill: 1 token / 60s
+
+
+def q_events_rate_limit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter replay per user: capacity 3 tokens,
+    refill 1 token/60s (integer micro-tokens — refill = dt_us div 60, so
+    the fold is exact).  An event is ADMITTED if the bucket holds a full
+    token at its timestamp, spending one; else DENIED.  The admit
+    decision feeds back into the bucket level, so — like the capped
+    balance — no window/prefix form exists; this is the batch replay of
+    an applyInPandasWithState limiter, and the shape every abuse/quota
+    system needs to backtest a limit before deploying it.
+
+    Plan: ONE shuffle (repartition by user + sortWithinPartitions) into
+    mapInPandas with cross-batch carry — many users per Arrow batch.
+    The DuckDB oracle states the SAME recurrence as a recursive CTE over
+    per-user event sequence numbers (two maximally different
+    formulations)."""
+    import numpy as np
+    import pandas as pd
+
+    from lakeforge.io.sources import read_events
+
+    ev = (
+        read_events(spark, sf_dir)
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "us", "event_id")
+    )
+
+    def fold(batches):
+        cur = None
+        tok = _TB_CAP_MICRO
+        last_us = None
+        n_adm = n_den = 0
+        out: list[tuple] = []
+        for pdf in batches:
+            users = pdf["user_id"].to_numpy()
+            uss = pdf["us"].to_numpy(dtype=np.int64)
+            for u, t in zip(users, uss):
+                if cur is None or u != cur:
+                    if cur is not None:
+                        out.append((cur, n_adm, n_den, tok))
+                    cur, tok, last_us = u, _TB_CAP_MICRO, None
+                    n_adm = n_den = 0
+                if last_us is not None:
+                    tok = min(
+                        _TB_CAP_MICRO,
+                        tok + (int(t) - last_us) // 60,
+                    )
+                last_us = int(t)
+                if tok >= 1_000_000:
+                    tok -= 1_000_000
+                    n_adm += 1
+                else:
+                    n_den += 1
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "user_id", "n_admitted", "n_denied",
+                        "final_tokens_micro",
+                    ],
+                )
+                out = []
+        if cur is not None:
+            yield pd.DataFrame(
+                [(cur, n_adm, n_den, tok)],
+                columns=[
+                    "user_id", "n_admitted", "n_denied",
+                    "final_tokens_micro",
+                ],
+            )
+
+    return ev.mapInPandas(
+        fold,
+        schema="user_id bigint, n_admitted bigint, n_denied bigint,"
+        " final_tokens_micro bigint",
+    )
+
+
+SQL_EVENTS_RATE_LIMIT_REPLAY = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS i
+  FROM events
+),
+n_per AS (SELECT user_id, MAX(i) AS n FROM seq GROUP BY user_id),
+walk(user_id, i, tok, adm, den) AS (
+  SELECT user_id, 1,
+         CASE WHEN {_TB_CAP_MICRO} >= 1000000
+              THEN {_TB_CAP_MICRO} - 1000000 ELSE {_TB_CAP_MICRO} END,
+         CASE WHEN {_TB_CAP_MICRO} >= 1000000 THEN 1 ELSE 0 END,
+         CASE WHEN {_TB_CAP_MICRO} >= 1000000 THEN 0 ELSE 1 END
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT w.user_id, w.i + 1,
+         CASE WHEN r.avail >= 1000000 THEN r.avail - 1000000 ELSE r.avail END,
+         w.adm + CASE WHEN r.avail >= 1000000 THEN 1 ELSE 0 END,
+         w.den + CASE WHEN r.avail >= 1000000 THEN 0 ELSE 1 END
+  FROM walk w
+  JOIN seq s  ON s.user_id = w.user_id AND s.i = w.i + 1
+  JOIN seq sp ON sp.user_id = w.user_id AND sp.i = w.i,
+  LATERAL (SELECT LEAST({_TB_CAP_MICRO},
+                        w.tok + (s.us - sp.us) // 60) AS avail) r
+)
+SELECT w.user_id,
+       CAST(w.adm AS BIGINT) AS n_admitted,
+       CAST(w.den AS BIGINT) AS n_denied,
+       CAST(w.tok AS BIGINT) AS final_tokens_micro
+FROM walk w JOIN n_per n ON n.user_id = w.user_id AND w.i = n.n
+"""
+
+QUERIES["events_rate_limit_replay"] = q_events_rate_limit_replay
+ORACLE_SQL["events_rate_limit_replay"] = SQL_EVENTS_RATE_LIMIT_REPLAY

@@ -706,11 +706,13 @@ def test_grouped_blocked_prefix_sum_equals_partitioned_cumsum(
         unique_by=lambda r: r[1],
     ),
     k=st.sampled_from([2, 4, 7]),
+    hist_bounded=st.booleans(),
 )
-def test_blocked_ntile_equals_window_ntile(spark, rows, k):
+def test_blocked_ntile_equals_window_ntile(spark, rows, k, hist_bounded):
     """blocked_ntile must reproduce ntile(k) OVER (ORDER BY v, tk) exactly
-    — including n < k (each row its own tile) and tie groups that straddle
-    tile boundaries."""
+    — including n < k (each row its own tile), tie groups that straddle
+    tile boundaries, and BOTH histogram-prefix paths (blocked and the
+    bounded-domain tiny-window shortcut)."""
     from pyspark.sql import Window
 
     from lakeforge.ops.analytics import blocked_ntile
@@ -721,6 +723,7 @@ def test_blocked_ntile_equals_window_ntile(spark, rows, k):
         for r in blocked_ntile(
             df, "v", "tk", k,
             F.expr("v div 3"), F.expr("tk div 17"), out_col="nt",
+            hist_bounded=hist_bounded,
         ).collect()
     }
     w = Window.orderBy(F.col("v").asc(), F.col("tk").asc())
