@@ -303,7 +303,11 @@ def blocked_ntile(
     )
     from lakeforge.cache import persist_tracked
 
-    joined = persist_tracked(df.join(hist, value_col))
+    # hist_bounded certifies a domain-constant hist -> broadcast it (the
+    # post-aggregate size is unknown to Catalyst, which would plan SMJ).
+    joined = persist_tracked(
+        df.join(F.broadcast(hist) if hist_bounded else hist, value_col)
+    )
     settled = joined.filter(
         F.col("__tile_lo") == F.col("__tile_hi")
     ).withColumn(out_col, F.col("__tile_lo").cast("bigint"))
