@@ -602,3 +602,86 @@ def stream_scd2_to_dim(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator #2: token-bucket rate limiter
+# (applyInPandasWithState).  Batch replay twin:
+# workload_wave.q_events_rate_limit_replay (same fold, mapInPandas), whose
+# DuckDB recursive-CTE oracle checks the recurrence — three formulations
+# of one state machine.
+# ---------------------------------------------------------------------------
+
+RATE_LIMIT_OUT_SCHEMA = (
+    "user_id bigint, n_admitted bigint, n_denied bigint,"
+    " final_tokens_micro bigint"
+)
+_RATE_LIMIT_STATE_SCHEMA = (
+    "tokens bigint, last_us bigint, adm bigint, den bigint, seen bigint"
+)
+
+
+def rate_limit_stateful(
+    events: DataFrame,
+    cap_micro: int = 3_000_000,
+    us_per_token: int = 60_000_000,
+) -> DataFrame:
+    """Token-bucket rate limiter as a stateful streaming operator: per
+    user, a bucket of ``cap_micro`` micro-tokens refills at one token per
+    ``us_per_token``; each event is admitted (spends one token) or
+    denied.  Emits the user's CUMULATIVE counters after each micro-batch
+    (update mode) — the last row per user is the stream's answer.
+
+    State per user is O(1) (5 scalars) -> total state bounded by
+    |active users|, the same viability property as the sessionizer.
+    Events must arrive per-user in event-time order ACROSS batches for
+    the replay to be exact (true for a time-ordered feed; the batch twin
+    sorts globally).  Works only on a streaming DataFrame."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    refill_div = us_per_token // 1_000_000  # us per micro-token
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        user_id = key[0]
+        if state.exists:
+            tokens, last_us, adm, den, seen = state.get
+        else:
+            tokens, last_us, adm, den, seen = cap_micro, -1, 0, 0, 0
+
+        rows = []
+        for pdf in pdfs:
+            ts_us = (
+                pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            rows.extend(zip(ts_us.tolist(), pdf["event_id"].tolist()))
+        rows.sort()
+        for ts, _eid in rows:
+            if last_us >= 0:
+                tokens = min(cap_micro, tokens + (ts - last_us) // refill_div)
+            last_us = ts
+            if tokens >= 1_000_000:
+                tokens -= 1_000_000
+                adm += 1
+            else:
+                den += 1
+            seen += 1
+        state.update((tokens, last_us, adm, den, seen))
+        yield pd.DataFrame(
+            [(user_id, adm, den, tokens)],
+            columns=[
+                "user_id", "n_admitted", "n_denied", "final_tokens_micro"
+            ],
+        )
+
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=RATE_LIMIT_OUT_SCHEMA,
+            stateStructType=_RATE_LIMIT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

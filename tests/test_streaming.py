@@ -1254,3 +1254,65 @@ def test_streaming_cms_counters_merge_to_batch_equivalent(spark, tmp_path):
         for r in counters_of(read_events(spark, SF_DIR)).collect()
     }
     assert got == want
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+def test_stream_rate_limiter_matches_batch_replay(spark, tmp_path):
+    """Token-bucket limiter: two incremental file batches (split by TIME,
+    so cross-batch per-user state carry is exercised) must end at exactly
+    the batch replay's per-user counters (workload_wave fold, whose
+    recursive-CTE oracle checks the recurrence)."""
+    from pyspark.sql import functions as F
+
+    from lakeforge.streaming.events import (
+        rate_limit_stateful,
+        read_events_stream,
+    )
+    from lakeforge.workload_wave import q_events_rate_limit_replay
+
+    ev = read_events(spark, SF_DIR)
+    cut = ev.agg(
+        F.expr(
+            "timestamp_micros(CAST(percentile_cont(0.5)"
+            " WITHIN GROUP (ORDER BY unix_micros(ts)) AS BIGINT))"
+        )
+    ).collect()[0][0]
+    stream_dir = tmp_path / "ev_in"
+    stream_dir.mkdir()
+    ev.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(stream_dir / "b0"))
+    out_rows = {}
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = read_events_stream(spark, str(stream_dir) + "/*")
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                out_rows[r.user_id] = (
+                    r.n_admitted, r.n_denied, r.final_tokens_micro
+                )
+
+        q = (
+            rate_limit_stateful(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    ev.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(stream_dir / "b1"))
+    drain()
+
+    want = {
+        r.user_id: (r.n_admitted, r.n_denied, r.final_tokens_micro)
+        for r in q_events_rate_limit_replay(spark, SF_DIR).collect()
+    }
+    assert out_rows == want
+    assert len(want) > 0
