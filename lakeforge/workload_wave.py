@@ -444,92 +444,103 @@ def q_embedding_signlsh_neardup(
     lexical near-dups; sign-LSH catches SEMANTIC duplicates that share
     no tokens.
 
-    Plan: the projection is one broadcast join (1024-row plane table)
-    over the exploded vectors + one aggregate; candidates form ONLY
-    inside (band, signature) buckets — for random hyperplanes the
-    collision rate is (1 - theta/pi)^4 per band, so candidate volume
-    tracks the true near-dup density, not n².  The verify join touches
-    candidates only.  At 100 TB: same shape, planes stay broadcast,
-    bucket sizes bound the quadratic term exactly like MinHash LSH."""
-    planes = (
-        spark.range(_SLSH_PLANES)
-        .select(F.col("id").alias("plane"))
-        .crossJoin(
-            spark.range(1, _SLSH_DIM + 1).select(F.col("id").alias("pos"))
-        )
-        .select(
-            "plane",
-            "pos",
-            F.when(
-                md5_int(F.lit("slsh"), F.col("plane"), F.col("pos")) % 2 == 0,
-                F.lit(1),
-            ).otherwise(F.lit(-1)).alias("sgn"),
-        )
-    )
+    Plan: the 16 hyperplanes are COMPILE-TIME ±1 literal arrays (the md5
+    derivation runs driver-side once; tests/test_workload_wave.py and
+    the oracle — which re-derives them IN SQL — pin the equivalence), so
+    every projection, band key, dot product and norm is a JVM-side
+    array expression (zip_with + aggregate) over the embedding column —
+    NO explode, no join, no shuffle until the bucket self-join itself.
+    Candidates form ONLY inside (band, signature) buckets — for random
+    hyperplanes the collision rate is (1 - theta/pi)^4 per band, so
+    candidate volume tracks the true near-dup density, not n².  At
+    100 TB: same shape; bucket sizes bound the quadratic term exactly
+    like MinHash LSH."""
+    import hashlib
+
+    def _sgn(plane: int, pos: int) -> int:
+        s = f"slsh\x1f{plane}\x1f{pos}"
+        return 1 if int(
+            hashlib.md5(s.encode()).hexdigest()[:15], 16
+        ) % 2 == 0 else -1
+
+    _ = md5_int  # SQL twin derives the same signs via md5_int's contract
+
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    exl = emb.select(
+    xi = "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+    base = emb.select(
         "vec_id",
-        F.posexplode("embedding").alias("pos0", "x"),
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").alias(
-            "xi"
-        ),
+        F.expr(xi).alias("v"),
+        F.expr(
+            f"aggregate({xi}, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+        ).alias("nn"),
     )
-    sig = (
-        exl.join(F.broadcast(planes), "pos")
-        .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("xi") * F.col("sgn")).alias("proj"))
-        .select(
-            "vec_id",
-            F.expr(f"plane div {_SLSH_BAND_BITS}").alias("band"),
-            F.when(F.col("proj") >= 0, F.lit(1)).otherwise(F.lit(0)).alias(
-                "bit"
-            ),
-            F.expr(f"plane % {_SLSH_BAND_BITS}").alias("bp"),
+    proj_cols = []
+    for p in range(_SLSH_PLANES):
+        sgns = ", ".join(
+            str(_sgn(p, pos)) for pos in range(1, _SLSH_DIM + 1)
         )
-        .groupBy("vec_id", "band")
-        .agg(F.sum(F.expr("bit * (1 << bp)")).cast("bigint").alias("bkey"))
+        proj_cols.append(
+            f"aggregate(zip_with(v, array({sgns}), (x, s) -> x * s),"
+            f" CAST(0 AS BIGINT), (acc, x) -> acc + x) >= 0"
+        )
+    band_keys = []
+    for b in range(_SLSH_PLANES // _SLSH_BAND_BITS):
+        bits = " + ".join(
+            f"(CASE WHEN ({proj_cols[b * _SLSH_BAND_BITS + i]})"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(_SLSH_BAND_BITS)
+        )
+        band_keys.append(f"CAST({bits} AS BIGINT)")
+    from lakeforge.cache import persist_tracked
+
+    # base feeds the signature pass AND the two verify joins
+    base = persist_tracked(base)
+    # band index rides posexplode to key buckets by (band, signature);
+    # only (id, band, key) shuffles — vectors join back AFTER pair dedup
+    # so payload never rides the x4-band bucket fan-out.
+    sig = base.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("array(" + ", ".join(band_keys) + ")")
+        ).alias("band", "bkey"),
     )
-    sa = sig.select(
-        F.col("vec_id").alias("a"), "band", "bkey"
-    )
-    sb = sig.select(
-        F.col("vec_id").alias("b"), "band", "bkey"
-    )
+    sa = sig.select(F.col("vec_id").alias("a"), "band", "bkey")
+    sb = sig.select(F.col("vec_id").alias("b"), "band", "bkey")
     cand = (
         sa.join(sb, ["band", "bkey"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
-    va = exl.select(F.col("vec_id").alias("a"), "pos", F.col("xi").alias("xa"))
-    vb = exl.select(F.col("vec_id").alias("b"), "pos", F.col("xi").alias("xb"))
-    dots = (
-        cand.join(va, "a")
-        .join(vb, ["b", "pos"])
-        .groupBy("a", "b")
-        .agg(F.sum(F.expr("xa * xb")).alias("dot"))
+    va = base.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("va"),
+        F.col("nn").alias("na"),
     )
-    norms = exl.groupBy("vec_id").agg(F.sum(F.expr("xi * xi")).alias("nn"))
-    na = norms.select(F.col("vec_id").alias("a"), F.col("nn").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("b"), F.col("nn").alias("nb"))
-    return (
-        dots.join(na, "a")
-        .join(nb, "b")
-        .filter(
-            (F.col("dot") > 0)
-            & F.expr(
-                f"CAST(dot AS DECIMAL(38,0)) * dot * 1000000"
-                f" >= CAST({_SLSH_COS2_1E6} AS DECIMAL(38,0)) * na * nb"
-            )
+    vb = base.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+        F.col("nn").alias("nb"),
+    )
+    pairs = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ),
         )
-        .select(
-            "a",
-            "b",
-            F.expr("dot div 1000000").cast("bigint").alias("dot_micro"),
+    )
+    return pairs.filter(
+        (F.col("dot") > 0)
+        & F.expr(
+            f"CAST(dot AS DECIMAL(38,0)) * dot * 1000000"
+            f" >= CAST({_SLSH_COS2_1E6} AS DECIMAL(38,0)) * na * nb"
         )
+    ).select(
+        "a",
+        "b",
+        F.expr("dot div 1000000").cast("bigint").alias("dot_micro"),
     )
 
 
