@@ -1483,8 +1483,7 @@ _PRIORITY_R7: list[str] = [
     "hard_negatives",
     "lang_embedding_centroid",
     "media_energy",
-    # --- events / sequences ---
-    "events_trending",
+    # --- events / sequences (events_trending -> r8 queue) ---
     # --- NEW r7 operator flagships (in-window the round they ship;
     # displaced to r8: orders_ivm_revenue, orders_expectations,
     # orders_column_profile, part_name_linkage, cogroup_activity_recon,
@@ -1500,6 +1499,7 @@ _PRIORITY_R7: list[str] = [
     "nation_spend_lerp",
     "orders_temporal_split",
     "events_rate_limit_replay",
+    "erasure_impact_audit",
     # --- attested family flagships kept in-window (cross-round canaries) ---
     "scd2_orders",
     "pagerank_trade",

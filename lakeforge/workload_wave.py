@@ -934,3 +934,92 @@ FROM walk w JOIN n_per n ON n.user_id = w.user_id AND w.i = n.n
 
 QUERIES["events_rate_limit_replay"] = q_events_rate_limit_replay
 ORACLE_SQL["events_rate_limit_replay"] = SQL_EVENTS_RATE_LIMIT_REPLAY
+
+
+# ---------------------------------------------------------------------------
+# Privacy: erasure (right-to-be-forgotten) impact audit.
+# ---------------------------------------------------------------------------
+
+
+def q_erasure_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure planning: given a deletion cohort (customers whose key
+    hashes into the request bucket — a deterministic stand-in for a
+    GDPR/CCPA request list), report the blast radius BEFORE deleting:
+    per table, how many rows erase and how many remain, plus the
+    referential closure (orders cascade to their lineitems).  The
+    audit every compliant lakehouse runs to size a rewrite — partitions
+    touched, rows rewritten — before committing it.
+
+    Plan: cohort is a broadcast semi/anti-join probe on each fact (the
+    Bloom-prefilter path applies unchanged at 100 TB); lineitem reaches
+    the cohort THROUGH its order (one broadcast join of erased order
+    keys when the cohort is request-sized).  One scan per table, no
+    wide shuffle."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    cohort = cust.filter(
+        md5_int(F.lit("erase"), F.col("c_custkey")) % 199 == 0
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    erased_orders = orders.join(
+        F.broadcast(cohort), orders.o_custkey == cohort.c_custkey, "left_semi"
+    )
+    n_cust = cust.count()
+    n_cohort = cohort.count()
+    n_orders = orders.count()
+    n_eo = erased_orders.count()
+    n_li = li.count()
+    n_el = li.join(
+        F.broadcast(erased_orders.select("o_orderkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    ).count()
+    rows = [
+        ("customer", n_cust, n_cohort),
+        ("orders", n_orders, n_eo),
+        ("lineitem", n_li, n_el),
+    ]
+    return spark.createDataFrame(
+        rows, "table_name string, n_rows bigint, n_erased bigint"
+    ).select(
+        "table_name",
+        "n_rows",
+        "n_erased",
+        F.expr("n_erased * 10000 div n_rows").cast("bigint").alias(
+            "erased_bps"
+        ),
+    )
+
+
+def _sql_erasure() -> str:
+    h = duckdb_md5_int_sql(["'erase'", "c_custkey"])
+    return f"""
+WITH cohort AS (
+  SELECT c_custkey FROM customer WHERE ({h}) % 199 = 0
+),
+eo AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM cohort)
+),
+t AS (
+  SELECT 'customer' AS table_name,
+         (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+         (SELECT CAST(count(*) AS BIGINT) FROM cohort) AS n_erased
+  UNION ALL
+  SELECT 'orders',
+         (SELECT CAST(count(*) AS BIGINT) FROM orders),
+         (SELECT CAST(count(*) AS BIGINT) FROM eo)
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM eo))
+)
+SELECT table_name, n_rows, n_erased,
+       CAST(n_erased * 10000 // n_rows AS BIGINT) AS erased_bps
+FROM t
+"""
+
+
+QUERIES["erasure_impact_audit"] = q_erasure_impact_audit
+ORACLE_SQL["erasure_impact_audit"] = _sql_erasure()
