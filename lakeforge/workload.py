@@ -1428,19 +1428,34 @@ _PRIORITY_R5: list[str] = [
     "docs_training_pipeline",
 ]
 
-# Round-7 rotation (VERDICT r06 #4): 47 first-time names — the never-
-# driver-attested backlog, judge-named entries first (fk_integrity_audit,
-# quantile_sketch_calibration, price_psi_drift, reorder_survival,
-# ivm_join_nation_revenue, token_counts_arrow, geo_mean_price_udaf,
-# revenue_forecast, events_attribution*, benford_price_digits), then the
-# rest of the 68-query backlog by algorithmic weight.  Cumulative
-# driver-attested coverage goes 187 -> 234 of 255 (target >= 230), with
-# the ~21 remaining (mostly simple relational scans/filters, every one
-# local-green at both SFs) queued for r8.  THREE attested flagships stay
-# as cross-round canaries (SCD2/windows -> scd2_orders, iterative ->
-# pagerank_trade, composed pipeline -> docs_training_pipeline).  New r7
-# operators enter the window the round they ship, displacing tail
-# backlog names to r8 (same family-representation rule as r5/r6).
+# Round-7 rotation (VERDICT r06 #4): 47 first-time names — judge-named
+# backlog entries first (fk_integrity_audit, quantile_sketch_calibration,
+# price_psi_drift, reorder_survival, ivm_join_nation_revenue,
+# token_counts_arrow, geo_mean_price_udaf, revenue_forecast,
+# events_attribution*, benford_price_digits), then the rest of the
+# 68-query backlog by algorithmic weight, plus the TEN new r7 operator
+# flagships in-window the round they ship (docs_type_token_ratio,
+# source_temperature_mix, events_watermark_lateness,
+# supplier_link_prediction, fifo_lot_matching, embedding_signlsh_neardup,
+# nation_spend_lerp, orders_temporal_split, events_rate_limit_replay,
+# erasure_impact_audit).  Cumulative driver-attested coverage goes
+# 187 -> 234 of 265 (target >= 230).  Queued for r8 (all local-green at
+# both SFs in LOCAL_CORRECTNESS*.json): orders_ivm_revenue,
+# orders_expectations, orders_column_profile, part_name_linkage,
+# cogroup_activity_recon, events_exact_k_sample, events_transition_matrix,
+# user_path_3grams, events_dow_anomaly, events_trending, plus the
+# never-attested relational tail (shipping_priority,
+# returned_top_customers, string_profile, customer_order_histogram,
+# order_ids_per_customer, promo_revenue, large_orders,
+# rich_inactive_customers, nation_trade_volume, mode_status_by_flag,
+# spend_trend_by_nation, unpivot_status_counts, revenue_share_by_nation,
+# monthly_from_daily, price_band_lookup, top_supplier_revenue,
+# small_qty_revenue, disjunctive_brackets, priority_late_orders,
+# customers_pseudonymized, segmented_revenue_trend, docs_boilerplate*,
+# media_energy siblings as listed in the r6 ledger).  THREE attested
+# flagships stay as cross-round canaries (SCD2/windows -> scd2_orders,
+# iterative -> pagerank_trade, composed pipeline ->
+# docs_training_pipeline).
 _PRIORITY_R7: list[str] = [
     # --- VERDICT #4 named backlog ---
     "fk_integrity_audit",
