@@ -1451,8 +1451,8 @@ _PRIORITY_R5: list[str] = [
 # spend_trend_by_nation, unpivot_status_counts, revenue_share_by_nation,
 # monthly_from_daily, price_band_lookup, top_supplier_revenue,
 # small_qty_revenue, disjunctive_brackets, priority_late_orders,
-# customers_pseudonymized, segmented_revenue_trend, docs_boilerplate*,
-# media_energy siblings as listed in the r6 ledger).  THREE attested
+# customers_pseudonymized, segmented_revenue_trend — 31 names total,
+# reproducible as registry minus window minus r1-r6 attested).  THREE
 # flagships stay as cross-round canaries (SCD2/windows -> scd2_orders,
 # iterative -> pagerank_trade, composed pipeline ->
 # docs_training_pipeline).
