@@ -812,3 +812,70 @@ def test_nearest_in_box_matches_bruteforce(spark, probes, builds, cell):
     from lakeforge import cache
 
     cache.release_all()
+
+
+@settings(**_SETTINGS)
+@given(
+    probes=st.lists(
+        st.tuples(st.integers(0, 799), st.integers(0, 799)),
+        min_size=1, max_size=10,
+    ),
+    builds=st.lists(
+        st.tuples(st.integers(0, 799), st.integers(0, 799)),
+        min_size=0, max_size=12,
+    ),
+)
+def test_nearest_in_box_aligned_single_shot_matches_bruteforce(
+    spark, probes, builds
+):
+    """box_aligned + box_radius_cells (the single-shot path the spatial
+    query takes at low density) skips the box re-check filter — only
+    valid when box bounds are cell multiples; pin that contract against
+    brute force.  cell=100, boxes = the probe's own cell ±1 (multiples
+    of 100), radius 1."""
+    from lakeforge.ops.spatial import nearest_in_box
+
+    CELL = 100
+    SPACE = 800
+
+    def box(la, lo):
+        cl, co = la // CELL, lo // CELL
+        return (
+            max(0, (cl - 1) * CELL), min(SPACE, (cl + 2) * CELL),
+            max(0, (co - 1) * CELL), min(SPACE, (co + 2) * CELL),
+        )
+
+    p = spark.createDataFrame(
+        [(i, la, lo, *box(la, lo)) for i, (la, lo) in enumerate(probes)],
+        "id bigint, plat bigint, plon bigint, box_lat_lo bigint,"
+        "box_lat_hi bigint, box_lon_lo bigint, box_lon_hi bigint",
+    )
+    b = spark.createDataFrame(
+        [(la, lo, j) for j, (la, lo) in enumerate(builds)],
+        "blat bigint, blon bigint, bkey bigint",
+    ) if builds else spark.createDataFrame(
+        [], "blat bigint, blon bigint, bkey bigint"
+    )
+    got = {
+        r.id: (r.d2, r.bkey)
+        for r in nearest_in_box(
+            p, b, CELL, ["bkey"], box_radius_cells=1, box_aligned=True
+        ).collect()
+    }
+    want = {}
+    for i, (la, lo) in enumerate(probes):
+        lo_la, hi_la, lo_lo, hi_lo = box(la, lo)
+        best = None
+        for j, (ba, bo) in enumerate(builds):
+            if not (lo_la <= ba < hi_la and lo_lo <= bo < hi_lo):
+                continue
+            d2 = (la - ba) ** 2 + (lo - bo) ** 2
+            if best is None or (d2, j) < best:
+                best = (d2, j)
+        if best is not None:
+            want[i] = best
+    assert got == want
+
+    from lakeforge import cache
+
+    cache.release_all()
