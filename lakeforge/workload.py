@@ -1451,7 +1451,10 @@ _PRIORITY_R5: list[str] = [
 # spend_trend_by_nation, unpivot_status_counts, revenue_share_by_nation,
 # monthly_from_daily, price_band_lookup, top_supplier_revenue,
 # small_qty_revenue, disjunctive_brackets, priority_late_orders,
-# customers_pseudonymized, segmented_revenue_trend — 31 names total,
+# customers_pseudonymized, segmented_revenue_trend, and the sampling
+# variants docs_kfold / docs_weighted_sample / docs_epoch_shuffle
+# (family carried in-window by orders_temporal_split + attested
+# sampling flagships) — 34 names total,
 # reproducible as registry minus window minus r1-r6 attested).  THREE
 # flagships stay as cross-round canaries (SCD2/windows -> scd2_orders,
 # iterative -> pagerank_trade, composed pipeline ->
@@ -1490,9 +1493,6 @@ _PRIORITY_R7: list[str] = [
     "docs_char_entropy",
     "docs_bigram_likelihood",
     "docs_boilerplate",
-    "docs_kfold",
-    "docs_weighted_sample",
-    "docs_epoch_shuffle",
     "bpe_pair_counts",
     "packing_efficiency",
     "hard_negatives",
@@ -1515,6 +1515,9 @@ _PRIORITY_R7: list[str] = [
     "orders_temporal_split",
     "events_rate_limit_replay",
     "erasure_impact_audit",
+    "customer_cohort_retention",
+    "docs_ngram_novelty",
+    "part_supplier_hhi",
     # --- attested family flagships kept in-window (cross-round canaries) ---
     "scd2_orders",
     "pagerank_trade",

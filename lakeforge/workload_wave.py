@@ -1023,3 +1023,238 @@ FROM t
 
 QUERIES["erasure_impact_audit"] = q_erasure_impact_audit
 ORACLE_SQL["erasure_impact_audit"] = _sql_erasure()
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (acquisition-month cohorts x months-since).
+# ---------------------------------------------------------------------------
+
+
+def q_customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: customers grouped by ACQUISITION month
+    (their first order), each later order attributed to (cohort,
+    months-since-acquisition); the matrix reports active customers and
+    retention in permille of the cohort's size.  The growth-analytics
+    staple — and the join shape (fact x per-key minimum) is the
+    template for any first-touch attribution.
+
+    Plan: one aggregate for per-customer first month, one fact join
+    back (shuffle on custkey — or zero-shuffle when both are bucketed),
+    one aggregate to the matrix, whose size is months² — bounded by the
+    calendar, not data.  Exact integer permille."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_n")
+    )
+    cells = (
+        o.join(first, "o_custkey")
+        .select(
+            "cohort",
+            F.expr(
+                "CAST(months_between(m, cohort) AS BIGINT)"
+            ).alias("months_since"),
+            "o_custkey",
+        )
+        .groupBy("cohort", "months_since")
+        .agg(F.count_distinct("o_custkey").cast("bigint").alias("active_n"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "months_since",
+        "active_n",
+        "cohort_n",
+        F.expr("active_n * 1000 div cohort_n").cast("bigint").alias(
+            "retention_permille"
+        ),
+    )
+
+
+SQL_CUSTOMER_COHORT_RETENTION = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+  FROM orders
+),
+first_ AS (
+  SELECT o_custkey, MIN(m) AS cohort FROM o GROUP BY o_custkey
+),
+sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_n
+  FROM first_ GROUP BY cohort
+),
+cells AS (
+  SELECT f.cohort,
+         CAST(date_diff('month', f.cohort, o.m) AS BIGINT) AS months_since,
+         CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS active_n
+  FROM o JOIN first_ f USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT c.cohort, c.months_since, c.active_n, s.cohort_n,
+       CAST(c.active_n * 1000 // s.cohort_n AS BIGINT)
+           AS retention_permille
+FROM cells c JOIN sizes s USING (cohort)
+"""
+
+QUERIES["customer_cohort_retention"] = q_customer_cohort_retention
+ORACLE_SQL["customer_cohort_retention"] = SQL_CUSTOMER_COHORT_RETENTION
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: n-gram novelty per document (first-occurrence share).
+# ---------------------------------------------------------------------------
+
+_NOV_N = 3
+
+
+def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental novelty score: for each doc (in doc_id ingest order),
+    the share of its distinct word 3-grams NOT seen in any EARLIER doc —
+    the curation signal that separates fresh content from recombinations
+    as a corpus grows (novelty collapses long before exact/near dedup
+    fires).  Exact: a 3-gram's first owner is the MINIMUM doc_id over
+    its occurrences (one aggregate — no sequential scan), and a doc's
+    novel count is its 3-grams whose first owner is itself.
+
+    Plan: explode to distinct (doc, gram), hash-aggregate gram -> min
+    doc, one join back on the gram hash (64-bit fingerprints shuffle,
+    never the gram strings), two counts per doc.  Linear in corpus
+    tokens at any scale."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), " +").alias("ws")
+    ).select(
+        "doc_id",
+        F.filter("ws", lambda w: w != "").alias("ws"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(ws) - {_NOV_N - 1},"
+                f" 0)), i -> concat_ws(' ', slice(ws, i, {_NOV_N})))"
+            )
+        ).alias("g"),
+    ).select("doc_id", md5_int(F.lit("nov"), F.col("g")).alias("gfp"))
+    dg = grams.distinct()
+    first = dg.groupBy("gfp").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        dg.join(first, "gfp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_permille",
+            F.expr("n_novel * 1000 div n_grams").cast("bigint"),
+        )
+    )
+
+
+def _sql_novelty() -> str:
+    h = duckdb_md5_int_sql(["'nov'", "g"])
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, ' +'), w -> w <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, ({h}) AS gfp
+  FROM (
+    SELECT doc_id,
+           array_to_string(ws[i : i + {_NOV_N - 1}], ' ') AS g
+    FROM toks,
+         LATERAL (SELECT unnest(range(1, greatest(len(ws) - {_NOV_N - 2},
+                                                  1))) AS i)
+    WHERE len(ws) >= {_NOV_N}
+  )
+),
+first_ AS (
+  SELECT gfp, MIN(doc_id) AS first_doc FROM grams GROUP BY gfp
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS novelty_permille
+FROM grams g JOIN first_ f USING (gfp)
+GROUP BY g.doc_id
+"""
+
+
+QUERIES["docs_ngram_novelty"] = q_docs_ngram_novelty
+ORACLE_SQL["docs_ngram_novelty"] = _sql_novelty()
+
+
+# ---------------------------------------------------------------------------
+# Market concentration: Herfindahl-Hirschman index per part.
+# ---------------------------------------------------------------------------
+
+
+def q_part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration HHI per part: sum of squared supplier
+    quantity SHARES, where each share is first quantized to integer
+    basis points (share_i = q_i*10000 div total) and the index is
+    sum(share_i²) div 10000 — every step int64-exact on both engines
+    (a direct sum(q²)*10⁴ div total² needs 128-bit division, where
+    Spark's decimal IntegralDivide rounds at limited scale and drifted
+    one ulp from DuckDB's exact hugeint floor).  10000 ~= monopoly;
+    ~10000/n = even split.  The sourcing-risk screen a supply-chain
+    pipeline runs per SKU.
+
+    Plan: one aggregate to (part, supplier) quantities, one broadcast
+    of nothing — the per-part total rides a second grouped aggregate
+    via a window-free two-pass (groupBy twice); all map-side
+    combinable, only keys and two bigints shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("q").cast("bigint").alias("sq")
+    )
+    tot = ps.groupBy("l_partkey").agg(
+        F.sum("sq").cast("bigint").alias("total_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    shares = ps.join(tot, "l_partkey").select(
+        "l_partkey", "n_suppliers", "total_qty",
+        F.expr("sq * 10000 div total_qty").alias("share_bps"),
+    )
+    return shares.groupBy("l_partkey", "n_suppliers", "total_qty").agg(
+        F.expr("CAST(SUM(share_bps * share_bps) div 10000 AS BIGINT)")
+        .alias("hhi_bps"),
+    ).select("l_partkey", "n_suppliers", "total_qty", "hhi_bps")
+
+
+SQL_PART_SUPPLIER_HHI = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_partkey, CAST(SUM(sq) AS BIGINT) AS total_qty,
+         CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM ps GROUP BY 1
+),
+shares AS (
+  SELECT ps.l_partkey, t.n_suppliers, t.total_qty,
+         ps.sq * 10000 // t.total_qty AS share_bps
+  FROM ps JOIN tot t USING (l_partkey)
+)
+SELECT l_partkey, n_suppliers, total_qty,
+       CAST(SUM(share_bps * share_bps) // 10000 AS BIGINT) AS hhi_bps
+FROM shares GROUP BY 1, 2, 3
+"""
+
+QUERIES["part_supplier_hhi"] = q_part_supplier_hhi
+ORACLE_SQL["part_supplier_hhi"] = SQL_PART_SUPPLIER_HHI
