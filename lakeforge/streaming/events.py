@@ -640,6 +640,15 @@ def rate_limit_stateful(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # ADVICE r07 #2: the integer refill rule tokens += dt_us // refill_div
+    # is exact only when us_per_token is a whole number of seconds; a
+    # fractional rate would silently refill at the wrong speed (and
+    # < 1s would divide by zero).  Reject instead of mis-computing.
+    if us_per_token < 1_000_000 or us_per_token % 1_000_000 != 0:
+        raise ValueError(
+            "us_per_token must be a positive multiple of 1_000_000 "
+            f"(got {us_per_token})"
+        )
     refill_div = us_per_token // 1_000_000  # us per micro-token
 
     def fn(key: tuple, pdfs, state: GroupState):

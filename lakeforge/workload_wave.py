@@ -123,8 +123,14 @@ def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("w_sqrt * 1000 div t_w").cast("bigint").alias(
             "tempered_share_permille"
         ),
-        # sampling factor in permille: tempered/raw = (w/t_w)/(n/t_docs)
-        F.expr("w_sqrt * t_docs * 1000 div (n_docs * t_w)")
+        # sampling factor in permille: tempered/raw = (w/t_w)/(n/t_docs).
+        # ADVICE r07 #3: at 100 TB (t_docs ~1e11+, w_sqrt ~3e5) the bigint
+        # product overflows int64; widen to DECIMAL(38,0) on both engines
+        # (the tvd_permille / cum_bps pattern) before the integral divide.
+        F.expr(
+            "CAST(w_sqrt AS DECIMAL(38,0)) * t_docs * 1000"
+            " div (CAST(n_docs AS DECIMAL(38,0)) * t_w)"
+        )
         .cast("bigint")
         .alias("resample_factor_permille"),
     )
@@ -141,7 +147,8 @@ tot AS (SELECT SUM(n_docs) AS t_docs, SUM(w_sqrt) AS t_w FROM s)
 SELECT source, n_docs, n_chars,
        CAST(n_docs * 1000 // t_docs AS BIGINT) AS raw_share_permille,
        CAST(w_sqrt * 1000 // t_w AS BIGINT) AS tempered_share_permille,
-       CAST(w_sqrt * t_docs * 1000 // (n_docs * t_w) AS BIGINT)
+       CAST(CAST(w_sqrt AS HUGEINT) * t_docs * 1000
+            // (CAST(n_docs AS HUGEINT) * t_w) AS BIGINT)
            AS resample_factor_permille
 FROM s, tot
 """
@@ -819,6 +826,11 @@ ORACLE_SQL["orders_temporal_split"] = SQL_ORDERS_TEMPORAL_SPLIT
 
 _TB_CAP_MICRO = 3_000_000   # bucket capacity: 3 tokens (micro-tokens)
 _TB_US_PER_TOKEN = 60_000_000  # refill: 1 token / 60s
+# Derived divisor shared by the batch fold AND the oracle (ADVICE r07 #2:
+# a hardcoded 60 in either would silently desynchronize the three
+# formulations if the constant changed).  Must divide exactly.
+assert _TB_US_PER_TOKEN % 1_000_000 == 0
+_TB_REFILL_DIV = _TB_US_PER_TOKEN // 1_000_000
 
 
 def q_events_rate_limit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -866,7 +878,7 @@ def q_events_rate_limit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if last_us is not None:
                     tok = min(
                         _TB_CAP_MICRO,
-                        tok + (int(t) - last_us) // 60,
+                        tok + (int(t) - last_us) // _TB_REFILL_DIV,
                     )
                 last_us = int(t)
                 if tok >= 1_000_000:
@@ -923,7 +935,7 @@ walk(user_id, i, tok, adm, den) AS (
   JOIN seq s  ON s.user_id = w.user_id AND s.i = w.i + 1
   JOIN seq sp ON sp.user_id = w.user_id AND sp.i = w.i,
   LATERAL (SELECT LEAST({_TB_CAP_MICRO},
-                        w.tok + (s.us - sp.us) // 60) AS avail) r
+                        w.tok + (s.us - sp.us) // {_TB_REFILL_DIV}) AS avail) r
 )
 SELECT w.user_id,
        CAST(w.adm AS BIGINT) AS n_admitted,
@@ -1130,12 +1142,19 @@ def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.filter("ws", lambda w: w != "").alias("ws"),
     )
+    # Guard (ADVICE r07 #1): for docs with < _NOV_N tokens,
+    # sequence(1, size-2) would evaluate sequence(1, 0) -> DESCENDING
+    # [1, 0], whose i=0 element makes slice(ws, 0, 3) throw
+    # INVALID_PARAMETER_VALUE.START.  Short docs contribute no grams
+    # (array()), mirroring the oracle's WHERE len(ws) >= 3.
     grams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(ws) - {_NOV_N - 1},"
-                f" 0)), i -> concat_ws(' ', slice(ws, i, {_NOV_N})))"
+                f"CASE WHEN size(ws) >= {_NOV_N} THEN"
+                f" transform(sequence(1, size(ws) - {_NOV_N - 1}),"
+                f" i -> concat_ws(' ', slice(ws, i, {_NOV_N})))"
+                f" ELSE array() END"
             )
         ).alias("g"),
     ).select("doc_id", md5_int(F.lit("nov"), F.col("g")).alias("gfp"))

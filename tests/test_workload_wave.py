@@ -130,3 +130,41 @@ def test_rate_limiter_conserves_events_and_caps_admits(spark):
         assert adm + den == r.n
         budget = w._TB_CAP_MICRO // 1_000_000 + r.span_us // w._TB_US_PER_TOKEN + 1
         assert adm <= budget, (r.user_id, adm, budget)
+
+
+def test_ngram_novelty_short_docs_do_not_crash(spark, tmp_path):
+    """ADVICE r07 #1 regression: docs with < 3 tokens used to evaluate
+    sequence(1, 0) -> descending [1, 0], whose i=0 crashed slice().
+    Short docs must contribute no grams (mirroring the oracle's
+    WHERE len(ws) >= 3) and longer docs must still score."""
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [
+            (1, ""),                      # 0 tokens
+            (2, "one"),                   # 1 token
+            (3, "  two   tokens  "),      # 2 tokens after split-filter
+            (4, "a b c"),                 # exactly 3 -> one novel gram
+            (5, "a b c d"),               # repeats doc 4's gram 'a b c'
+        ],
+        "doc_id bigint, text string",
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = {r.doc_id: r for r in w.q_docs_ngram_novelty(spark, sf).collect()}
+    assert set(rows) == {4, 5}  # short docs emit no rows
+    assert rows[4].n_grams == 1 and rows[4].n_novel == 1
+    assert rows[5].n_grams == 2 and rows[5].n_novel == 1
+    assert rows[5].novelty_permille == 500
+
+
+def test_rate_limiter_rejects_fractional_second_refill(spark):
+    """ADVICE r07 #2: a us_per_token that is not a whole number of
+    seconds would silently refill at the wrong rate (or divide by
+    zero); the stateful operator must reject it up front."""
+    from lakeforge.streaming.events import rate_limit_stateful
+
+    df = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "CAST(value AS STRING) AS event_id", "timestamp AS ts"
+    )
+    with pytest.raises(ValueError, match="multiple of 1_000_000"):
+        rate_limit_stateful(df, us_per_token=1_500_000)
+    with pytest.raises(ValueError, match="multiple of 1_000_000"):
+        rate_limit_stateful(df, us_per_token=500_000)
