@@ -1421,32 +1421,40 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     location estimate when rows carry multiplicity — unit-priced line
     items here, token counts or sample weights in a training pipeline.
 
-    Needs each row's GLOBAL cumulative weight in price order WITHIN its
-    group — assigned two-level: (1) cumulative quantity within
-    (flag, price-range block) — parallel windows; (2) per-block weight
-    totals prefix-summed over the tiny per-flag block summary give each
-    block's offset; global cumw = offset + local.  All integer cents and
-    quantities, so the two-level result is bit-identical to the oracle's
-    single ORDER BY cumulative window."""
+    Needs each price's GLOBAL cumulative weight in price order WITHIN
+    its group.  Rebuilt per VERDICT r07 #2 (the row-level blocked sweep
+    measured alpha=1.11 at the 10x->100x probe leg — the per-flag value
+    frame re-shuffled every row): the fact now collapses FIRST to a
+    (flag, price) histogram — one map-side-combined hash aggregate,
+    linear in rows, shuffling only distinct cells (bounded by the price
+    DOMAIN, not the row count) — and the two-level cumulative sweep
+    (local window within price-range block + tiny per-flag block-offset
+    prefix) runs over that bounded histogram.  Equivalence to the
+    oracle's row-level cumulative window: the histogram's cumulative
+    through price p equals the MAX row-level cumulative among rows at
+    p, and ``min(price where cw*2 >= total)`` is invariant under
+    replacing the rows of a price by their max — so lo/hi medians are
+    bit-identical.  All integer cents and quantities."""
     from lakeforge.cache import persist_tracked
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
         F.col("l_quantity").cast("bigint").alias("qty"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    blocked = persist_tracked(
-        li.withColumn("bk", F.expr("price_c div 1000000"))
+    hist = persist_tracked(
+        li.groupBy("l_returnflag", "price_c")
+        .agg(
+            F.sum("qty").alias("w"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .withColumn("bk", F.expr("price_c div 1000000"))
     )
     w_in = Window.partitionBy("l_returnflag", "bk").orderBy(
-        "price_c", "l_orderkey", "l_linenumber"
+        "price_c"
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    local = blocked.withColumn("cw_local", F.sum("qty").over(w_in))
-    blk = blocked.groupBy("l_returnflag", "bk").agg(
-        F.sum("qty").alias("bw")
-    )
+    local = hist.withColumn("cw_local", F.sum("w").over(w_in))
+    blk = hist.groupBy("l_returnflag", "bk").agg(F.sum("w").alias("bw"))
     w_blk = (
         Window.partitionBy("l_returnflag").orderBy("bk")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1457,9 +1465,9 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = local.join(F.broadcast(offs), ["l_returnflag", "bk"]).withColumn(
         "cw", F.col("off") + F.col("cw_local")
     )
-    totals = blocked.groupBy("l_returnflag").agg(
-        F.sum("qty").cast("bigint").alias("w_total"),
-        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    totals = hist.groupBy("l_returnflag").agg(
+        F.sum("w").cast("bigint").alias("w_total"),
+        F.sum("cnt").cast("bigint").alias("n_items"),
     )
     j = ranked.join(F.broadcast(totals), "l_returnflag")
     return j.groupBy("l_returnflag", "w_total", "n_items").agg(
