@@ -3680,20 +3680,21 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frequency (order count), Monetary (total spend) -> quartile scores
     via ntile semantics -> named segment.
 
-    The three quartile scores ride :func:`blocked_ntile` (VERDICT r06
-    #2: the previous three global ntile windows each funneled every
-    customer through ONE partition — billions of rows at 100 TB).  Each
-    score is now rank-decomposed: strict-prefix over the VALUE histogram
-    (blocked) + within-tie rank by custkey (grouped-blocked, so the
-    frequency=1 tie group — a third of all customers — still
-    parallelizes), then the SQL-standard tile formula.  Exact — proven
-    identical to the window ntile by tests/test_properties.py; the
-    DuckDB oracle still uses plain ntile.  Block widths derive from one
-    bounded 1-row collect of the per-customer maxima (the
-    trade_bfs-style driver-scalar pattern); descending orders negate
-    the value (div-toward-zero blocks stay monotone for negatives)."""
+    Both quartile scores are exact global ranks without a global
+    single-partition window (VERDICT r06 #2), rebuilt leaner per VERDICT
+    r07 #4: the r7 version (histogram + straddling-tie-group machinery
+    via blocked_ntile) was exact but spent 17 exchanges; ntile only
+    needs each row's GLOBAL ROW_NUMBER in (value, custkey) order — a
+    total order — so a row-grain blocked decomposition suffices:
+    row_number within (value-range block) + the block's strict-prefix
+    count offset (a <= 64-row broadcast summary).  Two window passes
+    (one per metric) chained over the persisted per-customer frame, ONE
+    shared maxima collect, then the SQL-standard tile formula with
+    driver-literal (n, q).  Exact — identical to the window ntile
+    (tests/test_properties.py pins it); the DuckDB oracle keeps plain
+    ntile.  Descending orders negate the value (div-toward-zero blocks
+    stay monotone for negatives)."""
     from lakeforge.cache import persist_tracked
-    from lakeforge.ops.analytics import blocked_ntile
 
     o = _t(spark, sf_dir, "orders")
     anchor = F.lit("1998-12-31").cast("date")
@@ -3709,39 +3710,75 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mx = per_cust.agg(
-        F.max("recency_days"), F.max("frequency"), F.max("o_custkey"),
+        F.max("recency_days"), F.max("frequency"),
         F.count(F.lit(1)).cast("bigint"),
     ).collect()[0]
     w_rec = max(1, (int(mx[0]) + 1) // 64)
     w_frq = max(1, (int(mx[1]) + 1) // 16)
-    w_ck = max(1, (int(mx[2]) + 1) // 64)
-    n_cust = int(mx[3])
-    tie_blk = F.expr(f"o_custkey div {w_ck}")
-    # Score each ordering on a SLIM independent frame and join on the
-    # key: chaining the three scorings over one growing frame made the
-    # logical plan (and Catalyst's optimization time) explode.
-    s_r = blocked_ntile(
-        per_cust.select("o_custkey", "recency_days"),
-        "recency_days", "o_custkey", 4,
-        F.expr(f"recency_days div {w_rec}"), tie_blk,
-        out_col="r_score", n_total=n_cust,
-        hist_bounded=True,  # distinct recency values <= calendar span
-    ).select("o_custkey", "r_score")
-    s_f = blocked_ntile(
-        per_cust.select("o_custkey", "neg_freq"),
-        "neg_freq", "o_custkey", 4,
-        F.expr(f"neg_freq div {w_frq}"), tie_blk,
-        out_col="f_score", n_total=n_cust,
-        hist_bounded=True,  # distinct frequencies <= max orders/customer
-    ).select("o_custkey", "f_score")
+    n_cust = int(mx[2])
+
+    def tile_lit(rank_sql: str, k: int = 4) -> F.Column:
+        # SQL-standard ntile from a global rank, (n, q) as driver
+        # literals: first n mod k tiles get q+1 rows, the rest q.
+        q = n_cust // k
+        cut = (n_cust - q * k) * (q + 1)
+        return F.expr(
+            f"CASE WHEN ({rank_sql}) <= {cut}"
+            f" THEN (({rank_sql}) - 1) div {q + 1} + 1"
+            f" ELSE {n_cust - q * k}"
+            f"      + (({rank_sql}) - {cut} - 1) div greatest({q}, 1) + 1"
+            f" END"
+        ).cast("bigint")
+
+    # ONE fused strict-prefix offset pass for both metrics (<= 80-row
+    # summary, cumulated per metric by the bounded unpartitioned window
+    # and broadcast back — the blocked_prefix_sum carry, inlined).
+    offs = (
+        per_cust.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("m"),
+                        F.expr(f"recency_days div {w_rec}").alias("__bk"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("m"),
+                        F.expr(f"neg_freq div {w_frq}").alias("__bk"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .groupBy("s.m", "s.__bk")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+    )
+    w_off = Window.partitionBy("m").orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = offs.select(
+        "m", "__bk", F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off")
+    )
+    off_r = offs.filter("m = 0").select(
+        F.col("__bk").alias("__bkr"), F.col("__off").alias("__offr")
+    )
+    off_f = offs.filter("m = 1").select(
+        F.col("__bk").alias("__bkf"), F.col("__off").alias("__offf")
+    )
+    w_r = Window.partitionBy("__bkr").orderBy("recency_days", "o_custkey")
+    w_f = Window.partitionBy("__bkf").orderBy("neg_freq", "o_custkey")
+    scored = (
+        per_cust
+        .withColumn("__bkr", F.expr(f"recency_days div {w_rec}"))
+        .join(F.broadcast(off_r), "__bkr")
+        .withColumn("__rr", F.col("__offr") + F.row_number().over(w_r))
+        .withColumn("r_score", tile_lit("__rr"))
+        .withColumn("__bkf", F.expr(f"neg_freq div {w_frq}"))
+        .join(F.broadcast(off_f), "__bkf")
+        .withColumn("__rf", F.col("__offf") + F.row_number().over(w_f))
+        .withColumn("f_score", tile_lit("__rf"))
+    )
     # The monetary quartile is NOT computed: the segment CASE below uses
     # only r_score/f_score (the former m_score was dead work in both
     # engines; monetary still flows into segment_value).
-    scored = (
-        per_cust.select("o_custkey", "monetary")
-        .join(s_r, "o_custkey")
-        .join(s_f, "o_custkey")
-    )
     seg = (
         F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
         .when(F.col("r_score") == 4, "at_risk")
@@ -3819,19 +3856,19 @@ def q_customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     = first 70% of cumulative revenue share, B = next 25%, C = tail.
     Share math in integer basis points of the exact DECIMAL total.
 
-    Plan (VERDICT r06 #2): the cumulative revenue rides the two-level
-    block-prefix pattern instead of a global single-partition window —
-    rank-decomposed as strict-prefix SUM over the revenue-cents VALUE
-    histogram (blocked_prefix_sum) plus the within-tie inclusive term
-    (within a tie group every row carries the same rev, so the inclusive
-    cum is strict + (within_rank+1)*rev_c; the within rank is the
-    grouped-blocked prefix COUNT by custkey).  Exact integer cents; the
-    bps division widens to DECIMAL(38,0) so cum_cents*10000 can't
-    overflow int64 at a 100 TB fact (same ADVICE r06 #2 class as
-    t-closeness).  The DuckDB oracle keeps the plain cumulative window —
-    the two formulations cross-check each other."""
+    Plan (VERDICT r06 #2, leaner per VERDICT r07 #4): the cumulative
+    revenue is a ROW-GRAIN blocked prefix — (rev DESC, custkey) is a
+    total order, so the inclusive cumulative is the within-block
+    running SUM (window partitioned by the revenue-range block, 4096
+    parallel partitions) plus the block's strict-prefix offset (a
+    <= 4096-row broadcast summary cumulated by the bounded window).
+    The r7 version routed this through a value histogram with
+    singleton/multi tie-group splitting — exact, but 10 exchanges where
+    this needs 4.  Exact integer cents; the bps division widens to
+    DECIMAL(38,0) so cum_cents*10000 can't overflow int64 at a 100 TB
+    fact.  The DuckDB oracle keeps the plain cumulative window — the
+    two formulations cross-check each other."""
     from lakeforge.cache import persist_tracked
-    from lakeforge.ops.analytics import blocked_prefix_sum
 
     o = _t(spark, sf_dir, "orders")
     per_cust = persist_tracked(
@@ -3841,40 +3878,26 @@ def q_customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("neg_rc", -F.col("rev_c"))
     )
     mx = per_cust.agg(
-        F.max("rev_c"), F.max("o_custkey"), F.sum("rev").alias("t")
+        F.max("rev_c"), F.sum("rev").alias("t")
     ).collect()[0]
     w_val = max(1, (int(mx[0]) + 1) // 4096)
-    w_ck = max(1, (int(mx[1]) + 1) // 64)
-    t_c = int((mx[2] * 100))  # DEC(·,2) * 100 is integral
-    # Strict prefix SUM over the value histogram (order: rev DESC).
-    hist = per_cust.groupBy("neg_rc").agg(
-        F.sum("rev_c").alias("__vs"),
-        F.count(F.lit(1)).cast("bigint").alias("__vn"),
+    t_c = int((mx[1] * 100))  # DEC(·,2) * 100 is integral
+    offs = per_cust.groupBy(
+        F.expr(f"neg_rc div {w_val}").alias("__bk")
+    ).agg(F.sum("rev_c").alias("__bs"))
+    w_blk = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = offs.select(
+        "__bk", F.coalesce(F.sum("__bs").over(w_blk), F.lit(0)).alias("__off")
     )
-    hist = blocked_prefix_sum(
-        hist, "neg_rc", "__vs", F.expr(f"neg_rc div {w_val}"),
-        out_col="__cum_strict",
-    ).select("neg_rc", "__vn", "__cum_strict")
-    joined = persist_tracked(per_cust.join(hist, "neg_rc"))
-    # Within-tie rank by custkey matters only inside MULTI-member tie
-    # groups (rare for exact cents values; singletons have rank 0 by
-    # construction) — so the grouped-blocked pass runs over only those
-    # rows, and a 1e8-member tie group would still parallelize.
-    single = joined.filter(F.col("__vn") == 1).withColumn(
-        "__tie_rank", F.lit(0).cast("bigint")
+    w_in = (
+        Window.partitionBy("__bkv")
+        .orderBy("neg_rc", "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    multi = blocked_prefix_sum(
-        joined.filter(F.col("__vn") > 1).withColumn("__one", F.lit(1)),
-        "o_custkey", "__one", F.expr(f"o_custkey div {w_ck}"),
-        out_col="__tie_rank", group_cols=["neg_rc"],
-    ).drop("__one")
     cum = (
-        single.unionByName(multi)
-        .withColumn(
-            "cum_rev_c",
-            F.col("__cum_strict")
-            + (F.col("__tie_rank") + F.lit(1)) * F.col("rev_c"),
-        )
+        per_cust.withColumn("__bkv", F.expr(f"neg_rc div {w_val}"))
+        .join(F.broadcast(offs), F.col("__bkv") == F.col("__bk"))
+        .withColumn("cum_rev_c", F.col("__off") + F.sum("rev_c").over(w_in))
         .withColumn(
             "cum_bps",
             F.expr(
