@@ -3085,44 +3085,86 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct orphan keys — the cross-table completeness gate that
     row-level expectations (orders_expectations) can't express.
 
-    Each relationship is one LEFT ANTI join on the key (parent side is
-    a slim key projection — broadcast at dim scale, shuffle otherwise;
-    AQE decides), aggregated to a single summary row; the five
-    summaries union into the audit table.  Counting DISTINCT orphan
-    keys costs nothing extra on an anti-join output that is empty in a
-    healthy warehouse.
-    """
-    rels = [
-        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
-        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
-        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
-    ]
-    outs = []
-    for name, child, ck, parent, pk in rels:
-        c = _t(spark, sf_dir, child).select(F.col(ck).alias("k"))
-        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("k"))
-        orphans = c.join(p, "k", "left_anti")
-        outs.append(
-            c.agg(F.count(F.lit(1)).cast("bigint").alias("child_rows"))
-            .crossJoin(
-                orphans.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("orphan_rows"),
-                    F.countDistinct("k").cast("bigint").alias("orphan_keys"),
-                )
-            )
-            .select(
-                F.lit(name).alias("relationship"),
-                "child_rows",
-                "orphan_rows",
-                "orphan_keys",
-            )
+    Each CHILD table is scanned ONCE (r8: the first version ran one
+    anti-join plus one count per relationship — six passes over
+    lineitem alone, the silver_check.py n-actions shape): all of a
+    child's FKs resolve through LEFT joins against slim parent-key
+    projections carrying a presence marker (unhinted — AQE broadcasts
+    dim-sized parents at runtime; the lineitem->orders leg stays a
+    shuffle join at fact scale), and one conditional aggregate emits
+    child rows + orphan rows + distinct orphan keys for every
+    relationship of that child.  Three scans, three aggregates, five
+    audit rows."""
+
+    def parent_keys(table: str, pk: str, marker: str) -> DataFrame:
+        # Parent side is its PRIMARY key — unique by contract, so the
+        # marked LEFT join cannot fan child rows out (no distinct
+        # needed, which would add a full parent shuffle at 100 TB).
+        return (
+            _t(spark, sf_dir, table)
+            .select(F.col(pk).alias(f"__{marker}_k"))
+            .withColumn(f"__{marker}", F.lit(1))
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+
+    def rel_row(src: DataFrame, name: str, ck: str, marker: str) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("relationship"),
+            "child_rows",
+            F.col(f"orphan_rows_{marker}").alias("orphan_rows"),
+            F.col(f"orphan_keys_{marker}").alias("orphan_keys"),
+        )
+
+    def audit(child: DataFrame, fks: list) -> DataFrame:
+        # fks: [(rel_name, child_key, parent_table, parent_pk, marker)]
+        j = child
+        for _, ck, pt, pk, m in fks:
+            j = j.join(
+                parent_keys(pt, pk, m),
+                j[ck] == F.col(f"__{m}_k"),
+                "left",
+            )
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("child_rows")]
+        for _, ck, _, _, m in fks:
+            orphan = F.col(f"__{m}").isNull()
+            aggs += [
+                F.sum(F.when(orphan, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"orphan_rows_{m}"),
+                F.countDistinct(F.when(orphan, F.col(ck)))
+                .cast("bigint")
+                .alias(f"orphan_keys_{m}"),
+            ]
+        summary = j.agg(*aggs)
+        rows = [rel_row(summary, name, ck, m) for name, ck, _, _, m in fks]
+        res = rows[0]
+        for r in rows[1:]:
+            res = res.unionByName(r)
+        return res
+
+    li_audit = audit(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey"
+        ),
+        [
+            ("lineitem.l_orderkey->orders", "l_orderkey", "orders",
+             "o_orderkey", "o"),
+            ("lineitem.l_partkey->part", "l_partkey", "part",
+             "p_partkey", "p"),
+            ("lineitem.l_suppkey->supplier", "l_suppkey", "supplier",
+             "s_suppkey", "s"),
+        ],
+    )
+    o_audit = audit(
+        _t(spark, sf_dir, "orders").select("o_custkey"),
+        [("orders.o_custkey->customer", "o_custkey", "customer",
+          "c_custkey", "c")],
+    )
+    c_audit = audit(
+        _t(spark, sf_dir, "customer").select("c_nationkey"),
+        [("customer.c_nationkey->nation", "c_nationkey", "nation",
+          "n_nationkey", "n")],
+    )
+    return o_audit.unionByName(li_audit).unionByName(c_audit)
 
 
 SQL_FK_INTEGRITY_AUDIT = """
