@@ -956,3 +956,48 @@ def test_effective_token_mass_bounded_by_raw(spark):
         assert r.eff_millitokens <= 1000 * r.raw_tokens
         if r.dup_docs == 0:
             assert r.eff_millitokens == 1000 * r.raw_tokens
+
+
+def test_pq_codebook_retrains_after_corpus_rewrite(spark, tmp_path):
+    """VERDICT r07 #7: the memoized trained-codebook store keys on
+    data_version(embeddings.parquet), so rewriting the corpus at the
+    same path within one application must produce a FRESH memo entry
+    (a stale codebook would silently mis-quantize the new corpus)."""
+    import shutil
+    import time as _time
+
+    from lakeforge import workload_llm as wl
+
+    import os
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    # driver testdata ships single-file parquet tables
+    shutil.copy(src, f"{sf}/embeddings.parquet")
+
+    before = set(wl._PQ_CODEBOOKS)
+    wl._pq_codebooks(spark, sf)
+    keys1 = set(wl._PQ_CODEBOOKS) - before
+    assert len(keys1) == 1
+    # memo hit: same corpus, no new key
+    wl._pq_codebooks(spark, sf)
+    assert set(wl._PQ_CODEBOOKS) - before == keys1
+
+    # rewrite the corpus in place (perturb one dimension; ensure the
+    # mtime/bytes fingerprint moves even on coarse filesystems)
+    _time.sleep(0.05)
+    rewritten = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: x * F.lit(0.5)),
+        )
+    )
+    rewritten.write.mode("overwrite").parquet(f"{sf}/embeddings_new.parquet")
+    os.remove(f"{sf}/embeddings.parquet")
+    shutil.move(f"{sf}/embeddings_new.parquet", f"{sf}/embeddings.parquet")
+
+    wl._pq_codebooks(spark, sf)
+    keys2 = set(wl._PQ_CODEBOOKS) - before - keys1
+    assert len(keys2) == 1, "rewritten corpus must train a fresh codebook"
