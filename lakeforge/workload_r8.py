@@ -1,0 +1,765 @@
+"""Round-8 wave operators: eight new oracle-paired families.
+
+- receivable_aging          — AR aging buckets over open orders
+- supplier_lead_time_sla    — per-supplier fulfillment lead time + SLA
+- customer_order_streaks    — longest consecutive-month streak histogram
+- vocab_coverage_curve      — top-V vocabulary token-mass coverage
+- bigram_lift_collocations  — collocation mining by integer lift
+- embedding_cluster_separation — Davies-Bouldin-lite cluster quality
+- docs_readability          — integer Flesch-style readability per doc
+- shingle_containment_pairs — DIRECTED containment near-dup (sub-doc reuse)
+
+Repo conventions throughout: exact integer/DECIMAL arithmetic on both
+engines, bounded fan-outs documented per op, one DuckDB oracle per query.
+Reference parity: Big_Data_Task (bronze_to_silver.py / silver_check.py)
+has no counterpart for any of these — this is engine surface extending
+SURVEY.md §2.9's LLM-pipeline / analytics families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakeforge.functions.keys import duckdb_md5_int_sql, md5_int
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Finance: accounts-receivable aging buckets.
+# ---------------------------------------------------------------------------
+
+_AR_ANCHOR = "1998-12-31"
+
+
+def q_receivable_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR aging report: OPEN orders bucketed by age at the anchor date
+    (0-30 / 31-60 / 61-90 / 91-180 / 180+ days), with order count and
+    open value per bucket — the collections report every finance team
+    runs nightly, and the canonical "bucket by age band" conditional
+    aggregate.
+
+    Plan: one scan, row-local bucket CASE, one map-side-combined
+    aggregate to five rows.  Value sums in DECIMAL(18,2) (money never
+    floats)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    age = F.datediff(
+        F.lit(_AR_ANCHOR).cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 60, "31-60")
+        .when(age <= 90, "61-90")
+        .when(age <= 180, "91-180")
+        .otherwise("180+")
+    )
+    return o.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("open_value"),
+    )
+
+
+SQL_RECEIVABLE_AGING = f"""
+WITH o AS (
+  SELECT date_diff('day', CAST(o_orderdate AS DATE), DATE '{_AR_ANCHOR}')
+             AS age,
+         o_totalprice
+  FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT CASE WHEN age <= 30 THEN '0-30'
+            WHEN age <= 60 THEN '31-60'
+            WHEN age <= 90 THEN '61-90'
+            WHEN age <= 180 THEN '91-180'
+            ELSE '180+' END AS age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS open_value
+FROM o GROUP BY 1
+"""
+
+QUERIES["receivable_aging"] = q_receivable_aging
+ORACLE_SQL["receivable_aging"] = SQL_RECEIVABLE_AGING
+
+
+# ---------------------------------------------------------------------------
+# Supply chain: per-supplier fulfillment lead time + SLA compliance.
+# ---------------------------------------------------------------------------
+
+_SLA_DAYS = 100
+
+
+def q_supplier_lead_time_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment lead time per supplier: days from order placement to
+    line shipment, with mean lead (floor days), worst case, and the SLA
+    breach rate (share of lines over {_SLA_DAYS} days, in basis points)
+    — the vendor scorecard behind every procurement review.
+
+    Plan: ONE fact-fact equi-join on the order key (both sides shuffle
+    on the key — or zero-shuffle when orders/lineitem are bucketed on
+    it, the layout `docs/SCALE.md` prescribes), then one map-side-
+    combined aggregate to |suppliers| rows.  Exact integers: floor-div
+    mean, bps via bigint (counts * 10000 fits int64 at any TPC-H
+    scale)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("ship")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("placed")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey", F.datediff("ship", "placed").cast("bigint").alias("lead")
+    )
+    return j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.expr("sum(lead) div count(*)").cast("bigint").alias("mean_lead_days"),
+        F.max("lead").cast("bigint").alias("max_lead_days"),
+        F.expr(
+            f"sum(CASE WHEN lead > {_SLA_DAYS} THEN 1 ELSE 0 END) * 10000"
+            f" div count(*)"
+        ).cast("bigint").alias("breach_bps"),
+    )
+
+
+SQL_SUPPLIER_LEAD_TIME_SLA = f"""
+WITH j AS (
+  SELECT l.l_suppkey,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lead
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(lead) // count(*) AS BIGINT) AS mean_lead_days,
+       CAST(MAX(lead) AS BIGINT) AS max_lead_days,
+       CAST(SUM(CASE WHEN lead > {_SLA_DAYS} THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS breach_bps
+FROM j GROUP BY l_suppkey
+"""
+
+QUERIES["supplier_lead_time_sla"] = q_supplier_lead_time_sla
+ORACLE_SQL["supplier_lead_time_sla"] = SQL_SUPPLIER_LEAD_TIME_SLA
+
+
+# ---------------------------------------------------------------------------
+# Retention analytics: longest consecutive-month order streak histogram.
+# ---------------------------------------------------------------------------
+
+
+def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement streaks: per customer, the LONGEST run of consecutive
+    calendar months with >= 1 order, reported as a histogram (streak
+    length -> customers) — the habit-formation metric subscription and
+    marketplace teams track, and the gaps-and-islands shape over a
+    derived month index.
+
+    Plan: orders collapse to DISTINCT (customer, month-index) — one
+    aggregate — then the island id is month_idx - row_number() within
+    the customer (window partitioned BY KEY: per-partition rows bounded
+    by months-per-customer, a calendar constant, never fact-scale), two
+    more keyed aggregates, and a final histogram whose size is bounded
+    by the calendar span.  Exact integers throughout."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+        ).cast("bigint").alias("m"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    runs = (
+        o.withColumn("grp", F.col("m") - F.row_number().over(w))
+        .groupBy("o_custkey", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("run_len"))
+        .groupBy("o_custkey")
+        .agg(F.max("run_len").alias("best_streak"))
+    )
+    return runs.groupBy(F.col("best_streak").alias("streak_months")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+SQL_CUSTOMER_ORDER_STREAKS = """
+WITH m AS (
+  SELECT DISTINCT o_custkey,
+         CAST(year(CAST(o_orderdate AS DATE)) * 12
+              + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m
+  FROM orders
+),
+isl AS (
+  SELECT o_custkey,
+         m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+  FROM m
+),
+runs AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY o_custkey, grp
+),
+best AS (
+  SELECT o_custkey, MAX(run_len) AS best_streak FROM runs GROUP BY o_custkey
+)
+SELECT best_streak AS streak_months,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM best GROUP BY 1
+"""
+
+QUERIES["customer_order_streaks"] = q_customer_order_streaks
+ORACLE_SQL["customer_order_streaks"] = SQL_CUSTOMER_ORDER_STREAKS
+
+# ---------------------------------------------------------------------------
+# LLM curation: vocabulary coverage curve (token mass of the top-V words).
+# ---------------------------------------------------------------------------
+
+_VOCAB_CHECKPOINTS = (1, 2, 5, 10, 25, 100, 1_000, 10_000)
+_VOCAB_CPS_SQL = ", ".join(str(v) for v in _VOCAB_CHECKPOINTS)
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of ALL corpus tokens the
+    top-V most frequent words account for, at fixed checkpoints V.  The
+    curve drives tokenizer-vocab sizing (where does coverage flatten?)
+    and OOV-rate estimates before a BPE train is ever launched.
+
+    Plan: one explode + one aggregate to (word, count) — vocab-bounded,
+    orders of magnitude below corpus rows — then orderBy(c desc).limit(
+    max V): Spark executes TakeOrderedAndProject, a per-partition top-K
+    + driver merge, NOT a global sort-shuffle.  The cumulative window
+    then runs over <= max(V) rows by construction (the documented
+    bounded block-summary pattern), and the corpus total joins in as a
+    broadcast 1-row scalar.  Ties break deterministically on the word
+    itself.  Coverage in ppm (bigint; cum * 1e6 <= 1e6 * corpus tokens
+    — widen to DECIMAL(38,0) before the integral divide so int64 never
+    overflows at the 100 TB token count this targets)."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    words = d.select(
+        F.explode(F.split(F.col("text"), " +")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    top = vocab.orderBy(F.col("c").desc(), F.col("w")).limit(
+        max(_VOCAB_CHECKPOINTS)
+    )
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("w"))
+    ranked = top.select(
+        F.row_number().over(w_rank).cast("bigint").alias("rank_v"),
+        F.sum("c")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum_mass"),
+    )
+    total = words.agg(F.count(F.lit(1)).cast("bigint").alias("total_tokens"))
+    cps = ", ".join(str(v) for v in _VOCAB_CHECKPOINTS)
+    return (
+        ranked.filter(F.col("rank_v").isin(list(_VOCAB_CHECKPOINTS)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank_v",
+            "cum_mass",
+            "total_tokens",
+            F.expr(
+                "CAST(CAST(cum_mass AS DECIMAL(38,0)) * 1000000"
+                " div total_tokens AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+SQL_VOCAB_COVERAGE_CURVE = f"""
+WITH words AS (
+  SELECT w FROM (SELECT unnest(string_split_regex(text, ' +')) AS w
+                 FROM documents) WHERE w <> ''
+),
+vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w),
+ranked AS (
+  SELECT c,
+         CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank_v,
+         CAST(SUM(c) OVER (ORDER BY c DESC, w
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass
+  FROM vocab
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM words)
+SELECT rank_v, cum_mass, total_tokens,
+       CAST(CAST(cum_mass AS HUGEINT) * 1000000
+            // total_tokens AS BIGINT) AS coverage_ppm
+FROM ranked, tot
+WHERE rank_v IN ({_VOCAB_CPS_SQL})
+"""
+
+QUERIES["vocab_coverage_curve"] = q_vocab_coverage_curve
+ORACLE_SQL["vocab_coverage_curve"] = SQL_VOCAB_COVERAGE_CURVE
+
+# ---------------------------------------------------------------------------
+# LLM curation: collocation mining by integer pointwise lift.
+# ---------------------------------------------------------------------------
+
+_LIFT_MIN_PAIR_COUNT = 3
+_LIFT_TOP_K = 50
+
+
+def q_bigram_lift_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-{k} adjacent word pairs by LIFT —
+    P(w1 w2) / (P(w1) * P(w2)) — the PMI-family statistic behind
+    multi-word-token candidates ("new york", "machine learning") in
+    tokenizer and phrase-table construction.  Pairs seen < {n} times
+    are noise-gated first.
+
+    Plan: bigrams are a row-local array transform (guarded for docs
+    under 2 tokens — ADVICE r07: sequence(1, 0) is the DESCENDING
+    [1, 0] trap), one aggregate to (w1, w2, c) — distinct-bigram
+    bounded — two joins against the (word, count) unigram frame (vocab-
+    sized; AQE broadcasts it when it fits), and a TakeOrderedAndProject
+    top-k.  Lift in ppm, computed in DECIMAL(38,0): c_ab * U * U * 1e6
+    overflows int64 at ~1e13 corpus tokens, exactly the class ADVICE
+    r07 #3 flagged (the tvd_permille / cum_bps widening pattern).
+    Ties break on the pair text."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    toks = d.select(
+        F.expr("filter(split(text, ' +'), x -> x <> '')").alias("ws")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN"
+                " transform(sequence(1, size(ws) - 1),"
+                "           i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+                " ELSE array() END"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    pair_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_pair")
+    ).filter(F.col("c_pair") >= _LIFT_MIN_PAIR_COUNT)
+    words = d.select(
+        F.explode(F.split(F.col("text"), " +")).alias("w")
+    ).filter(F.col("w") != "")
+    uni = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_w")
+    )
+    totals = bigrams.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    ).crossJoin(
+        words.agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    )
+    lifted = (
+        pair_counts
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "c_pair",
+            F.expr(
+                "CAST(CAST(c_pair AS DECIMAL(38,0)) * n_tokens * n_tokens"
+                " * 1000000 div (CAST(c1 AS DECIMAL(38,0)) * c2 * n_pairs)"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return lifted.orderBy(
+        F.col("lift_ppm").desc(), F.col("w1"), F.col("w2")
+    ).limit(_LIFT_TOP_K)
+
+
+SQL_BIGRAM_LIFT = f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(text, ' +'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+bigrams AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+  WHERE len(ws) >= 2
+),
+pair_counts AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+  FROM bigrams GROUP BY w1, w2
+  HAVING count(*) >= {_LIFT_MIN_PAIR_COUNT}
+),
+words AS (
+  SELECT w FROM (SELECT unnest(string_split_regex(text, ' +')) AS w
+                 FROM documents) WHERE w <> ''
+),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM words GROUP BY w),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM bigrams) AS n_pairs,
+         (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_tokens
+)
+SELECT p.w1, p.w2, p.c_pair,
+       CAST(CAST(p.c_pair AS HUGEINT) * t.n_tokens * t.n_tokens
+            * 1000000 // (CAST(u1.c_w AS HUGEINT) * u2.c_w
+                          * t.n_pairs) AS BIGINT) AS lift_ppm
+FROM pair_counts p
+JOIN uni u1 ON u1.w = p.w1
+JOIN uni u2 ON u2.w = p.w2
+CROSS JOIN tot t
+ORDER BY lift_ppm DESC, p.w1, p.w2
+LIMIT {_LIFT_TOP_K}
+"""
+
+QUERIES["bigram_lift_collocations"] = q_bigram_lift_collocations
+ORACLE_SQL["bigram_lift_collocations"] = SQL_BIGRAM_LIFT
+
+# ---------------------------------------------------------------------------
+# LLM curation: integer Flesch-style readability per document.
+# ---------------------------------------------------------------------------
+
+
+def q_docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability: word / sentence / syllable counts and
+    two integer-scaled indices — Flesch reading-ease (milli-units,
+    206.835 - 1.015*words/sent - 84.6*syll/word) and LIX
+    (words/sent + 100*longwords/words, milli-units).  Readability is a
+    standard pretraining-quality feature: too-low (listings, logs) and
+    too-high (legalese) tails both get down-weighted by curation gates.
+
+    Syllables are approximated as vowel GROUPS ([aeiou]+ runs, the
+    classic heuristic) so the whole metric is one deterministic regex
+    pass reproducible in ANSI SQL — no dictionary, no model.  Sentences
+    count terminator runs ([.!?]+), floored at 1 for fragment docs.
+
+    Plan: entirely row-local (regexp_extract_all + size), one scan, no
+    shuffle, no UDF — embarrassingly parallel at any corpus size.  All
+    arithmetic in bigint: per-doc counts are bounded by doc length, and
+    the x1000 scaling stays far below int64 for any document that fits
+    in a String."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(split(text, ' +'), x -> x <> ''))"
+            " AS BIGINT)"
+        ).alias("n_words"),
+        F.expr(
+            "CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)"
+            " AS BIGINT)"
+        ).alias("n_sents"),
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[aeiou]+', 0))"
+            " AS BIGINT)"
+        ).alias("n_syll"),
+        F.expr(
+            "CAST(size(filter(split(text, ' +'), x -> length(x) > 6))"
+            " AS BIGINT)"
+        ).alias("n_long"),
+    ).filter(F.col("n_words") > 0).select(
+        "doc_id", "n_words", "n_sents", "n_syll", "n_long",
+        F.expr(
+            "CAST(206835 - 1015 * n_words div n_sents"
+            " - 84600 * n_syll div n_words AS BIGINT)"
+        ).alias("flesch_milli"),
+        F.expr(
+            "CAST(1000 * n_words div n_sents"
+            " + 100000 * n_long div n_words AS BIGINT)"
+        ).alias("lix_milli"),
+    )
+
+
+SQL_DOCS_READABILITY = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, ' +'),
+                              x -> x <> '')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sents,
+         CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+              AS BIGINT) AS n_syll,
+         CAST(len(list_filter(string_split_regex(text, ' +'),
+                              x -> length(x) > 6)) AS BIGINT) AS n_long
+  FROM documents
+)
+SELECT doc_id, n_words, n_sents, n_syll, n_long,
+       CAST(206835 - 1015 * n_words // n_sents
+            - 84600 * n_syll // n_words AS BIGINT) AS flesch_milli,
+       CAST(1000 * n_words // n_sents
+            + 100000 * n_long // n_words AS BIGINT) AS lix_milli
+FROM base WHERE n_words > 0
+"""
+
+QUERIES["docs_readability"] = q_docs_readability
+ORACLE_SQL["docs_readability"] = SQL_DOCS_READABILITY
+
+
+# ---------------------------------------------------------------------------
+# LLM dedup: DIRECTED shingle containment (sub-document reuse detection).
+# ---------------------------------------------------------------------------
+
+_CONT_DF_CAP = 5          # drop shingles present in more docs (stop-shingles)
+_CONT_MIN_PERMILLE = 40   # report pairs where either direction >= 4%
+
+
+def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED near-duplicate detection: for document pairs sharing a
+    3-word shingle, the CONTAINMENT in each direction — |Sa ∩ Sb| /
+    |Sa| and / |Sb| in permille.  Jaccard (symmetric) misses the
+    quote-inside-a-bigger-doc case; containment is the standard metric
+    for sub-document reuse (a tweet embedded in a news article scores
+    high a→b, low b→a).  Broder's "Containment of documents" measure,
+    on word 3-shingles.
+
+    Plan: shingles are a row-local guarded transform (no short-doc
+    sequence trap), reduced to DISTINCT (doc, fingerprint) — the
+    64-bit md5 fingerprint rides every join, the STRINGS never shuffle.
+    Candidate pairs form ONLY on shingles kept by the document-
+    frequency cap ({df} docs): stop-shingles — boilerplate present
+    everywhere, exactly the rows that would quadratically explode the
+    self-join — are dropped BEFORE the join, the same df-cap bound the
+    MinHash/PPJoin family uses.  Denominators |Sa|, |Sb| count the FULL
+    shingle set (pre-cap), so the score is conservative-exact for rare
+    content.  One aggregate per pair, two slim joins for sizes; all
+    integer."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.expr("filter(split(text, ' +'), x -> x <> '')").alias("ws")
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 3 THEN"
+                " transform(sequence(1, size(ws) - 2),"
+                "  i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    ).select("doc_id", md5_int(F.col("g")).alias("fp")).distinct()
+    sizes = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    kept = shingles.join(
+        shingles.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _CONT_DF_CAP)
+        .select("fp"),
+        "fp",
+    )
+    pairs = (
+        kept.select(F.col("doc_id").alias("a"), "fp")
+        .join(kept.select(F.col("doc_id").alias("b"), "fp"), "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("size_a")), "a"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("size_b")), "b"
+        )
+        .select(
+            "a", "b", "shared", "size_a", "size_b",
+            F.expr("CAST(shared * 1000 div size_a AS BIGINT)").alias(
+                "cont_a_in_b_permille"
+            ),
+            F.expr("CAST(shared * 1000 div size_b AS BIGINT)").alias(
+                "cont_b_in_a_permille"
+            ),
+        )
+        .filter(
+            (F.col("cont_a_in_b_permille") >= _CONT_MIN_PERMILLE)
+            | (F.col("cont_b_in_a_permille") >= _CONT_MIN_PERMILLE)
+        )
+    )
+
+
+_CONT_FP_SQL = duckdb_md5_int_sql(["g"])
+
+SQL_SHINGLE_CONTAINMENT = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+                             x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         {_CONT_FP_SQL} AS fp
+  FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+    FROM toks, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+    WHERE len(ws) >= 3
+  )
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+),
+kept AS (
+  SELECT sh.doc_id, sh.fp FROM sh
+  JOIN (SELECT fp FROM sh GROUP BY fp
+        HAVING count(*) <= {_CONT_DF_CAP}) k USING (fp)
+),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM kept x JOIN kept y USING (fp)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT p.a, p.b, p.shared, sa.n_sh AS size_a, sb.n_sh AS size_b,
+       CAST(p.shared * 1000 // sa.n_sh AS BIGINT) AS cont_a_in_b_permille,
+       CAST(p.shared * 1000 // sb.n_sh AS BIGINT) AS cont_b_in_a_permille
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.a
+JOIN sizes sb ON sb.doc_id = p.b
+WHERE p.shared * 1000 // sa.n_sh >= {_CONT_MIN_PERMILLE}
+   OR p.shared * 1000 // sb.n_sh >= {_CONT_MIN_PERMILLE}
+"""
+
+QUERIES["shingle_containment_pairs"] = q_shingle_containment_pairs
+ORACLE_SQL["shingle_containment_pairs"] = SQL_SHINGLE_CONTAINMENT
+
+# ---------------------------------------------------------------------------
+# Embedding quality: Davies-Bouldin-lite cluster separation audit.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_cluster_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-quality audit over the labeled embedding corpus: per
+    label, the intra-cluster mean squared distance to the centroid, the
+    squared distance to the NEAREST other centroid, and the worst
+    Davies-Bouldin ratio max_j (intra_i + intra_j) / d²(c_i, c_j) in
+    ppm — the standard "are my labels actually separated in embedding
+    space?" check run before trusting labels for curriculum mixing or
+    stratified eval splits.  High ratio = overlapping clusters.
+
+    Exactness: vectors quantize to integer micro-units (round(v*1e6),
+    the repo's embedding convention), centroid components are integer
+    means via truncating division (Spark `div` and DuckDB `//` BOTH
+    truncate toward zero — verified, so signed sums agree bit-for-bit),
+    and every distance is integer; the DB ratio widens to
+    DECIMAL(38,0)/HUGEINT before the integral divide (per-point d² <=
+    64 * (2e6)² ≈ 2.6e14, so the corpus SUM overflows int64 beyond
+    ~3.5e4 points — widened BEFORE the aggregate).
+
+    Plan: centroid sums ride ONE posexplode + partial-aggregated
+    groupBy(label, pos) — the shuffle carries only K*64 rows per map
+    partition, never the fan-out.  Per-point distances join the K-row
+    centroid-array frame back BROADCAST (labels are bounded), row-local
+    zip_with, one aggregate to K rows.  The K x K centroid self-join is
+    dimension-sized by construction.  Linear in corpus bytes at any
+    scale."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr(
+            "transform(embedding,"
+            " v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("v"),
+    )
+    comp = emb.select(
+        "label", F.posexplode("v").alias("pos", "x")
+    ).groupBy("label", "pos").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+    ).select(
+        "label", "pos",
+        F.expr("CAST(sx div n AS BIGINT)").alias("mx"),
+    )
+    cent = comp.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mx))),"
+            " s -> s.mx)"
+        ).alias("cen")
+    )
+    intra = (
+        emb.join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            F.expr(
+                "CAST(aggregate(zip_with(v, cen, (x, c) -> (x - c) * (x - c)),"
+                " CAST(0 AS BIGINT), (acc, e) -> acc + e) AS DECIMAL(38,0))"
+            ).alias("d2"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.expr("CAST(sum(d2) div count(*) AS BIGINT)").alias("intra_msd"),
+        )
+    )
+    ci = cent.select(F.col("label").alias("li"), F.col("cen").alias("cen_i"))
+    cj = cent.select(F.col("label").alias("lj"), F.col("cen").alias("cen_j"))
+    pair = (
+        ci.join(cj, F.col("li") != F.col("lj"))
+        .select(
+            "li", "lj",
+            F.expr(
+                "greatest(aggregate(zip_with(cen_i, cen_j,"
+                " (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, e) -> acc + e), CAST(1 AS BIGINT))"
+            ).alias("d2c"),
+        )
+    )
+    ii = intra.select(
+        F.col("label").alias("li"), F.col("intra_msd").alias("intra_i")
+    )
+    ij = intra.select(
+        F.col("label").alias("lj"), F.col("intra_msd").alias("intra_j")
+    )
+    ratios = (
+        pair.join(F.broadcast(ii), "li")
+        .join(F.broadcast(ij), "lj")
+        .groupBy(F.col("li").alias("label"))
+        .agg(
+            F.min("d2c").cast("bigint").alias("min_inter_d2"),
+            F.max(
+                F.expr(
+                    "CAST((CAST(intra_i AS DECIMAL(38,0)) + intra_j)"
+                    " * 1000000 div d2c AS BIGINT)"
+                )
+            ).alias("db_ratio_ppm"),
+        )
+    )
+    return intra.join(ratios, "label").select(
+        "label", "n_vecs", "intra_msd", "min_inter_d2", "db_ratio_ppm"
+    )
+
+
+SQL_EMBEDDING_CLUSTER_SEPARATION = """
+WITH pts AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+             AS x
+  FROM embeddings
+),
+comp AS (
+  SELECT label, pos, SUM(x) // count(*) AS mx
+  FROM pts GROUP BY label, pos
+),
+pd AS (
+  SELECT p.vec_id, p.label,
+         SUM(CAST((p.x - c.mx) * (p.x - c.mx) AS HUGEINT)) AS d2
+  FROM pts p JOIN comp c ON c.label = p.label AND c.pos = p.pos
+  GROUP BY p.vec_id, p.label
+),
+intra AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(d2) // count(*) AS BIGINT) AS intra_msd
+  FROM pd GROUP BY label
+),
+cd AS (
+  SELECT i.label AS li, j.label AS lj,
+         greatest(SUM((i.mx - j.mx) * (i.mx - j.mx)), 1) AS d2c
+  FROM comp i JOIN comp j ON i.pos = j.pos AND i.label <> j.label
+  GROUP BY i.label, j.label
+),
+ratios AS (
+  SELECT cd.li AS label,
+         CAST(MIN(cd.d2c) AS BIGINT) AS min_inter_d2,
+         CAST(MAX((CAST(ii.intra_msd AS HUGEINT) + ij.intra_msd)
+                  * 1000000 // cd.d2c) AS BIGINT) AS db_ratio_ppm
+  FROM cd
+  JOIN intra ii ON ii.label = cd.li
+  JOIN intra ij ON ij.label = cd.lj
+  GROUP BY cd.li
+)
+SELECT i.label, i.n_vecs, i.intra_msd, r.min_inter_d2, r.db_ratio_ppm
+FROM intra i JOIN ratios r ON r.label = i.label
+"""
+
+QUERIES["embedding_cluster_separation"] = q_embedding_cluster_separation
+ORACLE_SQL["embedding_cluster_separation"] = SQL_EMBEDDING_CLUSTER_SEPARATION

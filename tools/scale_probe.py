@@ -459,6 +459,104 @@ def main() -> None:
         "(day, user) pairs once; each pair fans out to <= 7 window ends.",
     ]
 
+    # ---- Round-8: r7 wave ops not yet probed (VERDICT r07 #6) ----------
+    # embedding_signlsh_neardup reads embeddings.parquet; docs_ngram_novelty
+    # reads documents.parquet; fifo_lot_matching / erasure_impact_audit /
+    # events_rate_limit_replay read the TPC-H-ish lineitem/orders/customer/
+    # events — one combined corpus dir per label.
+    R8_OPS = [
+        ("embedding_signlsh_neardup", "100x"),  # 16-plane band bucket join
+        ("fifo_lot_matching", "100x"),          # per-part interval overlap
+        ("docs_ngram_novelty", "100x"),         # gram -> min-doc fp join
+        ("events_rate_limit_replay", "100x"),   # mapInPandas token-bucket
+        ("erasure_impact_audit", "100x"),       # post-fix: 1 agg per table
+    ]
+    doc_sizes = {"1x": args.base, "10x": args.base * 10, "100x": args.base * 100}
+    r8: dict[str, dict[str, float | str]] = {op: {} for op, _ in R8_OPS}
+    with tempfile.TemporaryDirectory() as tmp:
+        dirs = {}
+        for label in ("1x", "10x", "100x"):
+            d = os.path.join(tmp, label)
+            os.makedirs(d)
+            make_corpus(spark, doc_sizes[label], d, partitions=32)
+            make_wave(wave_sizes[label], d)
+            n_li = wave_sizes[label]
+            n_ord, n_cust = n_li // 4, n_li // 40
+            spark.range(1, n_ord + 1).select(
+                F.col("id").alias("o_orderkey"),
+                (F.col("id") % n_cust + 1).alias("o_custkey"),
+            ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+            spark.range(1, n_cust + 1).select(
+                F.col("id").alias("c_custkey")
+            ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+            (
+                spark.read.format("lakeforge_docgen")
+                .option("kind", "embeddings").option("rows", emb_sizes[label])
+                .option("numPartitions", 32).load()
+            ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+            dirs[label] = d
+        for op, max_label in R8_OPS:
+            for label in ("1x", "10x", "100x"):
+                if order.index(label) > order.index(max_label):
+                    r8[op][label] = "capped"
+                    continue
+                try:
+                    t = time_op(spark, op, dirs[label], args.runs)
+                except Exception as e:
+                    r8[op][label] = "failed"
+                    print(f"{op:28s} {label:>4s}: FAILED "
+                          f"({type(e).__name__})", flush=True)
+                    continue
+                r8[op][label] = round(t, 3)
+                print(f"{op:28s} {label:>4s}: {t:7.3f}s", flush=True)
+
+    lines += [
+        "",
+        "## Round-8: remaining r7 wave ops (VERDICT r07 #6)",
+        "",
+        f"Combined corpus per label: documents at "
+        f"{doc_sizes['1x']:,}/{doc_sizes['10x']:,}/{doc_sizes['100x']:,} "
+        f"docs, embeddings at {emb_sizes['1x']:,}/{emb_sizes['10x']:,}/"
+        f"{emb_sizes['100x']:,} vectors, lineitem/events at the wave "
+        "sizes above, orders = lineitem/4, customers = lineitem/40.  "
+        "Same protocol.  `erasure_impact_audit` is the REBUILT shape "
+        "(one conditional aggregate per table, no fact-derived "
+        "broadcast — VERDICT r07 #1).",
+        "",
+        "| op | t(1x) s | t(10x) s | t(100x) s | alpha (10x->100x) |",
+        "|---|---|---|---|---|",
+    ]
+    for op, _ in R8_OPS:
+        r = r8[op]
+        if isinstance(r.get("100x"), float) and isinstance(r.get("10x"), float) \
+                and r["10x"] > 0:
+            alpha = f"{math.log10(r['100x'] / r['10x']):.2f}"
+        else:
+            alpha = "—"
+        lines.append(
+            f"| {op} | {_cell(r['1x'])} | {_cell(r['10x'])} "
+            f"| {_cell(r['100x'])} | {alpha} |"
+        )
+    lines += [
+        "",
+        "Why the r8-probed family stays ~linear by construction:",
+        "- `embedding_signlsh_neardup`: candidates form only inside "
+        "(band, signature) buckets; only (id, band, key) shuffles and "
+        "vectors join back post-dedup, so the quadratic term is bounded "
+        "by band collisions, which track true near-dup density.",
+        "- `fifo_lot_matching`: per-part windows over schema-bounded "
+        "baskets; the lot x demand join is pruned by the cumulative-"
+        "interval overlap predicate, so matches grow with parts.",
+        "- `docs_ngram_novelty`: grams reduce to 64-bit fingerprints "
+        "before any shuffle; one gram -> min-doc aggregate + one join, "
+        "both linear in token count.",
+        "- `events_rate_limit_replay`: one shuffle by user, then an "
+        "Arrow-batched many-users-per-batch fold — O(events).",
+        "- `erasure_impact_audit`: three single-scan conditional "
+        "aggregates + two unhinted left joins; no driver actions in the "
+        "plan body, no broadcast of fact-derived keys.",
+    ]
+
     lines += [
         "",
         "Why the LLM-op family (first table) stays ~linear by "
