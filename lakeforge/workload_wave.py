@@ -431,6 +431,10 @@ ORACLE_SQL["fifo_lot_matching"] = SQL_FIFO_LOT_MATCHING
 _SLSH_PLANES = 16
 _SLSH_BAND_BITS = 4
 _SLSH_DIM = 64
+# Max vectors per (band, signature) bucket before the bucket is dropped as
+# indiscriminative (see the in-plan comment); well above every bucket at the
+# oracle corpus sizes (sf0.1: 2000 vecs / 16 keys ≈ 125 avg per bucket).
+_SLSH_BUCKET_CAP = 1000
 # cos >= 0.45 -> cos^2 * 1e6 >= 202500 (sign-guarded below).  The synthetic
 # embeddings' max pairwise cosine is ~0.51, so the gate is calibrated to
 # this corpus's similarity range; a production near-dup run sets 0.9+ —
@@ -511,8 +515,27 @@ def q_embedding_signlsh_neardup(
             F.expr("array(" + ", ".join(band_keys) + ")")
         ).alias("band", "bkey"),
     )
-    sa = sig.select(F.col("vec_id").alias("a"), "band", "bkey")
-    sb = sig.select(F.col("vec_id").alias("b"), "band", "bkey")
+    # bucket-size cap (round 8, probe-driven): a (band, signature) bucket
+    # holding more than _SLSH_BUCKET_CAP vectors carries NO near-dup
+    # signal at this plane count — it means the 4-bit key failed to
+    # discriminate — and it is exactly the bucket whose self-join term
+    # goes quadratic (measured: 200k uniform vectors -> ~12.5k-member
+    # buckets -> 1.25e9 candidate pairs before the cap).  Dropping
+    # oversized buckets is the SAME stop-token df-cap the MinHash/PPJoin
+    # family applies to postings; recall on true near-dups is unaffected
+    # whenever plane count is sized so dup-buckets stay small (scale rule:
+    # grow planes/band-bits with log2(n), keeping expected bucket size
+    # O(1) — docs/SCALE.md).  At the oracle corpus sizes every bucket is
+    # far below the cap, so emitted pairs are unchanged.
+    kept_keys = (
+        sig.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= _SLSH_BUCKET_CAP)
+        .select("band", "bkey")
+    )
+    sig_k = sig.join(kept_keys, ["band", "bkey"])
+    sa = sig_k.select(F.col("vec_id").alias("a"), "band", "bkey")
+    sb = sig_k.select(F.col("vec_id").alias("b"), "band", "bkey")
     cand = (
         sa.join(sb, ["band", "bkey"])
         .filter(F.col("a") < F.col("b"))
@@ -577,9 +600,15 @@ sig AS (
              * (1 << (plane % {_SLSH_BAND_BITS}))) AS bkey
   FROM proj GROUP BY 1, 2
 ),
+kept AS (
+  SELECT sig.vec_id, sig.band, sig.bkey FROM sig
+  JOIN (SELECT band, bkey FROM sig GROUP BY band, bkey
+        HAVING count(*) <= {_SLSH_BUCKET_CAP}) k
+    ON k.band = sig.band AND k.bkey = sig.bkey
+),
 cand AS (
   SELECT DISTINCT sa.vec_id AS a, sb.vec_id AS b
-  FROM sig sa JOIN sig sb
+  FROM kept sa JOIN kept sb
     ON sa.band = sb.band AND sa.bkey = sb.bkey AND sa.vec_id < sb.vec_id
 ),
 dots AS (
