@@ -315,10 +315,13 @@ def q_bigram_lift_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     [1, 0] trap), one aggregate to (w1, w2, c) — distinct-bigram
     bounded — two joins against the (word, count) unigram frame (vocab-
     sized; AQE broadcasts it when it fits), and a TakeOrderedAndProject
-    top-k.  Lift in ppm, computed in DECIMAL(38,0): c_ab * U * U * 1e6
-    overflows int64 at ~1e13 corpus tokens, exactly the class ADVICE
-    r07 #3 flagged (the tvd_permille / cum_bps widening pattern).
-    Ties break on the pair text."""
+    top-k.  Lift in ppm via a TWO-STAGE integral division in
+    DECIMAL(38,0)/HUGEINT: the naive single product c_ab * U² * 1e6
+    overflows int64 at ~1e6 tokens (the class ADVICE r07 #3 flagged)
+    and even DECIMAL(38) at ~1e12 tokens, so the divide is split —
+    every intermediate stays under ~1e33 for 1e13-token corpora, and
+    both stages truncate identically on both engines.  Ties break on
+    the pair text."""
     d = _t(spark, sf_dir, "documents").select("text")
     toks = d.select(
         F.expr("filter(split(text, ' +'), x -> x <> '')").alias("ws")
@@ -354,10 +357,16 @@ def q_bigram_lift_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(totals))
         .select(
             "w1", "w2", "c_pair",
+            # Two-stage integral division, mirrored exactly in the oracle:
+            # a single product c_pair * n_tokens² * 1e6 exceeds DECIMAL(38)
+            # once the corpus passes ~1e12 tokens (ANSI would error loudly);
+            # splitting keeps every intermediate under ~1e33 at 1e13-token
+            # corpora.  Both stages truncate toward zero on both engines,
+            # so values stay bit-identical cross-engine.
             F.expr(
-                "CAST(CAST(c_pair AS DECIMAL(38,0)) * n_tokens * n_tokens"
-                " * 1000000 div (CAST(c1 AS DECIMAL(38,0)) * c2 * n_pairs)"
-                " AS BIGINT)"
+                "CAST(CAST(CAST(c_pair AS DECIMAL(38,0)) * 1000000"
+                " * n_tokens div (CAST(c1 AS DECIMAL(38,0)) * c2)"
+                " AS DECIMAL(38,0)) * n_tokens div n_pairs AS BIGINT)"
             ).alias("lift_ppm"),
         )
     )
@@ -392,9 +401,9 @@ tot AS (
          (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_tokens
 )
 SELECT p.w1, p.w2, p.c_pair,
-       CAST(CAST(p.c_pair AS HUGEINT) * t.n_tokens * t.n_tokens
-            * 1000000 // (CAST(u1.c_w AS HUGEINT) * u2.c_w
-                          * t.n_pairs) AS BIGINT) AS lift_ppm
+       CAST((CAST(p.c_pair AS HUGEINT) * 1000000 * t.n_tokens
+             // (CAST(u1.c_w AS HUGEINT) * u2.c_w))
+            * t.n_tokens // t.n_pairs AS BIGINT) AS lift_ppm
 FROM pair_counts p
 JOIN uni u1 ON u1.w = p.w1
 JOIN uni u2 ON u2.w = p.w2
