@@ -334,19 +334,15 @@ def main() -> None:
         "B-bounded.",
         "- `spatial_grid_density`: two map-side-combined grid aggregates "
         "joined over a <=648-cell universe — join cost constant in SF.",
-        "- `spatial_nearest_supplier`: candidate pairs only form inside a "
-        "3x3 grid-cell neighborhood equi-join, never a cross join — but "
-        "the fan-out per customer is the 9-cell SUPPLIER OCCUPANCY, so "
-        "with the FIXED 10-degree grid candidates grow "
-        "O(n_cust x n_supp / 648): linear in each side, quadratic when "
-        "both scale together.  The probe measured exactly that — fine "
-        "through 10x, executor OOM (~2e9 candidate rows) at 100x density "
-        "— hence the `capped` cell.  At production density the grid must "
-        "be re-sized so each cell holds O(1) suppliers (finer cells + "
-        "ring-expansion fallback for empty neighborhoods); the fixed "
-        "10-degree cell is the documented applicability bound of the "
-        "oracle-paired formulation, chosen so the 3x3 ring provably "
-        "contains the nearest supplier at the test densities.",
+        "- `spatial_nearest_supplier`: candidate pairs only form inside "
+        "a grid-cell neighborhood equi-join, never a cross join.  The "
+        "round-6 FIXED 10-degree grid measured executor OOM at 100x "
+        "density (~2e9 candidate rows: candidates grow O(n_cust x "
+        "n_supp / 648) when both sides scale together); the round-7 "
+        "density-adaptive rebuild (ops/spatial.py::nearest_in_box — "
+        "fine cells holding ~2 build points each, ring expansion with a "
+        "provable stop bound) completes the same 100x cell, and the "
+        "table above is measured on that shape.",
         "- `consistent_hash_reshard`: ring remap is a broadcast of the "
         "k-point ring against a row-local hash — one scan, no shuffle "
         "beyond the movement-audit aggregate.",
