@@ -1530,15 +1530,17 @@ _PRIORITY_R7: list[str] = [
 # Round-8 rotation (VERDICT r07 #3): the window closes out the driver-
 # attestation backlog COMPLETELY — all 34 never-attested names (judge-
 # computed from CORRECTNESS_r01–r07; the simple relational/sampling tail)
-# lead, then the EIGHT new r8 operator flagships in-window the round they
-# ship (workload_r8.py), then FIVE re-attestations of queries whose
-# implementation was REWRITTEN this round (erasure_impact_audit — lazy
-# conditional aggregates, no fact-derived broadcast, VERDICT #1;
-# weighted_median_price — histogram-first sweep, VERDICT #2;
-# customer_rfm_segments / customer_abc_classes — row-grain blocked ranks,
-# VERDICT #4; fk_integrity_audit — one marked-join pass, VERDICT #5), and
-# the usual THREE cross-round canaries.  34 first-time backlog names + 8
-# new = 42 first-time -> cumulative driver-attested 234 + 42 = 276/276.
+# lead, then the TWELVE new r8 operator flagships in-window the round
+# they ship (workload_r8.py, two waves), then ONE re-attestation:
+# erasure_impact_audit, whose implementation was REWRITTEN this round
+# (lazy conditional aggregates, no fact-derived broadcast — VERDICT #1).
+# The other four rewritten queries (weighted_median_price VERDICT #2,
+# customer_rfm_segments / customer_abc_classes VERDICT #4,
+# fk_integrity_audit VERDICT #5) stay evidenced by LOCAL_CORRECTNESS at
+# both SFs — the window has exactly 50 slots and full-registry coverage
+# wins the tiebreak.  Plus the usual THREE cross-round canaries.
+# 34 backlog + 12 new = 46 first-time -> cumulative driver-attested
+# 234 + 46 = 280/280 (the full registry).
 _PRIORITY_R8: list[str] = [
     # --- the full never-attested backlog (VERDICT r07 What's-missing #1) ---
     "cogroup_activity_recon",
@@ -1584,12 +1586,12 @@ _PRIORITY_R8: list[str] = [
     "embedding_cluster_separation",
     "docs_readability",
     "shingle_containment_pairs",
-    # --- re-attestations: implementations rewritten this round ---
+    "fd_violation_audit",
+    "trade_edge_churn",
+    "docs_rake_keywords",
+    "customer_clv_decay",
+    # --- re-attestation: implementation rewritten this round (VERDICT #1) ---
     "erasure_impact_audit",
-    "weighted_median_price",
-    "customer_rfm_segments",
-    "customer_abc_classes",
-    "fk_integrity_audit",
     # --- attested family flagships kept in-window (cross-round canaries) ---
     "scd2_orders",
     "pagerank_trade",

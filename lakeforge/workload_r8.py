@@ -1,4 +1,4 @@
-"""Round-8 wave operators: eight new oracle-paired families.
+"""Round-8 wave operators: twelve new oracle-paired families (two waves).
 
 - receivable_aging          — AR aging buckets over open orders
 - supplier_lead_time_sla    — per-supplier fulfillment lead time + SLA
@@ -8,6 +8,10 @@
 - embedding_cluster_separation — Davies-Bouldin-lite cluster quality
 - docs_readability          — integer Flesch-style readability per doc
 - shingle_containment_pairs — DIRECTED containment near-dup (sub-doc reuse)
+- fd_violation_audit        — functional-dependency violation audit
+- trade_edge_churn          — year-over-year trade-edge churn / Jaccard
+- docs_rake_keywords        — RAKE-lite keyphrase extraction
+- customer_clv_decay        — exponentially decayed CLV (exact rational powers)
 
 Repo conventions throughout: exact integer/DECIMAL arithmetic on both
 engines, bounded fan-outs documented per op, one DuckDB oracle per query.
@@ -772,3 +776,408 @@ FROM intra i JOIN ratios r ON r.label = i.label
 
 QUERIES["embedding_cluster_separation"] = q_embedding_cluster_separation
 ORACLE_SQL["embedding_cluster_separation"] = SQL_EMBEDDING_CLUSTER_SEPARATION
+
+# ---------------------------------------------------------------------------
+# Data quality: functional-dependency violation audit.
+# ---------------------------------------------------------------------------
+
+
+def q_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD X -> Y, the
+    number of X-groups, how many are VIOLATED (more than one distinct Y
+    inside the group), and the violation rate in bps.  The profiling
+    primitive behind key discovery, denormalization safety checks, and
+    "is this column derivable?" modeling decisions — the key-FD
+    s_suppkey -> s_name holds by construction (0 violations), so the
+    audit doubles as a data-corruption canary: any nonzero row there
+    means duplicate keys slipped into the dim.
+
+    Plan: one aggregate pair per FD — groupBy(X) with countDistinct(Y),
+    then a 1-row conditional rollup — unioned LAZILY into one job (the
+    erasure-audit shape, never n sequential driver actions).  Each FD
+    costs a single scan of its table; shuffles carry (X, Y-distinct)
+    group rows only."""
+
+    def _fd(df: DataFrame, lhs: str, rhs: str, name: str) -> DataFrame:
+        per_group = df.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("n_rhs")
+        )
+        return per_group.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+        )
+
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    audits = (
+        _fd(supp, "s_suppkey", "s_name", "s_suppkey->s_name")
+        .unionByName(_fd(part, "p_brand", "p_type", "p_brand->p_type"))
+        .unionByName(
+            _fd(orders, "o_custkey", "o_orderpriority",
+                "o_custkey->o_orderpriority")
+        )
+        .unionByName(
+            _fd(cust, "c_nationkey", "c_mktsegment",
+                "c_nationkey->c_mktsegment")
+        )
+    )
+    return audits.select(
+        "fd", "n_groups", "n_violating",
+        F.expr("n_violating * 10000 div n_groups").cast("bigint").alias(
+            "violation_bps"
+        ),
+    )
+
+
+SQL_FD_VIOLATION_AUDIT = """
+WITH a AS (
+  SELECT 's_suppkey->s_name' AS fd,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating
+  FROM (SELECT s_suppkey, count(DISTINCT s_name) AS n_rhs
+        FROM supplier GROUP BY s_suppkey)
+  UNION ALL
+  SELECT 'p_brand->p_type', CAST(count(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT p_brand, count(DISTINCT p_type) AS n_rhs
+        FROM part GROUP BY p_brand)
+  UNION ALL
+  SELECT 'o_custkey->o_orderpriority', CAST(count(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_rhs
+        FROM orders GROUP BY o_custkey)
+  UNION ALL
+  SELECT 'c_nationkey->c_mktsegment', CAST(count(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_rhs
+        FROM customer GROUP BY c_nationkey)
+)
+SELECT fd, n_groups, n_violating,
+       CAST(n_violating * 10000 // n_groups AS BIGINT) AS violation_bps
+FROM a
+"""
+
+QUERIES["fd_violation_audit"] = q_fd_violation_audit
+ORACLE_SQL["fd_violation_audit"] = SQL_FD_VIOLATION_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# Temporal graph: year-over-year trade-edge churn.
+# ---------------------------------------------------------------------------
+
+
+def q_trade_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade-relationship churn: the (part, supplier) edge set per
+    ship-year, compared year over year — edges kept, born, died, and
+    the Jaccard stability of consecutive years in permille.  The
+    graph-drift metric behind "did my supplier network actually change
+    or did volume just move?", and the temporal twin of the static
+    trade-graph family (pagerank/k-core/triangles).
+
+    Plan: lineitem collapses ONCE to DISTINCT (year, part, supp) —
+    map-side combined; per-year edge counts are a tiny aggregate; kept
+    edges come from ONE self-join keyed on the edge (shuffle carries
+    only the distinct edge-year rows) matching year y to y+1.  All
+    downstream frames are |years|-bounded.  Linear in lineitem."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("y"),
+        "l_partkey", "l_suppkey",
+    ).distinct()
+    per_year = li.groupBy("y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
+    nxt = li.select(
+        (F.col("y") - 1).alias("y"), "l_partkey", "l_suppkey"
+    )
+    kept = (
+        li.join(nxt, ["y", "l_partkey", "l_suppkey"])
+        .groupBy("y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    cur = per_year.select("y", F.col("n_edges").alias("n_cur"))
+    fol = per_year.select(
+        (F.col("y") - 1).alias("y"), F.col("n_edges").alias("n_next")
+    )
+    return (
+        cur.join(fol, "y")
+        .join(kept, "y", "left")
+        .select(
+            F.col("y").alias("year_from"),
+            "n_cur",
+            "n_next",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("n_next") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_born"),
+            (F.col("n_cur") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_died"),
+            F.expr(
+                "coalesce(n_kept, 0) * 1000"
+                " div (n_cur + n_next - coalesce(n_kept, 0))"
+            ).cast("bigint").alias("jaccard_permille"),
+        )
+    )
+
+
+SQL_TRADE_EDGE_CHURN = """
+WITH e AS (
+  SELECT DISTINCT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS y,
+         l_partkey, l_suppkey
+  FROM lineitem
+),
+per_year AS (SELECT y, CAST(count(*) AS BIGINT) AS n_edges FROM e GROUP BY y),
+kept AS (
+  SELECT a.y, CAST(count(*) AS BIGINT) AS n_kept
+  FROM e a JOIN e b
+    ON b.y = a.y + 1 AND b.l_partkey = a.l_partkey
+   AND b.l_suppkey = a.l_suppkey
+  GROUP BY a.y
+)
+SELECT c.y AS year_from,
+       c.n_edges AS n_cur,
+       n.n_edges AS n_next,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(n.n_edges - COALESCE(k.n_kept, 0) AS BIGINT) AS n_born,
+       CAST(c.n_edges - COALESCE(k.n_kept, 0) AS BIGINT) AS n_died,
+       CAST(COALESCE(k.n_kept, 0) * 1000
+            // (c.n_edges + n.n_edges - COALESCE(k.n_kept, 0)) AS BIGINT)
+           AS jaccard_permille
+FROM per_year c
+JOIN per_year n ON n.y = c.y + 1
+LEFT JOIN kept k ON k.y = c.y
+"""
+
+QUERIES["trade_edge_churn"] = q_trade_edge_churn
+ORACLE_SQL["trade_edge_churn"] = SQL_TRADE_EDGE_CHURN
+
+# ---------------------------------------------------------------------------
+# Text mining: RAKE-lite keyword/phrase extraction.
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_RAKE_MAX_PHRASE = 4
+_RAKE_TOP_K = 40
+
+
+def q_docs_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-lite keyphrase extraction (Rose et al. 2010): candidate
+    phrases are maximal stopword-free token runs (capped at {n} words);
+    each word scores degree/frequency — degree = summed length of the
+    phrases it appears in, frequency = its occurrence count — and a
+    phrase scores the sum of its words' scores.  Top-k phrases by
+    integer permille score.  The unsupervised keyword extractor used
+    for corpus topic inventories and search-index seeding.
+
+    Plan: tokens ride one posexplode; phrase segmentation is
+    gaps-and-islands (island id = pos - row_number within the doc —
+    per-doc window, partition size bounded by document length like
+    every text op here); word stats are vocab-bounded aggregates;
+    phrase scores come from one join of phrase words to the word-score
+    frame (AQE broadcasts the vocab side when it fits).  Integer
+    permille throughout; ties break on the phrase text."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stop = ", ".join(f"'{s}'" for s in _RAKE_STOPWORDS)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " +")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    content = toks.filter(~F.expr(f"w IN ({stop})"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    runs = content.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wdoc)
+    )
+    phrases = (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort("
+                "collect_list(struct(pos, w))), s -> s.w))"
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
+    )
+    # word stats over phrase members only (RAKE counts within phrases)
+    members = phrases.select(
+        "phrase", "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    wstats = members.groupBy("w").agg(
+        F.sum("plen").cast("bigint").alias("deg"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+    ).select(
+        "w", F.expr("deg * 1000 div freq").cast("bigint").alias("wscore")
+    )
+    pscore = (
+        members.join(wstats, "w")
+        .groupBy("phrase")
+        .agg(F.sum("wscore").cast("bigint").alias("raw"))
+    )
+    agg = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    return (
+        agg.join(pscore, "phrase")
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.expr("raw div n_occurrences").cast("bigint").alias(
+                "score_permille"
+            ),
+        )
+        .orderBy(F.col("score_permille").desc(), F.col("phrase"))
+        .limit(_RAKE_TOP_K)
+    )
+
+
+_RAKE_STOP_SQL = ", ".join(f"'{s}'" for s in _RAKE_STOPWORDS)
+
+SQL_DOCS_RAKE_KEYWORDS = f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+  FROM (SELECT doc_id, string_split_regex(text, ' +') AS ws
+        FROM documents)
+),
+content AS (
+  SELECT doc_id, pos, w FROM toks
+  WHERE w <> '' AND w NOT IN ({_RAKE_STOP_SQL})
+),
+runs AS (
+  SELECT doc_id, pos, w,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM content
+),
+phrases AS (
+  SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM runs GROUP BY doc_id, grp
+  HAVING count(*) <= {_RAKE_MAX_PHRASE}
+),
+members AS (
+  SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS w FROM phrases
+),
+wstats AS (
+  SELECT w, CAST(SUM(plen) * 1000 // count(*) AS BIGINT) AS wscore
+  FROM members GROUP BY w
+),
+pscore AS (
+  SELECT m.phrase, CAST(SUM(s.wscore) AS BIGINT) AS raw
+  FROM members m JOIN wstats s ON s.w = m.w
+  GROUP BY m.phrase
+),
+agg AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM phrases GROUP BY phrase
+)
+SELECT a.phrase, a.n_occurrences,
+       CAST(p.raw // a.n_occurrences AS BIGINT) AS score_permille
+FROM agg a JOIN pscore p ON p.phrase = a.phrase
+ORDER BY score_permille DESC, a.phrase
+LIMIT {_RAKE_TOP_K}
+"""
+
+QUERIES["docs_rake_keywords"] = q_docs_rake_keywords
+ORACLE_SQL["docs_rake_keywords"] = SQL_DOCS_RAKE_KEYWORDS
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering: exponentially decayed customer lifetime value.
+# ---------------------------------------------------------------------------
+
+_CLV_DECAY_NUM = 980     # yearly decay factor = 980/1000 (2%/yr)
+_CLV_DECAY_DEN = 1000
+_CLV_ANCHOR_YEAR = 1998  # age 0 = the corpus's final order year
+
+
+def q_customer_clv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially decayed CLV per market segment: each order's value
+    is down-weighted by 0.98^age_years before summing — the standard
+    recency-weighted lifetime-value feature for churn/propensity
+    models, made EXACT by rational-power arithmetic: weight = 980^age /
+    1000^age with the powers expanded as compile-time DECIMAL literals
+    (age is bounded by the corpus calendar, so the largest product
+    spend_cents * 980^7 stays ~1e30 << DECIMAL(38)).  No IEEE pow
+    anywhere, so both engines agree bit-for-bit.
+
+    Plan: one orders scan with a row-local CASE over the bounded age
+    domain, aggregated per customer, then one broadcast-dim join to the
+    customer segment and a 5-row rollup.  Linear; the decayed sum is
+    associative so partial aggregation applies."""
+    ages = range(0, 8)
+    num = {a: _CLV_DECAY_NUM ** a for a in ages}
+    den = {a: _CLV_DECAY_DEN ** a for a in ages}
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.lit(_CLV_ANCHOR_YEAR)
+            - F.year(F.col("o_orderdate").cast("date"))
+        ).alias("age"),
+        F.expr(
+            "CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS DECIMAL(38,0))"
+        ).alias("cents"),
+    )
+    weighted = " ".join(
+        f"WHEN age = {a} THEN CAST(cents * {num[a]} AS DECIMAL(38,0))"
+        f" div {den[a]}" for a in ages
+    )
+    per_cust = o.select(
+        "o_custkey",
+        F.expr(f"CASE {weighted} ELSE 0 END").cast("bigint").alias("wcents"),
+    ).groupBy("o_custkey").agg(
+        F.sum("wcents").cast("bigint").alias("clv_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        per_cust.join(
+            F.broadcast(c), per_cust.o_custkey == c.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("clv_cents").cast("bigint").alias("clv_cents_total"),
+            F.expr("sum(clv_cents) div count(*)").cast("bigint").alias(
+                "clv_cents_avg"
+            ),
+        )
+    )
+
+
+def _sql_clv() -> str:
+    ages = range(0, 8)
+    whens = " ".join(
+        f"WHEN age = {a} THEN CAST(cents * {_CLV_DECAY_NUM ** a}"
+        f" AS HUGEINT) // {_CLV_DECAY_DEN ** a}"
+        for a in ages
+    )
+    return f"""
+WITH o AS (
+  SELECT o_custkey,
+         {_CLV_ANCHOR_YEAR} - year(CAST(o_orderdate AS DATE)) AS age,
+         CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT) AS cents
+  FROM orders
+),
+pc AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE {whens} ELSE 0 END) AS BIGINT) AS clv_cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM o GROUP BY o_custkey
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(pc.clv_cents) AS BIGINT) AS clv_cents_total,
+       CAST(SUM(pc.clv_cents) // count(*) AS BIGINT) AS clv_cents_avg
+FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+QUERIES["customer_clv_decay"] = q_customer_clv_decay
+ORACLE_SQL["customer_clv_decay"] = _sql_clv()
