@@ -41,7 +41,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Finance: accounts-receivable aging buckets.
 # ---------------------------------------------------------------------------
 
-_AR_ANCHOR = "1998-12-31"
+_AR_ANCHOR = "2001-08-31"  # just past the last order (corpus spans
+#                            1995-01 .. 2001-08), so every band populates
 
 
 def q_receivable_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1092,7 +1093,7 @@ ORACLE_SQL["docs_rake_keywords"] = SQL_DOCS_RAKE_KEYWORDS
 
 _CLV_DECAY_NUM = 980     # yearly decay factor = 980/1000 (2%/yr)
 _CLV_DECAY_DEN = 1000
-_CLV_ANCHOR_YEAR = 1998  # age 0 = the corpus's final order year
+_CLV_ANCHOR_YEAR = 2001  # age 0 = the corpus's final order year (1995-2001)
 
 
 def q_customer_clv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -138,3 +138,61 @@ def test_cluster_separation_labels_complete_and_ratio_positive(spark):
         assert r.intra_msd >= 0
         assert r.min_inter_d2 >= 1
         assert r.db_ratio_ppm > 0
+
+
+def test_fd_audit_key_fd_has_zero_violations(spark):
+    rows = {r.fd: r for r in w.q_fd_violation_audit(spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "s_suppkey->s_name", "p_brand->p_type",
+        "o_custkey->o_orderpriority", "c_nationkey->c_mktsegment",
+    }
+    key_fd = rows["s_suppkey->s_name"]
+    assert key_fd.n_violating == 0 and key_fd.violation_bps == 0
+    for r in rows.values():
+        assert 0 <= r.n_violating <= r.n_groups
+        assert 0 <= r.violation_bps <= 10_000
+
+
+def test_trade_edge_churn_conservation(spark):
+    """kept + died = |E_y| and kept + born = |E_{y+1}|; jaccard within
+    [0, 1000]."""
+    for r in w.q_trade_edge_churn(spark, SF_DIR).collect():
+        assert r.n_kept + r.n_died == r.n_cur
+        assert r.n_kept + r.n_born == r.n_next
+        assert 0 <= r.jaccard_permille <= 1000
+
+
+def test_rake_phrases_contain_no_stopwords(spark):
+    rows = w.q_docs_rake_keywords(spark, SF_DIR).collect()
+    assert rows
+    stop = set(w._RAKE_STOPWORDS)
+    for r in rows:
+        words = r.phrase.split(" ")
+        assert 1 <= len(words) <= w._RAKE_MAX_PHRASE
+        assert not (set(words) & stop), r.phrase
+        assert r.n_occurrences >= 1 and r.score_permille >= 1000
+
+
+def test_clv_decay_bounded_by_undecayed_spend(spark):
+    """Decayed CLV can never exceed raw spend, and weights stay
+    positive (age 0-7 -> weight in (0.86, 1])."""
+    from pyspark.sql import functions as F
+    got = {r.c_mktsegment: r for r in w.q_customer_clv_decay(spark, SF_DIR).collect()}
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    raw = {
+        r.c_mktsegment: r.total
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("cents").alias("total"))
+        .collect()
+    }
+    min_w = (w._CLV_DECAY_NUM / w._CLV_DECAY_DEN) ** 7
+    for seg, r in got.items():
+        assert r.clv_cents_total <= raw[seg]
+        assert r.clv_cents_total >= int(raw[seg] * min_w) - r.n_customers
