@@ -1535,12 +1535,17 @@ _PRIORITY_R7: list[str] = [
 # erasure_impact_audit, whose implementation was REWRITTEN this round
 # (lazy conditional aggregates, no fact-derived broadcast — VERDICT #1).
 # The other four rewritten queries (weighted_median_price VERDICT #2,
-# customer_rfm_segments / customer_abc_classes VERDICT #4,
+# customer_rfm_segments / customer_abc_classes VERDICT #4 — both fused
+# AGAIN late in r8 to the shared-exchange single-job shape,
 # fk_integrity_audit VERDICT #5) stay evidenced by LOCAL_CORRECTNESS at
 # both SFs — the window has exactly 50 slots and full-registry coverage
 # wins the tiebreak.  Plus the usual THREE cross-round canaries.
 # 34 backlog + 12 new = 46 first-time -> cumulative driver-attested
 # 234 + 46 = 280/280 (the full registry).
+# Queued for r9: re-attest the four rewritten-implementation names
+# above (their r7 driver rows predate the rewrites), plus whatever new
+# r9 operators ship — with the backlog closed, the window's spare slots
+# rotate re-attestations of the most-recently-changed implementations.
 _PRIORITY_R8: list[str] = [
     # --- the full never-attested backlog (VERDICT r07 What's-missing #1) ---
     "cogroup_activity_recon",
