@@ -1541,8 +1541,10 @@ _PRIORITY_R7: list[str] = [
 # both SFs — the window has exactly 50 slots and full-registry coverage
 # wins the tiebreak.  Plus the usual THREE cross-round canaries.
 # 34 backlog + 12 new = 46 first-time -> cumulative driver-attested
-# 234 + 46 = 280/280 (the full registry).
-# Queued for r9: re-attest the four rewritten-implementation names
+# 234 + 46 = 280 of 281 (everything except the late wave-3 addition).
+# Queued for r9: corpus_budget_selection (late r8 ship; its curation
+# family keeps orders_temporal_split attested + docs_weighted_sample
+# in-window), plus re-attesting the four rewritten-implementation names
 # above (their r7 driver rows predate the rewrites), plus whatever new
 # r9 operators ship — with the backlog closed, the window's spare slots
 # rotate re-attestations of the most-recently-changed implementations.

@@ -12,6 +12,7 @@
 - trade_edge_churn          — year-over-year trade-edge churn / Jaccard
 - docs_rake_keywords        — RAKE-lite keyphrase extraction
 - customer_clv_decay        — exponentially decayed CLV (exact rational powers)
+- corpus_budget_selection   — greedy quality-ranked selection under a token budget
 
 Repo conventions throughout: exact integer/DECIMAL arithmetic on both
 engines, bounded fan-outs documented per op, one DuckDB oracle per query.
@@ -1182,3 +1183,110 @@ GROUP BY c.c_mktsegment
 
 QUERIES["customer_clv_decay"] = q_customer_clv_decay
 ORACLE_SQL["customer_clv_decay"] = _sql_clv()
+
+# ---------------------------------------------------------------------------
+# LLM curation: token-budget-constrained corpus selection.
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 15_000
+
+
+def q_corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy data selection under a token budget: rank documents by an
+    integer quality score (vocabulary richness, TTR permille), admit in
+    score order while the cumulative token count stays within the
+    budget, and report the selection per source — docs admitted, tokens
+    claimed, and the effective quality bar (min admitted score).  This
+    is the budgeted-curation step of every pretraining data pipeline
+    ("we can afford N tokens; take the best documents first").
+
+    Plan: per-doc stats are one explode + two aggregates (linear); the
+    global admission order (score DESC, doc_id) is the ROW-GRAIN
+    blocked cumulative from the RFM/ABC family — score is domain-
+    bounded (0..1000 permille), so 16-permille blocks give a <= 64-row
+    broadcast summary, the within-block running token sum rides a
+    block-partitioned window, and one explicit repartition exchange is
+    shared by the summary aggregate and the window (ReusedExchange).
+    No single-partition sort at any scale; the final rollup is
+    |sources|-sized."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " +")).alias("w")
+    ).filter(F.col("w") != "")
+    per_doc = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.expr("CAST(count(*) * 1000 div sum(c) AS BIGINT)").alias(
+                "qscore"
+            ),
+        )
+        .withColumn("neg_q", -F.col("qscore"))
+        .withColumn("__bk", F.expr("neg_q div 16"))
+        .repartition("__bk")
+    )
+    w_blk = Window.orderBy("__bko").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        per_doc.groupBy(F.col("__bk").alias("__bko"))
+        .agg(F.sum("n_tokens").alias("__bs"))
+        .select(
+            "__bko",
+            F.coalesce(F.sum("__bs").over(w_blk), F.lit(0)).alias("__off"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("__bk")
+        .orderBy("neg_q", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    admitted = (
+        per_doc.join(F.broadcast(offs), F.col("__bk") == F.col("__bko"))
+        .withColumn("cum_tok", F.col("__off") + F.sum("n_tokens").over(w_in))
+        .filter(F.col("cum_tok") <= _BUDGET_TOKENS)
+    )
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        admitted.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.sum("n_tokens").cast("bigint").alias("selected_tokens"),
+            F.min("qscore").cast("bigint").alias("min_admitted_score"),
+        )
+    )
+
+
+SQL_CORPUS_BUDGET_SELECTION = f"""
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) * 1000 // SUM(c) AS BIGINT) AS qscore
+  FROM (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w)
+  GROUP BY doc_id
+),
+cum AS (
+  SELECT doc_id, n_tokens, qscore,
+         SUM(n_tokens) OVER (ORDER BY qscore DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM per_doc
+),
+adm AS (SELECT * FROM cum WHERE cum_tok <= {_BUDGET_TOKENS})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(SUM(a.n_tokens) AS BIGINT) AS selected_tokens,
+       CAST(MIN(a.qscore) AS BIGINT) AS min_admitted_score
+FROM adm a JOIN documents d ON d.doc_id = a.doc_id
+GROUP BY d.source
+"""
+
+QUERIES["corpus_budget_selection"] = q_corpus_budget_selection
+ORACLE_SQL["corpus_budget_selection"] = SQL_CORPUS_BUDGET_SELECTION

@@ -196,3 +196,31 @@ def test_clv_decay_bounded_by_undecayed_spend(spark):
     for seg, r in got.items():
         assert r.clv_cents_total <= raw[seg]
         assert r.clv_cents_total >= int(raw[seg] * min_w) - r.n_customers
+
+
+def test_budget_selection_respects_budget_and_quality_order(spark):
+    """Selected token mass stays within the budget, and the admission
+    is quality-prefix-closed: every non-selected doc scores <= the
+    minimum admitted score (modulo the deterministic doc_id tiebreak
+    at the boundary score)."""
+    rows = w.q_corpus_budget_selection(spark, SF_DIR).collect()
+    assert rows
+    total_sel = sum(r.selected_tokens for r in rows)
+    assert total_sel <= w._BUDGET_TOKENS
+    # recompute per-doc scores independently
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    per_doc = d.selectExpr(
+        "doc_id",
+        "filter(split(text, ' +'), x -> x <> '') AS ws",
+    ).selectExpr(
+        "doc_id",
+        "size(ws) AS n_tokens",
+        "size(array_distinct(ws)) * 1000 div size(ws) AS qscore",
+    ).collect()
+    bar = min(r.min_admitted_score for r in rows)
+    n_total_docs = len(per_doc)
+    n_selected = sum(r.n_selected for r in rows)
+    assert 0 < n_selected < n_total_docs  # budget bites at sf0.001
+    # all docs scoring strictly above the bar must have been admitted
+    above = sum(1 for p in per_doc if p.qscore > bar)
+    assert above <= n_selected
