@@ -553,6 +553,89 @@ def main() -> None:
         "plan body, no broadcast of fact-derived keys.",
     ]
 
+    # ---- Round-8 NEW wave ops (probed the round they ship) -------------
+    # Reuses the combined corpora generated for the r8 section above.
+    R8W_OPS = [
+        ("shingle_containment_pairs", "100x"),  # df-capped fp bucket join
+        ("docs_rake_keywords", "100x"),         # islands + vocab aggregates
+        ("corpus_budget_selection", "100x"),    # blocked cumulative admit
+        ("trade_edge_churn", "100x"),           # distinct-edge self-join
+        ("customer_order_streaks", "100x"),     # keyed gaps-and-islands
+    ]
+    r8w: dict[str, dict[str, float | str]] = {op: {} for op, _ in R8W_OPS}
+    with tempfile.TemporaryDirectory() as tmp:
+        dirs = {}
+        for label in ("1x", "10x", "100x"):
+            d = os.path.join(tmp, label)
+            os.makedirs(d)
+            make_corpus(spark, doc_sizes[label], d, partitions=32)
+            make_wave(wave_sizes[label], d)
+            n_li = wave_sizes[label]
+            spark.range(1, n_li // 4 + 1).select(
+                F.col("id").alias("o_orderkey"),
+                (F.col("id") % max(n_li // 40, 2) + 1).alias("o_custkey"),
+                F.date_add(
+                    F.lit("1995-01-01").cast("date"),
+                    (F.col("id") % 2400).cast("int"),
+                ).cast("string").alias("o_orderdate"),
+            ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+            dirs[label] = d
+        for op, max_label in R8W_OPS:
+            for label in ("1x", "10x", "100x"):
+                if order.index(label) > order.index(max_label):
+                    r8w[op][label] = "capped"
+                    continue
+                try:
+                    t = time_op(spark, op, dirs[label], args.runs)
+                except Exception as e:
+                    r8w[op][label] = "failed"
+                    print(f"{op:28s} {label:>4s}: FAILED "
+                          f"({type(e).__name__})", flush=True)
+                    continue
+                r8w[op][label] = round(t, 3)
+                print(f"{op:28s} {label:>4s}: {t:7.3f}s", flush=True)
+
+    lines += [
+        "",
+        "## Round-8 NEW wave ops (probed the round they ship)",
+        "",
+        "Same combined corpora as the previous section (documents / "
+        "lineitem / orders at the same 1x/10x/100x sizes).",
+        "",
+        "| op | t(1x) s | t(10x) s | t(100x) s | alpha (10x->100x) |",
+        "|---|---|---|---|---|",
+    ]
+    for op, _ in R8W_OPS:
+        r = r8w[op]
+        if isinstance(r.get("100x"), float) and isinstance(r.get("10x"), float) \
+                and r["10x"] > 0:
+            alpha = f"{math.log10(r['100x'] / r['10x']):.2f}"
+        else:
+            alpha = "—"
+        lines.append(
+            f"| {op} | {_cell(r['1x'])} | {_cell(r['10x'])} "
+            f"| {_cell(r['100x'])} | {alpha} |"
+        )
+    lines += [
+        "",
+        "Why the new r8 wave stays ~linear by construction:",
+        "- `shingle_containment_pairs`: candidate pairs form only on "
+        "shingle fingerprints kept by the df-cap (<= 5 docs), so each "
+        "kept shingle contributes <= C(5,2) pairs — candidates are "
+        "LINEAR in distinct shingles by a hard combinatorial bound.",
+        "- `docs_rake_keywords`: phrase segmentation is a per-doc "
+        "gaps-and-islands window (partition size = document length); "
+        "word/phrase scoring is vocab- and distinct-phrase-bounded.",
+        "- `corpus_budget_selection`: the admission order rides the "
+        "row-grain blocked cumulative (score domain 0..1000, bounded "
+        "block summary) — the RFM/ABC shape, no global sort.",
+        "- `trade_edge_churn`: one DISTINCT collapse + one equi-join "
+        "keyed on the edge itself; every downstream frame is "
+        "|years|-bounded.",
+        "- `customer_order_streaks`: windows partition by customer with "
+        "calendar-bounded partition sizes; histogram out.",
+    ]
+
     lines += [
         "",
         "Why the LLM-op family (first table) stays ~linear by "
