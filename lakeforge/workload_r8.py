@@ -328,9 +328,14 @@ def q_bigram_lift_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     every intermediate stays under ~1e33 for 1e13-token corpora, and
     both stages truncate identically on both engines.  Ties break on
     the pair text."""
+    from lakeforge.cache import persist_tracked
+
+    # ONE tokenization pass feeds all three aggregates (pair counts,
+    # unigram counts, corpus totals) — without the persist the plan
+    # re-scans and re-tokenizes documents once per consumer.
     d = _t(spark, sf_dir, "documents").select("text")
-    toks = d.select(
-        F.expr("filter(split(text, ' +'), x -> x <> '')").alias("ws")
+    toks = persist_tracked(
+        d.select(F.expr("filter(split(text, ' +'), x -> x <> '')").alias("ws"))
     )
     bigrams = toks.select(
         F.explode(
@@ -345,16 +350,15 @@ def q_bigram_lift_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_counts = bigrams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_pair")
     ).filter(F.col("c_pair") >= _LIFT_MIN_PAIR_COUNT)
-    words = d.select(
-        F.explode(F.split(F.col("text"), " +")).alias("w")
-    ).filter(F.col("w") != "")
-    uni = words.groupBy("w").agg(
+    uni = toks.select(F.explode("ws").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_w")
     )
-    totals = bigrams.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
-    ).crossJoin(
-        words.agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    # both corpus totals in one aggregate over the cached token arrays
+    totals = toks.agg(
+        F.sum(F.expr("greatest(size(ws) - 1, 0)"))
+        .cast("bigint")
+        .alias("n_pairs"),
+        F.sum(F.expr("size(ws)")).cast("bigint").alias("n_tokens"),
     )
     lifted = (
         pair_counts

@@ -3097,12 +3097,16 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit rows."""
 
     def parent_keys(table: str, pk: str, marker: str) -> DataFrame:
-        # Parent side is its PRIMARY key — unique by contract, so the
-        # marked LEFT join cannot fan child rows out (no distinct
-        # needed, which would add a full parent shuffle at 100 TB).
+        # DISTINCT before the marked LEFT join: the parent side is its
+        # PRIMARY key, but an integrity audit must stay correct on the
+        # corrupted data it exists to catch — a duplicated parent PK
+        # would otherwise fan child rows out and inflate every count
+        # for that child.  The slim key-only distinct shuffles no wider
+        # than the countDistinct aggregates below already do.
         return (
             _t(spark, sf_dir, table)
             .select(F.col(pk).alias(f"__{marker}_k"))
+            .distinct()
             .withColumn(f"__{marker}", F.lit(1))
         )
 

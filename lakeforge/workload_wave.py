@@ -1003,10 +1003,14 @@ def q_erasure_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived, AQE picks the strategy — no hint); lineitem marks via a
     left join to the erased order keys with NO broadcast hint: at
     request-sized cohorts AQE converts it at runtime, at audit-sized
-    cohorts it stays a shuffle join instead of killing the driver."""
+    cohorts it stays a shuffle join instead of killing the driver.
+    Both key frames are DISTINCT before the marked joins — a LEFT join
+    to a key list is only semi-join-equivalent when the keys are
+    unique, and an audit must stay correct on exactly the corrupted
+    (duplicate-key) data it exists to measure."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
     in_cohort = md5_int(F.lit("erase"), F.col("c_custkey")) % 199 == 0
-    cohort = cust.filter(in_cohort)
+    cohort = cust.filter(in_cohort).distinct()
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
 
@@ -1024,7 +1028,7 @@ def q_erasure_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cohort, orders.o_custkey == cohort.c_custkey, "left"
     ).select("o_orderkey", F.col("c_custkey").isNotNull().alias("er"))
     orders_a = _audit(marked_orders, "er", "orders")
-    eo_keys = marked_orders.filter("er").select("o_orderkey")
+    eo_keys = marked_orders.filter("er").select("o_orderkey").distinct()
     li_a = _audit(
         li.join(eo_keys, li.l_orderkey == eo_keys.o_orderkey, "left").select(
             F.col("o_orderkey").isNotNull().alias("er")

@@ -1,5 +1,9 @@
 from __future__ import annotations
 
+import os
+
+import pytest
+
 from pyspark.sql import functions as F
 
 from lakeforge.llm.dedup import (
@@ -928,6 +932,10 @@ def test_pq_pretrained_codebooks_bit_identical(spark):
            sorted(map(tuple, reused), key=lambda t: (t[0], t[-1]))
 
 
+@pytest.mark.skipif(
+    not os.path.exists("/root/testdata/sf0.001"),
+    reason="driver testdata absent",
+)
 def test_cross_source_dup_matrix_accounts_every_pair(spark):
     """The source-pair rollup must conserve the underlying pair count and
     keep unordered-pair keys canonical (lo <= hi)."""
@@ -942,6 +950,10 @@ def test_cross_source_dup_matrix_accounts_every_pair(spark):
         assert r.sum_match >= r.dup_pairs * 16  # min_match floor
 
 
+@pytest.mark.skipif(
+    not os.path.exists("/root/testdata/sf0.001"),
+    reason="driver testdata absent",
+)
 def test_effective_token_mass_bounded_by_raw(spark):
     """Dedup weighting can only discount: eff <= 1000*raw, with equality
     exactly when a source has no docs in any multi-member cluster."""
@@ -958,6 +970,10 @@ def test_effective_token_mass_bounded_by_raw(spark):
             assert r.eff_millitokens == 1000 * r.raw_tokens
 
 
+@pytest.mark.skipif(
+    not os.path.exists("/root/testdata/sf0.001/embeddings.parquet"),
+    reason="driver testdata absent",
+)
 def test_pq_codebook_retrains_after_corpus_rewrite(spark, tmp_path):
     """VERDICT r07 #7: the memoized trained-codebook store keys on
     data_version(embeddings.parquet), so rewriting the corpus at the

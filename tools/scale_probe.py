@@ -467,8 +467,18 @@ def main() -> None:
         ("events_rate_limit_replay", "100x"),   # mapInPandas token-bucket
         ("erasure_impact_audit", "100x"),       # post-fix: 1 agg per table
     ]
+    # New r8-wave ops probed the round they ship, over the SAME corpora
+    # (one generation pass covers both op lists).
+    R8W_OPS = [
+        ("shingle_containment_pairs", "100x"),  # df-capped fp bucket join
+        ("docs_rake_keywords", "100x"),         # islands + vocab aggregates
+        ("corpus_budget_selection", "100x"),    # blocked cumulative admit
+        ("trade_edge_churn", "100x"),           # distinct-edge self-join
+        ("customer_order_streaks", "100x"),     # keyed gaps-and-islands
+    ]
     doc_sizes = {"1x": args.base, "10x": args.base * 10, "100x": args.base * 100}
     r8: dict[str, dict[str, float | str]] = {op: {} for op, _ in R8_OPS}
+    r8w: dict[str, dict[str, float | str]] = {op: {} for op, _ in R8W_OPS}
     with tempfile.TemporaryDirectory() as tmp:
         dirs = {}
         for label in ("1x", "10x", "100x"):
@@ -477,10 +487,14 @@ def main() -> None:
             make_corpus(spark, doc_sizes[label], d, partitions=32)
             make_wave(wave_sizes[label], d)
             n_li = wave_sizes[label]
-            n_ord, n_cust = n_li // 4, n_li // 40
+            n_ord, n_cust = n_li // 4, max(n_li // 40, 2)
             spark.range(1, n_ord + 1).select(
                 F.col("id").alias("o_orderkey"),
                 (F.col("id") % n_cust + 1).alias("o_custkey"),
+                F.date_add(
+                    F.lit("1995-01-01").cast("date"),
+                    (F.col("id") % 2400).cast("int"),
+                ).cast("string").alias("o_orderdate"),
             ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
             spark.range(1, n_cust + 1).select(
                 F.col("id").alias("c_custkey")
@@ -491,20 +505,21 @@ def main() -> None:
                 .option("numPartitions", 32).load()
             ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
             dirs[label] = d
-        for op, max_label in R8_OPS:
-            for label in ("1x", "10x", "100x"):
-                if order.index(label) > order.index(max_label):
-                    r8[op][label] = "capped"
-                    continue
-                try:
-                    t = time_op(spark, op, dirs[label], args.runs)
-                except Exception as e:
-                    r8[op][label] = "failed"
-                    print(f"{op:28s} {label:>4s}: FAILED "
-                          f"({type(e).__name__})", flush=True)
-                    continue
-                r8[op][label] = round(t, 3)
-                print(f"{op:28s} {label:>4s}: {t:7.3f}s", flush=True)
+        for results, ops in ((r8, R8_OPS), (r8w, R8W_OPS)):
+            for op, max_label in ops:
+                for label in ("1x", "10x", "100x"):
+                    if order.index(label) > order.index(max_label):
+                        results[op][label] = "capped"
+                        continue
+                    try:
+                        t = time_op(spark, op, dirs[label], args.runs)
+                    except Exception as e:
+                        results[op][label] = "failed"
+                        print(f"{op:28s} {label:>4s}: FAILED "
+                              f"({type(e).__name__})", flush=True)
+                        continue
+                    results[op][label] = round(t, 3)
+                    print(f"{op:28s} {label:>4s}: {t:7.3f}s", flush=True)
 
     lines += [
         "",
@@ -552,48 +567,6 @@ def main() -> None:
         "aggregates + two unhinted left joins; no driver actions in the "
         "plan body, no broadcast of fact-derived keys.",
     ]
-
-    # ---- Round-8 NEW wave ops (probed the round they ship) -------------
-    # Reuses the combined corpora generated for the r8 section above.
-    R8W_OPS = [
-        ("shingle_containment_pairs", "100x"),  # df-capped fp bucket join
-        ("docs_rake_keywords", "100x"),         # islands + vocab aggregates
-        ("corpus_budget_selection", "100x"),    # blocked cumulative admit
-        ("trade_edge_churn", "100x"),           # distinct-edge self-join
-        ("customer_order_streaks", "100x"),     # keyed gaps-and-islands
-    ]
-    r8w: dict[str, dict[str, float | str]] = {op: {} for op, _ in R8W_OPS}
-    with tempfile.TemporaryDirectory() as tmp:
-        dirs = {}
-        for label in ("1x", "10x", "100x"):
-            d = os.path.join(tmp, label)
-            os.makedirs(d)
-            make_corpus(spark, doc_sizes[label], d, partitions=32)
-            make_wave(wave_sizes[label], d)
-            n_li = wave_sizes[label]
-            spark.range(1, n_li // 4 + 1).select(
-                F.col("id").alias("o_orderkey"),
-                (F.col("id") % max(n_li // 40, 2) + 1).alias("o_custkey"),
-                F.date_add(
-                    F.lit("1995-01-01").cast("date"),
-                    (F.col("id") % 2400).cast("int"),
-                ).cast("string").alias("o_orderdate"),
-            ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
-            dirs[label] = d
-        for op, max_label in R8W_OPS:
-            for label in ("1x", "10x", "100x"):
-                if order.index(label) > order.index(max_label):
-                    r8w[op][label] = "capped"
-                    continue
-                try:
-                    t = time_op(spark, op, dirs[label], args.runs)
-                except Exception as e:
-                    r8w[op][label] = "failed"
-                    print(f"{op:28s} {label:>4s}: FAILED "
-                          f"({type(e).__name__})", flush=True)
-                    continue
-                r8w[op][label] = round(t, 3)
-                print(f"{op:28s} {label:>4s}: {t:7.3f}s", flush=True)
 
     lines += [
         "",
