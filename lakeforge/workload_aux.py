@@ -72,7 +72,7 @@ def q_orders_ldiversity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     rows = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        c.select("c_custkey", "c_mktsegment"),
         o.o_custkey == c.c_custkey,
     ).select(
         "c_mktsegment",
@@ -263,7 +263,7 @@ def q_feature_hash_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("nat="), F.col("c_nationkey").cast("string")),
     )
     rows = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment", "c_nationkey")),
+        c.select("c_custkey", "c_mktsegment", "c_nationkey"),
         o.o_custkey == c.c_custkey,
     ).select(
         feat.alias("feature"),
@@ -323,7 +323,7 @@ def q_nation_spend_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     cells = (
-        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o.join(c.select("c_custkey", "c_nationkey"),
                o.o_custkey == c.c_custkey)
         .select(
             F.col("c_nationkey").cast("int").alias("nationkey"),
@@ -695,7 +695,7 @@ def q_tcloseness_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     rows = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        c.select("c_custkey", "c_mktsegment"),
         o.o_custkey == c.c_custkey,
     ).select(
         "c_mktsegment",

@@ -190,7 +190,7 @@ def q_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inferred = (
         o.join(
-            F.broadcast(present.select("c_custkey")),
+            present.select("c_custkey"),
             o.o_custkey == present.c_custkey,
             "left_anti",
         )
@@ -199,7 +199,7 @@ def q_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = present.unionByName(inferred)
     return (
-        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey, "inner")
+        o.join(dim, o.o_custkey == dim.c_custkey, "inner")
         .groupBy("is_inferred")
         .agg(
             F.countDistinct("c_custkey").cast("bigint").alias("n_members"),
@@ -483,7 +483,7 @@ def q_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     rows = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        c.select("c_custkey", "c_mktsegment"),
         o.o_custkey == c.c_custkey,
     ).select(
         "c_mktsegment",

@@ -1,4 +1,5 @@
-"""Round-8 wave operators: twelve new oracle-paired families (two waves).
+"""Round-8 wave operators: thirteen new oracle-paired families (three
+waves; corpus_budget_selection is the late wave-3 addition).
 
 - receivable_aging          — AR aging buckets over open orders
 - supplier_lead_time_sla    — per-supplier fulfillment lead time + SLA
@@ -241,13 +242,20 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 1-row scalar.  Ties break deterministically on the word
     itself.  Coverage in ppm (bigint; cum * 1e6 <= 1e6 * corpus tokens
     — widen to DECIMAL(38,0) before the integral divide so int64 never
-    overflows at the 100 TB token count this targets)."""
+    overflows at the 100 TB token count this targets).
+
+    The vocab-bounded (word, count) aggregate is persisted and feeds
+    BOTH the top-V rank table and the corpus-token total (sum of counts
+    == token count), so documents is scanned and tokenized exactly once
+    (ADVICE r8 #2 — same single-scan discipline as bigram lift)."""
+    from lakeforge.cache import persist_tracked
+
     d = _t(spark, sf_dir, "documents").select("text")
     words = d.select(
         F.explode(F.split(F.col("text"), " +")).alias("w")
     ).filter(F.col("w") != "")
-    vocab = words.groupBy("w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    vocab = persist_tracked(
+        words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
     top = vocab.orderBy(F.col("c").desc(), F.col("w")).limit(
         max(_VOCAB_CHECKPOINTS)
@@ -260,7 +268,7 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_mass"),
     )
-    total = words.agg(F.count(F.lit(1)).cast("bigint").alias("total_tokens"))
+    total = vocab.agg(F.sum("c").cast("bigint").alias("total_tokens"))
     cps = ", ".join(str(v) for v in _VOCAB_CHECKPOINTS)
     return (
         ranked.filter(F.col("rank_v").isin(list(_VOCAB_CHECKPOINTS)))
@@ -1143,7 +1151,7 @@ def q_customer_clv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
         per_cust.join(
-            F.broadcast(c), per_cust.o_custkey == c.c_custkey
+            c, per_cust.o_custkey == c.c_custkey
         )
         .groupBy("c_mktsegment")
         .agg(

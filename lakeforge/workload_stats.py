@@ -2190,7 +2190,7 @@ def q_theilsen_nation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     yearly = (
-        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        o.join(cust, o.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", "yr")
         .agg(F.sum("c").alias("rev"))
@@ -2601,7 +2601,7 @@ def q_return_risk_auc_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     base = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .select("n_name", "score", "pos")
     )

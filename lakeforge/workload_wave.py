@@ -655,7 +655,7 @@ def q_nation_spend_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     cells = (
-        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o.join(c.select("c_custkey", "c_nationkey"),
                o.o_custkey == c.c_custkey)
         .select(
             F.col("c_nationkey").cast("int").alias("nationkey"),
@@ -876,7 +876,16 @@ def q_events_rate_limit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas with cross-batch carry — many users per Arrow batch.
     The DuckDB oracle states the SAME recurrence as a recursive CTE over
     per-user event sequence numbers (two maximally different
-    formulations)."""
+    formulations).
+
+    The fold is DEPTH-vectorized (r8 VERDICT #6: the row-at-a-time
+    Python loop was the probe file's steepest cell, 15.3s at 100×):
+    step k advances the k-th event of EVERY active user in one numpy
+    pass, so element work is O(rows) in numpy and the Python-level loop
+    runs only max-events-per-user times per Arrow batch.  User segments
+    are length-sorted so the active set at step k is a prefix
+    (searchsorted, no per-step boolean scan).  State for the batch's
+    last user carries across Arrow batches exactly as before."""
     import numpy as np
     import pandas as pd
 
@@ -889,48 +898,78 @@ def q_events_rate_limit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("user_id", "us", "event_id")
     )
 
+    CAP = _TB_CAP_MICRO
+    DIV = _TB_REFILL_DIV
+    COLS = ["user_id", "n_admitted", "n_denied", "final_tokens_micro"]
+
     def fold(batches):
-        cur = None
-        tok = _TB_CAP_MICRO
-        last_us = None
-        n_adm = n_den = 0
-        out: list[tuple] = []
+        # carry: (user_id, tok, last_us, adm, den) for the previous
+        # batch's final user, whose rows may continue into this batch.
+        carry: tuple | None = None
         for pdf in batches:
-            users = pdf["user_id"].to_numpy()
+            n = len(pdf)
+            if n == 0:
+                continue
+            users = pdf["user_id"].to_numpy(dtype=np.int64)
             uss = pdf["us"].to_numpy(dtype=np.int64)
-            for u, t in zip(users, uss):
-                if cur is None or u != cur:
-                    if cur is not None:
-                        out.append((cur, n_adm, n_den, tok))
-                    cur, tok, last_us = u, _TB_CAP_MICRO, None
-                    n_adm = n_den = 0
-                if last_us is not None:
-                    tok = min(
-                        _TB_CAP_MICRO,
-                        tok + (int(t) - last_us) // _TB_REFILL_DIV,
-                    )
-                last_us = int(t)
-                if tok >= 1_000_000:
-                    tok -= 1_000_000
-                    n_adm += 1
+            starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+            lens = np.diff(np.r_[starts, n])
+            u_ids = users[starts]
+            m = len(u_ids)
+            tok = np.full(m, CAP, dtype=np.int64)
+            last = np.full(m, -1, dtype=np.int64)
+            adm = np.zeros(m, dtype=np.int64)
+            den = np.zeros(m, dtype=np.int64)
+            done: list[tuple] = []
+            if carry is not None:
+                if carry[0] == int(u_ids[0]):
+                    tok[0], last[0], adm[0], den[0] = carry[1:]
                 else:
-                    n_den += 1
-            if out:
-                yield pd.DataFrame(
-                    out,
-                    columns=[
-                        "user_id", "n_admitted", "n_denied",
-                        "final_tokens_micro",
-                    ],
+                    done.append((carry[0], carry[3], carry[4], carry[1]))
+                carry = None
+            # length-descending order: at depth k the active users are
+            # exactly the first `cnt` entries of this permutation.
+            order = np.argsort(-lens, kind="stable")
+            neg_desc = -lens[order]  # ascending
+            st_o = starts[order]
+            for k in range(int(lens.max())):
+                cnt = int(np.searchsorted(neg_desc, -k, side="left"))
+                idx = order[:cnt]
+                t = uss[st_o[:cnt] + k]
+                lv = last[idx]
+                tk = tok[idx]
+                refill = lv >= 0
+                if refill.any():
+                    tk[refill] = np.minimum(
+                        CAP, tk[refill] + (t[refill] - lv[refill]) // DIV
+                    )
+                admit = tk >= 1_000_000
+                tok[idx] = tk - admit * 1_000_000
+                last[idx] = t
+                adm[idx] += admit
+                den[idx] += ~admit
+            carry = (
+                int(u_ids[-1]), int(tok[-1]), int(last[-1]),
+                int(adm[-1]), int(den[-1]),
+            )
+            if m > 1 or done:
+                body = pd.DataFrame(
+                    {
+                        "user_id": u_ids[:-1],
+                        "n_admitted": adm[:-1],
+                        "n_denied": den[:-1],
+                        "final_tokens_micro": tok[:-1],
+                    }
                 )
-                out = []
-        if cur is not None:
+                if done:
+                    body = pd.concat(
+                        [pd.DataFrame(done, columns=COLS), body],
+                        ignore_index=True,
+                    )
+                yield body
+        if carry is not None:
             yield pd.DataFrame(
-                [(cur, n_adm, n_den, tok)],
-                columns=[
-                    "user_id", "n_admitted", "n_denied",
-                    "final_tokens_micro",
-                ],
+                [(carry[0], carry[3], carry[4], carry[1])], columns=COLS
             )
 
     return ev.mapInPandas(

@@ -7,7 +7,7 @@ from __future__ import annotations
 from decimal import Decimal
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import DecimalType, DoubleType
+from pyspark.sql.types import ArrayType, DecimalType, DoubleType
 
 from lakeforge import workload
 from lakeforge.canon import MONEY_DOUBLE, canonical_df, canonical_sql
@@ -53,15 +53,38 @@ def test_money_double_covers_all_decimals(spark):
     decimal-emitting query without an oracle-side cast would reproduce the
     exact r01 hash-mismatch class.  Streaming/stateful queries that
     execute eagerly at schema time are exercised too (they're cheap at
-    sf0.001)."""
+    sf0.001).
+
+    Same pass also guards against terminal ARRAY columns: the driver's
+    pandas canonicalizer sort_values-crashes on list cells (CORRECTNESS_r08
+    `order_ids_per_customer` err — `unhashable type: 'list'`), so every
+    registry query must collapse arrays to a string/scalar before output."""
     missing: list[tuple[str, str]] = []
+    arrays: list[tuple[str, str]] = []
     for name, fn in workload.RAW_QUERIES.items():
         df = fn(spark, "/root/testdata/sf0.001")
         for f in df.schema.fields:
             if isinstance(f.dataType, DecimalType):
                 if f.name not in MONEY_DOUBLE.get(name, []):
                     missing.append((name, f.name))
+            if isinstance(f.dataType, ArrayType):
+                arrays.append((name, f.name))
     assert not missing, f"decimal columns missing from MONEY_DOUBLE: {missing}"
+    assert not arrays, f"terminal array columns (driver-uncanonicalizable): {arrays}"
+
+
+def test_order_ids_per_customer_pandas_canonicalizable(spark):
+    """Driver-sim round-trip for the one query that used to emit an array:
+    toPandas + sort_values over every column (the exact driver operation
+    that crashed in r8) must succeed and hash deterministically."""
+    df = workload.QUERIES["order_ids_per_customer"](spark, "/root/testdata/sf0.001")
+    pdf = df.toPandas()
+    out = pdf.sort_values(by=sorted(pdf.columns)).reset_index(drop=True)
+    assert len(out) > 0
+    # every cell hashable (what the driver's canonicalizer requires)
+    for col in out.columns:
+        assert all(isinstance(hash(v), int) for v in out[col])
+    assert out["order_ids"].str.match(r"^\d+(,\d+)*$").all()
 
 
 def test_canonical_sql_wraps_with_replace():

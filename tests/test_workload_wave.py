@@ -132,6 +132,28 @@ def test_rate_limiter_conserves_events_and_caps_admits(spark):
         assert adm <= budget, (r.user_id, adm, budget)
 
 
+def test_rate_limiter_invariant_under_arrow_batch_splits(spark):
+    """The depth-vectorized fold carries the final user's state across
+    Arrow batches; force tiny input batches so MANY users straddle a
+    batch boundary and assert the result is identical to the default
+    batching.  Guards the carry/seed path of the r9 vectorization."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    baseline = {
+        tuple(r)
+        for r in w.q_events_rate_limit_replay(spark, SF_DIR).collect()
+    }
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        tiny = {
+            tuple(r)
+            for r in w.q_events_rate_limit_replay(spark, SF_DIR).collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    assert tiny == baseline
+
+
 def test_ngram_novelty_short_docs_do_not_crash(spark, tmp_path):
     """ADVICE r07 #1 regression: docs with < 3 tokens used to evaluate
     sequence(1, 0) -> descending [1, 0], whose i=0 crashed slice().

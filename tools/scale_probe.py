@@ -476,9 +476,18 @@ def main() -> None:
         ("trade_edge_churn", "100x"),           # distinct-edge self-join
         ("customer_order_streaks", "100x"),     # keyed gaps-and-islands
     ]
+    # Round-9: the two r8 heavies VERDICT r08 #5 asked for, over the same
+    # combined corpora (documents for bigram lift, embeddings for cluster
+    # separation).  events_rate_limit_replay's re-measure after the r9
+    # depth-vectorized fold rides the R8_OPS entry above.
+    R9_OPS = [
+        ("bigram_lift_collocations", "100x"),       # persisted single-token pass
+        ("embedding_cluster_separation", "100x"),   # posexplode centroid path
+    ]
     doc_sizes = {"1x": args.base, "10x": args.base * 10, "100x": args.base * 100}
     r8: dict[str, dict[str, float | str]] = {op: {} for op, _ in R8_OPS}
     r8w: dict[str, dict[str, float | str]] = {op: {} for op, _ in R8W_OPS}
+    r9: dict[str, dict[str, float | str]] = {op: {} for op, _ in R9_OPS}
     with tempfile.TemporaryDirectory() as tmp:
         dirs = {}
         for label in ("1x", "10x", "100x"):
@@ -505,7 +514,7 @@ def main() -> None:
                 .option("numPartitions", 32).load()
             ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
             dirs[label] = d
-        for results, ops in ((r8, R8_OPS), (r8w, R8W_OPS)):
+        for results, ops in ((r8, R8_OPS), (r8w, R8W_OPS), (r9, R9_OPS)):
             for op, max_label in ops:
                 for label in ("1x", "10x", "100x"):
                     if order.index(label) > order.index(max_label):
@@ -562,7 +571,11 @@ def main() -> None:
         "before any shuffle; one gram -> min-doc aggregate + one join, "
         "both linear in token count.",
         "- `events_rate_limit_replay`: one shuffle by user, then an "
-        "Arrow-batched many-users-per-batch fold — O(events).",
+        "Arrow-batched many-users-per-batch fold — O(events).  The r9 "
+        "rebuild DEPTH-vectorizes the fold (step k advances the k-th "
+        "event of every active user in one numpy pass), replacing the "
+        "row-at-a-time Python loop VERDICT r08 #6 flagged at 15.3s for "
+        "this cell.",
         "- `erasure_impact_audit`: three single-scan conditional "
         "aggregates + two unhinted left joins; no driver actions in the "
         "plan body, no broadcast of fact-derived keys.",
