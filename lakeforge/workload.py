@@ -682,6 +682,7 @@ from lakeforge import (  # noqa: E402  (registered below)
     workload_ext,
     workload_llm,
     workload_r8,
+    workload_r9,
     workload_rec,
     workload_rel,
     workload_stats,
@@ -750,6 +751,8 @@ QUERIES.update(workload_wave.QUERIES)
 ORACLE_SQL.update(workload_wave.ORACLE_SQL)
 QUERIES.update(workload_r8.QUERIES)
 ORACLE_SQL.update(workload_r8.ORACLE_SQL)
+QUERIES.update(workload_r9.QUERIES)
+ORACLE_SQL.update(workload_r9.ORACLE_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -1605,7 +1608,79 @@ _PRIORITY_R8: list[str] = [
     "docs_training_pipeline",
 ]
 
-PRIORITY: list[str] = _PRIORITY_R8
+# Round-9 window (50 slots, driver checks the first 50 registry entries):
+# (a) the two open attestation items — corpus_budget_selection (never
+#     windowed; late r8 wave-3 ship) and order_ids_per_customer (the one
+#     red r8 row; output made driver-canonicalizable this round);
+# (b) re-attestation of every implementation changed this round: the 18
+#     broadcast-sweep queries (VERDICT r08 #1), vocab_coverage_curve
+#     (single-scan rebuild, ADVICE r08 #2), events_rate_limit_replay
+#     (depth-vectorized fold, VERDICT r08 #6), plus the post-fe066ef
+#     fused RFM/ABC shapes and the rebuilt weighted median per the
+#     documented r9 queue (aa712e3);
+# (c) the eleven NEW r9 operators, in-window the round they ship;
+# (d) three cross-round canaries + heavy attested flagships filling the
+#     spare slots.
+_PRIORITY_R9: list[str] = [
+    # --- open attestation items ---
+    "corpus_budget_selection",
+    "order_ids_per_customer",
+    # --- rewritten implementations (r9 queue per aa712e3) ---
+    "customer_rfm_segments",
+    "customer_abc_classes",
+    "weighted_median_price",
+    # --- broadcast-sweep re-attestations (implementation changed r9) ---
+    "shipping_priority",
+    "region_revenue",
+    "returned_top_customers",
+    "promo_revenue",
+    "large_orders",
+    "nation_trade_volume",
+    "extreme_order_by_segment",
+    "trade_triangles",
+    "theilsen_nation_trend",
+    "return_risk_auc_by_nation",
+    "nation_spend_lerp",
+    "late_arriving_dim",
+    "target_encode_oof",
+    "customer_clv_decay",
+    "orders_ldiversity_release",
+    "feature_hash_segments",
+    "nation_spend_locf",
+    "tcloseness_priorities",
+    "vocab_coverage_curve",
+    "events_rate_limit_replay",
+    # --- NEW r9 operator flagships (in-window the round they ship) ---
+    "revenue_bridge_pvm",
+    "bps_largest_remainder",
+    "scd4_order_versions",
+    "kanon_generalization_ladder",
+    "order_interarrival_profile",
+    "single_source_risk",
+    "word_burstiness",
+    "source_vocab_overlap",
+    "fuzzy_name_ld1_pairs",
+    "rrf_hybrid_search",
+    "mmr_diverse_topk",
+    # --- cross-round canaries ---
+    "scd2_orders",
+    "pagerank_trade",
+    "docs_training_pipeline",
+    # --- attested heavy flagships keeping their slots warm ---
+    "bootstrap_price_ci",
+    "docs_leakage_safe_split",
+    "ivfpq_recall_at_k",
+    "jaccard_prefix_pairs",
+    "bigram_lift_collocations",
+    "embedding_cluster_separation",
+    "erasure_impact_audit",
+    "fk_integrity_audit",
+    "shingle_containment_pairs",
+    "docs_readability",
+    "fd_violation_audit",
+]
+
+PRIORITY: list[str] = _PRIORITY_R9
 
 
 

@@ -22,6 +22,71 @@ from lakeforge import cache
 from lakeforge.session import get_spark
 from lakeforge.workload import QUERIES
 
+# Tables whose row count grows with scale factor: an EXPLICIT broadcast
+# hint on a raw/filtered/projected read of one of these is mandatory to
+# Spark and dies at the 8 GB broadcast cap at the 100 TB target
+# (VERDICT r08 sweep).  nation/region are bounded dimensions.
+SF_SCALING_TABLES = (
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+)
+# Node names that bound a subtree's cardinality before a broadcast:
+# aggregates collapse to their (bounded, per this repo's documented key
+# domains) group keys; limits/top-k are explicit row caps.  This is a
+# heuristic BACKSTOP for the manual review discipline — an aggregate
+# keyed on an sf-scaling key would pass it, so new broadcast hints still
+# need the docstring justification the repo requires.
+_BOUNDING = ("Aggregate", "Limit", "TakeOrdered", "CollectLimit")
+
+
+def hinted_sf_broadcasts(plan: str) -> list[str]:
+    """Tables from SF_SCALING_TABLES reached by a BroadcastExchange
+    subtree with no bounding node, in a plan generated under
+    autoBroadcastJoinThreshold=-1 (where every BroadcastExchange is
+    hint-mandated)."""
+    lines = plan.splitlines()
+    # --- tree section: (depth, name, node_id) triples -------------------
+    tree: list[tuple[int, str, str]] = []
+    node_re = re.compile(r"^([:+\-* ]*)([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$")
+    for ln in lines:
+        m = node_re.match(ln)
+        if m and ("+-" in m.group(1) or m.group(1).strip(" *") == ""):
+            depth = len(m.group(1).rstrip())
+            tree.append((depth, m.group(2).strip(), m.group(3)))
+    # --- details section: scan node id -> table name --------------------
+    scan_tbl: dict[str, str] = {}
+    cur_scan = None
+    for ln in lines:
+        m = re.match(r"^\((\d+)\) Scan \w+", ln)
+        if m:
+            cur_scan = m.group(1)
+            continue
+        if re.match(r"^\(\d+\) ", ln):
+            cur_scan = None  # a non-scan detail block started
+            continue
+        if cur_scan and ln.startswith("Location:"):
+            tm = re.search(r"/(\w+)\.parquet", ln)
+            if tm:
+                scan_tbl[cur_scan] = tm.group(1)
+            cur_scan = None
+    # --- walk BroadcastExchange subtrees ---------------------------------
+    bad: list[str] = []
+    for i, (d, name, _nid) in enumerate(tree):
+        if not name.startswith("BroadcastExchange"):
+            continue
+        bounded = False
+        scans: list[str] = []
+        for d2, name2, nid2 in tree[i + 1:]:
+            if d2 <= d:
+                break
+            if any(b in name2 for b in _BOUNDING):
+                bounded = True
+            if name2.startswith("Scan") and nid2 in scan_tbl:
+                scans.append(scan_tbl[nid2])
+        if not bounded:
+            bad.extend(t for t in scans if t in SF_SCALING_TABLES)
+    return sorted(set(bad))
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -29,6 +94,12 @@ def main() -> None:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
+    # Pass 2 state: with autoBroadcastJoinThreshold=-1 every surviving
+    # BroadcastExchange is hint-mandated, so the sf-scaling-frame check
+    # sees exactly the hinted set.
+    hinted_bad: dict[str, list[str]] = {}
+    thresh_key = "spark.sql.autoBroadcastJoinThreshold"
+    orig_thresh = spark.conf.get(thresh_key)
     for name, fn in QUERIES.items():
         buf = io.StringIO()
         with redirect_stdout(buf):
@@ -36,6 +107,19 @@ def main() -> None:
         cache.release_all()
         spark.catalog.clearCache()
         p = buf.getvalue()
+        # hint-only plan for the scale-unsafe-broadcast invariant
+        try:
+            spark.conf.set(thresh_key, "-1")
+            buf2 = io.StringIO()
+            with redirect_stdout(buf2):
+                fn(spark, sf_dir).explain("formatted")
+            bad = hinted_sf_broadcasts(buf2.getvalue())
+            if bad:
+                hinted_bad[name] = bad
+        finally:
+            spark.conf.set(thresh_key, orig_thresh)
+            cache.release_all()
+            spark.catalog.clearCache()
         # Count only numbered detail headers — each node appears twice in
         # formatted output (tree + details).
         rows.append(
@@ -79,6 +163,19 @@ def main() -> None:
         "broadcast-scalar / broadcast-k-rows fan-out): "
         f"{', '.join(bnlj_q) or 'none'}.",
         f"Queries with CartesianProduct: {', '.join(cart_q) or 'NONE (hard invariant)'}.",
+        "Hinted broadcasts of sf-scaling frames (plans re-derived under "
+        "autoBroadcastJoinThreshold=-1, where every BroadcastExchange is "
+        "hint-mandated; a raw/filtered/projected scan of "
+        f"{'/'.join(SF_SCALING_TABLES)} under one, with no bounding "
+        "Aggregate/Limit, is a driver-kill at the 8 GB cap at 100 TB): "
+        + (
+            "; ".join(
+                f"{q} -> {', '.join(ts)}" for q, ts in sorted(hinted_bad.items())
+            )
+            if hinted_bad
+            else "NONE (hard invariant — VERDICT r08 sweep)"
+        )
+        + ".",
         "",
         "| query | exchanges | BHJ | SMJ | BNLJ | pushed-filter scans |",
         "|---|---|---|---|---|---|",
