@@ -1677,7 +1677,7 @@ _PRIORITY_R9: list[str] = [
     "fk_integrity_audit",
     "shingle_containment_pairs",
     "docs_readability",
-    "fd_violation_audit",
+    "trade_edge_churn",
 ]
 
 PRIORITY: list[str] = _PRIORITY_R9

@@ -895,14 +895,22 @@ def q_trade_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade-graph family (pagerank/k-core/triangles).
 
     Plan: lineitem collapses ONCE to DISTINCT (year, part, supp) —
-    map-side combined; per-year edge counts are a tiny aggregate; kept
-    edges come from ONE self-join keyed on the edge (shuffle carries
-    only the distinct edge-year rows) matching year y to y+1.  All
-    downstream frames are |years|-bounded.  Linear in lineitem."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("y"),
-        "l_partkey", "l_suppkey",
-    ).distinct()
+    map-side combined AND persisted (r9: the frame feeds the per-year
+    counts, both sides of the kept-edge self-join, and was recomputed
+    per consumer before — three full lineitem scans for one logical
+    collapse, the probe file's second-steepest cell); per-year edge
+    counts are a tiny aggregate; kept edges come from ONE self-join
+    keyed on the edge (shuffle carries only the distinct edge-year
+    rows) matching year y to y+1.  All downstream frames are
+    |years|-bounded.  Linear in lineitem."""
+    from lakeforge.cache import persist_tracked
+
+    li = persist_tracked(
+        _t(spark, sf_dir, "lineitem").select(
+            F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("y"),
+            "l_partkey", "l_suppkey",
+        ).distinct()
+    )
     per_year = li.groupBy("y").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_edges")
     )
