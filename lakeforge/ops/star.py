@@ -47,7 +47,14 @@ def build_snapshot_fact(
 ) -> DataFrame:
     """Periodic-snapshot fact: distinct (snapshot_date, key) grain resolved
     against the SCD2 dim's validity intervals (reference:
-    gold_sql_to_postgres.py:179-195)."""
+    gold_sql_to_postgres.py:179-195).
+
+    The dim side is deliberately UNHINTED (broadcast_dim=False): an SCD2
+    dim built from a fact stream grows with scale factor, so the join is
+    left to AQE — broadcast while it fits the budget, shuffle join with
+    the interval predicate as residual when it outgrows it (the same
+    policy as the r9 broadcast-hint sweep; the equi-key keeps the plan a
+    hash/merge join, never a nested loop)."""
     grain = (
         base.select(F.col(snapshot_col).cast("date").alias(snapshot_col), *key)
         .filter(F.col(snapshot_col).isNotNull())
@@ -55,5 +62,6 @@ def build_snapshot_fact(
     )
     dim_slim = dim.select(sk_col, *key, start_col, end_col)
     return resolve_interval_key(
-        grain, dim_slim, key, snapshot_col, start_col, end_col
+        grain, dim_slim, key, snapshot_col, start_col, end_col,
+        broadcast_dim=False,
     ).select(snapshot_col, *key, sk_col)

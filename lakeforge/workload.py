@@ -1676,7 +1676,7 @@ _PRIORITY_R9: list[str] = [
     "erasure_impact_audit",
     "fk_integrity_audit",
     "shingle_containment_pairs",
-    "docs_readability",
+    "temporal_fact_resolve",
     "trade_edge_churn",
 ]
 

@@ -30,6 +30,20 @@ SF_SCALING_TABLES = (
     "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings",
 )
+# Documented exceptions to the no-hinted-sf-broadcast invariant — each a
+# deliberate, cited decision, not an oversight:
+HINT_EXCEPTIONS: dict[str, str] = {
+    # Reference-parity J1: the reference itself hints its dim side
+    # (gold_sql_to_postgres.py:82-92, /*+ BROADCAST(d) */) — the
+    # broadcast_left_join operator contract says the CALLER asserts the
+    # dim fits; the demo query reproduces the reference's exact shape.
+    "broadcast_enrich": "reference-parity J1 hint (reference's own pattern)",
+    # ops/spatial.py gates the hint on a runtime count (n_build <= 2M):
+    # the hint the static sf0.001 plan shows disappears at scale by
+    # construction.
+    "spatial_nearest_supplier": "runtime count-gated (<= 2M build rows)",
+}
+
 # Node names that bound a subtree's cardinality before a broadcast:
 # aggregates collapse to their (bounded, per this repo's documented key
 # domains) group keys; limits/top-k are explicit row caps.  This is a
@@ -169,11 +183,23 @@ def main() -> None:
         f"{'/'.join(SF_SCALING_TABLES)} under one, with no bounding "
         "Aggregate/Limit, is a driver-kill at the 8 GB cap at 100 TB): "
         + (
-            "; ".join(
-                f"{q} -> {', '.join(ts)}" for q, ts in sorted(hinted_bad.items())
+            "VIOLATIONS: "
+            + "; ".join(
+                f"{q} -> {', '.join(ts)}"
+                for q, ts in sorted(hinted_bad.items())
+                if q not in HINT_EXCEPTIONS
             )
-            if hinted_bad
+            if any(q not in HINT_EXCEPTIONS for q in hinted_bad)
             else "NONE (hard invariant — VERDICT r08 sweep)"
+        )
+        + ".  Documented exceptions: "
+        + (
+            "; ".join(
+                f"{q} ({HINT_EXCEPTIONS[q]})"
+                for q in sorted(hinted_bad)
+                if q in HINT_EXCEPTIONS
+            )
+            or "none triggered"
         )
         + ".",
         "",
