@@ -939,10 +939,17 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             score = F.col("d2q")
             cur = cand
+        # Single-stage argmin: min_by over a (score, vec_id) struct —
+        # map-side partials merge to one row, no TakeOrdered sort.
         row = (
             cur.select("vec_id", "d2q", "mv", score.alias("s"))
-            .orderBy(F.col("s").asc(), F.col("vec_id").asc())
-            .limit(1)
+            .agg(
+                F.min_by(
+                    F.struct("vec_id", "d2q", "mv"),
+                    F.struct(F.col("s"), F.col("vec_id")),
+                ).alias("p")
+            )
+            .select("p.*")
             .collect()[0]
         )
         picked.append((int(row["vec_id"]), int(row["d2q"]), list(row["mv"])))
