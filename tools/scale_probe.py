@@ -512,6 +512,11 @@ def main() -> None:
                 spark.read.format("lakeforge_docgen")
                 .option("kind", "embeddings").option("rows", emb_sizes[label])
                 .option("numPartitions", 32).load()
+                # testdata embeddings carry a 10-class label; cluster
+                # separation (R9 probe) needs it — deterministic mod.
+                .withColumn(
+                    "label", F.pmod(F.col("vec_id"), F.lit(10)).cast("int")
+                )
             ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
             dirs[label] = d
         for results, ops in ((r8, R8_OPS), (r8w, R8W_OPS), (r9, R9_OPS)):
@@ -603,6 +608,41 @@ def main() -> None:
             f"| {_cell(r['100x'])} | {alpha} |"
         )
     lines += [
+        "",
+        "## Round-9: the r8 heavies VERDICT r08 #5 asked for",
+        "",
+        "Same combined corpora.  `bigram_lift_collocations` is the ONE "
+        "persisted tokenization pass (9eda1a1); "
+        "`embedding_cluster_separation` is the posexplode centroid path "
+        "over the labeled embedding corpus.  "
+        "`events_rate_limit_replay` in the round-8 table above is the r9 "
+        "DEPTH-VECTORIZED fold (VERDICT r08 #6) — compare its 100x cell "
+        "against the 15.3s the row-at-a-time loop measured in r8.",
+        "",
+        "| op | t(1x) s | t(10x) s | t(100x) s | alpha (10x->100x) |",
+        "|---|---|---|---|---|",
+    ]
+    for op, _ in R9_OPS:
+        r = r9[op]
+        if isinstance(r.get("100x"), float) and isinstance(r.get("10x"), float) \
+                and r["10x"] > 0:
+            alpha = f"{math.log10(r['100x'] / r['10x']):.2f}"
+        else:
+            alpha = "—"
+        lines.append(
+            f"| {op} | {_cell(r['1x'])} | {_cell(r['10x'])} "
+            f"| {_cell(r['100x'])} | {alpha} |"
+        )
+    lines += [
+        "",
+        "Why the r9-probed pair stays ~linear by construction:",
+        "- `bigram_lift_collocations`: ONE persisted tokenization feeds "
+        "pairs/unigrams/totals; the aggregates are distinct-n-gram "
+        "bounded and lift arithmetic is DECIMAL(38,0)/HUGEINT.",
+        "- `embedding_cluster_separation`: centroid sums partial-"
+        "aggregate map-side (shuffle = K x dim cells per map partition); "
+        "per-point distances join a broadcast K-row centroid frame; the "
+        "K x K self-join is dimension-sized.",
         "",
         "Why the new r8 wave stays ~linear by construction:",
         "- `shingle_containment_pairs`: candidate pairs form only on "
