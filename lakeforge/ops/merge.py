@@ -333,19 +333,20 @@ def join_delta(
 
     Scale: the whole point is that none of the three terms re-joins
     A with B.  ΔA ⋈ B probes the big stored side with a small delta
-    (broadcast ΔA when it fits; at 100 TB the stored side stays
-    partition-pruned on the join key).  A ⋈ ΔB is the expensive-looking
-    term — a full scan of A against a delta dimension — but delta dims
-    are small by nature, so it runs as one broadcast-hash pass over A
-    with no shuffle of A; in practice A is additionally pruned to the
-    partitions that can reference ΔB (e.g. new customers can only be
-    referenced by new orders when FKs are append-ordered).  ΔA ⋈ ΔB is
-    delta-sized on both sides.
+    (at 100 TB the stored side stays partition-pruned on the join key).
+    A ⋈ ΔB is the expensive-looking term — a full scan of A against a
+    delta dimension — but delta dims are micro-batch sized in practice,
+    so AQE broadcasts them at runtime and the scan of A never shuffles;
+    the delta sides are deliberately UNHINTED (r9 sweep: a delta is
+    still a fraction of a scaling table, so a mandatory hint is a
+    driver-kill the one night the backfill delta is huge — AQE degrades
+    that case to a shuffle join instead).  ΔA ⋈ ΔB is delta-sized on
+    both sides.
     """
     return (
         delta_a.join(old_b, on)
-        .unionByName(old_a.join(F.broadcast(delta_b), on))
-        .unionByName(delta_a.join(F.broadcast(delta_b), on))
+        .unionByName(old_a.join(delta_b, on))
+        .unionByName(delta_a.join(delta_b, on))
     )
 
 

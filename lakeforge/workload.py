@@ -1673,7 +1673,7 @@ _PRIORITY_R9: list[str] = [
     "jaccard_prefix_pairs",
     "bigram_lift_collocations",
     "embedding_cluster_separation",
-    "erasure_impact_audit",
+    "ivm_join_nation_revenue",
     "fk_integrity_audit",
     "shingle_containment_pairs",
     "temporal_fact_resolve",

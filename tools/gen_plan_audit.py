@@ -43,6 +43,23 @@ HINT_EXCEPTIONS: dict[str, str] = {
     # construction.
     "spatial_nearest_supplier": "runtime count-gated (<= 2M build rows)",
 }
+# The broadcast-query-side retrieval family: the hinted side is the
+# literal-id query set (vec_id < N_QUERIES, <= 20 rows at ANY scale
+# factor — an id-range bound, not a fraction-of-table filter), and
+# llm/similarity.py::cosine_topk additionally ASSERTS max_queries at
+# runtime before building the broadcast.  The detector cannot tell a
+# cardinality-bounding literal id filter from a categorical one, so
+# these are excepted by name with the shared justification.
+_QUERY_SIDE = (
+    "fixed literal-id query set, <= 20 rows at any SF; "
+    "runtime max_queries assert in cosine_topk"
+)
+for _q in (
+    "embedding_cosine_topk", "hard_negatives", "ivf_topk",
+    "ivf_recall_at_k", "ivfpq_recall_at_k", "pq_recall_at_k",
+    "sq8_recall_at_k", "matryoshka_recall", "rrf_hybrid_search",
+):
+    HINT_EXCEPTIONS[_q] = _QUERY_SIDE
 
 # Node names that bound a subtree's cardinality before a broadcast:
 # aggregates collapse to their (bounded, per this repo's documented key
