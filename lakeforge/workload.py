@@ -1670,7 +1670,7 @@ _PRIORITY_R9: list[str] = [
     "bootstrap_price_ci",
     "docs_leakage_safe_split",
     "ivfpq_recall_at_k",
-    "jaccard_prefix_pairs",
+    "rolling_7day_distinct_users",
     "bigram_lift_collocations",
     "embedding_cluster_separation",
     "ivm_join_nation_revenue",

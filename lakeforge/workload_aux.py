@@ -1666,40 +1666,55 @@ def q_rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     """Exact distinct users over a trailing 7-day window, per day.
     DISTINCT does not decompose over window panes (yesterday's count
     can't be combined with today's — overlap is unknown), which is why
-    engines either re-scan per window or keep mergeable sketches; this
-    formulation re-deduplicates exactly but bounds the work: events
-    collapse to DISTINCT (day, user) pairs ONCE, each pair fans out to
-    the <= 7 window-end days it can serve (row-local explode), and one
-    aggregate counts distinct users per window end.
+    engines either re-scan per window or keep mergeable sketches.
 
-    Scale: fan-out is pairs x 7 — independent of event volume after the
-    first dedup; the shuffle key is the window-end day.  At 100 TB the
-    same query keeps per-day KMV/HLL sketches instead (see
-    kmv_distinct_segments / hll_union_regions) and unions 7 sketches per
-    day — this exact form is the oracle those sketches calibrate
-    against.  Output also carries the single-day distinct so the lift of
-    the window is visible."""
+    r9 rebuild (the probe file's slowest cell, 44.5s at 100x): the old
+    shape fanned every DISTINCT (day, user) pair to its <= 7 window
+    ends and then re-deduplicated the fan by (window, user) with a
+    second COUNT(DISTINCT) shuffle.  The dedup is unnecessary: with
+    prev = lag(day) per user, day d is the FIRST active day inside
+    window e exactly when e in [max(d, prev+7), d+6] (prev < d always,
+    so the range is never empty and never longer than 7) — each (day,
+    user) row emits only the windows it is first-in, every (window,
+    user) pair is emitted EXACTLY once by construction, and a plain
+    map-side-combinable count(*) per window end replaces the fan-wide
+    distinct.  Fan volume drops from pairs x 7 to pairs x (mean gap
+    run-length), ~1-2 for active users.
+
+    Scale: one dedup shuffle to (day, user), one keyed lag window per
+    user (calendar-bounded partitions), one partial-agg count.  At
+    100 TB the same query keeps per-day KMV/HLL sketches instead (see
+    kmv_distinct_segments / hll_union_regions) and unions 7 sketches
+    per day — this exact form is the oracle those sketches calibrate
+    against.  The DuckDB oracle keeps the NAIVE fan + COUNT(DISTINCT)
+    formulation — maximally different derivation, same multiset.
+    Output also carries the single-day distinct so the window's lift is
+    visible."""
+    from lakeforge.cache import persist_tracked
     from lakeforge.io.sources import read_events
 
     ev = read_events(spark, sf_dir)
-    day_user = ev.select(
-        F.col("ts").cast("date").alias("d"), "user_id"
-    ).distinct()
-    fan = day_user.select(
-        "user_id",
-        "d",
-        F.explode(
-            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
-        ).alias("win_end"),
+    day_user = persist_tracked(
+        ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    marked = day_user.withColumn("prev", F.lag("d").over(w))
+    lo = F.when(
+        F.col("prev").isNull(), F.col("d")
+    ).otherwise(F.greatest(F.col("d"), F.date_add(F.col("prev"), 7)))
+    fan = marked.select(
+        F.explode(F.sequence(lo, F.date_add(F.col("d"), 6))).alias("win_end")
     )
     # only window ends that are REAL event days (dense output would count
     # trailing ghost days after the last event)
     days = day_user.select("d").distinct().withColumnRenamed("d", "win_end")
     win = fan.join(F.broadcast(days), "win_end").groupBy("win_end").agg(
-        F.countDistinct("user_id").cast("bigint").alias("users_7d")
+        F.count(F.lit(1)).cast("bigint").alias("users_7d")
     )
+    # day_user is DISTINCT by construction, so the per-day distinct-user
+    # count is a plain count — no second dedup exchange.
     single = day_user.groupBy(F.col("d").alias("win_end")).agg(
-        F.countDistinct("user_id").cast("bigint").alias("users_1d")
+        F.count(F.lit(1)).cast("bigint").alias("users_1d")
     )
     return win.join(single, "win_end").select(
         "win_end", "users_1d", "users_7d"

@@ -452,7 +452,10 @@ def main() -> None:
         "localCheckpoint + prior-round release; rounds bounded by the "
         "degeneracy ordering, not data volume.",
         "- `rolling_7day_distinct_users`: events collapse to DISTINCT "
-        "(day, user) pairs once; each pair fans out to <= 7 window ends.",
+        "(day, user) pairs once; the r9 first-in-window rebuild (lag(day) "
+        "per user -> each pair emits only the window ends it is FIRST "
+        "active in) replaces the fan-wide second COUNT(DISTINCT) with a "
+        "plain partial-agg count.",
     ]
 
     # ---- Round-8: r7 wave ops not yet probed (VERDICT r07 #6) ----------
