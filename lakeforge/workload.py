@@ -1667,9 +1667,9 @@ _PRIORITY_R9: list[str] = [
     "pagerank_trade",
     "docs_training_pipeline",
     # --- attested heavy flagships keeping their slots warm ---
-    "bootstrap_price_ci",
-    "docs_leakage_safe_split",
-    "ivfpq_recall_at_k",
+    "lang_confusion_matrix",
+    "docs_gate_funnel",
+    "skipgram_pmi_pairs",
     "rolling_7day_distinct_users",
     "bigram_lift_collocations",
     "embedding_cluster_separation",

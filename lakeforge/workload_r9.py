@@ -1,4 +1,4 @@
-"""Round-9 wave operators: eleven new oracle-paired families.
+"""Round-9 wave operators: fourteen new oracle-paired families (two waves).
 
 - revenue_bridge_pvm        — price-volume-mix bridge (YoY revenue decomposition)
 - bps_largest_remainder     — Hamilton largest-remainder basis-point allocation
@@ -11,6 +11,9 @@
 - single_source_risk        — supply-chain single-sourcing exposure by brand
 - rrf_hybrid_search         — reciprocal-rank fusion of BM25 + cosine retrieval
 - mmr_diverse_topk          — maximal-marginal-relevance diverse top-k (integer d²)
+- lang_confusion_matrix     — language-ID classifier confusion matrix (wave 2)
+- docs_gate_funnel          — quality-gate attrition funnel, one scan (wave 2)
+- skipgram_pmi_pairs        — windowed skip-gram PMI co-occurrence (wave 2)
 
 Repo conventions throughout: exact integer/DECIMAL arithmetic on both
 engines (cents / e-4-dollar units, integral ``div``, DECIMAL(38,0) /
@@ -1007,3 +1010,326 @@ SQL_MMR_DIVERSE_TOPK = _sql_mmr()
 
 QUERIES["mmr_diverse_topk"] = q_mmr_diverse_topk
 ORACLE_SQL["mmr_diverse_topk"] = SQL_MMR_DIVERSE_TOPK
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 2 — three more oracle-paired families.
+# ---------------------------------------------------------------------------
+
+# Classifier evaluation: language-ID confusion matrix.  The lang_id
+# heuristic (llm/text.py — stopword-ratio threshold) predicts en/unk;
+# the documents table carries the ACTUAL lang label.  The confusion
+# matrix — and the per-actual-language row shares — is the standard
+# evaluation artifact before trusting any classifier for corpus
+# routing, and the repo had the classifier but not its evaluation.
+#
+# Plan: ONE scan computes prediction and keeps the label; the matrix is
+# a |langs x 2|-bounded aggregate with a window over those few rows for
+# the row shares.  Exact ppm via integral division.
+
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.text import _STOP_SQL, tokens_col
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        tokens_col("text").alias("__toks"),
+    )
+    n_toks = F.size("__toks").cast("bigint")
+    n_stop = F.expr(
+        f"size(filter(__toks, t -> t IN ({_STOP_SQL})))"
+    ).cast("bigint")
+    pm = F.when(n_toks == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr(f"(size(filter(__toks, t -> t IN ({_STOP_SQL}))) * 1000)"
+               " div size(__toks)")
+    )
+    scored = d.select(
+        F.col("lang").alias("actual_lang"),
+        F.when(pm >= 30, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )
+    cells = scored.groupBy("actual_lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_row = Window.partitionBy("actual_lang")
+    return cells.select(
+        "actual_lang",
+        "lang_pred",
+        "n",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * 1000000"
+            " div SUM(n) OVER (PARTITION BY actual_lang) AS BIGINT)"
+        ).alias("row_share_ppm"),
+    )
+
+
+def _sql_lang_confusion() -> str:
+    from lakeforge.llm.text import _STOP_SQL
+
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    return f"""
+WITH s AS (
+  SELECT lang AS actual_lang,
+         CASE WHEN len({toks}) = 0 THEN 0
+              ELSE (len(list_filter({toks}, t -> t IN ({_STOP_SQL}))) * 1000)
+                   // len({toks})
+         END AS pm
+  FROM documents
+),
+cells AS (
+  SELECT actual_lang,
+         CASE WHEN pm >= 30 THEN 'en' ELSE 'unk' END AS lang_pred,
+         CAST(count(*) AS BIGINT) AS n
+  FROM s GROUP BY 1, 2
+)
+SELECT actual_lang, lang_pred, n,
+       CAST(CAST(n AS HUGEINT) * 1000000
+            // SUM(n) OVER (PARTITION BY actual_lang) AS BIGINT)
+           AS row_share_ppm
+FROM cells
+"""
+
+
+SQL_LANG_CONFUSION_MATRIX = _sql_lang_confusion()
+
+QUERIES["lang_confusion_matrix"] = q_lang_confusion_matrix
+ORACLE_SQL["lang_confusion_matrix"] = SQL_LANG_CONFUSION_MATRIX
+
+
+# ---------------------------------------------------------------------------
+# Curation ops: quality-gate attrition funnel.  The C4/Gopher-style
+# gates exist individually (llm/text.py::quality_score); what a corpus
+# operator actually reads each morning is the FUNNEL — how many
+# documents each successive gate drops.  One scan computes every
+# feature; sequential survivorship is five conditional aggregates; the
+# per-gate report fans the 1-row counter frame across a 4-row gate
+# spine (the documented broadcast-scalar BNLJ family).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_GATES = (
+    ("min_tokens_10", "n_tokens >= 10"),
+    ("stopword_pm_20", "stop_pm >= 20"),
+    ("unique_pm_300", "uniq_pm >= 300"),
+    ("score_700", "quality_score >= 700"),
+)
+
+
+def q_docs_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.text import quality_score
+
+    q = quality_score(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    g = [F.expr(cond) for _, cond in _FUNNEL_GATES]
+    surv = [g[0]]
+    for cond in g[1:]:
+        surv.append(surv[-1] & cond)
+    counters = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        *[
+            F.sum(F.when(s, 1).otherwise(0)).cast("bigint").alias(f"s{i+1}")
+            for i, s in enumerate(surv)
+        ],
+    )
+    spine = spark.range(1, len(_FUNNEL_GATES) + 1).select(
+        F.col("id").cast("int").alias("gate_no")
+    )
+    ins = "CASE gate_no " + " ".join(
+        f"WHEN {i + 1} THEN {'n0' if i == 0 else f's{i}'}"
+        for i in range(len(_FUNNEL_GATES))
+    ) + " END"
+    outs = "CASE gate_no " + " ".join(
+        f"WHEN {i + 1} THEN s{i + 1}" for i in range(len(_FUNNEL_GATES))
+    ) + " END"
+    names = "CASE gate_no " + " ".join(
+        f"WHEN {i + 1} THEN '{name}'" for i, (name, _) in enumerate(_FUNNEL_GATES)
+    ) + " END"
+    return (
+        spine.crossJoin(F.broadcast(counters))  # 1-row counter scalars
+        .select(
+            F.col("gate_no").cast("bigint").alias("gate_no"),
+            F.expr(names).alias("gate"),
+            F.expr(ins).cast("bigint").alias("n_in"),
+            F.expr(outs).cast("bigint").alias("n_out"),
+            (F.expr(ins) - F.expr(outs)).cast("bigint").alias("n_dropped"),
+            F.expr(
+                f"CAST(CASE WHEN {ins} = 0 THEN 0"
+                f" ELSE CAST(({ins} - ({outs})) AS DECIMAL(38,0)) * 1000000"
+                f" div ({ins}) END AS BIGINT)"
+            ).alias("drop_ppm"),
+        )
+    )
+
+
+def _sql_gate_funnel() -> str:
+    from lakeforge.llm.text import _STOP_SQL
+
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    gates = [cond for _, cond in _FUNNEL_GATES]
+    surv_exprs = []
+    acc = []
+    for cond in gates:
+        acc.append(f"({cond})")
+        surv_exprs.append(" AND ".join(acc))
+    sels = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN {s} THEN 1 ELSE 0 END) AS BIGINT) AS s{i+1}"
+        for i, s in enumerate(surv_exprs)
+    )
+    rows = []
+    for i, (name, _) in enumerate(_FUNNEL_GATES):
+        n_in = "n0" if i == 0 else f"s{i}"
+        rows.append(
+            f"SELECT CAST({i+1} AS BIGINT) AS gate_no, '{name}' AS gate,"
+            f" {n_in} AS n_in, s{i+1} AS n_out, {n_in} - s{i+1} AS n_dropped,"
+            f" CAST(CASE WHEN {n_in} = 0 THEN 0"
+            f" ELSE CAST({n_in} - s{i+1} AS HUGEINT) * 1000000 // {n_in} END"
+            f" AS BIGINT) AS drop_ppm FROM c"
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH f AS (
+  SELECT CAST(len({toks}) AS BIGINT) AS n_tokens,
+         CASE WHEN len({toks}) = 0 THEN 0
+              ELSE (len(list_filter({toks}, t -> t IN ({_STOP_SQL}))) * 1000)
+                   // len({toks}) END AS stop_pm,
+         CASE WHEN len({toks}) = 0 THEN 0
+              ELSE (len(list_distinct({toks})) * 1000) // len({toks})
+         END AS uniq_pm
+  FROM documents
+),
+scored AS (
+  SELECT n_tokens, stop_pm, uniq_pm,
+         stop_pm * 2 + uniq_pm
+         + CASE WHEN n_tokens BETWEEN 30 AND 500 THEN 200 ELSE 0 END
+             AS quality_score
+  FROM f
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         {sels}
+  FROM scored
+)
+{union}
+"""
+
+
+SQL_DOCS_GATE_FUNNEL = _sql_gate_funnel()
+
+QUERIES["docs_gate_funnel"] = q_docs_gate_funnel
+ORACLE_SQL["docs_gate_funnel"] = SQL_DOCS_GATE_FUNNEL
+
+
+# ---------------------------------------------------------------------------
+# LLM curation: skip-gram PMI co-occurrence (window +-2).  Bigram lift
+# (workload_r8) scores ADJACENT pairs; embedding training and
+# collocation discovery both want the windowed version — unordered
+# co-occurrence within a +-K token window, scored by the same integer
+# lift (= exp(PMI)) statistic.  Same exactness discipline: two-stage
+# DECIMAL(38,0)/HUGEINT integral division survives 1e13-token corpora.
+#
+# Plan: ONE persisted tokenization pass feeds pair counts, unigram
+# counts, and the totals; pair fan-out is rows x K (row-local array
+# transform, offsets unrolled); aggregates are distinct-pair bounded.
+# ---------------------------------------------------------------------------
+
+_SG_WINDOW = 2
+_SG_MIN_PAIR = 3
+_SG_TOP_K = 50
+
+
+def q_skipgram_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.cache import persist_tracked
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    toks = persist_tracked(
+        d.select(F.expr("filter(split(text, ' +'), x -> x <> '')").alias("ws"))
+    )
+    offset_arrays = ", ".join(
+        f"CASE WHEN size(ws) > {o} THEN"
+        f" transform(sequence(1, size(ws) - {o}),"
+        f" i -> struct(least(ws[i - 1], ws[i + {o} - 1]) AS wa,"
+        f"             greatest(ws[i - 1], ws[i + {o} - 1]) AS wb))"
+        f" ELSE array() END"
+        for o in range(1, _SG_WINDOW + 1)
+    )
+    pairs = toks.select(
+        F.explode(F.expr(f"concat({offset_arrays})")).alias("p")
+    ).select("p.wa", "p.wb")
+    pair_counts = pairs.groupBy("wa", "wb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_pair")
+    ).filter(F.col("c_pair") >= _SG_MIN_PAIR)
+    uni = toks.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_w")
+    )
+    ctx_terms = " + ".join(
+        f"greatest(size(ws) - {o}, 0)" for o in range(1, _SG_WINDOW + 1)
+    )
+    totals = toks.agg(
+        F.sum(F.expr(ctx_terms)).cast("bigint").alias("n_ctx"),
+        F.sum(F.expr("size(ws)")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        pair_counts
+        .join(uni.select(F.col("w").alias("wa"), F.col("c_w").alias("ca")), "wa")
+        .join(uni.select(F.col("w").alias("wb"), F.col("c_w").alias("cb")), "wb")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "wa", "wb", "c_pair",
+            F.expr(
+                "CAST(CAST(CAST(c_pair AS DECIMAL(38,0)) * 1000000"
+                " * n_tokens div (CAST(ca AS DECIMAL(38,0)) * cb)"
+                " AS DECIMAL(38,0)) * n_tokens div n_ctx AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), F.col("wa"), F.col("wb"))
+        .limit(_SG_TOP_K)
+    )
+
+
+def _sql_skipgram() -> str:
+    offs = []
+    for o in range(1, _SG_WINDOW + 1):
+        offs.append(
+            f"SELECT least(ws[i], ws[i + {o}]) AS wa,"
+            f" greatest(ws[i], ws[i + {o}]) AS wb"
+            f" FROM toks, unnest(generate_series(1, greatest(len(ws) - {o}, 0)))"
+            f" AS t(i) WHERE len(ws) >= {o + 1}"
+        )
+    pair_union = "\nUNION ALL\n".join(offs)
+    ctx_terms = " + ".join(
+        f"greatest(len(ws) - {o}, 0)" for o in range(1, _SG_WINDOW + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(text, ' +'), x -> x <> '') AS ws
+  FROM documents
+),
+pairs AS (
+{pair_union}
+),
+pair_counts AS (
+  SELECT wa, wb, CAST(count(*) AS BIGINT) AS c_pair
+  FROM pairs GROUP BY wa, wb HAVING count(*) >= {_SG_MIN_PAIR}
+),
+words AS (
+  SELECT w FROM (SELECT unnest(string_split_regex(text, ' +')) AS w
+                 FROM documents) WHERE w <> ''
+),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM words GROUP BY w),
+tot AS (
+  SELECT (SELECT CAST(SUM({ctx_terms}) AS BIGINT) FROM toks) AS n_ctx,
+         (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_tokens
+)
+SELECT p.wa, p.wb, p.c_pair,
+       CAST((CAST(p.c_pair AS HUGEINT) * 1000000 * t.n_tokens
+             // (CAST(ua.c_w AS HUGEINT) * ub.c_w))
+            * t.n_tokens // t.n_ctx AS BIGINT) AS lift_ppm
+FROM pair_counts p
+JOIN uni ua ON ua.w = p.wa
+JOIN uni ub ON ub.w = p.wb
+CROSS JOIN tot t
+ORDER BY lift_ppm DESC, p.wa, p.wb
+LIMIT {_SG_TOP_K}
+"""
+
+
+SQL_SKIPGRAM_PMI_PAIRS = _sql_skipgram()
+
+QUERIES["skipgram_pmi_pairs"] = q_skipgram_pmi_pairs
+ORACLE_SQL["skipgram_pmi_pairs"] = SQL_SKIPGRAM_PMI_PAIRS

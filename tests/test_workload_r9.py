@@ -206,3 +206,42 @@ def test_mmr_greedy_recurrence(spark):
         picked.append(best[1])
         expect.append((t, best[1], d2q[best[1]]))
     assert got == expect
+
+
+def test_lang_confusion_matrix_partitions_corpus(spark):
+    """Cells partition the corpus exactly; row shares sum to ~1e6 per
+    actual language (integral-division truncation loses < n_cells ppm)."""
+    rows = w.q_lang_confusion_matrix(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n for r in rows) == n_docs
+    by_actual: dict = {}
+    for r in rows:
+        assert r.lang_pred in ("en", "unk")
+        by_actual.setdefault(r.actual_lang, []).append(r)
+    for actual, rs in by_actual.items():
+        total_ppm = sum(r.row_share_ppm for r in rs)
+        assert 1_000_000 - len(rs) < total_ppm <= 1_000_000, actual
+
+
+def test_gate_funnel_is_monotone_and_conserves(spark):
+    rows = sorted(
+        w.q_docs_gate_funnel(spark, SF_DIR).collect(), key=lambda r: r.gate_no
+    )
+    assert [r.gate_no for r in rows] == [1, 2, 3, 4]
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert rows[0].n_in == n_docs
+    for r in rows:
+        assert r.n_out + r.n_dropped == r.n_in
+        assert 0 <= r.drop_ppm <= 1_000_000
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_in == a.n_out  # funnel chains
+
+
+def test_skipgram_pairs_normalized_and_bounded(spark):
+    rows = w.q_skipgram_pmi_pairs(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= w._SG_TOP_K
+    lifts = [r.lift_ppm for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r.wa <= r.wb  # unordered pairs normalized
+        assert r.c_pair >= w._SG_MIN_PAIR
