@@ -1705,14 +1705,14 @@ def q_rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     fan = marked.select(
         F.explode(F.sequence(lo, F.date_add(F.col("d"), 6))).alias("win_end")
     )
-    # only window ends that are REAL event days (dense output would count
-    # trailing ghost days after the last event)
-    days = day_user.select("d").distinct().withColumnRenamed("d", "win_end")
-    win = fan.join(F.broadcast(days), "win_end").groupBy("win_end").agg(
+    win = fan.groupBy("win_end").agg(
         F.count(F.lit(1)).cast("bigint").alias("users_7d")
     )
     # day_user is DISTINCT by construction, so the per-day distinct-user
-    # count is a plain count — no second dedup exchange.
+    # count is a plain count — no second dedup exchange.  The INNER join
+    # below also restricts output to REAL event days (a ghost window-end
+    # after the last event has no users_1d row), so no separate day-spine
+    # join is needed.
     single = day_user.groupBy(F.col("d").alias("win_end")).agg(
         F.count(F.lit(1)).cast("bigint").alias("users_1d")
     )
