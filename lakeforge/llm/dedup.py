@@ -108,6 +108,34 @@ def minhash_signatures(
     return h.groupBy("doc_id").agg(*mins)
 
 
+def lsh_band_buckets(
+    sig: DataFrame, k: int = 32, bands: int = 8, keep_sig: bool = False
+) -> DataFrame:
+    """Banded LSH bucket keys for a MinHash signature frame: one row per
+    (doc, band) with the band's md5-derived 60-bit bucket hash ``bh``.
+
+    Shared by ``lsh_candidate_pairs`` (the dedup self-join) and the
+    bucket-skew audit query — the audit sees EXACTLY the buckets the join
+    would build.  ``keep_sig`` additionally carries the full signature
+    array (the pair scorer needs it; the audit does not)."""
+    sig_arr = sig.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    )
+    rows = k // bands
+    band_structs = []
+    for j in range(bands):
+        cols = [F.col("sig")[i] for i in range(j * rows, (j + 1) * rows)]
+        bh = F.conv(
+            F.substring(F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])), 1, 15),
+            16, 10,
+        ).cast("bigint")
+        band_structs.append(F.struct(F.lit(j).alias("band"), bh.alias("bh")))
+    out_cols = ["doc_id"] + (["sig"] if keep_sig else [])
+    return sig_arr.select(
+        *out_cols, F.explode(F.array(*band_structs)).alias("b")
+    ).select(*out_cols, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, k: int = 32, bands: int = 8, min_match: int = 16
 ) -> DataFrame:
@@ -127,21 +155,7 @@ def lsh_candidate_pairs(
     from lakeforge.cache import persist_tracked
 
     sig = persist_tracked(sig)
-    rows = k // bands
-    sig_arr = sig.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
-    )
-    band_structs = []
-    for j in range(bands):
-        cols = [F.col("sig")[i] for i in range(j * rows, (j + 1) * rows)]
-        bh = F.conv(
-            F.substring(F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])), 1, 15),
-            16, 10,
-        ).cast("bigint")
-        band_structs.append(F.struct(F.lit(j).alias("band"), bh.alias("bh")))
-    banded = sig_arr.select(
-        "doc_id", "sig", F.explode(F.array(*band_structs)).alias("b")
-    ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    banded = lsh_band_buckets(sig, k=k, bands=bands, keep_sig=True)
 
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (

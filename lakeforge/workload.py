@@ -683,6 +683,7 @@ from lakeforge import (  # noqa: E402  (registered below)
     workload_llm,
     workload_r8,
     workload_r9,
+    workload_r9b,
     workload_rec,
     workload_rel,
     workload_stats,
@@ -753,6 +754,8 @@ QUERIES.update(workload_r8.QUERIES)
 ORACLE_SQL.update(workload_r8.ORACLE_SQL)
 QUERIES.update(workload_r9.QUERIES)
 ORACLE_SQL.update(workload_r9.ORACLE_SQL)
+QUERIES.update(workload_r9b.QUERIES)
+ORACLE_SQL.update(workload_r9b.ORACLE_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,1343 @@
+"""Round-9 wave-3/4 operators: twenty new oracle-paired families.
+
+Wave 3:
+- part_profit_trend          — Q9-shaped supplier-nation × year profit
+- customer_decile_migration  — YoY spend-decile migration matrix
+- order_value_band_transitions — per-customer order-value Markov matrix
+- brand_margin_depth         — realized-vs-retail margin depth by brand
+- doc_mean_token_rarity      — unigram-LM token-rarity quality signal
+- dedup_impact_curve         — exact-dup group-size histogram / removal mass
+- dedup_survivor_quality_shift — TTR quality shift from dedup survivorship
+- tokenizer_fertility        — fixed-chunk subword fertility by source
+- sq8_reconstruction_error   — per-dimension SQ8 quantization error audit
+- lsh_bucket_skew_audit      — MinHash-LSH bucket-size histogram
+
+Wave 4:
+- share_of_wallet_concentration — top-supplier spend share bands
+- nation_trade_balance       — supply-side minus buy-side revenue by nation
+- doc_prefix_redundancy      — template detection by 8-token prefix groups
+- hapax_share_by_source      — hapax-legomena vocabulary share
+- token_branching_factor     — distinct-successor branching by freq band
+- embedding_norm_profile     — per-label integer L2-norm² audit
+- event_type_user_lift       — event-type co-occurrence lift across users
+- order_priority_share_drift — priority mix drift vs base year (bps)
+- customer_reactivation      — >180-day-gap resurrection curve
+- embedding_centroid_drift   — half-vs-half per-label centroid distance²
+
+Conventions as the rest of the registry: exact integer/DECIMAL arithmetic
+on both engines (cents / e-4-dollar units, integral ``div`` / ``//``,
+DECIMAL(38,0) / HUGEINT widening before any product that could overflow
+int64 at the 100 TB target), identical column aliases Spark-vs-oracle,
+deterministic tie-breaks, no broadcast hints on sf-scaling frames (only
+true dims / bounded artifacts).  Reference parity: Big_Data_Task has no
+counterpart for any of these — this extends SURVEY.md §2.9's analytics and
+LLM-pipeline families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakeforge.functions.keys import md5_int
+from lakeforge.llm.dedup import (
+    MINHASH_P,
+    exact_dedup,
+    lsh_band_buckets,
+    minhash_constants,
+    minhash_signatures,
+)
+from lakeforge.llm.text import tokens_col
+from lakeforge.workload_llm import (
+    _EXACTDUP_CORPUS,
+    _NEARDUP_CORPUS,
+    _TOKS,
+    _exactdup_corpus,
+    _md5_60,
+    _neardup_corpus,
+    _shingle_ctes,
+)
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: profit trend for a part-name family, by the SUPPLIER's
+# nation and order year.  (The schema has no partsupp/ps_supplycost, so
+# profit is the discounted revenue of the matching lines — the Q9 POINT is
+# the 4-way join tree with a pushed-down part filter, supplier-side nation
+# resolution, and an order-year roll-up.)
+#
+# Plan: the p_name LIKE filter is pushed into the part scan and prunes the
+# join's build side before anything shuffles; part/supplier/orders are all
+# sf-scaling so they stay UNHINTED (AQE broadcasts what fits at runtime);
+# nation (25 rows) broadcasts explicitly.  Revenue rides in e-4-dollar
+# integer units, summed as DECIMAL(38,0)/HUGEINT.
+# ---------------------------------------------------------------------------
+
+def q_part_profit_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).cast("decimal(38,0)").alias("rev_e4"),
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.sum("rev_e4").cast("bigint").alias("profit_e4"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+SQL_PART_PROFIT_TREND = """
+SELECT n.n_name,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS profit_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, o_year
+"""
+
+QUERIES["part_profit_trend"] = q_part_profit_trend
+ORACLE_SQL["part_profit_trend"] = SQL_PART_PROFIT_TREND
+
+
+# ---------------------------------------------------------------------------
+# Customer spend-decile migration 1995 -> 1996: where does each 1995 decile
+# land one year later?  The classic value-migration matrix behind retention
+# economics.
+#
+# Exact ntile(10) per year WITHOUT a global single-partition window — the
+# same row-grain blocked decomposition customer_rfm_segments uses (global
+# row_number = within-block row_number + strict-prefix block offset over a
+# BOUNDED block summary).  Block key is annual spend in $100k-cent blocks:
+# per-customer-ANNUAL spend is SF-invariant (orders per customer does not
+# grow with corpus size), so the block count stays a tiny broadcast at any
+# SF.  Both years ride ONE exploded frame keyed (yr, __bk) so the offset
+# aggregate and the ranking window share a single hash exchange.
+# ---------------------------------------------------------------------------
+
+_MIG_Y0, _MIG_Y1 = 1995, 1996
+_MIG_BLOCK = 10_000_000  # $100k in cents
+
+
+def q_customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(_MIG_Y0, _MIG_Y1)
+    )
+    per_cy = o.groupBy(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ex = per_cy.select(
+        "o_custkey", "yr", "cents",
+        F.expr(f"cents div {_MIG_BLOCK}").alias("__bk"),
+    ).repartition("yr", "__bk")
+    w_off = Window.partitionBy("yr").orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy("yr").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = (
+        ex.groupBy("yr", "__bk")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .select(
+            "yr", "__bk",
+            F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+            F.sum("__bn").over(w_all).cast("bigint").alias("__n"),
+        )
+    )
+    w_rank = Window.partitionBy("yr", "__bk").orderBy("cents", "o_custkey")
+    # SQL-standard ntile(10) from the global rank with (n, q) as COLUMNS.
+    tile = (
+        "CASE WHEN __rr <= (__n - (__n div 10) * 10) * ((__n div 10) + 1)"
+        " THEN (__rr - 1) div ((__n div 10) + 1) + 1"
+        " ELSE (__n - (__n div 10) * 10)"
+        "      + (__rr - (__n - (__n div 10) * 10) * ((__n div 10) + 1) - 1)"
+        "        div greatest(__n div 10, 1) + 1 END"
+    )
+    deciles = (
+        ex.join(F.broadcast(offs), ["yr", "__bk"])
+        .withColumn("__rr", F.col("__off") + F.row_number().over(w_rank))
+        .select("o_custkey", "yr", F.expr(tile).cast("bigint").alias("decile"))
+    )
+    d0 = deciles.filter(F.col("yr") == _MIG_Y0).select(
+        "o_custkey", F.col("decile").alias("decile_from")
+    )
+    d1 = deciles.filter(F.col("yr") == _MIG_Y1).select(
+        "o_custkey", F.col("decile").alias("decile_to")
+    )
+    return (
+        d0.join(d1, "o_custkey")
+        .groupBy("decile_from", "decile_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
+SQL_CUSTOMER_DECILE_MIGRATION = f"""
+WITH per_cy AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE year(o_orderdate) IN ({_MIG_Y0}, {_MIG_Y1})
+  GROUP BY o_custkey, yr
+),
+deciles AS (
+  SELECT o_custkey, yr,
+         CAST(ntile(10) OVER (PARTITION BY yr
+                              ORDER BY cents ASC, o_custkey ASC) AS BIGINT)
+             AS decile
+  FROM per_cy
+)
+SELECT d0.decile AS decile_from, d1.decile AS decile_to,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM deciles d0
+JOIN deciles d1 ON d0.o_custkey = d1.o_custkey
+WHERE d0.yr = {_MIG_Y0} AND d1.yr = {_MIG_Y1}
+GROUP BY 1, 2
+"""
+
+QUERIES["customer_decile_migration"] = q_customer_decile_migration
+ORACLE_SQL["customer_decile_migration"] = SQL_CUSTOMER_DECILE_MIGRATION
+
+
+# ---------------------------------------------------------------------------
+# Order-value band transitions: per customer, consecutive orders move
+# between $100k-wide totalprice bands (capped at band 4 = $400k+); the
+# transition counts form the first-order Markov matrix of purchase-size
+# drift.  Window is partitioned BY CUSTOMER (orders-per-customer is
+# SF-invariant), so no global sort exists anywhere in the plan; ordering
+# within a customer is (o_orderdate, o_orderkey) — fully deterministic.
+# ---------------------------------------------------------------------------
+
+_BAND = 10_000_000  # $100k in cents
+_BAND_CAP = 4
+
+
+def q_order_value_band_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey",
+        F.least(
+            F.expr(
+                f"CAST(round(o_totalprice * 100) AS BIGINT) div {_BAND}"
+            ),
+            F.lit(_BAND_CAP).cast("bigint"),
+        ).alias("band"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("band_from", F.lag("band").over(w))
+        .filter(F.col("band_from").isNotNull())
+        .groupBy("band_from", F.col("band").alias("band_to"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+
+
+SQL_ORDER_VALUE_BAND_TRANSITIONS = f"""
+WITH banded AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         LEAST(CAST(round(o_totalprice * 100) AS BIGINT) // {_BAND},
+               {_BAND_CAP}) AS band
+  FROM orders
+),
+lagged AS (
+  SELECT band,
+         lag(band) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS band_from
+  FROM banded
+)
+SELECT band_from, band AS band_to, CAST(count(*) AS BIGINT) AS n_transitions
+FROM lagged WHERE band_from IS NOT NULL
+GROUP BY 1, 2
+"""
+
+QUERIES["order_value_band_transitions"] = q_order_value_band_transitions
+ORACLE_SQL["order_value_band_transitions"] = SQL_ORDER_VALUE_BAND_TRANSITIONS
+
+
+# ---------------------------------------------------------------------------
+# Brand margin depth: realized (discounted) selling value vs list value
+# (p_retailprice x quantity) per brand, margin depth in basis points via
+# integral division.  The lineitem->part join is UNHINTED (part scales with
+# SF; AQE broadcasts it while it fits); the aggregate is map-side
+# combinable to ~25 brand cells, so only those cells shuffle.
+# ---------------------------------------------------------------------------
+
+def q_brand_margin_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round("l_quantity").cast("bigint").alias("qty"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).cast("decimal(38,0)").alias("sell_e4"),
+    )
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("retail_cents"),
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                (F.col("retail_cents") * F.col("qty") * F.lit(100))
+                .cast("decimal(38,0)")
+            ).alias("__tr"),
+            F.sum("sell_e4").alias("__ts"),
+        )
+        .select(
+            "p_brand", "n_lines",
+            F.col("__tr").cast("bigint").alias("retail_e4"),
+            F.col("__ts").cast("bigint").alias("sell_e4"),
+            F.expr("CAST((__tr - __ts) * 10000 div __tr AS BIGINT)")
+            .alias("margin_depth_bps"),
+        )
+    )
+
+
+SQL_BRAND_MARGIN_DEPTH = """
+WITH cells AS (
+  SELECT p.p_brand,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(CAST(round(p.p_retailprice * 100) AS BIGINT)
+                       * CAST(round(l.l_quantity) AS BIGINT) * 100
+                       AS HUGEINT)) AS HUGEINT) AS tr,
+         CAST(SUM(CAST(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                       AS HUGEINT)) AS HUGEINT) AS ts
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+)
+SELECT p_brand, n_lines,
+       CAST(tr AS BIGINT) AS retail_e4,
+       CAST(ts AS BIGINT) AS sell_e4,
+       CAST((tr - ts) * 10000 // tr AS BIGINT) AS margin_depth_bps
+FROM cells
+"""
+
+QUERIES["brand_margin_depth"] = q_brand_margin_depth
+ORACLE_SQL["brand_margin_depth"] = SQL_BRAND_MARGIN_DEPTH
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM token rarity (CCNet-style quality signal without the KenLM
+# dependency): per document, the mean CORPUS frequency of its tokens in
+# parts-per-billion — wildly low means gibberish / OOV-heavy text, wildly
+# high means stopword soup; both tails get gated before training.
+#
+# Plan: tokenize once into (doc_id, w); the unigram table is the groupBy of
+# that same frame (vocab-bounded, orders of magnitude below corpus tokens);
+# tokens join the vocab on the word — an equi-join whose build side is
+# vocab-sized, left UNHINTED because vocab grows with the corpus.  The
+# corpus-total token count joins in as a broadcast 1-row scalar.  All
+# arithmetic is integral: rarity_ppb = sum(count_w) * 1e9 div (n_toks *
+# total_tokens), widened to DECIMAL(38,0)/HUGEINT so a 1e13-token corpus
+# cannot overflow.
+# ---------------------------------------------------------------------------
+
+def q_doc_mean_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.cache import persist_tracked
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = persist_tracked(
+        d.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+    )
+    vocab = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cw")
+    )
+    total = vocab.agg(
+        F.sum("cw").cast("decimal(38,0)").alias("total_tokens")
+    )
+    per_doc = (
+        toks.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum("cw").cast("decimal(38,0)").alias("__s"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id", "n_toks",
+        F.expr(
+            "CAST(__s * 1000000000 div (CAST(n_toks AS DECIMAL(38,0))"
+            " * total_tokens) AS BIGINT)"
+        ).alias("mean_tok_freq_ppb"),
+    )
+
+
+SQL_DOC_MEAN_TOKEN_RARITY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+),
+vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM toks GROUP BY w),
+tot AS (SELECT CAST(SUM(cw) AS HUGEINT) AS total_tokens FROM vocab),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(SUM(v.cw) AS HUGEINT) AS s
+  FROM toks t JOIN vocab v USING (w)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_toks,
+       CAST(s * 1000000000 // (CAST(n_toks AS HUGEINT) * total_tokens)
+            AS BIGINT) AS mean_tok_freq_ppb
+FROM per_doc, tot
+"""
+
+QUERIES["doc_mean_token_rarity"] = q_doc_mean_token_rarity
+ORACLE_SQL["doc_mean_token_rarity"] = SQL_DOC_MEAN_TOKEN_RARITY
+
+
+# ---------------------------------------------------------------------------
+# Dedup impact curve: the exact-dup group-size histogram — for each
+# multiplicity s, how many content groups have s copies and how many rows
+# dedup would remove.  The curve is what you read BEFORE running a 100 TB
+# dedup: it prices the shuffle (rows_removed) and exposes pathological
+# boilerplate (giant s).  Text never shuffles — only the 60-bit
+# fingerprint groupBy from exact_dedup, then a second tiny aggregate over
+# group rows.  Output is bounded by the largest multiplicity.
+# ---------------------------------------------------------------------------
+
+def q_dedup_impact_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = exact_dedup(_exactdup_corpus(spark, sf_dir), "text", "doc_id")
+    return (
+        groups.groupBy(F.col("n_copies").alias("group_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.col("n_copies") - 1).cast("bigint").alias("rows_removed"),
+        )
+    )
+
+
+SQL_DEDUP_IMPACT_CURVE = f"""
+WITH {_EXACTDUP_CORPUS},
+t AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+fp AS (SELECT doc_id, {_md5_60("array_to_string(toks, ' ')")} AS fp FROM t),
+g AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_copies FROM fp GROUP BY fp)
+SELECT n_copies AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS rows_removed
+FROM g GROUP BY n_copies
+"""
+
+QUERIES["dedup_impact_curve"] = q_dedup_impact_curve
+ORACLE_SQL["dedup_impact_curve"] = SQL_DEDUP_IMPACT_CURVE
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivor quality shift: does keeping one copy per exact-dup group
+# (min doc_id survives) CHANGE the corpus quality profile?  Quality proxy
+# is the type-token ratio in ppm — entirely ROW-LOCAL on both engines
+# (size(array_distinct(toks)) — no explode, no per-token shuffle).  The
+# only exchanges are the fingerprint window (groups are tiny by
+# construction) and the final per-source aggregate.
+# ---------------------------------------------------------------------------
+
+def q_dedup_survivor_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text", "source"
+    )
+    corpus = docs.unionByName(copies)
+    scored = corpus.select(
+        "doc_id", "source",
+        md5_int(F.array_join(tokens_col("text"), " ")).alias("fp"),
+        F.size(tokens_col("text")).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(tokens_col("text"))).cast("bigint").alias("n_distinct"),
+    ).withColumn(
+        "ttr_ppm",
+        F.expr(
+            "CASE WHEN n_words = 0 THEN 0"
+            " ELSE n_distinct * 1000000 div n_words END"
+        ).cast("bigint"),
+    )
+    w_fp = Window.partitionBy("fp")
+    flagged = scored.withColumn(
+        "is_surv", F.col("doc_id") == F.min("doc_id").over(w_fp)
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("is_surv"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_survivors"),
+        F.expr("CAST(SUM(ttr_ppm) div COUNT(*) AS BIGINT)")
+        .alias("mean_ttr_all_ppm"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_surv THEN ttr_ppm ELSE 0 END)"
+            " div SUM(CASE WHEN is_surv THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("mean_ttr_surv_ppm"),
+    )
+
+
+SQL_DEDUP_SURVIVOR_QUALITY_SHIFT = f"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text, source
+  FROM documents WHERE doc_id % 7 = 0
+),
+scored AS (
+  SELECT doc_id, source,
+         {_md5_60("array_to_string(toks, ' ')")} AS fp,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+  FROM (SELECT doc_id, source, {_TOKS} AS toks FROM corpus)
+),
+ttr AS (
+  SELECT doc_id, source, fp,
+         CAST(CASE WHEN n_words = 0 THEN 0
+              ELSE n_distinct * 1000000 // n_words END AS BIGINT) AS ttr_ppm
+  FROM scored
+),
+flagged AS (
+  SELECT source, ttr_ppm,
+         doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_surv
+  FROM ttr
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_surv THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(SUM(ttr_ppm) // count(*) AS BIGINT) AS mean_ttr_all_ppm,
+       CAST(SUM(CASE WHEN is_surv THEN ttr_ppm ELSE 0 END)
+            // SUM(CASE WHEN is_surv THEN 1 ELSE 0 END) AS BIGINT)
+           AS mean_ttr_surv_ppm
+FROM flagged GROUP BY source
+"""
+
+QUERIES["dedup_survivor_quality_shift"] = q_dedup_survivor_quality_shift
+ORACLE_SQL["dedup_survivor_quality_shift"] = SQL_DEDUP_SURVIVOR_QUALITY_SHIFT
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by source: subword-per-word ratio under a fixed
+# 4-char-chunk subword proxy (ceil(len/4) pieces per word) — the fertility
+# metric tokenizer teams track per language/source before committing a
+# vocab.  Entirely row-local until one map-side-combinable aggregate to
+# ~|sources| cells; n_subtokens is widened to DECIMAL(38,0)/HUGEINT before
+# the ppm multiply so a 1e13-token corpus cannot overflow int64.
+# ---------------------------------------------------------------------------
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    w = d.select("source", F.explode(tokens_col("text")).alias("w"))
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.expr("(length(w) + 3) div 4"))
+            .cast("bigint")
+            .alias("n_subtokens"),
+        )
+        .select(
+            "source", "n_words", "n_subtokens",
+            F.expr(
+                "CAST(CAST(n_subtokens AS DECIMAL(38,0)) * 1000000"
+                " div n_words AS BIGINT)"
+            ).alias("fertility_ppm"),
+        )
+    )
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH w AS (
+  SELECT source, unnest({_TOKS}) AS w FROM documents
+),
+cells AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(SUM((length(w) + 3) // 4) AS BIGINT) AS n_subtokens
+  FROM w GROUP BY source
+)
+SELECT source, n_words, n_subtokens,
+       CAST(CAST(n_subtokens AS HUGEINT) * 1000000 // n_words AS BIGINT)
+           AS fertility_ppm
+FROM cells
+"""
+
+QUERIES["tokenizer_fertility"] = q_tokenizer_fertility
+ORACLE_SQL["tokenizer_fertility"] = SQL_TOKENIZER_FERTILITY
+
+
+# ---------------------------------------------------------------------------
+# SQ8 reconstruction-error audit: per dimension, the absolute error the
+# 8-bit scalar quantizer (micro-unit integer grid, per-dim [min,max]) would
+# introduce — the audit you run before trusting sq8_recall_at_k's index at
+# a new data distribution.  All arithmetic is integer micro-units, so the
+# error is value-exact on both engines.
+#
+# Plan: two columnar scans of embeddings (posexplode -> per-dim min/max,
+# a 64-row artifact; then posexplode again joined to the BROADCAST stats —
+# bounded by dimensionality, never by corpus size).  Persisting the
+# exploded frame instead would spill 64x the vector bytes at 100 TB; the
+# second scan is the cheaper path and keeps everything in whole-stage
+# codegen.
+# ---------------------------------------------------------------------------
+
+def _exploded_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("vi"),
+    )
+
+
+def q_sq8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _exploded_micro(spark, sf_dir)
+    dims = ex.groupBy("pos").agg(
+        F.min("vi").alias("dmin"),
+        F.greatest(F.max("vi") - F.min("vi"), F.lit(1)).alias("rng"),
+    )
+    ex2 = _exploded_micro(spark, sf_dir)
+    err = ex2.join(F.broadcast(dims), "pos").select(
+        "pos",
+        F.abs(
+            F.col("vi")
+            - (
+                F.col("dmin")
+                + F.expr("((vi - dmin) * 255 div rng) * rng div 255")
+            )
+        ).alias("abs_err"),
+    )
+    return err.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("abs_err").cast("bigint").alias("max_abs_err"),
+        F.expr("CAST(SUM(abs_err) div COUNT(*) AS BIGINT)").alias("mean_abs_err"),
+    )
+
+
+SQL_SQ8_RECONSTRUCTION_ERROR = """
+WITH mu AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+  FROM embeddings
+),
+ex AS (SELECT vec_id, generate_subscripts(iv, 1) AS pos, unnest(iv) AS vi FROM mu),
+dims AS (
+  SELECT pos, min(vi) AS dmin, GREATEST(max(vi) - min(vi), 1) AS rng
+  FROM ex GROUP BY pos
+),
+err AS (
+  SELECT e.pos,
+         abs(e.vi - (d.dmin + ((e.vi - d.dmin) * 255 // d.rng) * d.rng // 255))
+             AS abs_err
+  FROM ex e JOIN dims d USING (pos)
+)
+SELECT CAST(pos AS INTEGER) AS pos,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(abs_err) AS BIGINT) AS max_abs_err,
+       CAST(SUM(abs_err) // count(*) AS BIGINT) AS mean_abs_err
+FROM err GROUP BY pos
+"""
+
+QUERIES["sq8_reconstruction_error"] = q_sq8_reconstruction_error
+ORACLE_SQL["sq8_reconstruction_error"] = SQL_SQ8_RECONSTRUCTION_ERROR
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket-skew audit: the bucket-size histogram of the EXACT banding
+# minhash_lsh_pairs self-joins on (shared code path: lsh_band_buckets).
+# pairs_implied prices the candidate join per bucket size — the number you
+# check BEFORE launching the 100 TB self-join, because one hot bucket of
+# size s contributes s*(s-1)/2 candidate pairs on its own.  Output is
+# bounded by the largest bucket size.
+# ---------------------------------------------------------------------------
+
+_LSH_K, _LSH_BANDS = 32, 8
+
+
+def q_lsh_bucket_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(
+        _neardup_corpus(spark, sf_dir), "text", "doc_id", k=_LSH_K, shingle_n=3
+    )
+    banded = lsh_band_buckets(sig, k=_LSH_K, bands=_LSH_BANDS)
+    buckets = banded.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        buckets.groupBy(F.col("sz").alias("bucket_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+        .select(
+            "bucket_size", "n_buckets",
+            F.expr(
+                "CAST(n_buckets * (bucket_size * (bucket_size - 1) div 2)"
+                " AS BIGINT)"
+            ).alias("pairs_implied"),
+        )
+    )
+
+
+def _sql_lsh_bucket_skew_audit() -> str:
+    consts = minhash_constants(_LSH_K)
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    rows = _LSH_K // _LSH_BANDS
+    band_selects = []
+    for j in range(_LSH_BANDS):
+        cols = [f"m{i}" for i in range(j * rows, (j + 1) * rows)]
+        concat = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {j} AS band, {_md5_60(concat)} AS bh FROM sig"
+        )
+    bands_sql = "\n    UNION ALL\n    ".join(band_selects)
+    md5_32 = "CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT"
+    return f"""
+WITH {_NEARDUP_CORPUS},
+{_shingle_ctes(3)},
+h AS (SELECT doc_id, {md5_32} AS h FROM sh),
+sig AS (SELECT doc_id,
+           {mins}
+        FROM h GROUP BY doc_id),
+bands AS (
+    {bands_sql}
+),
+buckets AS (
+  SELECT band, bh, CAST(count(*) AS BIGINT) AS sz FROM bands GROUP BY band, bh
+)
+SELECT sz AS bucket_size,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(count(*) * (sz * (sz - 1) // 2) AS BIGINT) AS pairs_implied
+FROM buckets GROUP BY sz
+"""
+
+
+QUERIES["lsh_bucket_skew_audit"] = q_lsh_bucket_skew_audit
+ORACLE_SQL["lsh_bucket_skew_audit"] = _sql_lsh_bucket_skew_audit()
+
+
+# ===========================================================================
+# Wave 4
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Share-of-wallet concentration: per customer, the share (bps) its TOP
+# supplier takes of its total spend, rolled into 10 concentration bands.
+# The procurement-risk twin of single_source_risk, seen from the buyer
+# side.  Plan: (cust, supp) cells via one keyed partial aggregate, then a
+# per-customer max/sum aggregate (orders-per-customer is SF-invariant, so
+# both exchanges are well-distributed keyed shuffles); the band histogram
+# is bounded at 11 rows.  MAX of the per-supplier revenue makes the share
+# tie-proof — no supplier identity is needed.
+# ---------------------------------------------------------------------------
+
+def q_share_of_wallet_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).cast("decimal(38,0)").alias("rev_e4"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cells = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.sum("rev_e4").alias("rev"))
+    )
+    per_cust = cells.groupBy("o_custkey").agg(
+        F.max("rev").alias("top_rev"), F.sum("rev").alias("tot_rev")
+    )
+    return (
+        per_cust.select(
+            F.expr("CAST(top_rev * 10000 div tot_rev AS BIGINT)").alias("bps")
+        )
+        .groupBy(F.expr("bps div 1000").cast("bigint").alias("share_band"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
+SQL_SHARE_OF_WALLET = """
+WITH cells AS (
+  SELECT o.o_custkey, l.l_suppkey,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+              AS HUGEINT) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_suppkey
+),
+per_cust AS (
+  SELECT o_custkey, MAX(rev) AS top_rev, SUM(rev) AS tot_rev
+  FROM cells GROUP BY o_custkey
+)
+SELECT CAST((top_rev * 10000 // tot_rev) // 1000 AS BIGINT) AS share_band,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY 1
+"""
+
+QUERIES["share_of_wallet_concentration"] = q_share_of_wallet_concentration
+ORACLE_SQL["share_of_wallet_concentration"] = SQL_SHARE_OF_WALLET
+
+
+# ---------------------------------------------------------------------------
+# Nation trade balance: revenue where the nation SUPPLIES minus revenue
+# where the nation BUYS, in e-4-dollar units.  Two independent fact
+# aggregations meet in a 25-row full-outer join — the macro view on top of
+# nation_trade_volume's pair matrix.  supplier/customer/orders UNHINTED;
+# nation broadcasts.
+# ---------------------------------------------------------------------------
+
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+    ).cast("decimal(38,0)")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", rev.alias("rev_e4")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    exp = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("rev_e4").alias("exp"))
+    )
+    imp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("rev_e4").alias("imp"))
+    )
+    return (
+        exp.join(imp, "n_name", "full_outer")
+        .select(
+            "n_name",
+            F.coalesce(F.col("exp"), F.lit(0)).cast("bigint").alias("export_e4"),
+            F.coalesce(F.col("imp"), F.lit(0)).cast("bigint").alias("import_e4"),
+            (F.coalesce(F.col("exp"), F.lit(0)) - F.coalesce(F.col("imp"), F.lit(0)))
+            .cast("bigint")
+            .alias("balance_e4"),
+        )
+    )
+
+
+SQL_NATION_TRADE_BALANCE = """
+WITH rev AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+  FROM lineitem
+),
+exp AS (
+  SELECT n.n_name, CAST(SUM(CAST(r.rev_e4 AS HUGEINT)) AS HUGEINT) AS exp
+  FROM rev r
+  JOIN supplier s ON r.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+imp AS (
+  SELECT n.n_name, CAST(SUM(CAST(r.rev_e4 AS HUGEINT)) AS HUGEINT) AS imp
+  FROM rev r
+  JOIN orders o   ON r.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT COALESCE(e.n_name, i.n_name) AS n_name,
+       CAST(COALESCE(e.exp, 0) AS BIGINT) AS export_e4,
+       CAST(COALESCE(i.imp, 0) AS BIGINT) AS import_e4,
+       CAST(COALESCE(e.exp, 0) - COALESCE(i.imp, 0) AS BIGINT) AS balance_e4
+FROM exp e FULL OUTER JOIN imp i ON e.n_name = i.n_name
+"""
+
+QUERIES["nation_trade_balance"] = q_nation_trade_balance
+ORACLE_SQL["nation_trade_balance"] = SQL_NATION_TRADE_BALANCE
+
+
+# ---------------------------------------------------------------------------
+# Document prefix redundancy: template detection by the 60-bit fingerprint
+# of each document's FIRST 8 tokens — shared prefixes are headers /
+# boilerplate templates that exact dedup misses (bodies differ) and
+# near-dup may under-weight.  Only (prefix_fp, doc) pairs shuffle; output
+# is the multiplicity histogram, bounded by the hottest template.
+# ---------------------------------------------------------------------------
+
+_PREFIX_K = 8
+
+
+def q_doc_prefix_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = d.select(
+        md5_int(
+            F.concat_ws(" ", F.slice(tokens_col("text"), 1, _PREFIX_K))
+        ).alias("pfp")
+    )
+    groups = fp.groupBy("pfp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        groups.groupBy(F.col("sz").alias("group_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+        .select(
+            "group_size", "n_groups",
+            F.expr("CAST(group_size * n_groups AS BIGINT)").alias("n_docs"),
+        )
+    )
+
+
+SQL_DOC_PREFIX_REDUNDANCY = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+fp AS (
+  SELECT {_md5_60(f"array_to_string(toks[1:{_PREFIX_K}], ' ')")} AS pfp FROM t
+),
+g AS (SELECT pfp, CAST(count(*) AS BIGINT) AS sz FROM fp GROUP BY pfp)
+SELECT sz AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sz * count(*) AS BIGINT) AS n_docs
+FROM g GROUP BY sz
+"""
+
+QUERIES["doc_prefix_redundancy"] = q_doc_prefix_redundancy
+ORACLE_SQL["doc_prefix_redundancy"] = SQL_DOC_PREFIX_REDUNDANCY
+
+
+# ---------------------------------------------------------------------------
+# Hapax share by source: what fraction of each source's VOCABULARY occurs
+# exactly once there — the classic lexical-richness / noise indicator
+# (OCR garbage and boilerplate sit at opposite extremes).  One explode,
+# one (source, word) aggregate (vocab-bounded), one per-source roll-up.
+# ---------------------------------------------------------------------------
+
+def q_hapax_share_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    w = d.select("source", F.explode(tokens_col("text")).alias("w"))
+    sv = w.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return sv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.expr(
+            "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("hapax_ppm"),
+    )
+
+
+SQL_HAPAX_SHARE_BY_SOURCE = f"""
+WITH w AS (SELECT source, unnest({_TOKS}) AS w FROM documents),
+sv AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+       FROM w GROUP BY source, w)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS hapax_ppm
+FROM sv GROUP BY source
+"""
+
+QUERIES["hapax_share_by_source"] = q_hapax_share_by_source
+ORACLE_SQL["hapax_share_by_source"] = SQL_HAPAX_SHARE_BY_SOURCE
+
+
+# ---------------------------------------------------------------------------
+# Token branching factor: how many DISTINCT successor tokens each token
+# has, rolled up by the token's frequency magnitude (decimal digit count).
+# The branching curve is a cheap corpus-health signal: templated/generated
+# text collapses branching at high frequencies.  Plan: consecutive-pair
+# extraction is row-local (transform over the token array), pairs reduce
+# to DISTINCT (w1, w2) before the successor count, and unigram counts ride
+# the same exploded frame — the output is bounded by the digit-count
+# bands (<= 19 for int64).
+# ---------------------------------------------------------------------------
+
+def q_token_branching_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        tokens_col("text").alias("toks")
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    succ = pairs.distinct().groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_succ")
+    )
+    uni = d.select(F.explode("toks").alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    joined = uni.join(succ, "w1", "left").select(
+        F.length(F.col("freq").cast("string")).cast("bigint").alias("freq_band"),
+        F.coalesce(F.col("n_succ"), F.lit(0)).alias("n_succ"),
+    )
+    return joined.groupBy("freq_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("n_succ").cast("bigint").alias("total_successors"),
+        F.expr("CAST(SUM(n_succ) * 1000 div COUNT(*) AS BIGINT)")
+        .alias("mean_branching_milli"),
+    )
+
+
+SQL_TOKEN_BRANCHING_FACTOR = f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+pairs AS (
+  SELECT DISTINCT toks[i] AS w1, toks[i+1] AS w2
+  FROM (SELECT toks, unnest(range(1, greatest(len(toks), 1))) AS i FROM t)
+),
+succ AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_succ FROM pairs GROUP BY w1),
+uni AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1
+),
+joined AS (
+  SELECT CAST(length(CAST(u.freq AS VARCHAR)) AS BIGINT) AS freq_band,
+         COALESCE(s.n_succ, 0) AS n_succ
+  FROM uni u LEFT JOIN succ s USING (w1)
+)
+SELECT freq_band,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_succ) AS BIGINT) AS total_successors,
+       CAST(SUM(n_succ) * 1000 // count(*) AS BIGINT) AS mean_branching_milli
+FROM joined GROUP BY freq_band
+"""
+
+QUERIES["token_branching_factor"] = q_token_branching_factor
+ORACLE_SQL["token_branching_factor"] = SQL_TOKEN_BRANCHING_FACTOR
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm profile: per class label, the integer micro-unit squared
+# L2 norm (min / max / mean) — the five-second sanity audit before any
+# cosine index is trusted (un-normalized or zero vectors surface here).
+# One posexplode, per-vector partial sums, one bounded label roll-up.
+# ---------------------------------------------------------------------------
+
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    per_vec = e.select(
+        "label",
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda v: F.round(v.cast("double") * 1000000).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, vi: acc + vi * vi,
+        ).alias("norm2"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.min("norm2").cast("bigint").alias("min_norm2"),
+        F.max("norm2").cast("bigint").alias("max_norm2"),
+        F.expr(
+            "CAST(SUM(CAST(norm2 AS DECIMAL(38,0))) div COUNT(*) AS BIGINT)"
+        ).alias("mean_norm2"),
+    )
+
+
+SQL_EMBEDDING_NORM_PROFILE = """
+WITH per_vec AS (
+  SELECT label,
+         CAST(list_sum(list_transform(embedding,
+              v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+                   * CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)))
+              AS BIGINT) AS norm2
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(min(norm2) AS BIGINT) AS min_norm2,
+       CAST(max(norm2) AS BIGINT) AS max_norm2,
+       CAST(SUM(CAST(norm2 AS HUGEINT)) // count(*) AS BIGINT) AS mean_norm2
+FROM per_vec GROUP BY label
+"""
+
+QUERIES["embedding_norm_profile"] = q_embedding_norm_profile
+ORACLE_SQL["embedding_norm_profile"] = SQL_EMBEDDING_NORM_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence lift across users: for each unordered pair of
+# event types, do the SAME users produce both?  lift_ppm > 1e6 means the
+# types attract, < 1e6 they repel.  The type universe is schema-bounded
+# (~5), so the per-user pair fan-out is <= C(5,2) — the self-join is keyed
+# by user and structurally tiny.  events ride the dtype-adaptive
+# read_events (ts physical type drifts across testdata generations).
+# ---------------------------------------------------------------------------
+
+def q_event_type_user_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.io.sources import read_events
+
+    ev = read_events(spark, sf_dir).select("user_id", "event_type").distinct()
+    n_users = (
+        read_events(spark, sf_dir).select("user_id").distinct()
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_users"))
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_t")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    both = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_both"))
+    )
+    ta = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("na")
+    )
+    tb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("nb")
+    )
+    return (
+        both.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a", "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.expr(
+                "CAST(n_both * n_users * 1000000 div (na * nb) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+SQL_EVENT_TYPE_USER_LIFT = """
+WITH ev AS (SELECT DISTINCT user_id, event_type FROM events),
+n_users AS (SELECT CAST(count(DISTINCT user_id) AS HUGEINT) AS n_users
+            FROM events),
+per_type AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n_t
+             FROM ev GROUP BY event_type),
+pair_counts AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS HUGEINT) AS n_both
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_both * n_users * 1000000 // (ta.n_t * tb.n_t) AS BIGINT)
+           AS lift_ppm
+FROM pair_counts
+JOIN per_type ta ON ta.event_type = type_a
+JOIN per_type tb ON tb.event_type = type_b
+CROSS JOIN n_users
+"""
+
+QUERIES["event_type_user_lift"] = q_event_type_user_lift
+ORACLE_SQL["event_type_user_lift"] = SQL_EVENT_TYPE_USER_LIFT
+
+
+# ---------------------------------------------------------------------------
+# Order-priority mix drift: each priority's share of the year's orders
+# (bps) and its drift against the base year.  Shares come from one keyed
+# aggregate; the per-year totals and base-year shares are calendar x
+# priority bounded artifacts (<= ~35 rows), so their joins broadcast by
+# POLICY (bounded-artifact frames, not sf-scaling sides).
+# ---------------------------------------------------------------------------
+
+_DRIFT_BASE_YEAR = 1995
+
+
+def q_order_priority_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("o_year"), "o_orderpriority"
+    )
+    cells = o.groupBy("o_year", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = cells.groupBy("o_year").agg(F.sum("n").alias("yr_total"))
+    shares = cells.join(F.broadcast(totals), "o_year").select(
+        "o_year", "o_orderpriority",
+        F.expr("CAST(n * 10000 div yr_total AS BIGINT)").alias("share_bps"),
+    )
+    base = shares.filter(F.col("o_year") == _DRIFT_BASE_YEAR).select(
+        "o_orderpriority", F.col("share_bps").alias("base_bps")
+    )
+    return shares.join(F.broadcast(base), "o_orderpriority").select(
+        "o_year", "o_orderpriority", "share_bps",
+        (F.col("share_bps") - F.col("base_bps")).cast("bigint").alias("drift_bps"),
+    )
+
+
+SQL_ORDER_PRIORITY_SHARE_DRIFT = f"""
+WITH cells AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+shares AS (
+  SELECT o_year, o_orderpriority,
+         CAST(n * 10000 // SUM(n) OVER (PARTITION BY o_year) AS BIGINT)
+             AS share_bps
+  FROM cells
+),
+base AS (SELECT o_orderpriority, share_bps AS base_bps
+         FROM shares WHERE o_year = {_DRIFT_BASE_YEAR})
+SELECT s.o_year, s.o_orderpriority, s.share_bps,
+       CAST(s.share_bps - b.base_bps AS BIGINT) AS drift_bps
+FROM shares s JOIN base b USING (o_orderpriority)
+"""
+
+QUERIES["order_priority_share_drift"] = q_order_priority_share_drift
+ORACLE_SQL["order_priority_share_drift"] = SQL_ORDER_PRIORITY_SHARE_DRIFT
+
+
+# ---------------------------------------------------------------------------
+# Customer reactivation: an order is a REACTIVATION when it follows the
+# customer's previous order by more than 180 days.  Counts per calendar
+# year of the returning order — the resurrection curve next to the cohort
+# retention and churn views.  Window is keyed by customer (SF-invariant
+# group size); output is calendar-bounded.
+# ---------------------------------------------------------------------------
+
+_REACT_GAP_DAYS = 180
+
+
+def q_customer_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = o.withColumn("prev_od", F.lag("od").over(w)).filter(
+        F.col("prev_od").isNotNull()
+        & (F.datediff("od", "prev_od") > _REACT_GAP_DAYS)
+    )
+    return gaps.groupBy(F.year("od").cast("int").alias("o_year")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reactivations"),
+        F.count_distinct(F.col("o_custkey")).cast("bigint").alias("n_customers"),
+    )
+
+
+SQL_CUSTOMER_REACTIVATION = f"""
+WITH lagged AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+         lag(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_od
+  FROM orders
+)
+SELECT CAST(year(od) AS INTEGER) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_reactivations,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM lagged
+WHERE prev_od IS NOT NULL AND date_diff('day', prev_od, od) > {_REACT_GAP_DAYS}
+GROUP BY 1
+"""
+
+QUERIES["customer_reactivation"] = q_customer_reactivation
+ORACLE_SQL["customer_reactivation"] = SQL_CUSTOMER_REACTIVATION
+
+
+# ---------------------------------------------------------------------------
+# Centroid drift between corpus halves: per class label, the squared
+# micro-unit distance between the centroid computed from even vec_ids and
+# the one from odd vec_ids — the train/serve drift audit for an embedding
+# store (a healthy ingest has near-identical halves).  Centroids are
+# integral (sum div n per dimension); the K x dim centroid frames are
+# bounded artifacts, so their join is label+dim keyed and tiny.
+# ---------------------------------------------------------------------------
+
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label", "half", "pos",
+        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("vi"),
+    )
+    cent = ex.groupBy("label", "half", "pos").agg(
+        F.expr("CAST(SUM(CAST(vi AS DECIMAL(38,0))) div COUNT(*) AS BIGINT)")
+        .alias("c")
+    )
+    c0 = cent.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("c").alias("c0")
+    )
+    c1 = cent.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("c").alias("c1")
+    )
+    return (
+        c0.join(c1, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+            F.sum((F.col("c0") - F.col("c1")) * (F.col("c0") - F.col("c1")))
+            .cast("bigint")
+            .alias("drift_sq"),
+        )
+    )
+
+
+SQL_EMBEDDING_CENTROID_DRIFT = """
+WITH mu AS (
+  SELECT label, CAST(vec_id % 2 AS INTEGER) AS half,
+         list_transform(embedding,
+                        v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+  FROM embeddings
+),
+ex AS (SELECT label, half, generate_subscripts(iv, 1) AS pos, unnest(iv) AS vi
+       FROM mu),
+cent AS (
+  SELECT label, half, pos,
+         CAST(SUM(CAST(vi AS HUGEINT)) // count(*) AS BIGINT) AS c
+  FROM ex GROUP BY label, half, pos
+)
+SELECT c0.label,
+       CAST(count(*) AS BIGINT) AS n_dims,
+       CAST(SUM((c0.c - c1.c) * (c0.c - c1.c)) AS BIGINT) AS drift_sq
+FROM cent c0 JOIN cent c1
+  ON c0.label = c1.label AND c0.pos = c1.pos
+WHERE c0.half = 0 AND c1.half = 1
+GROUP BY c0.label
+"""
+
+QUERIES["embedding_centroid_drift"] = q_embedding_centroid_drift
+ORACLE_SQL["embedding_centroid_drift"] = SQL_EMBEDDING_CENTROID_DRIFT

@@ -1,0 +1,239 @@
+"""Invariant tests for the round-9 wave-3 operators (oracle equality is
+covered by tools/check_oracle.py; these pin the semantic properties a
+hash compare can't express: migrations that conserve customers, bands
+that partition orders, error bounds the quantizer must respect)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeforge import workload_r9b as w
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SF_DIR), reason="driver testdata absent"
+)
+
+
+def test_decile_migration_conserves_two_year_customers(spark):
+    """Matrix total == customers active in BOTH years; deciles in 1..10."""
+    rows = w.q_customer_decile_migration(spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    both = (
+        o.filter(F.col("yr") == w._MIG_Y0)
+        .select("o_custkey")
+        .distinct()
+        .join(
+            o.filter(F.col("yr") == w._MIG_Y1).select("o_custkey").distinct(),
+            "o_custkey",
+        )
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == both
+    for r in rows:
+        assert 1 <= r.decile_from <= 10 and 1 <= r.decile_to <= 10
+
+
+def test_band_transitions_count_is_orders_minus_customers(spark):
+    """Each customer contributes (n_orders - 1) transitions."""
+    rows = w.q_order_value_band_transitions(spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_orders = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r.n_transitions for r in rows) == n_orders - n_cust
+    for r in rows:
+        assert 0 <= r.band_from <= w._BAND_CAP
+        assert 0 <= r.band_to <= w._BAND_CAP
+
+
+def test_dedup_impact_curve_ties_to_corpus(spark):
+    """sum(size*groups) == corpus rows; rows_removed == (size-1)*groups;
+    the injected every-7th verbatim copies mean size-2 groups exist."""
+    rows = w.q_dedup_impact_curve(spark, SF_DIR).collect()
+    corpus_n = w._exactdup_corpus(spark, SF_DIR).count()
+    assert sum(r.group_size * r.n_groups for r in rows) == corpus_n
+    for r in rows:
+        assert r.rows_removed == (r.group_size - 1) * r.n_groups
+    assert any(r.group_size == 2 for r in rows)
+
+
+def test_survivor_quality_shift_bounds(spark):
+    """Survivors <= docs per source; TTR ppm within (0, 1e6]; dedup of
+    VERBATIM copies cannot change which distinct texts exist, only their
+    weights."""
+    rows = w.q_dedup_survivor_quality_shift(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_survivors <= r.n_docs
+        assert 0 < r.mean_ttr_all_ppm <= 1_000_000
+        assert 0 < r.mean_ttr_surv_ppm <= 1_000_000
+
+
+def test_fertility_at_least_one_subtoken_per_word(spark):
+    """ceil(len/4) >= 1 -> fertility_ppm >= 1e6."""
+    rows = w.q_tokenizer_fertility(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_subtokens >= r.n_words
+        assert r.fertility_ppm >= 1_000_000
+
+
+def test_sq8_error_bounded_by_cell_width(spark):
+    """SQ8's absolute reconstruction error is < its cell width
+    (rng/255 + 1 in micro-units) for every dimension."""
+    rows = w.q_sq8_reconstruction_error(spark, SF_DIR).collect()
+    ex = w._exploded_micro(spark, SF_DIR)
+    spans = {
+        r.pos: r.rng
+        for r in ex.groupBy("pos")
+        .agg((F.max("vi") - F.min("vi")).alias("rng"))
+        .collect()
+    }
+    assert len(rows) == 64
+    for r in rows:
+        assert r.mean_abs_err <= r.max_abs_err
+        assert r.max_abs_err <= spans[r.pos] // 255 + 1
+
+
+def test_lsh_bucket_audit_ties_to_banding(spark):
+    """sum(size*buckets) == docs*bands (every doc lands in every band
+    exactly once)."""
+    rows = w.q_lsh_bucket_skew_audit(spark, SF_DIR).collect()
+    n_docs = w._neardup_corpus(spark, SF_DIR).count()
+    assert sum(r.bucket_size * r.n_buckets for r in rows) == n_docs * w._LSH_BANDS
+    for r in rows:
+        assert r.pairs_implied == r.n_buckets * (
+            r.bucket_size * (r.bucket_size - 1) // 2
+        )
+
+
+def test_brand_margin_depth_internal_consistency(spark):
+    rows = w.q_brand_margin_depth(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        expected = (r.retail_e4 - r.sell_e4) * 10_000
+        # integral div truncates toward zero on both engines
+        assert r.margin_depth_bps == int(expected / r.retail_e4) or (
+            abs(r.margin_depth_bps - expected / r.retail_e4) < 1
+        )
+
+
+def test_token_rarity_bounds(spark):
+    """Every token's frequency <= total -> ppb in (0, 1e9]; n_toks > 0."""
+    rows = w.q_doc_mean_token_rarity(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_toks > 0
+        assert 0 < r.mean_tok_freq_ppb <= 1_000_000_000
+
+
+# -- wave 4 -----------------------------------------------------------------
+
+
+def test_share_of_wallet_bands_partition_customers(spark):
+    rows = w.q_share_of_wallet_concentration(spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n_buyers = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_buyers
+    for r in rows:
+        assert 0 <= r.share_band <= 10
+
+
+def test_trade_balance_nets_to_zero(spark):
+    """Every e-4 dollar exported is imported by someone: the global
+    balance is exactly zero and export/import totals are equal."""
+    rows = w.q_nation_trade_balance(spark, SF_DIR).collect()
+    assert sum(r.balance_e4 for r in rows) == 0
+    assert sum(r.export_e4 for r in rows) == sum(r.import_e4 for r in rows)
+    for r in rows:
+        assert r.balance_e4 == r.export_e4 - r.import_e4
+
+
+def test_prefix_redundancy_covers_corpus(spark):
+    rows = w.q_doc_prefix_redundancy(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.n_docs == r.group_size * r.n_groups
+
+
+def test_hapax_bounds(spark):
+    rows = w.q_hapax_share_by_source(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hapax <= r.vocab_size
+        assert 0 <= r.hapax_ppm <= 1_000_000
+
+
+def test_branching_factor_covers_vocab(spark):
+    """Band roll-up partitions the corpus vocabulary; successors only
+    exist for tokens that appear as a bigram head."""
+    rows = w.q_token_branching_factor(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from lakeforge.llm.text import tokens_col
+
+    vocab_n = (
+        docs.select(F.explode(tokens_col("text")).alias("w"))
+        .select("w").distinct().count()
+    )
+    assert sum(r.n_tokens for r in rows) == vocab_n
+    for r in rows:
+        assert r.total_successors >= 0
+
+
+def test_event_lift_pairs_are_ordered_and_positive(spark):
+    rows = w.q_event_type_user_lift(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.n_both > 0
+        assert r.lift_ppm > 0
+
+
+def test_priority_drift_zero_in_base_year(spark):
+    rows = w.q_order_priority_share_drift(spark, SF_DIR).collect()
+    base = [r for r in rows if r.o_year == w._DRIFT_BASE_YEAR]
+    assert base
+    for r in base:
+        assert r.drift_bps == 0
+    # each year's shares sum to <= 10000 (integral truncation) and > 9990
+    by_year: dict = {}
+    for r in rows:
+        by_year.setdefault(r.o_year, 0)
+        by_year[r.o_year] += r.share_bps
+    for yr, tot in by_year.items():
+        assert 9990 < tot <= 10_000, (yr, tot)
+
+
+def test_reactivation_needs_multi_order_customers(spark):
+    rows = w.q_customer_reactivation(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.n_customers <= r.n_reactivations
+
+
+def test_centroid_drift_has_all_labels_and_dims(spark):
+    rows = w.q_embedding_centroid_drift(spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_labels = emb.select("label").distinct().count()
+    assert len(rows) == n_labels
+    for r in rows:
+        assert r.n_dims == 64
+        assert r.drift_sq >= 0
+
+
+def test_norm_profile_ordering_invariants(spark):
+    rows = w.q_embedding_norm_profile(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.min_norm2 <= r.mean_norm2 <= r.max_norm2
+        assert r.n_vectors > 0
