@@ -1,4 +1,4 @@
-"""Round-9 wave-3/4 operators: twenty new oracle-paired families.
+"""Round-9 wave-3/4/5 operators: twenty-six new oracle-paired families.
 
 Wave 3:
 - part_profit_trend          — Q9-shaped supplier-nation × year profit
@@ -23,6 +23,14 @@ Wave 4:
 - order_priority_share_drift — priority mix drift vs base year (bps)
 - customer_reactivation      — >180-day-gap resurrection curve
 - embedding_centroid_drift   — half-vs-half per-label centroid distance²
+
+Wave 5 (ops/percentile.py ships with this wave):
+- ship_lag_percentiles       — bounded-domain exact p50/p90/p99 ship lag
+- order_gap_percentiles      — reorder-cadence median/p90 by segment
+- discount_depth_curve       — volume-discount depth + revenue share
+- length_quality_histogram   — 2-D (length band × TTR band) doc grid
+- simhash_hamming_histogram  — banded candidate Hamming-distance audit
+- ivf_cell_balance           — k-means coarse-quantizer cell balance
 
 Conventions as the rest of the registry: exact integer/DECIMAL arithmetic
 on both engines (cents / e-4-dollar units, integral ``div`` / ``//``,
@@ -1341,3 +1349,352 @@ GROUP BY c0.label
 
 QUERIES["embedding_centroid_drift"] = q_embedding_centroid_drift
 ORACLE_SQL["embedding_centroid_drift"] = SQL_EMBEDDING_CENTROID_DRIFT
+
+
+# ===========================================================================
+# Wave 5
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Ship-lag percentiles by priority — the scale-safe exact-percentile
+# pattern (ops/percentile.py::bounded_domain_percentiles).  Unlike
+# exact_percentiles' F.percentile (which buffers + sorts every group
+# member — a memory hazard when one priority holds 1/5 of a 100 TB fact
+# table), the day-lag domain is calendar-bounded, so the exact p50/p90/p99
+# come from a counting histogram: one map-side-combinable aggregate whose
+# output is |priorities| x |days|, then windows over that bounded frame.
+# ---------------------------------------------------------------------------
+
+def q_ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.percentile import bounded_domain_percentiles
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    lag = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("bigint").alias("lag_days"),
+    )
+    return bounded_domain_percentiles(
+        lag, ["o_orderpriority"], "lag_days",
+        [(50, "p50_lag"), (90, "p90_lag"), (99, "p99_lag")],
+    )
+
+
+def _sql_ship_lag_percentiles() -> str:
+    from lakeforge.ops.percentile import duckdb_percentile_sql
+
+    src = """
+  SELECT o.o_orderpriority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+    return duckdb_percentile_sql(
+        src, ["o_orderpriority"], "lag_days",
+        [(50, "p50_lag"), (90, "p90_lag"), (99, "p99_lag")],
+    )
+
+
+QUERIES["ship_lag_percentiles"] = q_ship_lag_percentiles
+ORACLE_SQL["ship_lag_percentiles"] = _sql_ship_lag_percentiles()
+
+
+# ---------------------------------------------------------------------------
+# Median (and p90) days between consecutive orders, by market segment —
+# the reorder-cadence number planners quote.  Gap extraction is a keyed
+# per-customer window (SF-invariant group size); the segment join is
+# UNHINTED (customer scales); the percentile rides the same bounded
+# histogram operator (gap domain is calendar-bounded).
+# ---------------------------------------------------------------------------
+
+def q_order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.percentile import bounded_domain_percentiles
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = (
+        o.withColumn("prev_od", F.lag("od").over(w))
+        .filter(F.col("prev_od").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("od", "prev_od").cast("bigint").alias("gap_days"),
+        )
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg_gaps = gaps.join(c, gaps.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "gap_days"
+    )
+    return bounded_domain_percentiles(
+        seg_gaps, ["c_mktsegment"], "gap_days",
+        [(50, "median_gap"), (90, "p90_gap")],
+    )
+
+
+def _sql_order_gap_percentiles() -> str:
+    from lakeforge.ops.percentile import duckdb_percentile_sql
+
+    src = """
+  SELECT c.c_mktsegment,
+         CAST(date_diff('day', g.prev_od, g.od) AS BIGINT) AS gap_days
+  FROM (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+           lag(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_od
+    FROM orders) g
+  JOIN customer c ON g.o_custkey = c.c_custkey
+  WHERE g.prev_od IS NOT NULL
+"""
+    return duckdb_percentile_sql(
+        src, ["c_mktsegment"], "gap_days",
+        [(50, "median_gap"), (90, "p90_gap")],
+    )
+
+
+QUERIES["order_gap_percentiles"] = q_order_gap_percentiles
+ORACLE_SQL["order_gap_percentiles"] = _sql_order_gap_percentiles()
+
+
+# ---------------------------------------------------------------------------
+# Discount depth vs quantity band: mean discount (bps) and revenue share
+# (ppm) per 10-unit quantity band — the volume-discount curve pricing
+# reads.  One scan to 5 band cells; the revenue total is a full-frame
+# window over that BOUNDED cell table (the documented block-summary
+# pattern), so no second scan and no sf-scaling broadcast.
+# ---------------------------------------------------------------------------
+
+def q_discount_depth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("(CAST(round(l_quantity) AS BIGINT) - 1) div 10").alias("qty_band"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("disc_bps"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).cast("decimal(38,0)").alias("rev_e4"),
+    )
+    cells = li.groupBy("qty_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("disc_bps").cast("decimal(38,0)")).alias("__sd"),
+        F.sum("rev_e4").alias("__rev"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cells.withColumn(
+        "__tot", F.sum("__rev").over(w_all)
+    ).select(
+        "qty_band", "n_lines",
+        F.expr("CAST(__sd div n_lines AS BIGINT)").alias("mean_discount_bps"),
+        F.expr("CAST(__rev * 1000000 div __tot AS BIGINT)")
+        .alias("revenue_share_ppm"),
+    )
+
+
+SQL_DISCOUNT_DEPTH_CURVE = """
+WITH cells AS (
+  SELECT (CAST(round(l_quantity) AS BIGINT) - 1) // 10 AS qty_band,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS HUGEINT) AS sd,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS HUGEINT) AS rev
+  FROM lineitem GROUP BY 1
+)
+SELECT qty_band, n_lines,
+       CAST(sd // n_lines AS BIGINT) AS mean_discount_bps,
+       CAST(rev * 1000000 // SUM(rev) OVER () AS BIGINT) AS revenue_share_ppm
+FROM cells
+"""
+
+QUERIES["discount_depth_curve"] = q_discount_depth_curve
+ORACLE_SQL["discount_depth_curve"] = SQL_DISCOUNT_DEPTH_CURVE
+
+
+# ---------------------------------------------------------------------------
+# Length x quality joint histogram: the 2-D (char-length band, TTR band)
+# doc-count grid that training-mix reviews read before setting quality
+# gates (are we about to drop all the LONG docs?).  Entirely row-local
+# feature extraction, one bounded aggregate (<= 100 cells).
+# ---------------------------------------------------------------------------
+
+def q_length_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("n_chars", "text")
+    scored = d.select(
+        F.least(F.expr("n_chars div 100"), F.lit(9).cast("bigint")).alias("len_band"),
+        tokens_col("text").alias("toks"),
+    ).select(
+        "len_band",
+        F.expr(
+            "CASE WHEN size(toks) = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(size(array_distinct(toks)) AS BIGINT) * 1000000"
+            " div size(toks) END"
+        ).alias("ttr_ppm"),
+    )
+    return (
+        scored.select(
+            "len_band",
+            F.least(F.expr("ttr_ppm div 100000"), F.lit(9).cast("bigint"))
+            .alias("ttr_band"),
+        )
+        .groupBy("len_band", "ttr_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+SQL_LENGTH_QUALITY_HISTOGRAM = f"""
+WITH scored AS (
+  SELECT LEAST(n_chars // 100, 9) AS len_band,
+         CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(list_distinct(toks)) AS BIGINT) * 1000000
+                   // len(toks) END AS ttr_ppm
+  FROM (SELECT n_chars, {_TOKS} AS toks FROM documents)
+)
+SELECT len_band, LEAST(ttr_ppm // 100000, 9) AS ttr_band,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM scored GROUP BY 1, 2
+"""
+
+QUERIES["length_quality_histogram"] = q_length_quality_histogram
+ORACLE_SQL["length_quality_histogram"] = SQL_LENGTH_QUALITY_HISTOGRAM
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-distance histogram over the BANDED candidate pairs —
+# the threshold-tuning audit for simhash_neardup: how many candidate
+# pairs sit at each distance, i.e. what would a max_hamming of 2/3/4
+# admit?  Candidates come from the same pigeonhole banding the dedup
+# join uses (exact recall for hamming <= bands-1; higher distances appear
+# only via band collisions — which is exactly what the audit measures).
+# Fingerprints are persisted 16-byte rows; only (id, band, bh) shuffles.
+# ---------------------------------------------------------------------------
+
+_SH_BITS, _SH_BANDS = 32, 4
+
+
+def q_simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.cache import persist_tracked
+    from lakeforge.llm.dedup import simhash_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = persist_tracked(
+        simhash_fingerprints(docs, "text", "doc_id", bits=_SH_BITS)
+    )
+    width = _SH_BITS // _SH_BANDS
+    mask = (1 << width) - 1
+    banded = fp.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for b in range(_SH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["da", "db"])
+        .select(
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("bigint")
+            .alias("hamming")
+        )
+    )
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
+def _sql_simhash_hamming_histogram() -> str:
+    from lakeforge.workload_llm import _sql_simhash
+
+    width = _SH_BITS // _SH_BANDS
+    mask = (1 << width) - 1
+    band_eq = " OR ".join(
+        f"((a.simhash >> {b * width}) & {mask})"
+        f" = ((b.simhash >> {b * width}) & {mask})"
+        for b in range(_SH_BANDS)
+    )
+    return f"""
+WITH fp AS ({_sql_simhash()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM fp a JOIN fp b
+    ON a.doc_id < b.doc_id AND ({band_eq})
+)
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+FROM cand GROUP BY hamming
+"""
+
+
+QUERIES["simhash_hamming_histogram"] = q_simhash_hamming_histogram
+ORACLE_SQL["simhash_hamming_histogram"] = _sql_simhash_hamming_histogram()
+
+
+# ---------------------------------------------------------------------------
+# IVF cell-balance audit: the k-means coarse quantizer's assignment
+# counts and share (bps) per cell — dead or bloated cells are what make
+# an IVF index's nprobe guarantees lie.  Rides the EXACT kmeans the
+# kmeans_embeddings / ivf queries use (same integer micro-unit
+# arithmetic, same deterministic seeding), so the audit describes the
+# real index, and the share computation is a window over <= k rows.
+# ---------------------------------------------------------------------------
+
+def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.clustering import kmeans_assignments
+    from lakeforge.workload_llm import _KMEANS_ITERS, _KMEANS_K
+
+    emb = _t(spark, sf_dir, "embeddings")
+    asg = kmeans_assignments(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+    cells = asg.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cells.withColumn(
+        "__tot", F.sum("n_vectors").over(w_all)
+    ).select(
+        "cluster", "n_vectors",
+        F.expr("CAST(n_vectors * 10000 div __tot AS BIGINT)").alias("share_bps"),
+    )
+
+
+def _sql_ivf_cell_balance() -> str:
+    from lakeforge.workload_llm import _KMEANS_ITERS, _KMEANS_K, _sql_kmeans
+
+    return f"""
+WITH asg AS ({_sql_kmeans(_KMEANS_K, _KMEANS_ITERS)}),
+cells AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM asg GROUP BY cluster
+)
+SELECT cluster, n_vectors,
+       CAST(n_vectors * 10000 // SUM(n_vectors) OVER () AS BIGINT) AS share_bps
+FROM cells
+"""
+
+
+QUERIES["ivf_cell_balance"] = q_ivf_cell_balance
+ORACLE_SQL["ivf_cell_balance"] = _sql_ivf_cell_balance()

@@ -237,3 +237,92 @@ def test_norm_profile_ordering_invariants(spark):
     for r in rows:
         assert r.min_norm2 <= r.mean_norm2 <= r.max_norm2
         assert r.n_vectors > 0
+
+
+# -- wave 5 -----------------------------------------------------------------
+
+
+def test_ship_lag_percentiles_match_sorted_definition(spark):
+    """The histogram percentile equals the classic type-1 definition
+    (smallest value at rank >= ceil(p*n)) computed brute-force."""
+    rows = {
+        r.o_orderpriority: r
+        for r in w.q_ship_lag_percentiles(spark, SF_DIR).collect()
+    }
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lag = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("lag"),
+        )
+        .collect()
+    )
+    by_p: dict = {}
+    for r in lag:
+        by_p.setdefault(r.o_orderpriority, []).append(r.lag)
+    import math
+
+    for p, vals in by_p.items():
+        vals.sort()
+        n = len(vals)
+        got = rows[p]
+        assert got.n_rows == n
+        for pct, field in ((50, "p50_lag"), (90, "p90_lag"), (99, "p99_lag")):
+            expect = vals[max(math.ceil(pct / 100 * n), 1) - 1]
+            assert getattr(got, field) == expect, (p, pct)
+
+
+def test_order_gap_percentile_ordering(spark):
+    rows = w.q_order_gap_percentiles(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.median_gap <= r.p90_gap
+        assert r.n_rows > 0
+
+
+def test_discount_curve_shares_sum_to_one(spark):
+    rows = w.q_discount_depth_curve(spark, SF_DIR).collect()
+    assert {r.qty_band for r in rows} == {0, 1, 2, 3, 4}
+    tot = sum(r.revenue_share_ppm for r in rows)
+    assert 1_000_000 - 5 <= tot <= 1_000_000  # integral truncation
+    for r in rows:
+        assert 0 <= r.mean_discount_bps <= 1000
+
+
+def test_length_quality_histogram_covers_docs(spark):
+    rows = w.q_length_quality_histogram(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.len_band <= 9 and 0 <= r.ttr_band <= 9
+
+
+def test_simhash_histogram_superset_of_neardup_pairs(spark):
+    """Banding has exact recall for hamming <= bands-1: the histogram's
+    mass at hamming <= 3 equals the count of simhash_neardup pairs on the
+    same corpus."""
+    from lakeforge.llm.dedup import simhash_neardup_pairs
+
+    hist = w.q_simhash_hamming_histogram(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_close = simhash_neardup_pairs(
+        docs, "text", "doc_id", bands=4, max_hamming=3
+    ).count()
+    assert sum(r.n_pairs for r in hist if r.hamming <= 3) == n_close
+
+
+def test_ivf_cell_balance_partitions_vectors(spark):
+    rows = w.q_ivf_cell_balance(spark, SF_DIR).collect()
+    n_vec = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert sum(r.n_vectors for r in rows) == n_vec
+    tot_bps = sum(r.share_bps for r in rows)
+    assert 10_000 - len(rows) <= tot_bps <= 10_000
