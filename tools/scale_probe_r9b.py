@@ -37,14 +37,21 @@ from lakeforge.workload import QUERIES
 DOC_HEADER = "## Round-9 wave-3/4 ops (probed the round they ship)"
 
 OPS = [
-    "doc_mean_token_rarity",        # token -> vocab equi-join
-    "token_branching_factor",       # distinct bigram successor counts
-    "hapax_share_by_source",        # (source, word) aggregate
-    "lsh_bucket_skew_audit",        # minhash signatures + banding
-    "dedup_survivor_quality_shift", # row-local TTR + fp window
-    "part_profit_trend",            # 5-way join tree
-    "share_of_wallet_concentration",# two keyed aggregates over lineitem
-    "customer_decile_migration",    # blocked exact ntile(10)
+    ("doc_mean_token_rarity", "100x"),        # token -> vocab equi-join
+    ("token_branching_factor", "100x"),       # distinct bigram successors
+    ("hapax_share_by_source", "100x"),        # (source, word) aggregate
+    ("lsh_bucket_skew_audit", "100x"),        # minhash signatures + banding
+    ("dedup_survivor_quality_shift", "100x"), # row-local TTR + fp window
+    ("part_profit_trend", "100x"),            # 5-way join tree
+    ("share_of_wallet_concentration", "100x"),# two keyed lineitem aggs
+    ("customer_decile_migration", "100x"),    # blocked exact ntile(10)
+    ("ship_lag_percentiles", "100x"),         # bounded-domain percentile
+    # CAPPED at 10x BY DESIGN: a 32-bit/4-band fingerprint has a fixed
+    # 4x256-bucket universe, so candidate-pair volume saturates toward
+    # n^2/1024 once docs >> buckets — the audit itself is the tool that
+    # detects this (its own pairs-at-distance counts blow up), and
+    # lsh_bucket_skew_audit's pairs_implied is the pre-flight guard.
+    ("simhash_hamming_histogram", "10x"),
 ]
 
 WHY = [
@@ -73,6 +80,16 @@ WHY = [
     "- `customer_decile_migration`: the blocked ntile decomposition — "
     "ranking windows run per (yr, spend-block) partition with a bounded "
     "block-summary broadcast; no global sort at any size.",
+    "- `ship_lag_percentiles`: after the keyed join, the percentile is "
+    "ONE map-side-combinable (priority, lag-day) histogram — windows run "
+    "over the calendar-bounded histogram, never over fact rows.",
+    "- `simhash_hamming_histogram`: CAPPED at 10x by design — a "
+    "32-bit/4-band fingerprint has a fixed 4x256-bucket universe, so "
+    "candidate volume saturates toward n^2/1024 once docs far exceed "
+    "the bucket count.  The audit is the instrument that MEASURES that "
+    "saturation (its pairs-at-distance counts are the warning light); "
+    "at 100 TB you widen the fingerprint (64-bit, 8 bands) or run "
+    "lsh_bucket_skew_audit first and gate on pairs_implied.",
 ]
 
 
@@ -151,7 +168,8 @@ def main() -> None:
 
     doc_sizes = {"1x": args.base, "10x": args.base * 10, "100x": args.base * 100}
     li_sizes = {"1x": 600_000, "10x": 6_000_000, "100x": 60_000_000}
-    results: dict[str, dict[str, float]] = {op: {} for op in OPS}
+    results: dict[str, dict[str, float | str]] = {op: {} for op, _ in OPS}
+    order = ["1x", "10x", "100x"]
     with tempfile.TemporaryDirectory() as tmp:
         dirs = {}
         for label in ("1x", "10x", "100x"):
@@ -160,8 +178,11 @@ def main() -> None:
             make_docs(spark, doc_sizes[label], d)
             make_tpch(spark, li_sizes[label], d)
             dirs[label] = d
-        for op in OPS:
-            for label in ("1x", "10x", "100x"):
+        for op, max_label in OPS:
+            for label in order:
+                if order.index(label) > order.index(max_label):
+                    results[op][label] = "capped"
+                    continue
                 t = time_op(spark, op, dirs[label], args.runs)
                 results[op][label] = round(t, 3)
                 print(f"{op:32s} {label:>4s}: {t:7.3f}s", flush=True)
@@ -180,12 +201,18 @@ def main() -> None:
         "| op | t(1x) s | t(10x) s | t(100x) s | alpha (10x->100x) |",
         "|---|---|---|---|---|",
     ]
-    for op in OPS:
+    def _cell(v):
+        return f"{v:.3f}" if isinstance(v, float) else str(v)
+
+    for op, _ in OPS:
         r = results[op]
-        alpha = math.log10(r["100x"] / r["10x"]) if r["10x"] > 0 else float("nan")
+        if isinstance(r.get("100x"), float) and isinstance(r.get("10x"), float):
+            alpha = f"{math.log10(r['100x'] / r['10x']):.2f}"
+        else:
+            alpha = "capped (see note)"
         lines.append(
-            f"| {op} | {r['1x']:.3f} | {r['10x']:.3f} | {r['100x']:.3f} "
-            f"| {alpha:.2f} |"
+            f"| {op} | {_cell(r['1x'])} | {_cell(r['10x'])} | {_cell(r['100x'])} "
+            f"| {alpha} |"
         )
     lines += ["", "Why the wave-3/4 family stays ~linear by construction:"]
     lines += WHY
