@@ -401,7 +401,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ivf_topk() -> str:
+def _sql_ivf_topk(nprobe: int = _IVF_PROBE) -> str:
     dot_c = _LIST_DOT.format(a="e.vec", b="c.c_vec")
     dot_q = _LIST_DOT.format(a="p.q_vec", b="a.vec")
     return f"""{_NANO_CTE},
@@ -421,7 +421,7 @@ ranked_cells AS (
 assign AS (SELECT vec_id, vec, n2, cell_id FROM ranked_cells WHERE crank = 1),
 probe AS (
     SELECT vec_id AS query_id, vec AS q_vec, n2 AS q_n2, cell_id
-    FROM ranked_cells WHERE vec_id < {_N_QUERIES} AND crank <= {_IVF_PROBE}
+    FROM ranked_cells WHERE vec_id < {_N_QUERIES} AND crank <= {nprobe}
 ),
 cand AS (
     SELECT p.query_id, a.vec_id AS neighbor_id,

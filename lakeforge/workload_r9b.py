@@ -1,4 +1,4 @@
-"""Round-9 wave-3/4/5 operators: twenty-six new oracle-paired families.
+"""Round-9 wave-3/4/5/6 operators: thirty-one new oracle-paired families.
 
 Wave 3:
 - part_profit_trend          — Q9-shaped supplier-nation × year profit
@@ -31,6 +31,13 @@ Wave 5 (ops/percentile.py ships with this wave):
 - length_quality_histogram   — 2-D (length band × TTR band) doc grid
 - simhash_hamming_histogram  — banded candidate Hamming-distance audit
 - ivf_cell_balance           — k-means coarse-quantizer cell balance
+
+Wave 6:
+- cohort_ltv_curve           — first-order-year cumulative revenue triangle
+- ivf_recall_curve           — recall@k at nprobe 1/2/4 (index tuning table)
+- neardup_cluster_sizes      — near-dup component size histogram
+- time_to_second_order       — activation gap median/p90 by segment
+- event_value_percentiles    — cent-resolution p50/p95/p99 by event type
 
 Conventions as the rest of the registry: exact integer/DECIMAL arithmetic
 on both engines (cents / e-4-dollar units, integral ``div`` / ``//``,
@@ -377,12 +384,13 @@ ORACLE_SQL["brand_margin_depth"] = SQL_BRAND_MARGIN_DEPTH
 # ---------------------------------------------------------------------------
 
 def q_doc_mean_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakeforge.cache import persist_tracked
-
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = persist_tracked(
-        d.select("doc_id", F.explode(tokens_col("text")).alias("w"))
-    )
+    # NOT persisted: the exploded token frame is corpus-sized (~8x the
+    # text bytes) — caching it would spill ~the corpus at 100 TB.  The
+    # vocab aggregate and the per-doc join each re-derive it from the
+    # columnar scan instead (the same re-scan-beats-spill call as the
+    # SQ8 error audit); only the vocab-sized aggregate ever shuffles.
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("w"))
     vocab = toks.groupBy("w").agg(
         F.count(F.lit(1)).cast("bigint").alias("cw")
     )
@@ -1698,3 +1706,287 @@ FROM cells
 
 QUERIES["ivf_cell_balance"] = q_ivf_cell_balance
 ORACLE_SQL["ivf_cell_balance"] = _sql_ivf_cell_balance()
+
+
+# ===========================================================================
+# Wave 6
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: the classic revenue triangle — customers grouped by
+# first-order year, cumulative revenue per cohort at each age.  The
+# first-order year is one keyed aggregate (orders-per-customer is
+# SF-invariant); the curve's cumulative window runs over the
+# calendar-bounded (cohort, age) cell table, never over fact rows.
+# ---------------------------------------------------------------------------
+
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("o_year").alias("cohort_year"))
+    cells = (
+        o.join(first, "o_custkey")
+        .groupBy("cohort_year", (F.col("o_year") - F.col("cohort_year")).alias("age"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("__rev"),
+        )
+    )
+    w_cum = Window.partitionBy("cohort_year").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cells.select(
+        "cohort_year",
+        F.col("age").cast("int").alias("age"),
+        "n_orders",
+        F.sum("__rev").over(w_cum).cast("bigint").alias("cum_rev_cents"),
+    )
+
+
+SQL_COHORT_LTV_CURVE = """
+WITH o AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+first_yr AS (SELECT o_custkey, MIN(o_year) AS cohort_year FROM o GROUP BY o_custkey),
+cells AS (
+  SELECT f.cohort_year, o.o_year - f.cohort_year AS age,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o.cents AS HUGEINT)) AS HUGEINT) AS rev
+  FROM o JOIN first_yr f USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT cohort_year, CAST(age AS INTEGER) AS age, n_orders,
+       CAST(SUM(rev) OVER (PARTITION BY cohort_year ORDER BY age
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+FROM cells
+"""
+
+QUERIES["cohort_ltv_curve"] = q_cohort_ltv_curve
+ORACLE_SQL["cohort_ltv_curve"] = SQL_COHORT_LTV_CURVE
+
+
+# ---------------------------------------------------------------------------
+# IVF recall-vs-nprobe curve: the tuning table every IVF deployment
+# reads — overall recall@k at nprobe = 1 / 2 / 4 against the exact
+# top-k, in one bounded report.  Scale note: the exact side is the
+# expensive one (O(Q x N)) and runs on the fixed 20-query probe set;
+# each nprobe branch prunes the corpus to ~nprobe/n_cells of its cells
+# exactly as the production index would.
+# ---------------------------------------------------------------------------
+
+_CURVE_NPROBES = (1, 2, 4)
+
+
+def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.similarity import ivf_topk
+    from lakeforge.workload_llm import (
+        _IVF_CELLS,
+        _N_QUERIES,
+        _TOPK,
+        q_embedding_cosine_topk,
+    )
+
+    from lakeforge.cache import persist_tracked
+
+    # The exact top-k is the expensive side (O(Q x N)) and all three
+    # nprobe branches reference it: persist the bounded Q x k artifact.
+    exact = persist_tracked(
+        q_embedding_cosine_topk(spark, sf_dir).select(
+            "query_id", F.col("neighbor_id").alias("e_nb")
+        )
+    )
+    out = None
+    for np_ in _CURVE_NPROBES:
+        approx = ivf_topk(
+            _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+            n_cells=_IVF_CELLS, nprobe=np_, n_queries=_N_QUERIES, k=_TOPK,
+        ).select("query_id", F.col("neighbor_id").alias("a_nb"))
+        hits = (
+            exact.join(
+                approx,
+                (exact.query_id == approx.query_id)
+                & (F.col("e_nb") == F.col("a_nb")),
+                "left",
+            )
+            .agg(
+                F.count("a_nb").cast("bigint").alias("n_hits"),
+                F.count(F.lit(1)).cast("bigint").alias("__n"),
+            )
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "n_hits",
+                F.expr("CAST(n_hits * 1000 div __n AS BIGINT)")
+                .alias("recall_permille"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
+def _sql_ivf_recall_curve() -> str:
+    from lakeforge.workload_llm import SQL_EMBEDDING_COSINE_TOPK, _sql_ivf_topk
+
+    blocks = []
+    for np_ in _CURVE_NPROBES:
+        blocks.append(f"""
+SELECT CAST({np_} AS INTEGER) AS nprobe,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(a.neighbor_id) * 1000 // COUNT(*) AS BIGINT) AS recall_permille
+FROM (SELECT query_id, neighbor_id
+      FROM ({SQL_EMBEDDING_COSINE_TOPK}) _e{np_}) e
+LEFT JOIN (SELECT query_id, neighbor_id
+           FROM ({_sql_ivf_topk(np_)}) _a{np_}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+QUERIES["ivf_recall_curve"] = q_ivf_recall_curve
+ORACLE_SQL["ivf_recall_curve"] = _sql_ivf_recall_curve()
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster-size histogram: the shape of the duplicate graph the
+# LSH pipeline finds — a few big clusters means boilerplate families,
+# many pairs means mutation chains.  Rolls up the SAME connected
+# components neardup_clusters emits; output is bounded by the largest
+# cluster.
+# ---------------------------------------------------------------------------
+
+def q_neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.workload_llm import q_neardup_clusters
+
+    clusters = q_neardup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+    )
+
+
+def _sql_neardup_cluster_sizes() -> str:
+    from lakeforge.workload_llm import _sql_neardup_clusters
+
+    return f"""
+WITH clusters AS ({_sql_neardup_clusters()}),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+  FROM clusters GROUP BY cluster_id
+)
+SELECT sz AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM sizes GROUP BY sz
+"""
+
+
+QUERIES["neardup_cluster_sizes"] = q_neardup_cluster_sizes
+ORACLE_SQL["neardup_cluster_sizes"] = _sql_neardup_cluster_sizes()
+
+
+# ---------------------------------------------------------------------------
+# Time to second order: days between a customer's first and second order
+# — the activation metric growth teams watch — as exact median/p90 per
+# market segment via the bounded-domain histogram percentile (the gap
+# domain is calendar-bounded).
+# ---------------------------------------------------------------------------
+
+def q_time_to_second_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.ops.percentile import bounded_domain_percentiles
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    ranked = o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    first = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("od").alias("d1")
+    )
+    second = ranked.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("od").alias("d2")
+    )
+    gaps = first.join(second, "o_custkey").select(
+        "o_custkey", F.datediff("d2", "d1").cast("bigint").alias("gap_days")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = gaps.join(c, gaps.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "gap_days"
+    )
+    return bounded_domain_percentiles(
+        seg, ["c_mktsegment"], "gap_days",
+        [(50, "median_days"), (90, "p90_days")],
+    )
+
+
+def _sql_time_to_second_order() -> str:
+    from lakeforge.ops.percentile import duckdb_percentile_sql
+
+    src = """
+  SELECT c.c_mktsegment,
+         CAST(date_diff('day', g.d1, g.d2) AS BIGINT) AS gap_days
+  FROM (
+    SELECT o_custkey,
+           MIN(CASE WHEN rn = 1 THEN od END) AS d1,
+           MIN(CASE WHEN rn = 2 THEN od END) AS d2
+    FROM (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+                 row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 2 GROUP BY o_custkey) g
+  JOIN customer c ON g.o_custkey = c.c_custkey
+  WHERE g.d2 IS NOT NULL
+"""
+    return duckdb_percentile_sql(
+        src, ["c_mktsegment"], "gap_days",
+        [(50, "median_days"), (90, "p90_days")],
+    )
+
+
+QUERIES["time_to_second_order"] = q_time_to_second_order
+ORACLE_SQL["time_to_second_order"] = _sql_time_to_second_order()
+
+
+# ---------------------------------------------------------------------------
+# Event-value percentiles by type: p50/p95/p99 of the event's value at
+# cent resolution — the value domain becomes a bounded integer grid
+# (~10k cells), so the same counting-histogram percentile applies to a
+# DOUBLE column the moment a fixed resolution is chosen.  events ride
+# the dtype-adaptive read_events.
+# ---------------------------------------------------------------------------
+
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.io.sources import read_events
+    from lakeforge.ops.percentile import bounded_domain_percentiles
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    return bounded_domain_percentiles(
+        ev, ["event_type"], "value_cents",
+        [(50, "p50_cents"), (95, "p95_cents"), (99, "p99_cents")],
+    )
+
+
+def _sql_event_value_percentiles() -> str:
+    from lakeforge.ops.percentile import duckdb_percentile_sql
+
+    src = """
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+"""
+    return duckdb_percentile_sql(
+        src, ["event_type"], "value_cents",
+        [(50, "p50_cents"), (95, "p95_cents"), (99, "p99_cents")],
+    )
+
+
+QUERIES["event_value_percentiles"] = q_event_value_percentiles
+ORACLE_SQL["event_value_percentiles"] = _sql_event_value_percentiles()

@@ -326,3 +326,57 @@ def test_ivf_cell_balance_partitions_vectors(spark):
     assert sum(r.n_vectors for r in rows) == n_vec
     tot_bps = sum(r.share_bps for r in rows)
     assert 10_000 - len(rows) <= tot_bps <= 10_000
+
+
+# -- wave 6 -----------------------------------------------------------------
+
+
+def test_cohort_ltv_monotone_cumulative(spark):
+    rows = w.q_cohort_ltv_curve(spark, SF_DIR).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_year, []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda x: x.age)
+        assert rs[0].age == 0, cohort  # first year IS the cohort year
+        for a, b in zip(rs, rs[1:]):
+            assert b.cum_rev_cents >= a.cum_rev_cents
+
+
+def test_ivf_recall_curve_monotone_in_nprobe(spark):
+    """More probed cells can only add candidates: recall is
+    non-decreasing in nprobe."""
+    rows = sorted(
+        w.q_ivf_recall_curve(spark, SF_DIR).collect(), key=lambda r: r.nprobe
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_hits >= a.n_hits
+        assert b.recall_permille >= a.recall_permille
+    assert rows[-1].recall_permille <= 1000
+
+
+def test_neardup_cluster_sizes_cover_clustered_docs(spark):
+    from lakeforge.workload_llm import q_neardup_clusters
+
+    hist = w.q_neardup_cluster_sizes(spark, SF_DIR).collect()
+    n_clustered = q_neardup_clusters(spark, SF_DIR).count()
+    assert sum(r.n_docs for r in hist) == n_clustered
+    for r in hist:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.cluster_size >= 2  # components come from pairs
+
+
+def test_time_to_second_order_bounds(spark):
+    rows = w.q_time_to_second_order(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.median_days <= r.p90_days
+        assert r.n_rows > 0
+
+
+def test_event_value_percentile_ordering(spark):
+    rows = w.q_event_value_percentiles(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_cents <= r.p95_cents <= r.p99_cents

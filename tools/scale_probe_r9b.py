@@ -55,10 +55,10 @@ OPS = [
 ]
 
 WHY = [
-    "- `doc_mean_token_rarity`: one tokenize pass persisted; the vocab "
-    "join is an equi-join on the word whose build side is vocab-sized "
-    "(sub-linear in corpus tokens), and the corpus total is a broadcast "
-    "1-row scalar.",
+    "- `doc_mean_token_rarity`: the exploded token frame is NOT "
+    "persisted (caching it would spill ~the corpus); vocab aggregate "
+    "and per-doc join each re-derive it from the columnar scan, and "
+    "the join's build side is vocab-sized with a broadcast 1-row total.",
     "- `token_branching_factor`: consecutive pairs are row-local; pairs "
     "reduce to DISTINCT (w1, w2) — vocab-bounded-ish — before the "
     "successor count, so the heavy exchange carries bigram TYPES, not "
@@ -117,6 +117,9 @@ def make_tpch(spark, n_li: int, out_dir: str) -> None:
         (F.col("id") % 50 + 1).cast("double").alias("l_quantity"),
         (((F.col("id") * 7919) % 900000) / 100.0 + 1.0).alias("l_extendedprice"),
         ((F.col("id") % 11) / 100.0).alias("l_discount"),
+        F.to_timestamp(
+            F.date_add(F.lit("1995-01-01").cast("date"), (F.col("id") % 850).cast("int"))
+        ).alias("l_shipdate"),
     ).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
     spark.range(1, n_ord + 1).select(
         F.col("id").alias("o_orderkey"),
@@ -125,6 +128,9 @@ def make_tpch(spark, n_li: int, out_dir: str) -> None:
             F.date_add(F.lit("1995-01-01").cast("date"), (F.col("id") % 730).cast("int"))
         ).alias("o_orderdate"),
         (((F.col("id") * 104729) % 49000000) / 100.0 + 1000.0).alias("o_totalprice"),
+        F.concat(F.lit("P"), (F.col("id") % 5 + 1).cast("string")).alias(
+            "o_orderpriority"
+        ),
     ).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
     names = ["red widget", "blue bolt", "hot gear", "small ring", "red gizmo"]
     spark.range(1, n_part + 1).select(
