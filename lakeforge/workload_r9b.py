@@ -1,4 +1,4 @@
-"""Round-9 wave-3/4/5/6 operators: thirty-one new oracle-paired families.
+"""Round-9 wave-3..7 operators: thirty-five new oracle-paired families.
 
 Wave 3:
 - part_profit_trend          — Q9-shaped supplier-nation × year profit
@@ -38,6 +38,12 @@ Wave 6:
 - neardup_cluster_sizes      — near-dup component size histogram
 - time_to_second_order       — activation gap median/p90 by segment
 - event_value_percentiles    — cent-resolution p50/p95/p99 by event type
+
+Wave 7:
+- lateral_topk_customers     — correlated LATERAL ORDER BY/LIMIT top-k
+- region_nation_share        — percent-of-parent hierarchy shares
+- events_position_attribution — U-shaped 40/20/40 multi-touch credit
+- jaccard_threshold_sweep    — dedup-threshold admission tuning table
 
 Conventions as the rest of the registry: exact integer/DECIMAL arithmetic
 on both engines (cents / e-4-dollar units, integral ``div`` / ``//``,
@@ -1990,3 +1996,278 @@ def _sql_event_value_percentiles() -> str:
 
 QUERIES["event_value_percentiles"] = q_event_value_percentiles
 ORACLE_SQL["event_value_percentiles"] = _sql_event_value_percentiles()
+
+
+# ===========================================================================
+# Wave 7
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL top-k: the two highest-balance customers per nation
+# via a lateral subquery with correlated ORDER BY ... LIMIT — the SQL
+# engine surface (Spark 4 lateral correlated subquery) next to the
+# window-function formulation rank_orders_top3 demonstrates.  Catalyst
+# rewrites the lateral limit into a per-nation top-k; customer stays
+# UNHINTED.
+# ---------------------------------------------------------------------------
+
+def q_lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__r9b_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__r9b_customer")
+    return spark.sql("""
+      SELECT n.n_name, t.c_name, t.acctbal_cents
+      FROM __r9b_nation n, LATERAL (
+        SELECT c_name,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM __r9b_customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+      ) t
+    """)
+
+
+SQL_LATERAL_TOPK_CUSTOMERS = """
+SELECT n.n_name, t.c_name, t.acctbal_cents
+FROM nation n, LATERAL (
+  SELECT c_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+) t
+"""
+
+QUERIES["lateral_topk_customers"] = q_lateral_topk_customers
+ORACLE_SQL["lateral_topk_customers"] = SQL_LATERAL_TOPK_CUSTOMERS
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent hierarchy shares: each nation's revenue share within
+# its REGION (bps) and each region's share of the total — the drill-down
+# companion to rollup_revenue's subtotals.  One fact aggregate to 25
+# nation cells; both share levels are windows over that bounded frame.
+# ---------------------------------------------------------------------------
+
+def q_region_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).cast("decimal(38,0)").alias("rev_e4"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cells = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("rev_e4").alias("rev"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cells.select(
+        "r_name", "n_name",
+        F.col("rev").cast("bigint").alias("rev_e4"),
+        F.expr(
+            "CAST(rev * 10000 div SUM(rev) OVER (PARTITION BY r_name)"
+            " AS BIGINT)"
+        ).alias("share_of_region_bps"),
+        (F.col("rev") * 10000).alias("__r4"),
+    ).withColumn(
+        "__tot", F.sum("rev_e4").over(w_all).cast("decimal(38,0)")
+    ).select(
+        "r_name", "n_name", "rev_e4", "share_of_region_bps",
+        F.expr("CAST(__r4 div __tot AS BIGINT)").alias("share_of_total_bps"),
+    )
+
+
+SQL_REGION_NATION_SHARE = """
+WITH cells AS (
+  SELECT r.r_name, n.n_name,
+         CAST(SUM(CAST(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                  AS HUGEINT)) AS HUGEINT) AS rev
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name,
+       CAST(rev AS BIGINT) AS rev_e4,
+       CAST(rev * 10000 // SUM(rev) OVER (PARTITION BY r_name) AS BIGINT)
+           AS share_of_region_bps,
+       CAST(rev * 10000 // SUM(rev) OVER () AS BIGINT) AS share_of_total_bps
+FROM cells
+"""
+
+QUERIES["region_nation_share"] = q_region_nation_share
+ORACLE_SQL["region_nation_share"] = SQL_REGION_NATION_SHARE
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped 40/20/40) multi-touch attribution: next to the
+# LINEAR split multitouch_attribution demonstrates, the industry's other
+# standard scheme — 400 permille to the FIRST touch, 400 to the LAST,
+# 200 split across the middles, integer remainders assigned
+# deterministically (to the last touch) so every purchase's credit sums
+# to exactly 1000 on both engines.  Same bounded interval join (shuffle
+# by user, fan-out bounded by the 30-minute window); per-purchase
+# windows are keyed by purchase.
+# ---------------------------------------------------------------------------
+
+def q_events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.io.sources import read_events
+
+    ev = read_events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    pairs = v.join(
+        p,
+        (v["user_id"] == p["p_user_id"])
+        & (p["purchase_ts"] >= v["view_ts"])
+        & (p["purchase_ts"] <= v["view_ts"] + F.expr("INTERVAL 30 MINUTES")),
+    )
+    w = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy("view_ts", "view_id")
+    credited = pairs.select(
+        "view_id", "view_ts", "purchase_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+    ).withColumn(
+        "credit",
+        F.expr(
+            "CASE WHEN n = 1 THEN 1000 "
+            "WHEN n = 2 THEN 500 "
+            "WHEN rn = 1 THEN 400 "
+            # last touch: 400 + whatever 200 div (n-2) truncation left over
+            "WHEN rn = n THEN 400 + (200 - (200 div (n - 2)) * (n - 2)) "
+            "ELSE 200 div (n - 2) END"
+        ).cast("bigint"),
+    )
+    return credited.groupBy(F.hour("view_ts").alias("view_hour")).agg(
+        F.sum("credit").cast("bigint").alias("credit_permille"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+    )
+
+
+SQL_EVENTS_POSITION_ATTRIBUTION = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT v.view_id, v.view_ts, p.purchase_id
+  FROM v JOIN p
+    ON v.user_id = p.p_user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+),
+credited AS (
+  SELECT view_id, view_ts,
+         CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n,
+         CAST(row_number() OVER (PARTITION BY purchase_id
+                                 ORDER BY view_ts, view_id) AS BIGINT) AS rn
+  FROM pairs
+)
+SELECT CAST(hour(view_ts) AS INTEGER) AS view_hour,
+       CAST(SUM(CASE WHEN n = 1 THEN 1000
+                     WHEN n = 2 THEN 500
+                     WHEN rn = 1 THEN 400
+                     WHEN rn = n THEN 400 + (200 - (200 // (n - 2)) * (n - 2))
+                     ELSE 200 // (n - 2) END) AS BIGINT) AS credit_permille,
+       CAST(count(*) AS BIGINT) AS n_touches
+FROM credited GROUP BY 1
+"""
+
+QUERIES["events_position_attribution"] = q_events_position_attribution
+ORACLE_SQL["events_position_attribution"] = SQL_EVENTS_POSITION_ATTRIBUTION
+
+
+# ---------------------------------------------------------------------------
+# Jaccard threshold sweep: how many near-dup pairs (and docs) a dedup at
+# permille threshold 300/500/700/900 would admit — the tuning table read
+# BEFORE committing a threshold, from ONE pass over the candidate pairs
+# (conditional aggregates + a 4-row stack; no per-threshold rescan).
+# ---------------------------------------------------------------------------
+
+_SWEEP_TS = (300, 500, 700, 900)
+
+
+def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(
+        _neardup_corpus(spark, sf_dir), "text", "doc_id",
+        shingle_n=3, df_cap=50, min_permille=300,
+    )
+    ex = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("id"),
+        F.col("jaccard_permille").alias("j"),
+    )
+    aggs = []
+    for t in _SWEEP_TS:
+        aggs.append(
+            (F.sum(F.when(F.col("j") >= t, 1).otherwise(0)) / 2)
+            .cast("bigint").alias(f"__p{t}")
+        )
+        aggs.append(
+            F.count_distinct(F.when(F.col("j") >= t, F.col("id")))
+            .cast("bigint").alias(f"__d{t}")
+        )
+    one = ex.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({t} AS BIGINT), __p{t}, __d{t}" for t in _SWEEP_TS
+    )
+    return one.selectExpr(
+        f"stack({len(_SWEEP_TS)}, {stack})"
+        " AS (threshold_permille, n_pairs, n_docs)"
+    )
+
+
+def _sql_jaccard_threshold_sweep() -> str:
+    blocks = []
+    for t in _SWEEP_TS:
+        blocks.append(f"""
+SELECT CAST({t} AS BIGINT) AS threshold_permille,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+FROM (SELECT doc_a, doc_b, jaccard_permille,
+             unnest([doc_a, doc_b]) AS id FROM pairs) _x{t}
+WHERE jaccard_permille >= {t}""")
+    # count(*) counts exploded halves: halve it for pair count
+    blocks = [
+        b.replace("CAST(count(*) AS BIGINT) AS n_pairs",
+                  "CAST(count(*) // 2 AS BIGINT) AS n_pairs")
+        for b in blocks
+    ]
+    return (
+        f"WITH pairs AS ({SQL_NGRAM_JACCARD_PAIRS_300})\n"
+        + "\nUNION ALL\n".join(blocks)
+    )
+
+
+# the 300-permille-floor pair SQL (same constants as the Spark call above)
+from lakeforge.workload_llm import SQL_NGRAM_JACCARD_PAIRS as _SQL_NJP  # noqa: E402
+
+SQL_NGRAM_JACCARD_PAIRS_300 = _SQL_NJP
+
+QUERIES["jaccard_threshold_sweep"] = q_jaccard_threshold_sweep
+ORACLE_SQL["jaccard_threshold_sweep"] = _sql_jaccard_threshold_sweep()

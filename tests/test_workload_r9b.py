@@ -380,3 +380,75 @@ def test_event_value_percentile_ordering(spark):
     assert rows
     for r in rows:
         assert r.p50_cents <= r.p95_cents <= r.p99_cents
+
+
+# -- wave 7 -----------------------------------------------------------------
+
+
+def test_lateral_topk_two_per_nation(spark):
+    rows = w.q_lateral_topk_customers(spark, SF_DIR).collect()
+    by_nation: dict = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, []).append(r.acctbal_cents)
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    per_nation = dict(
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name").count().collect()
+    )
+    for nation, bals in by_nation.items():
+        assert len(bals) == min(2, per_nation[nation])
+        assert bals == sorted(bals, reverse=True)
+
+
+def test_region_nation_shares_sum(spark):
+    rows = w.q_region_nation_share(spark, SF_DIR).collect()
+    by_region: dict = {}
+    total_bps = 0
+    for r in rows:
+        by_region.setdefault(r.r_name, 0)
+        by_region[r.r_name] += r.share_of_region_bps
+        total_bps += r.share_of_total_bps
+    for region, tot in by_region.items():
+        assert 10_000 - 10 <= tot <= 10_000, region  # integral truncation
+    assert 10_000 - len(rows) <= total_bps <= 10_000
+
+
+def test_position_attribution_conserves_credit(spark):
+    """Every attributed purchase carries exactly 1000 permille."""
+    from lakeforge.io.sources import read_events
+    from pyspark.sql import functions as FF
+
+    rows = w.q_events_position_attribution(spark, SF_DIR).collect()
+    total_credit = sum(r.credit_permille for r in rows)
+    ev = read_events(spark, SF_DIR)
+    v = ev.filter(FF.col("event_type") == "view").select(
+        FF.col("user_id").alias("vu"), FF.col("ts").alias("vt")
+    )
+    p = ev.filter(FF.col("event_type") == "purchase").select(
+        FF.col("event_id").alias("pid"),
+        FF.col("user_id").alias("pu"), FF.col("ts").alias("pt"),
+    )
+    attributed = (
+        v.join(
+            p,
+            (FF.col("vu") == FF.col("pu"))
+            & (FF.col("pt") >= FF.col("vt"))
+            & (FF.col("pt") <= FF.col("vt") + FF.expr("INTERVAL 30 MINUTES")),
+        )
+        .select("pid").distinct().count()
+    )
+    assert total_credit == attributed * 1000
+
+
+def test_jaccard_sweep_monotone(spark):
+    rows = sorted(
+        w.q_jaccard_threshold_sweep(spark, SF_DIR).collect(),
+        key=lambda r: r.threshold_permille,
+    )
+    assert [r.threshold_permille for r in rows] == [300, 500, 700, 900]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_pairs <= a.n_pairs
+        assert b.n_docs <= a.n_docs
+    for r in rows:
+        assert r.n_docs <= 2 * r.n_pairs
