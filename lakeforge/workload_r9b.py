@@ -2225,8 +2225,10 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = []
     for t in _SWEEP_TS:
         aggs.append(
-            (F.sum(F.when(F.col("j") >= t, 1).otherwise(0)) / 2)
-            .cast("bigint").alias(f"__p{t}")
+            F.expr(
+                f"CAST(SUM(CASE WHEN j >= {t} THEN 1 ELSE 0 END)"
+                " div 2 AS BIGINT)"
+            ).alias(f"__p{t}")
         )
         aggs.append(
             F.count_distinct(F.when(F.col("j") >= t, F.col("id")))

@@ -58,6 +58,7 @@ for _q in (
     "embedding_cosine_topk", "hard_negatives", "ivf_topk",
     "ivf_recall_at_k", "ivfpq_recall_at_k", "pq_recall_at_k",
     "sq8_recall_at_k", "matryoshka_recall", "rrf_hybrid_search",
+    "ivf_recall_curve",  # r9 wave 6: same ivf_topk query side, x3 nprobes
 ):
     HINT_EXCEPTIONS[_q] = _QUERY_SIDE
 
