@@ -1,4 +1,4 @@
-"""Round-9 wave-3..7 operators: thirty-five new oracle-paired families.
+"""Round-9 wave-3..8 operators: thirty-nine new oracle-paired families.
 
 Wave 3:
 - part_profit_trend          — Q9-shaped supplier-nation × year profit
@@ -44,6 +44,12 @@ Wave 7:
 - region_nation_share        — percent-of-parent hierarchy shares
 - events_position_attribution — U-shaped 40/20/40 multi-touch credit
 - jaccard_threshold_sweep    — dedup-threshold admission tuning table
+
+Wave 8 (data-quality / audit family):
+- order_total_reconciliation — header-vs-lines conformance per year
+- duplicate_order_audit      — double-charge screen (injected twins)
+- basket_size_by_segment     — lines-per-order grid by segment
+- seasonal_index_by_segment  — month-of-year revenue index (ppm)
 
 Conventions as the rest of the registry: exact integer/DECIMAL arithmetic
 on both engines (cents / e-4-dollar units, integral ``div`` / ``//``,
@@ -2273,3 +2279,262 @@ SQL_NGRAM_JACCARD_PAIRS_300 = _SQL_NJP
 
 QUERIES["jaccard_threshold_sweep"] = q_jaccard_threshold_sweep
 ORACLE_SQL["jaccard_threshold_sweep"] = _sql_jaccard_threshold_sweep()
+
+
+# ===========================================================================
+# Wave 8
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Header-vs-lines reconciliation: does o_totalprice equal the sum of its
+# lines' extendedprice x (1-discount) x (1+tax)?  The classic
+# cross-table conformance audit (TPC-H constructs the header FROM the
+# lines, so drift here means ingestion corruption).  All money math is
+# exact DECIMAL on both engines, so match/mismatch classification is
+# deterministic; one fact-fact equi-join on the order key (zero-shuffle
+# under the prescribed bucketing), one calendar-bounded roll-up.
+# ---------------------------------------------------------------------------
+
+def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            * (F.lit(1).cast("decimal(18,2)") + F.col("l_tax").cast("decimal(18,2)"))
+        ).alias("line_val"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("line_val").cast("decimal(38,6)").alias("lines_total")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(38,6)")
+        .alias("header_total"),
+    )
+    j = o.join(per_order, o.o_orderkey == per_order.l_orderkey, "left").select(
+        "o_year",
+        F.when(F.col("lines_total").isNull(), F.lit("no_lines"))
+        .when(F.col("header_total") == F.col("lines_total"), F.lit("exact"))
+        .when(F.col("header_total") > F.col("lines_total"), F.lit("header_higher"))
+        .otherwise(F.lit("lines_higher"))
+        .alias("status"),
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.col("status") == "exact", 1).otherwise(0))
+            .cast("bigint").alias("n_exact"),
+            F.sum(F.when(F.col("status") == "header_higher", 1).otherwise(0))
+            .cast("bigint").alias("n_header_higher"),
+            F.sum(F.when(F.col("status") == "lines_higher", 1).otherwise(0))
+            .cast("bigint").alias("n_lines_higher"),
+            F.sum(F.when(F.col("status") == "no_lines", 1).otherwise(0))
+            .cast("bigint").alias("n_no_lines"),
+        )
+        .withColumn(
+            "match_ppm",
+            F.expr("CAST(n_exact * 1000000 div n_orders AS BIGINT)"),
+        )
+    )
+
+
+SQL_ORDER_TOTAL_RECONCILIATION = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                  * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
+              AS DECIMAL(38,6)) AS lines_total
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         CASE WHEN p.lines_total IS NULL THEN 'no_lines'
+              WHEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,6))
+                   = p.lines_total THEN 'exact'
+              WHEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,6))
+                   > p.lines_total THEN 'header_higher'
+              ELSE 'lines_higher' END AS status
+  FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+)
+SELECT o_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN status = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN status = 'header_higher' THEN 1 ELSE 0 END) AS BIGINT) AS n_header_higher,
+       CAST(SUM(CASE WHEN status = 'lines_higher' THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_higher,
+       CAST(SUM(CASE WHEN status = 'no_lines' THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+       CAST(SUM(CASE WHEN status = 'exact' THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS match_ppm
+FROM j GROUP BY o_year
+"""
+
+QUERIES["order_total_reconciliation"] = q_order_total_reconciliation
+ORACLE_SQL["order_total_reconciliation"] = SQL_ORDER_TOTAL_RECONCILIATION
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-payment style audit: two orders by the SAME customer for the
+# SAME cent amount within 7 days — the classic double-charge screen.
+# Blocking key is (customer, cents): the window runs inside those tiny
+# groups (orders-per-customer is SF-invariant, same-amount repeats are
+# rarer still), so no pair explosion exists anywhere.
+#
+# TPC-H-shaped data has no natural double-charges (order dates are
+# years apart per customer), so — exactly like the _EXACTDUP_CORPUS
+# convention for document dedup — every 97th order gets a deterministic
+# duplicate twin (orderkey + 10_000_000, same customer and amount,
+# +3 days), mirrored verbatim in the oracle: the audit must find
+# PRECISELY the injected twins and nothing else.
+# ---------------------------------------------------------------------------
+
+_DUP_WINDOW_DAYS = 7
+
+
+def _dup_orders_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    twins = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_custkey",
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "cents",
+        F.date_add("od", 3).alias("od"),
+    )
+    return o.unionByName(twins)
+
+
+def q_duplicate_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _dup_orders_corpus(spark, sf_dir)
+    w = Window.partitionBy("o_custkey", "cents").orderBy("od", "o_orderkey")
+    sus = (
+        o.withColumn("prev_od", F.lag("od").over(w))
+        .filter(
+            F.col("prev_od").isNotNull()
+            & (F.datediff("od", "prev_od") <= _DUP_WINDOW_DAYS)
+        )
+    )
+    return sus.groupBy(F.year("od").cast("int").alias("o_year")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suspect_pairs"),
+        F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+    )
+
+
+SQL_DUPLICATE_ORDER_AUDIT = f"""
+WITH corpus AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) AS od
+  FROM orders
+  UNION ALL
+  SELECT o_custkey, o_orderkey + 10000000,
+         CAST(round(o_totalprice * 100) AS BIGINT),
+         CAST(o_orderdate AS DATE) + INTERVAL 3 DAY
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+lagged AS (
+  SELECT o_custkey, od,
+         lag(od) OVER (PARTITION BY o_custkey, cents
+                       ORDER BY od, o_orderkey) AS prev_od
+  FROM corpus
+)
+SELECT CAST(year(od) AS INTEGER) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_suspect_pairs,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM lagged
+WHERE prev_od IS NOT NULL AND date_diff('day', prev_od, od) <= {_DUP_WINDOW_DAYS}
+GROUP BY 1
+"""
+
+QUERIES["duplicate_order_audit"] = q_duplicate_order_audit
+ORACLE_SQL["duplicate_order_audit"] = SQL_DUPLICATE_ORDER_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# Basket size by segment: the lines-per-order distribution per market
+# segment (schema-bounds the line count, so the output is a tiny grid).
+# Two keyed aggregates + one unhinted customer join — the Q13 shape one
+# level deeper (lines per order instead of orders per customer).
+# ---------------------------------------------------------------------------
+
+def q_basket_size_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(per_order, o.o_orderkey == per_order.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "n_lines")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+SQL_BASKET_SIZE_BY_SEGMENT = """
+WITH per_order AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT c.c_mktsegment, p.n_lines, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN per_order p ON o.o_orderkey = p.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment, p.n_lines
+"""
+
+QUERIES["basket_size_by_segment"] = q_basket_size_by_segment
+ORACLE_SQL["basket_size_by_segment"] = SQL_BASKET_SIZE_BY_SEGMENT
+
+
+# ---------------------------------------------------------------------------
+# Seasonal index by segment: each calendar month's revenue as ppm of the
+# segment's uniform-month expectation (sum x 12e6 / (total x months-
+# present)) — actually the standard index: month_rev * 12 * 1e6 div
+# segment_total.  One fact aggregate to a <= |segments| x 12 cell table;
+# the index division runs over that bounded frame.
+# ---------------------------------------------------------------------------
+
+def q_seasonal_index_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.month("o_orderdate").cast("int").alias("mon"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "mon")
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("rev"))
+    )
+    w_seg = Window.partitionBy("c_mktsegment")
+    return cells.withColumn(
+        "__tot", F.sum("rev").over(w_seg)
+    ).select(
+        "c_mktsegment", "mon",
+        F.col("rev").cast("bigint").alias("rev_cents"),
+        F.expr("CAST(rev * 12000000 div __tot AS BIGINT)").alias("index_ppm"),
+    )
+
+
+SQL_SEASONAL_INDEX_BY_SEGMENT = """
+WITH cells AS (
+  SELECT c.c_mktsegment, CAST(month(o.o_orderdate) AS INTEGER) AS mon,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, mon,
+       CAST(rev AS BIGINT) AS rev_cents,
+       CAST(rev * 12000000 // SUM(rev) OVER (PARTITION BY c_mktsegment)
+            AS BIGINT) AS index_ppm
+FROM cells
+"""
+
+QUERIES["seasonal_index_by_segment"] = q_seasonal_index_by_segment
+ORACLE_SQL["seasonal_index_by_segment"] = SQL_SEASONAL_INDEX_BY_SEGMENT

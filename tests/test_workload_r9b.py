@@ -452,3 +452,47 @@ def test_jaccard_sweep_monotone(spark):
         assert b.n_docs <= a.n_docs
     for r in rows:
         assert r.n_docs <= 2 * r.n_pairs
+
+
+# -- wave 8 -----------------------------------------------------------------
+
+
+def test_reconciliation_partitions_orders(spark):
+    rows = w.q_order_total_reconciliation(spark, SF_DIR).collect()
+    n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    for r in rows:
+        assert (
+            r.n_exact + r.n_header_higher + r.n_lines_higher + r.n_no_lines
+            == r.n_orders
+        )
+        assert 0 <= r.match_ppm <= 1_000_000
+
+
+def test_duplicate_audit_finds_exactly_injected_twins(spark):
+    """Each injected twin (every 97th orderkey, +3 days, same amount)
+    must pair with its original; no organic pairs exist in this data."""
+    rows = w.q_duplicate_order_audit(spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_twins = o.filter(F.col("o_orderkey") % 97 == 0).count()
+    assert sum(r.n_suspect_pairs for r in rows) == n_twins
+    for r in rows:
+        assert r.n_customers <= r.n_suspect_pairs
+
+
+def test_basket_sizes_cover_orders_with_lines(spark):
+    rows = w.q_basket_size_by_segment(spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n_orders_with_lines = li.select("l_orderkey").distinct().count()
+    assert sum(r.n_orders for r in rows) == n_orders_with_lines
+    assert sum(r.n_lines * r.n_orders for r in rows) == li.count()
+
+
+def test_seasonal_index_sums_to_12e6_per_segment(spark):
+    rows = w.q_seasonal_index_by_segment(spark, SF_DIR).collect()
+    by_seg: dict = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, 0)
+        by_seg[r.c_mktsegment] += r.index_ppm
+    for seg, tot in by_seg.items():
+        assert 12_000_000 - 12 <= tot <= 12_000_000, seg
