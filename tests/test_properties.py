@@ -879,3 +879,47 @@ def test_nearest_in_box_aligned_single_shot_matches_bruteforce(
     from lakeforge import cache
 
     cache.release_all()
+
+
+# ---------------------------------------------------------------------------
+# Bounded-domain histogram percentiles (ops/percentile.py) vs the naive
+# sorted-list type-1 definition.
+# ---------------------------------------------------------------------------
+
+_PCT_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),
+        st.integers(min_value=-5, max_value=30),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_PCT_ROWS)
+def test_bounded_domain_percentiles_match_naive(spark, rows):
+    import math
+
+    from lakeforge.ops.percentile import bounded_domain_percentiles
+
+    df = spark.createDataFrame(rows, ["g", "v"]).select(
+        "g", F.col("v").cast("bigint").alias("v")
+    )
+    out = {
+        r.g: r
+        for r in bounded_domain_percentiles(
+            df, ["g"], "v", [(50, "p50"), (90, "p90"), (100, "p100")]
+        ).collect()
+    }
+    by_g: dict[str, list[int]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        r = out[g]
+        assert r.n_rows == n
+        for pct, field in ((50, "p50"), (90, "p90"), (100, "p100")):
+            expect = vals[max(math.ceil(pct / 100 * n), 1) - 1]
+            assert getattr(r, field) == expect, (g, pct, vals)
