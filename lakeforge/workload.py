@@ -1621,9 +1621,15 @@ _PRIORITY_R8: list[str] = [
 #     (depth-vectorized fold, VERDICT r08 #6), plus the post-fe066ef
 #     fused RFM/ABC shapes and the rebuilt weighted median per the
 #     documented r9 queue (aa712e3);
-# (c) the eleven NEW r9 operators, in-window the round they ship;
-# (d) three cross-round canaries + heavy attested flagships filling the
-#     spare slots.
+# (c) the eleven NEW r9 wave-1/2 operators + the wave-2 trio + six
+#     wave-3..8 family flagships (blocked decile migration, token
+#     rarity, LSH bucket audit, bounded-domain percentile, IVF recall
+#     curve, header-vs-lines reconciliation), in-window the round they
+#     ship; the remaining r9b names carry local dual-SF evidence and
+#     queue for the r10 window;
+# (d) three cross-round canaries + re-attestations of implementations
+#     changed this round (rolling_7day rewrite, trade_edge_churn
+#     persist) filling the spare slots.
 _PRIORITY_R9: list[str] = [
     # --- open attestation items ---
     "corpus_budget_selection",
@@ -1669,18 +1675,20 @@ _PRIORITY_R9: list[str] = [
     "scd2_orders",
     "pagerank_trade",
     "docs_training_pipeline",
-    # --- attested heavy flagships keeping their slots warm ---
+    # --- NEW r9 wave-2 flagships (shipped this round) ---
     "lang_confusion_matrix",
     "docs_gate_funnel",
     "skipgram_pmi_pairs",
+    # --- re-attestation: implementations changed this round ---
     "rolling_7day_distinct_users",
-    "bigram_lift_collocations",
-    "embedding_cluster_separation",
-    "ivm_join_nation_revenue",
-    "fk_integrity_audit",
-    "shingle_containment_pairs",
-    "temporal_fact_resolve",
     "trade_edge_churn",
+    # --- NEW r9 wave-3..8 family flagships (shipped this round) ---
+    "customer_decile_migration",
+    "doc_mean_token_rarity",
+    "lsh_bucket_skew_audit",
+    "ship_lag_percentiles",
+    "ivf_recall_curve",
+    "order_total_reconciliation",
 ]
 
 PRIORITY: list[str] = _PRIORITY_R9
