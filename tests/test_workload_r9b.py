@@ -496,3 +496,25 @@ def test_seasonal_index_sums_to_12e6_per_segment(spark):
         by_seg[r.c_mktsegment] += r.index_ppm
     for seg, tot in by_seg.items():
         assert 12_000_000 - 12 <= tot <= 12_000_000, seg
+
+
+def test_lsh_band_buckets_shape_and_determinism(spark):
+    """Every doc lands in exactly `bands` rows; bucket hashes are
+    deterministic across invocations; keep_sig carries the signature the
+    pair scorer needs (the refactor shared by dedup join + audit)."""
+    from lakeforge.llm.dedup import lsh_band_buckets, minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sig = minhash_signatures(docs, "text", "doc_id", k=32, shingle_n=3)
+    b1 = lsh_band_buckets(sig, k=32, bands=8)
+    n_docs = docs.count()
+    assert b1.count() == n_docs * 8
+    per_doc = b1.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 8 for r in per_doc)
+    h1 = sorted(map(tuple, b1.collect()))
+    h2 = sorted(map(tuple, lsh_band_buckets(sig, k=32, bands=8).collect()))
+    assert h1 == h2
+    with_sig = lsh_band_buckets(sig, k=32, bands=8, keep_sig=True)
+    assert set(with_sig.columns) == {"doc_id", "sig", "band", "bh"}
