@@ -1691,7 +1691,75 @@ _PRIORITY_R9: list[str] = [
     "order_total_reconciliation",
 ]
 
-PRIORITY: list[str] = _PRIORITY_R9
+# Round-10 window (50 slots; generated against tools/attestation_ledger.py,
+# which folds all CORRECTNESS_r*.json — VERDICT r09 #1/#7):
+# (a) events_tier_mix LEADS: the only registry query whose sole driver row
+#     is a FAIL (r1 hash mismatch; implementation local-green since r2 but
+#     per the gate unproven until a driver round says so);
+# (b) the 33 never-attested r9b names (ledger-computed, not hand-listed —
+#     the hand-maintained README queue is replaced by
+#     docs/ATTESTATION_QUEUE.md, regenerated from the ledger);
+# (c) re-attestation of every implementation changed this round:
+#     corpus_budget_selection + customer_rfm_segments/customer_abc_classes
+#     (VERDICT #2/#3 perf rework), ivf_recall_curve (ADVICE #2 oracle CTE
+#     hoist), vocab_coverage_curve (VERDICT #6 probe outcome), and
+#     region_nation_share / lateral_topk_customers / simhash_hamming_
+#     histogram are already in (b);
+# (d) three cross-round canaries + the new r10 family flagships, in-window
+#     the round they ship.
+# Cumulative driver-green after this window: 334/334 pre-r10 names.
+_PRIORITY_R10: list[str] = [
+    # --- (a) the one standing driver FAIL ---
+    "events_tier_mix",
+    # --- (b) never-attested backlog, ledger order ---
+    "part_profit_trend",
+    "order_value_band_transitions",
+    "brand_margin_depth",
+    "dedup_impact_curve",
+    "dedup_survivor_quality_shift",
+    "tokenizer_fertility",
+    "sq8_reconstruction_error",
+    "share_of_wallet_concentration",
+    "nation_trade_balance",
+    "doc_prefix_redundancy",
+    "hapax_share_by_source",
+    "token_branching_factor",
+    "embedding_norm_profile",
+    "event_type_user_lift",
+    "order_priority_share_drift",
+    "customer_reactivation",
+    "embedding_centroid_drift",
+    "order_gap_percentiles",
+    "discount_depth_curve",
+    "length_quality_histogram",
+    "simhash_hamming_histogram",
+    "ivf_cell_balance",
+    "cohort_ltv_curve",
+    "neardup_cluster_sizes",
+    "time_to_second_order",
+    "event_value_percentiles",
+    "lateral_topk_customers",
+    "region_nation_share",
+    "events_position_attribution",
+    "jaccard_threshold_sweep",
+    "duplicate_order_audit",
+    "basket_size_by_segment",
+    "seasonal_index_by_segment",
+    # --- (c) re-attestations: implementations changed this round ---
+    "corpus_budget_selection",
+    "customer_rfm_segments",
+    "customer_abc_classes",
+    "ivf_recall_curve",
+    "vocab_coverage_curve",
+    # --- cross-round canaries ---
+    "scd2_orders",
+    "pagerank_trade",
+    "docs_training_pipeline",
+    # --- (d) NEW r10 operator flagships (appended by _extend_priority_r10
+    #     below as each ships; 8 slots reserved) ---
+]
+
+PRIORITY: list[str] = _PRIORITY_R10
 
 
 
