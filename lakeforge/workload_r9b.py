@@ -1841,6 +1841,10 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ivf_recall_curve() -> str:
+    # ADVICE r09 #2: the O(Q x N) exact top-k is hoisted into ONE shared
+    # CTE referenced by all three nprobe branches (mirroring the Spark
+    # side's persist of the same artifact) instead of being inlined —
+    # and so recomputed — once per branch.
     from lakeforge.workload_llm import SQL_EMBEDDING_COSINE_TOPK, _sql_ivf_topk
 
     blocks = []
@@ -1849,12 +1853,15 @@ def _sql_ivf_recall_curve() -> str:
 SELECT CAST({np_} AS INTEGER) AS nprobe,
        CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
        CAST(COUNT(a.neighbor_id) * 1000 // COUNT(*) AS BIGINT) AS recall_permille
-FROM (SELECT query_id, neighbor_id
-      FROM ({SQL_EMBEDDING_COSINE_TOPK}) _e{np_}) e
+FROM __exact e
 LEFT JOIN (SELECT query_id, neighbor_id
            FROM ({_sql_ivf_topk(np_)}) _a{np_}) a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id""")
-    return "\nUNION ALL\n".join(blocks)
+    union = "\nUNION ALL\n".join(blocks)
+    return (
+        f"WITH __exact AS (SELECT query_id, neighbor_id"
+        f" FROM ({SQL_EMBEDDING_COSINE_TOPK}) _e)\n{union}"
+    )
 
 
 QUERIES["ivf_recall_curve"] = q_ivf_recall_curve
@@ -2018,18 +2025,31 @@ ORACLE_SQL["event_value_percentiles"] = _sql_event_value_percentiles()
 # ---------------------------------------------------------------------------
 
 def q_lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "nation").createOrReplaceTempView("__r9b_nation")
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("__r9b_customer")
-    return spark.sql("""
-      SELECT n.n_name, t.c_name, t.acctbal_cents
-      FROM __r9b_nation n, LATERAL (
-        SELECT c_name,
-               CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
-        FROM __r9b_customer c
-        WHERE c.c_nationkey = n.n_nationkey
-        ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
-      ) t
-    """)
+    # ADVICE r09 #3: session-global fixed view names can race when one
+    # SparkSession is pointed at different sf_dirs (every other query in
+    # the registry is view-free).  Views are named per-sf_dir and dropped
+    # immediately: spark.sql() resolves them at ANALYSIS time, so the
+    # returned DataFrame's plan no longer references the catalog entries.
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    nview, cview = f"__r9b_nation_{tag}", f"__r9b_customer_{tag}"
+    _t(spark, sf_dir, "nation").createOrReplaceTempView(nview)
+    _t(spark, sf_dir, "customer").createOrReplaceTempView(cview)
+    try:
+        return spark.sql(f"""
+          SELECT n.n_name, t.c_name, t.acctbal_cents
+          FROM {nview} n, LATERAL (
+            SELECT c_name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+            FROM {cview} c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+          ) t
+        """)
+    finally:
+        spark.catalog.dropTempView(nview)
+        spark.catalog.dropTempView(cview)
 
 
 SQL_LATERAL_TOPK_CUSTOMERS = """
@@ -2076,8 +2096,13 @@ def q_region_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_region = Window.partitionBy("r_name")
     w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # ADVICE r09 #1: the all-nations total must be summed on the
+    # decimal(38,0) column — at the 100 TB target the global e-4 revenue
+    # total (~2e20) overflows int64 before any cast, diverging from the
+    # oracle's HUGEINT SUM(rev) OVER ().  Same convention as
+    # share_of_region_bps / discount_depth_curve.
     return cells.select(
-        "r_name", "n_name",
+        "r_name", "n_name", "rev",
         F.col("rev").cast("bigint").alias("rev_e4"),
         F.expr(
             "CAST(rev * 10000 div SUM(rev) OVER (PARTITION BY r_name)"
@@ -2085,7 +2110,7 @@ def q_region_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_of_region_bps"),
         (F.col("rev") * 10000).alias("__r4"),
     ).withColumn(
-        "__tot", F.sum("rev_e4").over(w_all).cast("decimal(38,0)")
+        "__tot", F.sum("rev").over(w_all)
     ).select(
         "r_name", "n_name", "rev_e4", "share_of_region_bps",
         F.expr("CAST(__r4 div __tot AS BIGINT)").alias("share_of_total_bps"),
