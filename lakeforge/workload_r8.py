@@ -1220,28 +1220,34 @@ def q_corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the budgeted-curation step of every pretraining data pipeline
     ("we can afford N tokens; take the best documents first").
 
-    Plan: per-doc stats are one explode + two aggregates (linear); the
-    global admission order (score DESC, doc_id) is the ROW-GRAIN
-    blocked cumulative from the RFM/ABC family — score is domain-
-    bounded (0..1000 permille), so 16-permille blocks give a <= 64-row
-    broadcast summary, the within-block running token sum rides a
-    block-partitioned window, and one explicit repartition exchange is
-    shared by the summary aggregate and the window (ReusedExchange).
-    No single-partition sort at any scale; the final rollup is
-    |sources|-sized."""
+    Plan (r10 rework, VERDICT r09 #2): per-doc stats are ROW-LOCAL —
+    token count and TTR are size(tokens) / size(array_distinct(tokens))
+    over the split column, so the r8 explode + two shuffled aggregates
+    (the measured 0.9s of the query's 1.5s) are gone and `source` rides
+    along, deleting the final doc_id re-join too.  The global admission
+    order (score DESC, doc_id) stays the ROW-GRAIN blocked cumulative
+    from the RFM/ABC family — score is domain-bounded (0..1000
+    permille), so 16-permille blocks give a <= 64-row broadcast summary,
+    the within-block running token sum rides a block-partitioned window,
+    and one explicit repartition exchange is shared by the summary
+    aggregate and the window (ReusedExchange).  No single-partition sort
+    at any scale; the final rollup is |sources|-sized."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    words = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " +")).alias("w")
-    ).filter(F.col("w") != "")
     per_doc = (
-        words.groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("bigint").alias("n_tokens"),
-            F.expr("CAST(count(*) * 1000 div sum(c) AS BIGINT)").alias(
-                "qscore"
-            ),
+        d.select(
+            "doc_id",
+            "source",
+            F.array_remove(F.split(F.col("text"), " +"), "").alias("__toks"),
+        )
+        .filter(F.size("__toks") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size("__toks").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "CAST(size(array_distinct(__toks)) * 1000"
+                " div size(__toks) AS BIGINT)"
+            ).alias("qscore"),
         )
         .withColumn("neg_q", -F.col("qscore"))
         .withColumn("__bk", F.expr("neg_q div 16"))
@@ -1268,10 +1274,8 @@ def q_corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_tok", F.col("__off") + F.sum("n_tokens").over(w_in))
         .filter(F.col("cum_tok") <= _BUDGET_TOKENS)
     )
-    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return (
-        admitted.join(src, "doc_id")
-        .groupBy("source")
+        admitted.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_selected"),
             F.sum("n_tokens").cast("bigint").alias("selected_tokens"),
