@@ -684,6 +684,7 @@ from lakeforge import (  # noqa: E402  (registered below)
     workload_r8,
     workload_r9,
     workload_r9b,
+    workload_r10,
     workload_rec,
     workload_rel,
     workload_stats,
@@ -756,6 +757,11 @@ QUERIES.update(workload_r9.QUERIES)
 ORACLE_SQL.update(workload_r9.ORACLE_SQL)
 QUERIES.update(workload_r9b.QUERIES)
 ORACLE_SQL.update(workload_r9b.ORACLE_SQL)
+QUERIES.update(workload_r10.QUERIES)
+ORACLE_SQL.update(workload_r10.ORACLE_SQL)
+# scd2_incremental_snapshot's oracle IS the full-rebuild SQL defined
+# above — registered here so the CTE isn't duplicated in the wave module.
+ORACLE_SQL["scd2_incremental_snapshot"] = workload_r10._sql_scd2_incremental()
 
 
 # ---------------------------------------------------------------------------
@@ -1755,8 +1761,12 @@ _PRIORITY_R10: list[str] = [
     "scd2_orders",
     "pagerank_trade",
     "docs_training_pipeline",
-    # --- (d) NEW r10 operator flagships (appended by _extend_priority_r10
-    #     below as each ships; 8 slots reserved) ---
+    # --- (d) NEW r10 operator flagships (in-window the round they ship) ---
+    "scd2_incremental_snapshot",
+    "merge_manifest_pruning",
+    "open_orders_month_grid",
+    "event_arrival_lateness",
+    "lineitem_compaction_plan",
 ]
 
 PRIORITY: list[str] = _PRIORITY_R10
