@@ -762,6 +762,7 @@ ORACLE_SQL.update(workload_r10.ORACLE_SQL)
 # scd2_incremental_snapshot's oracle IS the full-rebuild SQL defined
 # above — registered here so the CTE isn't duplicated in the wave module.
 ORACLE_SQL["scd2_incremental_snapshot"] = workload_r10._sql_scd2_incremental()
+ORACLE_SQL["knn_label_consistency"] = workload_r10._sql_knn_label_consistency()
 
 
 # ---------------------------------------------------------------------------
@@ -1767,6 +1768,9 @@ _PRIORITY_R10: list[str] = [
     "open_orders_month_grid",
     "event_arrival_lateness",
     "lineitem_compaction_plan",
+    "knn_label_consistency",
+    "events_props_variant",
+    "token_length_hist_by_lang",
 ]
 
 PRIORITY: list[str] = _PRIORITY_R10

@@ -446,3 +446,211 @@ FROM cells
 
 QUERIES["lineitem_compaction_plan"] = q_lineitem_compaction_plan
 ORACLE_SQL["lineitem_compaction_plan"] = SQL_LINEITEM_COMPACTION_PLAN
+
+
+# ---------------------------------------------------------------------------
+# kNN label consistency: retrieval evaluation against the embeddings
+# table's ground-truth labels — for the fixed probe query set, what
+# fraction of each query's exact top-k cosine neighbors share its label,
+# and does the majority vote classify it correctly?  The per-label
+# report is the eval table every embedding-space audit starts from.
+# Scale: rides the audited cosine_topk machinery (<= 20-query broadcast
+# side with runtime assert, corpus scanned once); the label joins key on
+# the Q x k candidate frame (bounded), and the rollup is |labels|-sized.
+# Majority-vote ties break deterministically on the smallest label.
+# ---------------------------------------------------------------------------
+
+
+def q_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.workload_llm import _TOPK, q_embedding_cosine_topk
+
+    topk = q_embedding_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    lab = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    j = (
+        topk.join(lab.withColumnRenamed("label", "q_label"),
+                  topk.query_id == lab.vec_id)
+        .drop("vec_id")
+        .join(
+            lab.withColumnRenamed("label", "n_label"),
+            F.col("neighbor_id") == lab.vec_id,
+        )
+        .drop("vec_id")
+    )
+    votes = j.groupBy("query_id", "q_label", "n_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.col("v").desc(), F.col("n_label").asc()
+    )
+    per_query = (
+        votes.withColumn("__r", F.row_number().over(w_vote))
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.sum(F.when(F.col("n_label") == F.col("q_label"), F.col("v"))
+                  .otherwise(0)).cast("bigint").alias("n_agree"),
+            F.max(F.when(F.col("__r") == 1, F.col("n_label"))).alias("vote"),
+        )
+    )
+    return per_query.groupBy(F.col("q_label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum(F.when(F.col("vote") == F.col("q_label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_vote_correct"),
+        F.expr(f"CAST(sum(n_agree) * 1000 div (count(*) * {_TOPK}) AS BIGINT)")
+        .alias("agreement_permille"),
+    )
+
+
+def _sql_knn_label_consistency() -> str:
+    from lakeforge.workload_llm import _TOPK, SQL_EMBEDDING_COSINE_TOPK
+
+    return f"""
+WITH topk AS (SELECT query_id, neighbor_id FROM ({SQL_EMBEDDING_COSINE_TOPK}) _t),
+lab AS (SELECT vec_id, label FROM embeddings),
+j AS (
+  SELECT t.query_id, ql.label AS q_label, nl.label AS n_label
+  FROM topk t
+  JOIN lab ql ON t.query_id = ql.vec_id
+  JOIN lab nl ON t.neighbor_id = nl.vec_id
+),
+votes AS (
+  SELECT query_id, q_label, n_label, CAST(count(*) AS BIGINT) AS v
+  FROM j GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY v DESC, n_label ASC) AS rr
+  FROM votes
+),
+per_query AS (
+  SELECT query_id, q_label,
+         CAST(SUM(CASE WHEN n_label = q_label THEN v ELSE 0 END) AS BIGINT)
+             AS n_agree,
+         MAX(CASE WHEN rr = 1 THEN n_label END) AS vote
+  FROM ranked GROUP BY 1, 2
+)
+SELECT CAST(q_label AS INTEGER) AS label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN vote = q_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_vote_correct,
+       CAST(SUM(n_agree) * 1000 // (count(*) * {_TOPK}) AS BIGINT)
+           AS agreement_permille
+FROM per_query GROUP BY 1
+"""
+
+
+QUERIES["knn_label_consistency"] = q_knn_label_consistency
+# oracle registered by workload.py (reuses workload_llm SQL at import time)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 VARIANT ingestion of the events props column: parse_json ->
+# variant_get typed extraction — the open-schema path for semi-
+# structured telemetry (vs the string-path get_json_object twin
+# events_json_extract demonstrates).  VARIANT's binary encoding is
+# parsed once; every later field access is an O(1) offset lookup, which
+# is what makes wide telemetry schemas affordable at 100 TB.  Rollup is
+# |event_type| x |k-band| bounded; all arithmetic integer.
+# ---------------------------------------------------------------------------
+
+
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.io.sources import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return (
+        ev.withColumn("k_band", F.expr("CAST(k div 25 AS INT)"))
+        .groupBy("event_type", "k_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_total"),
+            F.min("k").cast("bigint").alias("k_min"),
+            F.max("k").cast("bigint").alias("k_max"),
+        )
+    )
+
+
+SQL_EVENTS_PROPS_VARIANT = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(k // 25 AS INTEGER) AS k_band,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS k_total,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(MAX(k) AS BIGINT) AS k_max
+FROM ev GROUP BY 1, 2
+"""
+
+QUERIES["events_props_variant"] = q_events_props_variant
+ORACLE_SQL["events_props_variant"] = SQL_EVENTS_PROPS_VARIANT
+
+
+# ---------------------------------------------------------------------------
+# Token length histogram by language: the tokenizer-sizing table (how
+# much of each language's token mass is 1-2 chars vs long tails —
+# directly feeds byte-fallback and vocab-size decisions before a BPE
+# train).  Explode is followed immediately by a map-side-combinable
+# (lang, band) aggregate, so the exchange carries |langs| x 4 partials,
+# never tokens; the share window runs over that bounded grid.
+# ---------------------------------------------------------------------------
+
+
+def q_token_length_hist_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.text import tokens_col
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", tokens_col("text").alias("__toks")
+    )
+    toks = d.select("lang", F.explode("__toks").alias("tok"))
+    band = (
+        F.when(F.length("tok") <= 2, F.lit("len_1_2"))
+        .when(F.length("tok") <= 5, F.lit("len_3_5"))
+        .when(F.length("tok") <= 10, F.lit("len_6_10"))
+        .otherwise(F.lit("len_11_plus"))
+    )
+    cells = toks.groupBy("lang", band.alias("len_band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    w_lang = Window.partitionBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return cells.select(
+        "lang", "len_band", "n_tokens",
+        F.expr(
+            "CAST(n_tokens * 10000 div SUM(n_tokens)"
+            " OVER (PARTITION BY lang) AS BIGINT)"
+        ).alias("share_bps"),
+    )
+
+
+SQL_TOKEN_LENGTH_HIST_BY_LANG = """
+WITH toks AS (
+  SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  t -> t <> '')) AS tok
+  FROM documents
+),
+cells AS (
+  SELECT lang,
+         CASE WHEN len(tok) <= 2 THEN 'len_1_2'
+              WHEN len(tok) <= 5 THEN 'len_3_5'
+              WHEN len(tok) <= 10 THEN 'len_6_10'
+              ELSE 'len_11_plus' END AS len_band,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY 1, 2
+)
+SELECT lang, len_band, n_tokens,
+       CAST(n_tokens * 10000 // SUM(n_tokens) OVER (PARTITION BY lang)
+            AS BIGINT) AS share_bps
+FROM cells
+"""
+
+QUERIES["token_length_hist_by_lang"] = q_token_length_hist_by_lang
+ORACLE_SQL["token_length_hist_by_lang"] = SQL_TOKEN_LENGTH_HIST_BY_LANG

@@ -128,3 +128,43 @@ def test_compaction_plan_arithmetic(spark):
         expected_files = -(-r.est_bytes // w._TARGET_FILE_BYTES)
         assert r.target_files == expected_files
         assert r.small_partition == (r.est_bytes < w._TARGET_FILE_BYTES / 8)
+
+
+def test_knn_label_consistency_bounds(spark):
+    from lakeforge.workload_llm import _N_QUERIES
+
+    rows = w.q_knn_label_consistency(spark, SF_DIR).collect()
+    assert sum(r.n_queries for r in rows) == _N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_vote_correct <= r.n_queries
+        assert 0 <= r.agreement_permille <= 1000
+
+
+def test_events_props_variant_matches_string_path(spark):
+    """VARIANT extraction must agree value-for-value with the
+    get_json_object string path on the same column."""
+    from lakeforge.io.sources import read_events
+
+    ev = read_events(spark, SF_DIR)
+    mismatch = ev.select(
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("kv"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("ks"),
+    ).filter(~F.col("kv").eqNullSafe(F.col("ks"))).count()
+    assert mismatch == 0
+    rows = w.q_events_props_variant(spark, SF_DIR).collect()
+    assert sum(r.n_events for r in rows) == ev.count()
+    for r in rows:
+        assert r.k_min <= r.k_max
+        assert r.k_band == r.k_min // 25 == r.k_max // 25
+
+
+def test_token_length_hist_shares(spark):
+    rows = w.q_token_length_hist_by_lang(spark, SF_DIR).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        tot_bps = sum(r.share_bps for r in rs)
+        # integer-division shares undershoot by < #bands
+        assert 10_000 - len(rs) <= tot_bps <= 10_000, lang
+        assert all(r.n_tokens > 0 for r in rs)
