@@ -59,6 +59,7 @@ for _q in (
     "ivf_recall_at_k", "ivfpq_recall_at_k", "pq_recall_at_k",
     "sq8_recall_at_k", "matryoshka_recall", "rrf_hybrid_search",
     "ivf_recall_curve",  # r9 wave 6: same ivf_topk query side, x3 nprobes
+    "knn_label_consistency",  # r10: same cosine_topk query side + label joins
 ):
     HINT_EXCEPTIONS[_q] = _QUERY_SIDE
 
