@@ -685,6 +685,7 @@ from lakeforge import (  # noqa: E402  (registered below)
     workload_r9,
     workload_r9b,
     workload_r10,
+    workload_r10b,
     workload_rec,
     workload_rel,
     workload_stats,
@@ -763,6 +764,8 @@ ORACLE_SQL.update(workload_r10.ORACLE_SQL)
 # above — registered here so the CTE isn't duplicated in the wave module.
 ORACLE_SQL["scd2_incremental_snapshot"] = workload_r10._sql_scd2_incremental()
 ORACLE_SQL["knn_label_consistency"] = workload_r10._sql_knn_label_consistency()
+QUERIES.update(workload_r10b.QUERIES)
+ORACLE_SQL.update(workload_r10b.ORACLE_SQL)
 
 
 # ---------------------------------------------------------------------------

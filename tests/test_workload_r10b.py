@@ -1,0 +1,77 @@
+"""Invariant tests for the round-10 wave B (r11-window queue)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakeforge import workload_r10b as w
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_event_audience_overlap_matches_naive_join(spark):
+    """Row-local pair emission == the naive user self-join."""
+    from lakeforge.io.sources import read_events
+
+    rows = w.q_event_audience_overlap(spark, SF_DIR).collect()
+    dt = read_events(spark, SF_DIR).select("user_id", "event_type").distinct()
+    a, b = dt.alias("a"), dt.alias("b")
+    naive = {
+        (r.ta, r.tb): r.n_both
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .collect()
+    }
+    assert {(r.ta, r.tb): r.n_both for r in rows} == naive
+    for r in rows:
+        assert r.ta < r.tb
+        assert 0 <= r.jaccard_permille <= 1000
+
+
+def test_backlog_waterfall_is_subset_of_orders(spark):
+    rows = w.q_orders_backlog_age_waterfall(spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert 0 < sum(r.n_orders for r in rows) <= o.count()
+    bands = {r.age_band for r in rows}
+    assert bands <= {"age_0_30", "age_31_90", "age_91_365", "age_366_plus"}
+    for r in rows:
+        assert r.open_value_cents > 0 and r.max_age_days >= 0
+
+
+def test_retention_matrix_states(spark):
+    rows = w.q_nation_retention_matrix(spark, SF_DIR).collect()
+    # every active (customer, year) is counted exactly once
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_cy = o.select("o_custkey", F.year("o_orderdate")).distinct().count()
+    assert sum(r.n_customers for r in rows) == n_cy
+    # the first year in the corpus can only produce 'new' states
+    first_yr = min(r.yr for r in rows)
+    assert {r.state for r in rows if r.yr == first_yr} == {"new"}
+    # each customer is new exactly once -> new totals == distinct customers
+    n_new = sum(r.n_customers for r in rows if r.state == "new")
+    assert n_new == o.select("o_custkey").distinct().count()
+
+
+def test_quotation_density_bounds(spark):
+    rows = w.q_doc_quotation_density(spark, SF_DIR).collect()
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == d.filter(F.length("text") > 0).count()
+    for r in rows:
+        for c in ("digit_bps_avg", "quote_bps_avg", "punct_bps_avg"):
+            assert 0 <= getattr(r, c) <= 10_000
+
+
+def test_crosslang_contamination_bounds(spark):
+    rows = w.q_doc_crosslang_contamination(spark, SF_DIR).collect()
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_docs
+        assert r.contaminated_permille == r.n_contaminated * 1000 // r.n_docs
