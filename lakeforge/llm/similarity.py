@@ -45,9 +45,18 @@ def nano_embedding(col: Column | str) -> Column:
 
 
 def _dot(a: Column | str, b: Column | str) -> Column:
+    # Each nano-unit product is <= ~1.1e18 (fits int64 for |v| <= ~3), but
+    # the SUM over d dims reaches d * 1e18 — 6.4e19 at dim 64 for
+    # unit-range vectors, past int64 (found by the r10 probe: docgen's
+    # [-1,1] vectors threw ARITHMETIC_OVERFLOW under ANSI; the testdata's
+    # small-magnitude vectors had masked it).  Accumulate in DECIMAL(38,0)
+    # — exact to 1e38, so safe to ~1e20 dims — and every caller casts the
+    # result straight to DOUBLE, so attested values are bit-identical.
+    # DuckDB twins accumulate list_sum in int128 already; their internal
+    # dot/n2 casts are HUGEINT to match.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
+        F.lit(0).cast("decimal(38,0)"),
         lambda acc, v: acc + v,
     )
 
@@ -55,7 +64,7 @@ def _dot(a: Column | str, b: Column | str) -> Column:
 def _norm2(a: Column | str) -> Column:
     return F.aggregate(
         F.transform(a, lambda x: x * x),
-        F.lit(0).cast("bigint"),
+        F.lit(0).cast("decimal(38,0)"),
         lambda acc, v: acc + v,
     )
 

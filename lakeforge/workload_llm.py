@@ -291,11 +291,11 @@ WITH e AS (
            list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000000) AS BIGINT)) AS ie
     FROM embeddings
 ),
-n AS (SELECT vec_id, ie, CAST(list_sum(list_transform(ie, x -> x * x)) AS BIGINT) AS n2 FROM e),
+n AS (SELECT vec_id, ie, CAST(list_sum(list_transform(ie, x -> x * x)) AS HUGEINT) AS n2 FROM e),
 q AS (SELECT vec_id AS query_id, ie AS qv, n2 AS qn FROM n WHERE vec_id < {_N_QUERIES}),
 pairs AS (
     SELECT q.query_id, c.vec_id AS neighbor_id,
-           CAST(list_sum(list_transform(list_zip(q.qv, c.ie), s -> s[1] * s[2])) AS BIGINT) AS dot,
+           CAST(list_sum(list_transform(list_zip(q.qv, c.ie), s -> s[1] * s[2])) AS HUGEINT) AS dot,
            q.qn, c.n2
     FROM q, n c WHERE c.vec_id <> q.query_id
 ),
@@ -388,10 +388,10 @@ WITH e0 AS (
            list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000000) AS BIGINT)) AS vec
     FROM embeddings
 ),
-e AS (SELECT vec_id, vec, CAST(list_sum(list_transform(vec, x -> x * x)) AS BIGINT) AS n2 FROM e0)
+e AS (SELECT vec_id, vec, CAST(list_sum(list_transform(vec, x -> x * x)) AS HUGEINT) AS n2 FROM e0)
 """
 
-_LIST_DOT = "CAST(list_sum(list_transform(list_zip({a}, {b}), s -> s[1] * s[2])) AS BIGINT)"
+_LIST_DOT = "CAST(list_sum(list_transform(list_zip({a}, {b}), s -> s[1] * s[2])) AS HUGEINT)"
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,7 +494,7 @@ e0 AS (
            list_transform(embedding, v -> CAST(round(v * 1000000000) AS BIGINT)) AS vec
     FROM emb2
 ),
-e AS (SELECT vec_id, vec, CAST(list_sum(list_transform(vec, x -> x * x)) AS BIGINT) AS n2 FROM e0),
+e AS (SELECT vec_id, vec, CAST(list_sum(list_transform(vec, x -> x * x)) AS HUGEINT) AS n2 FROM e0),
 v AS (SELECT vec_id, vec, n2, CAST({_bucket_expr("vec")} AS BIGINT) AS bucket FROM e),
 pairs AS (
     SELECT a.vec_id AS a, b.vec_id AS b,
@@ -1672,13 +1672,13 @@ WITH e AS (
     FROM embeddings
 ),
 n AS (SELECT vec_id, label, ie,
-             CAST(list_sum(list_transform(ie, x -> x * x)) AS BIGINT) AS n2
+             CAST(list_sum(list_transform(ie, x -> x * x)) AS HUGEINT) AS n2
       FROM e),
 q AS (SELECT vec_id AS query_id, label AS q_label, ie AS qv, n2 AS qn
       FROM n WHERE vec_id < {_HN_QUERIES}),
 pairs AS (
     SELECT q.query_id, c.vec_id AS neighbor_id,
-           CAST(list_sum(list_transform(list_zip(q.qv, c.ie), s -> s[1] * s[2])) AS BIGINT) AS dot,
+           CAST(list_sum(list_transform(list_zip(q.qv, c.ie), s -> s[1] * s[2])) AS HUGEINT) AS dot,
            q.qn, c.n2
     FROM q, n c WHERE c.label <> q.q_label
 ),
@@ -2884,7 +2884,7 @@ def _sql_ivfpq_recall() -> str:
         " v -> CAST(round(CAST(v AS DOUBLE) * 1000000000) AS BIGINT)) AS vec"
         " FROM embeddings)",
         "ne AS (SELECT vec_id, vec,"
-        " CAST(list_sum(list_transform(vec, x -> x * x)) AS BIGINT) AS n2"
+        " CAST(list_sum(list_transform(vec, x -> x * x)) AS HUGEINT) AS n2"
         " FROM ne0)",
         f"icents AS (SELECT vec_id AS cell_id, vec AS c_vec, n2 AS c_n2"
         f" FROM ne WHERE vec_id < {_IVF_CELLS})",

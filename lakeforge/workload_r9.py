@@ -838,7 +838,7 @@ e AS (
   FROM embeddings
 ),
 n AS (SELECT vec_id, ie,
-             CAST(list_sum(list_transform(ie, x -> x * x)) AS BIGINT) AS n2
+             CAST(list_sum(list_transform(ie, x -> x * x)) AS HUGEINT) AS n2
       FROM e),
 q AS (SELECT ie AS qv, n2 AS qn FROM n WHERE vec_id = 0),
 cos_scored AS (
