@@ -923,3 +923,101 @@ def test_bounded_domain_percentiles_match_naive(spark, rows):
         for pct, field in ((50, "p50"), (90, "p90"), (100, "p100")):
             expect = vals[max(math.ceil(pct / 100 * n), 1) - 1]
             assert getattr(r, field) == expect, (g, pct, vals)
+
+
+@settings(**_SETTINGS)
+@given(rows=_TIMELINES, split=_DATES)
+def test_scd2_incremental_collapse_composability(spark, rows, split):
+    """The theorem behind scd2_incremental_snapshot (workload_r10), at
+    ARBITRARY split dates over arbitrary timelines: collapsing
+    [collapse(history) ∪ batch] equals collapsing the full timeline,
+    whenever every batch date is >= every history date per key (which a
+    date split guarantees globally).  Surrogate keys included."""
+    df = spark.createDataFrame(rows, ["k", "d", "status"])
+    full = scd2(
+        df, key_cols=["k"], tracked_cols=["status"], order_col="d", sk_name="sk"
+    )
+
+    hist = df.filter(F.col("d") < F.lit(split))
+    batch = df.filter(F.col("d") >= F.lit(split))
+    dim_old = scd2(
+        hist, key_cols=["k"], tracked_cols=["status"], order_col="d",
+        sk_name="sk",
+    )
+    affected = batch.select("k").distinct()
+    untouched = dim_old.join(affected, "k", "left_anti")
+    old_tl = dim_old.join(affected, "k", "left_semi").select(
+        "k", F.col("effective_start_date").alias("d"), "status"
+    )
+    rebuilt = scd2(
+        old_tl.unionByName(batch),
+        key_cols=["k"], tracked_cols=["status"], order_col="d", sk_name="sk",
+    )
+    cols = ["sk", "k", "status", "effective_start_date",
+            "effective_end_date", "is_current"]
+    inc = {
+        tuple(r)
+        for r in untouched.select(*cols).unionByName(rebuilt.select(*cols)).collect()
+    }
+    assert inc == {tuple(r) for r in full.select(*cols).collect()}
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.lists(
+                st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+                min_size=1, max_size=6,
+            ),
+        ),
+        min_size=2, max_size=12,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_simhash_collapse_equals_naive_pair_histogram(spark, docs):
+    """The dup-flood collapse in simhash_hamming_histogram (workload_r9b):
+    the weighted distinct-fingerprint histogram must equal brute-force
+    enumeration of ALL banded doc pairs, as long as the bucket cap does
+    not bind (guaranteed here: <= 12 docs << cap 128)."""
+    from lakeforge.llm.dedup import simhash_fingerprints
+    from lakeforge.workload_r9b import _SH_BANDS, _SH_BITS
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs], ["doc_id", "text"]
+    )
+    fp = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(df, "text", "doc_id", bits=_SH_BITS).collect()
+    }
+    width = _SH_BITS // _SH_BANDS
+    mask = (1 << width) - 1
+
+    def bands(s):
+        return [(b, (s >> (b * width)) & mask) for b in range(_SH_BANDS)]
+
+    naive: dict[int, int] = {}
+    ids = sorted(fp)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if set(bands(fp[a])) & set(bands(fp[b])):
+                h = bin(fp[a] ^ fp[b]).count("1")
+                naive[h] = naive.get(h, 0) + 1
+
+    import lakeforge.workload_r9b as r9b
+
+    with __import__("tempfile").TemporaryDirectory() as tmp:
+        df.select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("src").alias("source"),
+            F.octet_length("text").cast("long").alias("n_chars"),
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {
+            r["hamming"]: r["n_pairs"]
+            for r in r9b.q_simhash_hamming_histogram(spark, tmp).collect()
+        }
+    from lakeforge import cache
+
+    cache.release_all()
+    assert got == naive
