@@ -415,3 +415,111 @@ FROM per_doc GROUP BY lang
 
 QUERIES["doc_crosslang_contamination"] = q_doc_crosslang_contamination
 ORACLE_SQL["doc_crosslang_contamination"] = _sql_crosslang()
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL pipe syntax (|>): the TPC-H-Q1-style pricing summary
+# written as a linear pipeline — FROM |> WHERE |> AGGREGATE ... GROUP BY
+# |> ORDER BY — the 4.0 SQL surface for analysts who read top-to-bottom.
+# Semantically identical to the relational form (the oracle is plain
+# ANSI SQL; Catalyst plans both identically: one pushed-filter scan into
+# a map-side-combinable aggregate — the same probed plan as
+# pricing_summary, composition note in lieu of a probe row).  Temp view
+# name is per-sf_dir-hashed and dropped post-analysis (ADVICE r9 #3
+# convention).
+# ---------------------------------------------------------------------------
+
+
+def q_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    view = f"__r10b_lineitem_{tag}"
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"""
+          FROM {view}
+          |> WHERE l_quantity < 45
+          |> AGGREGATE
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS gross_cents,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DECIMAL(38,0)) AS disc_e4
+             GROUP BY l_returnflag, l_linestatus
+          |> SELECT l_returnflag, l_linestatus,
+                    CAST(n_lines AS BIGINT) AS n_lines,
+                    gross_cents,
+                    CAST(disc_e4 div 100 AS BIGINT) AS disc_cents
+        """)
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+SQL_PIPE_SYNTAX_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS gross_cents,
+       CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT))
+            // 100 AS BIGINT) AS disc_cents
+FROM lineitem
+WHERE l_quantity < 45
+GROUP BY l_returnflag, l_linestatus
+"""
+
+QUERIES["pipe_syntax_pricing"] = q_pipe_syntax_pricing
+ORACLE_SQL["pipe_syntax_pricing"] = SQL_PIPE_SYNTAX_PRICING
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (named parameter markers, spark.sql(..., args=...)):
+# the injection-safe surface for templated analytics — the literal never
+# enters the SQL text, so plans cache on the parameter marker.  Typed
+# args (DOUBLE threshold, INT limit-band count) flow through Catalyst as
+# foldable literals: the filter still pushes to the scan.  Composition
+# note: single pushed-filter scan + bounded aggregate (the probed
+# large_orders/pricing plan family).
+# ---------------------------------------------------------------------------
+
+_PARAM_THRESHOLD = 250_000.0
+
+
+def q_param_sql_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    view = f"__r10b_orders_{tag}"
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   CAST(MIN(round(o_totalprice * 100)) AS BIGINT) AS min_cents
+            FROM {view}
+            WHERE o_totalprice > :threshold
+            GROUP BY o_orderpriority
+            """,
+            args={"threshold": _PARAM_THRESHOLD},
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+SQL_PARAM_SQL_VALUE_BANDS = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(MIN(round(o_totalprice * 100)) AS BIGINT) AS min_cents
+FROM orders
+WHERE o_totalprice > {_PARAM_THRESHOLD}
+GROUP BY o_orderpriority
+"""
+
+QUERIES["param_sql_value_bands"] = q_param_sql_value_bands
+ORACLE_SQL["param_sql_value_bands"] = SQL_PARAM_SQL_VALUE_BANDS

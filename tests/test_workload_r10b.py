@@ -75,3 +75,42 @@ def test_crosslang_contamination_bounds(spark):
     for r in rows:
         assert 0 <= r.n_contaminated <= r.n_docs
         assert r.contaminated_permille == r.n_contaminated * 1000 // r.n_docs
+
+
+def test_pipe_syntax_equals_relational(spark):
+    """The pipe-syntax pipeline must plan/evaluate identically to the
+    DataFrame relational form."""
+    rows = {tuple(r) for r in w.q_pipe_syntax_pricing(spark, SF_DIR).collect()}
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        F.col("l_quantity") < 45
+    )
+    rel = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("gross_cents"),
+        F.expr(
+            "CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+            " AS DECIMAL(38,0))) div 100 AS BIGINT)"
+        ).alias("disc_cents"),
+    )
+    assert rows == {tuple(r) for r in rel.collect()}
+
+
+def test_param_sql_filter_pushes_and_matches_literal(spark):
+    rows = {tuple(r) for r in w.q_param_sql_value_bands(spark, SF_DIR).collect()}
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        F.col("o_totalprice") > w._PARAM_THRESHOLD
+    )
+    lit = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.min(F.round(F.col("o_totalprice") * 100)).cast("bigint").alias("min_cents"),
+    )
+    assert rows == {tuple(r) for r in lit.collect()}
+    # the parameter literal must reach the scan as a pushed filter
+    plan = w.q_param_sql_value_bands(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
