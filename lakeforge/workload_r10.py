@@ -563,8 +563,16 @@ def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
     )
+    # Floor-division banding in exact integer arithmetic (ADVICE r10 #4):
+    # `(k - pmod(k, 25)) div 25` == floor(k/25) for ALL k including
+    # negatives.  Both Spark's bare `div` and DuckDB's integer `//`
+    # truncate toward zero (verified empirically: -13 // 25 = 0 in
+    # DuckDB), so BOTH sides carry the same pmod-floor formula — exact
+    # at any magnitude, no double round-trip.
     return (
-        ev.withColumn("k_band", F.expr("CAST(k div 25 AS INT)"))
+        ev.withColumn(
+            "k_band", F.expr("CAST((k - pmod(k, 25)) div 25 AS INT)")
+        )
         .groupBy("event_type", "k_band")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -581,7 +589,8 @@ WITH ev AS (
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events
 )
-SELECT event_type, CAST(k // 25 AS INTEGER) AS k_band,
+SELECT event_type,
+       CAST((k - ((k % 25 + 25) % 25)) // 25 AS INTEGER) AS k_band,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(SUM(k) AS BIGINT) AS k_total,
        CAST(MIN(k) AS BIGINT) AS k_min,

@@ -264,18 +264,24 @@ def q_doc_quotation_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("source", "text").filter(
         F.length("text") > 0
     )
-    ln = F.length("text")
+    # Pure integer bps on both engines (ADVICE r10 #1): Spark `div`
+    # truncates and DuckDB `//` floors — identical on the non-negative
+    # char-count domain — whereas double division + CAST diverged
+    # (Spark truncates the double, DuckDB rounds it).
     scored = d.select(
         "source",
-        ((ln - F.length(F.regexp_replace("text", "[0-9]", ""))) * 10000 / ln)
-        .cast("bigint")
-        .alias("digit_bps"),
-        ((ln - F.length(F.regexp_replace("text", "[\"']", ""))) * 10000 / ln)
-        .cast("bigint")
-        .alias("quote_bps"),
-        ((ln - F.length(F.regexp_replace("text", "[.!?]", ""))) * 10000 / ln)
-        .cast("bigint")
-        .alias("punct_bps"),
+        F.expr(
+            "CAST((length(text) - length(regexp_replace(text, '[0-9]', '')))"
+            " * 10000 div length(text) AS BIGINT)"
+        ).alias("digit_bps"),
+        F.expr(
+            "CAST((length(text) - length(regexp_replace(text,"
+            " '[\"\\']', ''))) * 10000 div length(text) AS BIGINT)"
+        ).alias("quote_bps"),
+        F.expr(
+            "CAST((length(text) - length(regexp_replace(text, '[.!?]', '')))"
+            " * 10000 div length(text) AS BIGINT)"
+        ).alias("punct_bps"),
     )
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -296,11 +302,11 @@ WITH d AS (SELECT source, text FROM documents WHERE length(text) > 0),
 scored AS (
   SELECT source,
          CAST((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-              * 10000 / length(text) AS BIGINT) AS digit_bps,
+              * 10000 // length(text) AS BIGINT) AS digit_bps,
          CAST((length(text) - length(regexp_replace(text, '["'']', '', 'g')))
-              * 10000 / length(text) AS BIGINT) AS quote_bps,
+              * 10000 // length(text) AS BIGINT) AS quote_bps,
          CAST((length(text) - length(regexp_replace(text, '[.!?]', '', 'g')))
-              * 10000 / length(text) AS BIGINT) AS punct_bps
+              * 10000 // length(text) AS BIGINT) AS punct_bps
   FROM d
 )
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -444,9 +450,9 @@ def q_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_lines,
                CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                    AS gross_cents,
-               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                    AS DECIMAL(38,0)) AS disc_e4
+               SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                        AS DECIMAL(38,0))) AS disc_e4
              GROUP BY l_returnflag, l_linestatus
           |> SELECT l_returnflag, l_linestatus,
                     CAST(n_lines AS BIGINT) AS n_lines,

@@ -1678,9 +1678,12 @@ def q_simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Hamming-0 pairs are WITHIN a fingerprint group: C(cnt, 2), no join.
+    # Exact integer C(cnt,2) (ADVICE r10 #3): double division loses
+    # exactness past 2^53 pairs (cnt >= ~1.3e8 identical fingerprints);
+    # `div` keeps the dup-flood collapse exact at any scale.
     zero = grp.filter(F.col("cnt") > 1).select(
         F.lit(0).cast("bigint").alias("hamming"),
-        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("bigint").alias("w"),
+        F.expr("CAST(cnt * (cnt - 1) div 2 AS BIGINT)").alias("w"),
     )
     return (
         cross.unionByName(zero)

@@ -168,3 +168,35 @@ def test_token_length_hist_shares(spark):
         # integer-division shares undershoot by < #bands
         assert 10_000 - len(rs) <= tot_bps <= 10_000, lang
         assert all(r.n_tokens > 0 for r in rs)
+
+
+def test_events_props_variant_floor_bands_negative_k(spark, tmp_path):
+    """ADVICE r10 #4: banding must FLOOR on both engines.  Inject
+    negative k telemetry (the VARIANT path places no domain constraint)
+    and pin Spark == DuckDB-oracle exactly: floor(-13/25) = -1, not 0."""
+    import datetime
+    import duckdb
+
+    pq = str(tmp_path / "events.parquet")
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, ts, i, "view", 1.0, f'{{"k": {k}}}')
+        for i, k in enumerate([-13, -25, -26, 0, 24, 25, -1, 99])
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(pq)
+
+    got = {
+        tuple(r) for r in w.q_events_props_variant(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(w.SQL_EVENTS_PROPS_VARIANT).fetchall()}
+    assert got == want
+    bands = {r[1] for r in got}
+    assert -2 in bands and -1 in bands and 0 in bands and 3 in bands

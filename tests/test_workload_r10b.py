@@ -114,3 +114,44 @@ def test_param_sql_filter_pushes_and_matches_literal(spark):
     # the parameter literal must reach the scan as a pushed filter
     plan = w.q_param_sql_value_bands(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "o_totalprice" in plan
+
+
+def test_quotation_density_exact_on_rich_text(spark, tmp_path):
+    """ADVICE r10 #1: the synthetic corpus contains no digits/quotes/
+    terminal punctuation, so the oracle gate never exercised the bps
+    arithmetic.  Feed text where every tracked class appears and where
+    the bps has fractional part >= 0.5 (the old double-div + CAST shape
+    diverged there: Spark truncated, DuckDB rounded), and pin Spark ==
+    DuckDB-oracle exactly."""
+    import duckdb
+
+    texts = [
+        # len 7, 2 digits -> 2*10000/7 = 2857.14...
+        ("s1", 'ab12"c.'),
+        # len 3, 2 quotes -> 6666.66... (frac > 0.5: round vs floor differ)
+        ("s1", "\"'x"),
+        # len 9, digits=3 -> 3333.33, quotes=1 -> 1111.11, punct=2 -> 2222.2
+        ("s2", "1a2b3\".!'"),
+        # all-punct doc: 10000 exactly
+        ("s2", "!?."),
+    ]
+    pq = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(pq)
+
+    got = {
+        tuple(r)
+        for r in w.q_doc_quotation_density(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(w.SQL_DOC_QUOTATION_DENSITY).fetchall()}
+    assert got == want
+    # and the hand check: source s1 digit bps = (2857 + 0) // 2 = 1428
+    by_src = {r[0]: r for r in got}
+    assert by_src["s1"][2] == (2 * 10000 // 7 + 0) // 2
+    assert by_src["s2"][4] == (2 * 10000 // 9 + 10000) // 2
