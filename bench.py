@@ -1,11 +1,28 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints ONE JSON line.
 
-Methodology (round-3 fixes per VERDICT r02):
+Methodology (round-3 fixes per VERDICT r02; round-11 session-aging fixes
+per VERDICT r10 #2):
 - Each query is forced end-to-end with the noop sink (full computation,
   no write cost); the query is REBUILT each run so planning is included.
-- **Median of N runs** (default 3, $SPARK_GRAFT_BENCH_RUNS) — round-2's
-  single-run timings could not separate a real regression from noise.
+- **Median of N PASS-SEPARATED runs** (default 3 passes,
+  $SPARK_GRAFT_BENCH_RUNS).  Round 10's artifact conflated query cost
+  with SESSION STATE: three back-to-back runs of one query inside an
+  aging session read [32.5, 14.5, 7.4] s — whatever state produced the
+  32.5 also sat under all three samples, so the median kept it.  Now
+  each pass covers ALL queries once in its own FRESH SparkSession (own
+  JVM heap history, own Python workers, own warm-up), and consecutive
+  passes walk DIFFERENT deterministic orders (alphabetical / reverse /
+  seeded-hash), so a query's N samples come from N independent session
+  lifetimes at N different session ages.  The per-query median is then
+  robust to any single session's aging, and positional bias cancels.
+  The previous scheme also inherited the registry's PRIORITY ordering,
+  which is REWRITTEN every round — so a query's session age (and hence
+  its timing) shifted round-over-round with no code change at all; the
+  canonical alphabetical base order makes position stable across rounds.
+- **run_spread field**: per-query (max-min)/median across passes, with
+  distribution quantiles and the worst offenders in the artifact — the
+  driver/judge can see agreement (or not) instead of trusting a median.
 - **Caches released between runs** (lakeforge.cache.release_all +
   catalog.clearCache): round-2 never unpersisted, so MEMORY_AND_DISK
   frames accumulated across the 60-query session — a plausible driver of
@@ -104,44 +121,92 @@ def _prior_bench(cur_round: int, sf: float | None) -> tuple[str | None, dict[str
     return None, {}
 
 
+def _pass_order(names: list[str], pass_no: int) -> list[str]:
+    """Deterministic per-pass ordering: canonical alphabetical, reverse,
+    then seeded-hash shuffles — every pass covers all queries, no two
+    consecutive passes share positional (session-age) structure."""
+    import hashlib
+
+    base = sorted(names)
+    if pass_no == 0:
+        return base
+    if pass_no == 1:
+        return base[::-1]
+    return sorted(
+        base,
+        key=lambda n: hashlib.md5(f"{pass_no}:{n}".encode()).hexdigest(),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
-    spark = get_spark("lakeforge-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # Warm the JVM/code paths so the measured numbers are steady-state
-    # throughput, not first-action noise.  One light query is NOT enough:
-    # whichever query runs first also pays heap expansion, broadcast
-    # thread-pool spin-up, and Arrow/Python worker start — round-5's
-    # rotation put minhash_calibration first and it "regressed 2x" purely
-    # by position.  Warm one query per execution family instead
-    # (relational scan/agg, text explode+agg, broadcast+array math).
-    for warm in ("top_orders", "text_stats", "embedding_cosine_topk"):
-        QUERIES[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cache.release_all()
-        spark.catalog.clearCache()
-
-    timings: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in QUERIES]
+    samples: dict[str, list[float]] = {n: [] for n in names}
     leaks = 0
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        samples = []
-        for _ in range(runs):
+    for pass_no in range(runs):
+        # Fresh session per pass (VERDICT r10 #2): bounds session aging —
+        # no pass inherits another's heap history, code-cache, shuffle
+        # dirs, or Python worker pool.
+        spark = get_spark("lakeforge-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+
+        # Warm the JVM/code paths so the measured numbers are steady-state
+        # throughput, not first-action noise.  One light query is NOT
+        # enough: whichever query runs first also pays heap expansion,
+        # broadcast thread-pool spin-up, and Arrow/Python worker start —
+        # round-5's rotation put minhash_calibration first and it
+        # "regressed 2x" purely by position.  Warm one query per
+        # execution family (relational scan/agg, text explode+agg,
+        # broadcast+array math) at the start of EVERY pass's session.
+        for warm in ("top_orders", "text_stats", "embedding_cosine_topk"):
+            QUERIES[warm](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            cache.release_all()
+            spark.catalog.clearCache()
+
+        for name in _pass_order(names, pass_no):
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples[name].append(time.time() - t0)
             # Query boundary: release operator persists so no run benefits
             # from (or pays cache pressure for) a previous run's caches.
             cache.release_all()
             spark.catalog.clearCache()
-        leaks = max(leaks, cache.n_cached_rdds(spark))
-        timings[name] = round(statistics.median(samples), 3)
+            leaks = max(leaks, cache.n_cached_rdds(spark))
+        spark.stop()
+
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    # Per-query agreement across the independent sessions: (max-min)/median.
+    spread = {
+        n: round((max(s) - min(s)) / max(statistics.median(s), 1e-9), 3)
+        for n, s in samples.items()
+    }
+    sp_sorted = sorted(spread.values())
+
+    def _q(p: float) -> float:
+        return sp_sorted[min(int(p * len(sp_sorted)), len(sp_sorted) - 1)]
+
+    heavy = sorted(timings, key=lambda n: -timings[n])[:20]
+    run_spread = {
+        "spread_p50": _q(0.50),
+        "spread_p90": _q(0.90),
+        "spread_max": sp_sorted[-1],
+        "heavy_tail": {
+            n: {"median": timings[n], "runs": [round(x, 3) for x in samples[n]]}
+            for n in heavy
+        },
+        "worst": {
+            n: spread[n]
+            for n in sorted(spread, key=lambda n: -spread[n])[:10]
+        },
+    }
 
     total = round(sum(timings.values()), 3)
     cur_round = _round_no()
@@ -183,17 +248,26 @@ def main() -> None:
         "queries": dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:N_PRINTED]
         ),
+        # stdout carries the spread summary only; per-query runs go to
+        # the detail file.
+        "run_spread": {
+            k: run_spread[k] for k in ("spread_p50", "spread_p90", "spread_max")
+        },
         "trend": trend_summary,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, detail_file), "w") as f:
         json.dump(
-            {**headline, "queries": timings, "trend": {**trend_summary, "delta_sec": deltas}},
+            {
+                **headline,
+                "queries": timings,
+                "run_spread": run_spread,
+                "trend": {**trend_summary, "delta_sec": deltas},
+            },
             f,
             indent=1,
         )
     print(json.dumps(headline))
-    spark.stop()
 
 
 if __name__ == "__main__":
