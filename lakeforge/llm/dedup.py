@@ -283,6 +283,76 @@ def simhash_neardup_pairs(
     )
 
 
+def hamming_neardup_pairs(
+    fp: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance <= max_hamming over a
+    CALLER-SUPPLIED fingerprint frame — the generic core of
+    ``simhash_neardup_pairs``, reusable for any bit fingerprint (dHash
+    perceptual image hashes, audio chromaprints, ...).
+
+    Pigeonhole banding, exact recall (max_hamming <= bands - 1): two
+    fingerprints within max_hamming bit flips must agree exactly on at
+    least one of the ``bands`` contiguous bit-bands, so the (band, value)
+    equi-join finds every qualifying pair while only fingerprints sharing
+    a band bucket ever meet in the shuffle — O(n * bands) exchange volume.
+
+    Returns (id_a, id_b, hamming).  The input frame is persisted
+    (tracked; caller releases at the query boundary) because both join
+    sides reference its plan.
+    """
+    if max_hamming >= bands:
+        raise ValueError("exact recall needs max_hamming <= bands - 1")
+    from lakeforge.cache import persist_tracked
+
+    width = bits // bands
+    mask = (1 << width) - 1
+    base = persist_tracked(
+        fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    )
+    banded = base.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("_fp"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_fp", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp"))).cast(
+        "bigint"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -686,6 +686,7 @@ from lakeforge import (  # noqa: E402  (registered below)
     workload_r9b,
     workload_r10,
     workload_r10b,
+    workload_r11,
     workload_rec,
     workload_rel,
     workload_stats,
@@ -766,6 +767,11 @@ ORACLE_SQL["scd2_incremental_snapshot"] = workload_r10._sql_scd2_incremental()
 ORACLE_SQL["knn_label_consistency"] = workload_r10._sql_knn_label_consistency()
 QUERIES.update(workload_r10b.QUERIES)
 ORACLE_SQL.update(workload_r10b.ORACLE_SQL)
+QUERIES.update(workload_r11.QUERIES)
+ORACLE_SQL.update(workload_r11.ORACLE_SQL)
+# neardup_incremental's oracle IS the full-corpus LSH recompute (generated
+# from the same minhash constants the Spark path uses).
+ORACLE_SQL["neardup_incremental"] = workload_r11._sql_neardup_incremental()
 
 
 # ---------------------------------------------------------------------------
@@ -1776,7 +1782,78 @@ _PRIORITY_R10: list[str] = [
     "token_length_hist_by_lang",
 ]
 
-PRIORITY: list[str] = _PRIORITY_R10
+# Round-11 window (50 slots):
+# (a) the 7-name ledger queue (docs/ATTESTATION_QUEUE.md) LEADS —
+#     VERDICT r10 #3: drain to cumulative driver-green 349/349;
+# (b) the two NEW r11 ships (in-window the round they ship);
+# (c) re-attestation of every implementation changed this round:
+#     simhash_hamming_histogram (ADVICE #3 integer C(cnt,2)) and
+#     events_props_variant (ADVICE #4 pmod-floor banding) —
+#     doc_quotation_density / pipe_syntax_pricing also changed (ADVICE
+#     #1/#2) and are already in (a);
+# (d) three cross-round canaries;
+# (e) staleness rotation: the 35 longest-unattested driver-green names
+#     (last green r1-r3) — keeps cumulative evidence fresh instead of
+#     coasting on three-round-old rows.
+_PRIORITY_R11: list[str] = [
+    # --- (a) never-attested queue, ledger order ---
+    "event_audience_overlap",
+    "orders_backlog_age_waterfall",
+    "nation_retention_matrix",
+    "doc_quotation_density",
+    "doc_crosslang_contamination",
+    "pipe_syntax_pricing",
+    "param_sql_value_bands",
+    # --- (b) new r11 ships ---
+    "neardup_incremental",
+    "image_dhash_neardup",
+    # --- (c) changed implementations ---
+    "simhash_hamming_histogram",
+    "events_props_variant",
+    # --- (d) cross-round canaries ---
+    "scd2_orders",
+    "pagerank_trade",
+    "docs_training_pipeline",
+    # --- (e) staleness rotation (driver-green last seen r1-r3) ---
+    "active_both_years",
+    "churned_custkeys",
+    "distinct_agg_priority",
+    "doc_fingerprint",
+    "doc_sentences",
+    "docs_sample",
+    "events_stratified",
+    "simhash_fingerprints",
+    "anti_customers_no_orders",
+    "bridge_distinct",
+    "events_funnel",
+    "events_hourly",
+    "events_json_extract",
+    "exact_percentiles",
+    "first_last_orders",
+    "lang_id",
+    "price_histogram",
+    "semi_high_value_customers",
+    "sketch_profile",
+    "zorder_keys",
+    "broadcast_enrich",
+    "cube_order_stats",
+    "docs_mixture_sample",
+    "docs_scrub_pii",
+    "embedding_neardup",
+    "events_dedup_ingest",
+    "full_outer_totals",
+    "ivf_topk",
+    "month_scoped_agg",
+    "neardup_clusters",
+    "ngram_jaccard_pairs",
+    "percentile_ranks",
+    "pivot_priority_status",
+    "pricing_summary",
+    "resample_daily_spend",
+    "embedding_cosine_topk",
+]
+
+PRIORITY: list[str] = _PRIORITY_R11
 
 
 

@@ -1,0 +1,173 @@
+"""Invariant tests for the round-11 operators (VERDICT r10 #6/#7)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from lakeforge import workload_r11 as w
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_neardup_incremental_verdict_structure(spark):
+    rows = w.q_neardup_incremental(spark, SF_DIR).collect()
+    by_verdict: dict[str, list] = {}
+    for r in rows:
+        by_verdict.setdefault(r.verdict, []).append(r)
+    assert set(by_verdict) <= {"dup_of_corpus", "dup_in_batch", "new"}
+    # the fixture guarantees mass in every verdict class
+    assert by_verdict.get("dup_of_corpus") and by_verdict.get("dup_in_batch")
+    assert by_verdict.get("new")
+    # every batch doc with a signature appears exactly once
+    assert len({r.doc_id for r in rows}) == len(rows)
+    for r in rows:
+        if r.verdict == "new":
+            assert r.partner is None
+        elif r.verdict == "dup_in_batch":
+            # the partner is a SMALLER batch doc
+            assert r.partner is not None and r.partner < r.doc_id
+        else:
+            assert r.partner is not None
+
+
+def test_neardup_incremental_partners_respect_split(spark):
+    """dup_of_corpus partners must be CORPUS docs; dup_in_batch partners
+    must be BATCH docs — the verdicts encode the ingest-time split."""
+    rows = w.q_neardup_incremental(spark, SF_DIR).collect()
+
+    def is_batch(did: int) -> bool:
+        return did >= w._BTWIN_OFF or did % w._BATCH_MOD == w._BATCH_RES
+
+    for r in rows:
+        assert is_batch(r.doc_id)
+        if r.verdict == "dup_of_corpus":
+            assert not is_batch(r.partner)
+        elif r.verdict == "dup_in_batch":
+            assert is_batch(r.partner)
+
+
+def test_neardup_incremental_exact_twins_are_batch_dups(spark):
+    """Every synthesized exact within-batch twin (id + 10M) must verdict
+    dup_in_batch (identical text => identical signature => all bands
+    collide) with partner <= its source doc."""
+    rows = {
+        r.doc_id: r for r in w.q_neardup_incremental(spark, SF_DIR).collect()
+    }
+    twins = [d for d in rows if d >= w._BTWIN_OFF]
+    assert twins
+    for t in twins:
+        r = rows[t]
+        # an identical doc with a smaller id exists, so never 'new'; the
+        # source may itself be a corpus near-dup, making the twin
+        # dup_of_corpus instead — both are dup verdicts.
+        assert r.verdict in ("dup_in_batch", "dup_of_corpus")
+        if r.verdict == "dup_in_batch":
+            assert r.partner <= t - w._BTWIN_OFF
+
+
+def test_dhash_copies_collapse_and_twins_pair(spark):
+    rows = w.q_image_dhash_neardup(spark, SF_DIR).collect()
+    within = {r.media_a: r for r in rows if r.media_a == r.media_b}
+    cross = {(r.media_a, r.media_b): r for r in rows if r.media_a != r.media_b}
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    copies = [d for d in docs if d % w._DH_COPY_MOD == 0]
+    assert copies
+    for d in copies:
+        # identical pixels -> identical fingerprint -> the exact copy
+        # collapses into d's group: a within-group row with >= 1 pair
+        r = within.get(d)
+        assert r is not None and r.hamming == 0 and r.n_pairs >= 1
+    nears = [d for d in docs if d % w._DH_NEAR_MOD == 0]
+    assert nears
+    for d in nears:
+        # the mutated block flips at most bit (0,0): either a cross-group
+        # pair at hamming 1 or (no flip) absorption into d's group
+        r = cross.get((d, d + w._DH_NEAR_OFF))
+        assert (r is not None and r.hamming == 1) or (
+            within.get(d) is not None
+        ), d
+    for r in rows:
+        if r.media_a == r.media_b:
+            assert r.hamming == 0 and r.n_pairs >= 1
+        else:
+            assert 1 <= r.hamming <= w._DH_MAXHAM and r.n_pairs >= 1
+
+
+def test_dhash_fingerprint_matches_formula(spark):
+    """The Spark-side fingerprint is computed from DECODED BMP BYTES; it
+    must equal the closed-form dHash of the pixel formula — any decode
+    error (stride, bottom-up flip, offset, channel order) breaks this."""
+    from lakeforge.llm.dedup import hamming_neardup_pairs  # noqa: F401
+    from lakeforge.llm.multimodal import decode_bmp_pixels  # noqa: F401
+
+    def formula_fp(did: int, mutated: bool) -> int:
+        g = w._dhash_gray(did, mutated).astype(np.int64)
+        s = g.reshape(w._DH_GRID_H, w._DH_BLK, w._DH_GRID_W, w._DH_BLK).sum(
+            axis=(1, 3)
+        )
+        bits = (s[:, :-1] > s[:, 1:]).astype(np.int64)
+        shifts = (
+            np.arange(w._DH_GRID_H)[:, None] * 8 + np.arange(w._DH_GRID_W - 1)
+        )
+        return int((bits << shifts).sum())
+
+    media = w._dhash_media(spark, SF_DIR).limit(0)  # schema only
+    assert media.columns == ["media_id", "content"]
+
+    sample = (
+        w._dhash_media(spark, SF_DIR)
+        .filter(F.col("media_id").isin([0, 3, 10, 3000010, 4000000]))
+        .collect()
+    )
+    assert sample
+    for r in sample:
+        px = decode_bmp_pixels(bytes(r.content))
+        assert px.shape == (w._DH_H, w._DH_W, 3)
+        gray = px[:, :, 0].astype(np.int64)
+        s = gray.reshape(
+            w._DH_GRID_H, w._DH_BLK, w._DH_GRID_W, w._DH_BLK
+        ).sum(axis=(1, 3))
+        bits = (s[:, :-1] > s[:, 1:]).astype(np.int64)
+        shifts = (
+            np.arange(w._DH_GRID_H)[:, None] * 8 + np.arange(w._DH_GRID_W - 1)
+        )
+        fp = int((bits << shifts).sum())
+        did = r.media_id % 1_000_000 if r.media_id >= w._DH_NEAR_OFF else r.media_id
+        mutated = w._DH_NEAR_OFF <= r.media_id < w._DH_COPY_OFF
+        assert fp == formula_fp(did, mutated), r.media_id
+        assert 0 <= fp < (1 << w._DH_BITS)
+
+
+def test_hamming_neardup_pairs_exact_recall(spark):
+    """Pigeonhole exactness on a crafted frame: ids within max_hamming
+    MUST be found (any bit placement), ids beyond may only appear with
+    hamming > threshold never below."""
+    from lakeforge.llm.dedup import hamming_neardup_pairs
+
+    base = 0b1010_1100_0011 << 20
+    rows = [
+        (1, base),
+        (2, base ^ 0b1),                     # hamming 1
+        (3, base ^ (0b111 << 17)),           # hamming 3, spread bits
+        (4, base ^ ((1 << 55) | (1 << 1) | (1 << 30) | (1 << 40) | 1)),
+        # ^ hamming 5 spread over 4 bands
+        (5, base ^ ((1 << 56) - 1) & ((1 << 56) - 1)),  # far away
+    ]
+    df = spark.createDataFrame(rows, "id long, fp long")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_neardup_pairs(
+            df, "id", "fp", bits=56, bands=7, max_hamming=6
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1
+    assert pairs[(1, 3)] == 3
+    assert pairs[(1, 4)] == 5
+    assert (1, 5) not in pairs
+    assert (2, 3) in pairs  # hamming 4 <= 6, exact recall
