@@ -1792,7 +1792,7 @@ _PRIORITY_R10: list[str] = [
 #     doc_quotation_density / pipe_syntax_pricing also changed (ADVICE
 #     #1/#2) and are already in (a);
 # (d) three cross-round canaries;
-# (e) staleness rotation: the 35 longest-unattested driver-green names
+# (e) staleness rotation: the 32 longest-unattested driver-green names
 #     (last green r1-r3) — keeps cumulative evidence fresh instead of
 #     coasting on three-round-old rows.
 _PRIORITY_R11: list[str] = [
@@ -1804,9 +1804,12 @@ _PRIORITY_R11: list[str] = [
     "doc_crosslang_contamination",
     "pipe_syntax_pricing",
     "param_sql_value_bands",
-    # --- (b) new r11 ships ---
+    # --- (b) new r11 ships (waves A and B) ---
     "neardup_incremental",
     "image_dhash_neardup",
+    "audio_fingerprint_neardup",
+    "sql_udf_net_charge",
+    "orders_unpivot_metrics",
     # --- (c) changed implementations ---
     "simhash_hamming_histogram",
     "events_props_variant",
@@ -1846,11 +1849,8 @@ _PRIORITY_R11: list[str] = [
     "month_scoped_agg",
     "neardup_clusters",
     "ngram_jaccard_pairs",
-    "percentile_ranks",
     "pivot_priority_status",
     "pricing_summary",
-    "resample_daily_spend",
-    "embedding_cosine_topk",
 ]
 
 PRIORITY: list[str] = _PRIORITY_R11

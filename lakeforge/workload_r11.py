@@ -130,14 +130,6 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     a, b = probe.alias("a"), probe.alias("b")
-    n_match_bb = F.aggregate(
-        F.zip_with(
-            F.col("a.sig"), F.col("b.sig"),
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
     batch_hit = (
         a.join(
             b,
@@ -506,3 +498,317 @@ FROM grp WHERE cnt > 1
 
 QUERIES["image_dhash_neardup"] = q_image_dhash_neardup
 ORACLE_SQL["image_dhash_neardup"] = _sql_image_dhash_neardup()
+
+
+# ---------------------------------------------------------------------------
+# audio_fingerprint_neardup — the AUDIO leg of perceptual dedup (image leg
+# above): real 16-bit PCM WAV decode (llm/multimodal.py::decode_wav_samples
+# — RIFF chunk walk, data offset, little-endian int16) -> frame-energy
+# delta fingerprint (the chromaprint idea reduced to integer math a SQL
+# engine can replay): 57 frames of 64 samples, E(i) = sum of s^2 over the
+# frame, bit i = [E(i) > E(i+1)] -> 56-bit fingerprint -> the SAME
+# collapse + 4x14-bit pigeonhole banding as the image op.  Energy deltas
+# are robust to constant gain the way dHash is robust to brightness.
+# Scale: audio bytes never shuffle (decode + fingerprint in one Arrow
+# mapInPandas pass); everything after is (media_id, fp).
+# ---------------------------------------------------------------------------
+
+_AF_FRAMES, _AF_FRAME = 57, 64  # 57 energies -> 56 delta bits
+_AF_N = (_AF_FRAMES + 1) * _AF_FRAME  # one spare frame so n is generous
+_AF_NEAR_MOD, _AF_NEAR_OFF = 9, 3_000_000   # near twin: frame 0 +25 gain
+_AF_COPY_MOD, _AF_COPY_OFF = 14, 4_000_000  # exact copy
+
+
+def _af_samples(did: int, mutated: bool):
+    """Deterministic PCM samples: s(i) = ((3*i*i + 7*i*(d%13) + 11*(d%29))
+    % 997) - 498, int16-safe; the mutation adds +25 to frame 0 only."""
+    import numpy as np
+
+    i = np.arange(_AF_N, dtype=np.int64)
+    s = (3 * i * i + 7 * i * (did % 13) + 11 * (did % 29)) % 997 - 498
+    if mutated:
+        s = s + 25 * (i < _AF_FRAME)
+    return s.astype("<i2")
+
+
+def _af_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from lakeforge.llm.multimodal import encode_wav
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def wav(did: int, mutated: bool) -> bytes:
+            return encode_wav(
+                n_samples=_AF_N,
+                sample_rate=16_000,
+                data_prefix=_af_samples(did, mutated).tobytes(),
+            )
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                out.append((d, wav(d, False)))
+                if d % _AF_NEAR_MOD == 0:
+                    out.append((d + _AF_NEAR_OFF, wav(d, True)))
+                if d % _AF_COPY_MOD == 0:
+                    out.append((d + _AF_COPY_OFF, wav(d, False)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    return docs.mapInPandas(encode, schema="media_id bigint, content binary")
+
+
+def q_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from lakeforge.cache import persist_tracked
+    from lakeforge.llm.dedup import hamming_neardup_pairs
+    from lakeforge.llm.multimodal import decode_wav_samples
+
+    media = _af_media(spark, sf_dir)
+
+    def afp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        shifts = np.arange(_AF_FRAMES - 1, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, _hdr = decode_wav_samples(bytes(content))
+                s = samples[: _AF_FRAMES * _AF_FRAME, 0].astype(np.int64)
+                e = (s * s).reshape(_AF_FRAMES, _AF_FRAME).sum(axis=1)
+                bits = (e[:-1] > e[1:]).astype(np.int64)
+                out.append((int(mid), int((bits << shifts).sum())))
+            yield pd.DataFrame(out, columns=["media_id", "fp"])
+
+    fps = media.mapInPandas(afp, schema="media_id bigint, fp bigint")
+    groups = persist_tracked(
+        fps.groupBy("fp").agg(
+            F.min("media_id").alias("rep"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    pairs = hamming_neardup_pairs(
+        groups, "rep", "fp",
+        bits=_DH_BITS, bands=_DH_BANDS, max_hamming=_DH_MAXHAM,
+    )
+    cnts = groups.select("rep", "cnt")
+    cross = (
+        pairs.join(
+            cnts.select(F.col("rep").alias("id_a"), F.col("cnt").alias("cnt_a")),
+            "id_a",
+        )
+        .join(
+            cnts.select(F.col("rep").alias("id_b"), F.col("cnt").alias("cnt_b")),
+            "id_b",
+        )
+        .select(
+            F.col("id_a").alias("media_a"),
+            F.col("id_b").alias("media_b"),
+            "hamming",
+            (F.col("cnt_a") * F.col("cnt_b")).cast("bigint").alias("n_pairs"),
+        )
+    )
+    within = groups.filter(F.col("cnt") > 1).select(
+        F.col("rep").alias("media_a"),
+        F.col("rep").alias("media_b"),
+        F.lit(0).cast("bigint").alias("hamming"),
+        F.expr("CAST(cnt * (cnt - 1) div 2 AS BIGINT)").alias("n_pairs"),
+    )
+    return cross.unionByName(within)
+
+
+def _sql_audio_fingerprint_neardup() -> str:
+    width = _DH_BITS // _DH_BANDS
+    mask = (1 << width) - 1
+    return f"""
+WITH auds AS (
+    SELECT doc_id AS media_id, doc_id AS d, 0 AS mut FROM documents
+    UNION ALL
+    SELECT doc_id + {_AF_NEAR_OFF}, doc_id, 1 FROM documents
+    WHERE doc_id % {_AF_NEAR_MOD} = 0
+    UNION ALL
+    SELECT doc_id + {_AF_COPY_OFF}, doc_id, 0 FROM documents
+    WHERE doc_id % {_AF_COPY_MOD} = 0
+),
+samples AS (
+    SELECT a.media_id, f.f,
+           ((3 * (f.f*{_AF_FRAME}+j.j) * (f.f*{_AF_FRAME}+j.j)
+             + 7 * (f.f*{_AF_FRAME}+j.j) * (a.d % 13)
+             + 11 * (a.d % 29)) % 997 - 498
+            + CASE WHEN a.mut = 1 AND f.f = 0 THEN 25 ELSE 0 END
+           )::BIGINT AS s
+    FROM auds a, range({_AF_FRAMES}) f(f), range({_AF_FRAME}) j(j)
+),
+energies AS (
+    SELECT media_id, f, CAST(SUM(s * s) AS BIGINT) AS e
+    FROM samples GROUP BY 1, 2
+),
+bits AS (
+    SELECT a.media_id, a.f,
+           CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+    FROM energies a
+    JOIN energies b ON b.media_id = a.media_id AND b.f = a.f + 1
+    WHERE a.f < {_AF_FRAMES - 1}
+),
+fpt AS (
+    SELECT media_id, CAST(SUM(CAST(bit AS BIGINT) << f) AS BIGINT) AS fp
+    FROM bits GROUP BY media_id
+),
+grp AS (
+    SELECT fp, MIN(media_id) AS rep, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM fpt GROUP BY fp
+),
+banded AS (
+    SELECT rep, fp, cnt, b.band, (fp >> (b.band * {width})) & {mask} AS bh
+    FROM grp, range({_DH_BANDS}) b(band)
+),
+cand AS (
+    SELECT DISTINCT a.rep AS media_a, a.fp AS fa, a.cnt AS cnt_a,
+                    b.rep AS media_b, b.fp AS fb, b.cnt AS cnt_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bh = b.bh AND a.rep < b.rep
+)
+SELECT media_a, media_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming,
+       CAST(cnt_a * cnt_b AS BIGINT) AS n_pairs
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= {_DH_MAXHAM}
+UNION ALL
+SELECT rep AS media_a, rep AS media_b, CAST(0 AS BIGINT) AS hamming,
+       CAST(cnt * (cnt - 1) // 2 AS BIGINT) AS n_pairs
+FROM grp WHERE cnt > 1
+"""
+
+
+QUERIES["audio_fingerprint_neardup"] = q_audio_fingerprint_neardup
+ORACLE_SQL["audio_fingerprint_neardup"] = _sql_audio_fingerprint_neardup()
+
+
+# ---------------------------------------------------------------------------
+# sql_udf_net_charge — Spark 4 SQL UDF surface (CREATE TEMPORARY FUNCTION
+# ... RETURNS ... RETURN <expr>): the money-math helper defined ONCE in
+# SQL and reused across queries.  Unlike a Python UDF, a SQL UDF is
+# INLINED by Catalyst (macro expansion before optimization), so it costs
+# nothing at 100 TB: the plan below is byte-identical to writing the
+# expression inline — filters still push to the scan, codegen still fuses
+# the whole stage.  Exact integer money math as everywhere (cents x
+# basis-point factors, div).  The oracle inlines the same expression.
+# UDF name is per-sf_dir-hashed and dropped post-analysis (the temp-view
+# convention, ADVICE r9 #3).
+# ---------------------------------------------------------------------------
+
+
+def q_sql_udf_net_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    fn = f"__r11_net_charge_{tag}"
+    view = f"__r11_lineitem_{tag}"
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        view
+    )
+    spark.sql(f"""
+      CREATE OR REPLACE TEMPORARY FUNCTION {fn}(price DOUBLE, disc DOUBLE,
+                                                tax DOUBLE)
+      RETURNS BIGINT
+      RETURN CAST(round(price * 100) AS BIGINT)
+             * (100 - CAST(round(disc * 100) AS BIGINT))
+             * (100 + CAST(round(tax * 100) AS BIGINT)) div 10000
+    """)
+    try:
+        out = spark.sql(f"""
+          SELECT l_returnflag,
+                 CAST(count(*) AS BIGINT) AS n_lines,
+                 CAST(SUM(CAST({fn}(l_extendedprice, l_discount, l_tax)
+                           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS net_cents,
+                 CAST(MAX({fn}(l_extendedprice, l_discount, l_tax))
+                      AS BIGINT) AS max_net_cents
+          FROM {view}
+          WHERE l_quantity < 45
+          GROUP BY l_returnflag
+        """)
+        # materialize the ANALYZED plan before dropping the function
+        out.schema
+        return out
+    finally:
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fn}")
+        spark.catalog.dropTempView(view)
+
+
+SQL_SQL_UDF_NET_CHARGE = """
+WITH src AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           * (100 + CAST(round(l_tax * 100) AS BIGINT)) // 10000 AS net
+  FROM lineitem WHERE l_quantity < 45
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(net AS HUGEINT)) AS DOUBLE) AS net_cents,
+       CAST(MAX(net) AS BIGINT) AS max_net_cents
+FROM src GROUP BY l_returnflag
+"""
+
+QUERIES["sql_udf_net_charge"] = q_sql_udf_net_charge
+ORACLE_SQL["sql_udf_net_charge"] = SQL_SQL_UDF_NET_CHARGE
+
+
+# ---------------------------------------------------------------------------
+# orders_unpivot_metrics — the UNPIVOT (melt) relational surface: a wide
+# per-priority metrics row folded into (priority, metric, value) long
+# form — the shape BI tools and metric stores ingest.  UNPIVOT is a
+# zero-shuffle row-local expansion in Spark (each input row emits
+# |metrics| rows); the aggregate BEFORE it is the only exchange, and the
+# output is |priorities| x |metrics| bounded.  Oracle: the same long form
+# via UNION ALL (portable ANSI).
+# ---------------------------------------------------------------------------
+
+
+def q_orders_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("max_cents"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "total_cents", "max_cents", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+SQL_ORDERS_UNPIVOT_METRICS = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+         CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'total_cents', total_cents FROM wide
+UNION ALL
+SELECT o_orderpriority, 'max_cents', max_cents FROM wide
+UNION ALL
+SELECT o_orderpriority, 'n_customers', n_customers FROM wide
+"""
+
+QUERIES["orders_unpivot_metrics"] = q_orders_unpivot_metrics
+ORACLE_SQL["orders_unpivot_metrics"] = SQL_ORDERS_UNPIVOT_METRICS

@@ -171,3 +171,108 @@ def test_hamming_neardup_pairs_exact_recall(spark):
     assert pairs[(1, 4)] == 5
     assert (1, 5) not in pairs
     assert (2, 3) in pairs  # hamming 4 <= 6, exact recall
+
+
+def test_audio_copies_collapse_and_twins_pair(spark):
+    rows = w.q_audio_fingerprint_neardup(spark, SF_DIR).collect()
+    within = {r.media_a: r for r in rows if r.media_a == r.media_b}
+    cross = {(r.media_a, r.media_b): r for r in rows if r.media_a != r.media_b}
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    # the sample formula depends on (d%13, d%29) only -> heavy exact-dup
+    # mass by construction; every copy/flood collapses into a group row
+    assert within
+    for d in (x for x in docs if x % w._AF_COPY_MOD == 0):
+        # the exact copy's fp lands in SOME group with >= 2 members; its
+        # group's representative is <= d
+        assert any(rep <= d for rep in within), d
+    for r in rows:
+        if r.media_a == r.media_b:
+            assert r.hamming == 0 and r.n_pairs >= 1
+        else:
+            assert 1 <= r.hamming <= w._DH_MAXHAM and r.n_pairs >= 1
+
+
+def test_audio_fingerprint_matches_formula(spark):
+    """Fingerprint from DECODED WAV BYTES == closed-form energy-delta hash
+    of the sample formula (RIFF walk, data offset, int16 LE all real)."""
+    from lakeforge.llm.multimodal import decode_wav_samples
+
+    sample = (
+        w._af_media(spark, SF_DIR)
+        .filter(F.col("media_id").isin([0, 9, 14, 3000009, 4000000]))
+        .collect()
+    )
+    assert sample
+    for r in sample:
+        samples, hdr = decode_wav_samples(bytes(r.content))
+        assert hdr["n_samples"] == w._AF_N
+        s = samples[: w._AF_FRAMES * w._AF_FRAME, 0].astype(np.int64)
+        e = (s * s).reshape(w._AF_FRAMES, w._AF_FRAME).sum(axis=1)
+        bits = (e[:-1] > e[1:]).astype(np.int64)
+        fp = int((bits << np.arange(w._AF_FRAMES - 1)).sum())
+        did = r.media_id % 1_000_000 if r.media_id >= w._AF_NEAR_OFF else r.media_id
+        mutated = w._AF_NEAR_OFF <= r.media_id < w._AF_COPY_OFF
+        g = w._af_samples(did, mutated).astype(np.int64)[: w._AF_FRAMES * w._AF_FRAME]
+        e2 = (g * g).reshape(w._AF_FRAMES, w._AF_FRAME).sum(axis=1)
+        bits2 = (e2[:-1] > e2[1:]).astype(np.int64)
+        fp2 = int((bits2 << np.arange(w._AF_FRAMES - 1)).sum())
+        assert fp == fp2, r.media_id
+
+
+def test_sql_udf_inlines_to_pushed_scan(spark):
+    """The SQL UDF must be macro-expanded by Catalyst: the executed plan
+    carries the pushed quantity filter and NO python/udf eval node."""
+    df = w.q_sql_udf_net_charge(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = {r.l_returnflag: r for r in df.collect()}
+    # hand-check one group against the inline expression
+    from pyspark.sql import functions as F2
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        F2.col("l_quantity") < 45
+    )
+    net = (
+        F2.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+            " * (100 + CAST(round(l_tax * 100) AS BIGINT)) div 10000"
+        )
+    )
+    want = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F2.count(F2.lit(1)).cast("bigint").alias("n_lines"),
+            F2.sum(net.cast("decimal(38,0)")).cast("double").alias("net_cents"),
+            F2.max(net).cast("bigint").alias("max_net_cents"),
+        )
+        .collect()
+    }
+    for k, r in rows.items():
+        assert (r.n_lines, r.net_cents, r.max_net_cents) == (
+            want[k].n_lines, want[k].net_cents, want[k].max_net_cents,
+        ), k
+
+
+def test_unpivot_is_rowlocal_long_form(spark):
+    rows = w.q_orders_unpivot_metrics(spark, SF_DIR).collect()
+    prios = {
+        r[0]
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderpriority")
+        .distinct()
+        .collect()
+    }
+    assert len(rows) == 4 * len(prios)
+    by_metric: dict[str, int] = {}
+    for r in rows:
+        by_metric[r.metric] = by_metric.get(r.metric, 0) + 1
+    assert set(by_metric) == {"n_orders", "total_cents", "max_cents", "n_customers"}
+    assert all(v == len(prios) for v in by_metric.values())

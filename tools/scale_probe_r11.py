@@ -26,7 +26,8 @@ from lakeforge import cache
 from lakeforge.io import docgen_source
 from lakeforge.session import get_spark
 from lakeforge.workload import QUERIES
-from scale_probe_r10b import make_docs_multilang
+from scale_probe_r9b import make_tpch
+from scale_probe_r10b import enrich_tpch, make_docs_multilang
 
 DOC_HEADER = "## Round-11 ships (probed the round they ship)"
 
@@ -46,6 +47,20 @@ OPS = [
      "pair mass analytic C(cnt,2)); distinct fps pair via 4 x 14-bit "
      "pigeonhole bands (2^14 bucket values — the first cut's 7 x 8-bit "
      "bands had 256 and ITS OWN 100x probe caught the bucket flood)."),
+    ("audio_fingerprint_neardup",
+     "audio bytes never shuffle: real PCM decode -> frame-energy delta "
+     "fingerprint in one Arrow pass; the same collapse + 4 x 14-bit "
+     "banding as the image leg — the probe corpus deliberately floods "
+     "(377 distinct sample classes at any size), so the 100x cell IS the "
+     "dup-flood stress."),
+    ("sql_udf_net_charge",
+     "the SQL UDF is inlined by Catalyst before optimization — the plan "
+     "is identical to the hand-inlined expression: one pushed-filter scan "
+     "into a map-side-combinable aggregate; DECIMAL(38,0) accumulator."),
+    ("orders_unpivot_metrics",
+     "aggregate first (|priorities| rows), THEN the row-local unpivot "
+     "fan-out — the only exchange is the aggregate's; output is "
+     "|priorities| x |metrics| bounded."),
 ]
 
 
@@ -72,6 +87,7 @@ def main() -> None:
     docgen_source.register(spark)
 
     doc_sizes = {"1x": 5_000, "10x": 50_000, "100x": 500_000}
+    li_sizes = {"1x": 600_000, "10x": 6_000_000, "100x": 60_000_000}
     order = ["1x", "10x", "100x"]
     results: dict[str, dict[str, float]] = {op: {} for op, _ in OPS}
     with tempfile.TemporaryDirectory() as tmp:
@@ -80,6 +96,8 @@ def main() -> None:
             d = os.path.join(tmp, label)
             os.makedirs(d)
             make_docs_multilang(spark, doc_sizes[label], d)
+            make_tpch(spark, li_sizes[label], d)
+            enrich_tpch(spark, d)
             dirs[label] = d
         for op, _ in OPS:
             for label in order:
@@ -91,8 +109,9 @@ def main() -> None:
         DOC_HEADER,
         "",
         f"Documents at {doc_sizes['1x']:,}/{doc_sizes['10x']:,}/"
-        f"{doc_sizes['100x']:,} docs.  Median of {args.runs}, caches "
-        "released, noop sink.",
+        f"{doc_sizes['100x']:,} docs; TPC-H-shaped lineitem/orders at "
+        f"{li_sizes['1x']:,}/{li_sizes['10x']:,}/{li_sizes['100x']:,} "
+        f"rows.  Median of {args.runs}, caches released, noop sink.",
         "",
         "| op | t(1x) s | t(10x) s | t(100x) s | alpha (10x->100x) |",
         "|---|---|---|---|---|",
