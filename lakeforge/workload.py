@@ -1792,7 +1792,7 @@ _PRIORITY_R10: list[str] = [
 #     doc_quotation_density / pipe_syntax_pricing also changed (ADVICE
 #     #1/#2) and are already in (a);
 # (d) three cross-round canaries;
-# (e) staleness rotation: the 32 longest-unattested driver-green names
+# (e) staleness rotation: the 31 longest-unattested driver-green names
 #     (last green r1-r3) — keeps cumulative evidence fresh instead of
 #     coasting on three-round-old rows.
 _PRIORITY_R11: list[str] = [
@@ -1808,6 +1808,7 @@ _PRIORITY_R11: list[str] = [
     "neardup_incremental",
     "image_dhash_neardup",
     "audio_fingerprint_neardup",
+    "video_frame_neardup",
     "sql_udf_net_charge",
     "orders_unpivot_metrics",
     # --- (c) changed implementations ---
@@ -1849,7 +1850,6 @@ _PRIORITY_R11: list[str] = [
     "month_scoped_agg",
     "neardup_clusters",
     "ngram_jaccard_pairs",
-    "pivot_priority_status",
     "pricing_summary",
 ]
 

@@ -293,6 +293,24 @@ _DH_NEAR_MOD, _DH_NEAR_OFF = 10, 3_000_000  # near twin: block(0,0) +40
 _DH_COPY_MOD, _DH_COPY_OFF = 15, 4_000_000  # exact copy
 
 
+def _chunked_media_yield(rows: list, chunk: int):
+    """Yield (media_id, content) rows as <= chunk-row pandas frames.
+
+    mapInPandas serializes each yielded frame as its own Arrow record
+    batch; with multi-KB binary payloads the DEFAULT batching (one frame
+    per 10k-row input batch) allocates payload_bytes x 10k x |tasks| of
+    Arrow direct memory at once — the r11 probe's 100x video cell
+    OOM-crashed the JVM's direct-buffer pool exactly that way.  Chunked
+    yields bound each batch to chunk x payload_bytes regardless of input
+    batch size (the module-docstring discipline in llm/multimodal.py)."""
+    import pandas as pd
+
+    for i in range(0, len(rows), chunk):
+        yield pd.DataFrame(
+            rows[i : i + chunk], columns=["media_id", "content"]
+        )
+
+
 def _dhash_gray(did: int, mutated: bool):
     """The synthetic image's luminance plane — integer math a SQL engine
     can replay.  Structure (not just brightness) varies per doc: constant
@@ -346,7 +364,7 @@ def _dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out.append((d + _DH_NEAR_OFF, bmp(d, True)))
                 if d % _DH_COPY_MOD == 0:
                     out.append((d + _DH_COPY_OFF, bmp(d, False)))
-            yield pd.DataFrame(out, columns=["media_id", "content"])
+            yield from _chunked_media_yield(out, 512)
 
     return docs.mapInPandas(encode, schema="media_id bigint, content binary")
 
@@ -557,7 +575,7 @@ def _af_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out.append((d + _AF_NEAR_OFF, wav(d, True)))
                 if d % _AF_COPY_MOD == 0:
                     out.append((d + _AF_COPY_OFF, wav(d, False)))
-            yield pd.DataFrame(out, columns=["media_id", "content"])
+            yield from _chunked_media_yield(out, 256)
 
     return docs.mapInPandas(encode, schema="media_id bigint, content binary")
 
@@ -812,3 +830,202 @@ SELECT o_orderpriority, 'n_customers', n_customers FROM wide
 
 QUERIES["orders_unpivot_metrics"] = q_orders_unpivot_metrics
 ORACLE_SQL["orders_unpivot_metrics"] = SQL_ORDERS_UNPIVOT_METRICS
+
+
+# ---------------------------------------------------------------------------
+# video_frame_neardup — the VIDEO leg of perceptual dedup: a video is a
+# container of frames; near-dup videos share most frame fingerprints
+# (re-encodes, trims, watermark variants).  The fixture container is a
+# sequence of REAL concatenated 24-bit BMPs (each frame carries its own
+# 54-byte header declaring its file size — the decode WALKS the container
+# by those declared sizes, then decodes each frame's pixel array for
+# real); each frame is dHash-fingerprinted with the image leg's exact
+# machinery, and videos pair on SHARED FRAME FINGERPRINTS through a
+# df-capped inverted index (the jaccard_pairs discipline: a fingerprint
+# appearing in more than _VF_DFCAP videos is boilerplate — an intro card,
+# a black frame — and is dropped from pairing, which is what bounds the
+# posting-list self-join at 100 TB).  Output: video pairs sharing >=
+# _VF_MIN_SHARED frame fingerprints.
+# Scale: video bytes never shuffle (decode + per-frame dHash in one Arrow
+# pass); the exchange carries (video_id, frame_fp) rows; pairing joins
+# df-capped postings only.
+# ---------------------------------------------------------------------------
+
+_VF_NF = 8               # frames per fixture video
+_VF_SEED_GAP = 500_000   # twin re-seed offset for the divergent tail
+_VF_NEAR_MOD, _VF_NEAR_OFF = 11, 3_000_000  # twin: frames 6,7 re-seeded
+_VF_COPY_MOD, _VF_COPY_OFF = 13, 4_000_000  # exact copy
+_VF_MIN_SHARED, _VF_DFCAP = 4, 64
+
+
+def _vf_frame_seed(vid_src: int, k: int, mutated: bool) -> int:
+    """Frame k of video with source doc d: the image-leg gray formula
+    seeded with d*8+k; a mutated twin re-seeds its last two frames."""
+    base = vid_src * _VF_NF + k
+    if mutated and k >= _VF_NF - 2:
+        return (vid_src + _VF_SEED_GAP) * _VF_NF + k
+    return base
+
+
+def _vf_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from lakeforge.llm.multimodal import encode_bmp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def frame(seed: int) -> bytes:
+            g = _dhash_gray(seed, False)
+            px = np.repeat(g[:, :, None], 3, axis=2)
+            row_bytes = (_DH_W * 3 + 3) & ~3
+            rows = np.zeros((_DH_H, row_bytes), np.uint8)
+            rows[:, : _DH_W * 3] = px[::-1].reshape(_DH_H, _DH_W * 3)
+            return encode_bmp(_DH_W, _DH_H, rows.tobytes())
+
+        def video(d: int, mutated: bool) -> bytes:
+            return b"".join(
+                frame(_vf_frame_seed(d, k, mutated)) for k in range(_VF_NF)
+            )
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                out.append((d, video(d, False)))
+                if d % _VF_NEAR_MOD == 0:
+                    out.append((d + _VF_NEAR_OFF, video(d, True)))
+                if d % _VF_COPY_MOD == 0:
+                    out.append((d + _VF_COPY_OFF, video(d, False)))
+            yield from _chunked_media_yield(out, 64)
+
+    return docs.mapInPandas(encode, schema="media_id bigint, content binary")
+
+
+def q_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from lakeforge.cache import persist_tracked
+    from lakeforge.llm.multimodal import decode_bmp_pixels
+
+    media = _vf_media(spark, sf_dir)
+
+    def frame_fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        shifts = (
+            np.arange(_DH_GRID_H)[:, None] * 8 + np.arange(_DH_GRID_W - 1)
+        ).astype(np.int64)
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf, pos = bytes(content), 0
+                while pos + 6 <= len(buf) and buf[pos : pos + 2] == b"BM":
+                    # container walk by each frame's DECLARED file size
+                    (fsize,) = struct.unpack_from("<I", buf, pos + 2)
+                    px = decode_bmp_pixels(buf[pos : pos + fsize])
+                    gray = px[:, :, 0].astype(np.int64)
+                    s = gray.reshape(
+                        _DH_GRID_H, _DH_BLK, _DH_GRID_W, _DH_BLK
+                    ).sum(axis=(1, 3))
+                    bits = (s[:, :-1] > s[:, 1:]).astype(np.int64)
+                    out.append((int(mid), int((bits << shifts).sum())))
+                    pos += fsize
+            yield pd.DataFrame(out, columns=["media_id", "fp"])
+
+    fps = media.mapInPandas(frame_fps, schema="media_id bigint, fp bigint")
+    # distinct (video, frame-fp): repeated identical frames inside one
+    # video count once for overlap purposes
+    vfp = persist_tracked(fps.distinct())
+    df_ok = (
+        vfp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _VF_DFCAP)
+        .select("fp")
+    )
+    postings = vfp.join(df_ok, "fp")
+    a, b = postings.alias("a"), postings.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("video_a"),
+            F.col("b.media_id").alias("video_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= _VF_MIN_SHARED)
+    )
+
+
+def _sql_video_frame_neardup() -> str:
+    """DuckDB replay: frame seeds -> the image leg's closed-form dHash ->
+    distinct (video, fp) -> df cap -> posting self-join."""
+    return f"""
+WITH vids AS (
+    SELECT doc_id AS media_id, doc_id AS d, 0 AS mut FROM documents
+    UNION ALL
+    SELECT doc_id + {_VF_NEAR_OFF}, doc_id, 1 FROM documents
+    WHERE doc_id % {_VF_NEAR_MOD} = 0
+    UNION ALL
+    SELECT doc_id + {_VF_COPY_OFF}, doc_id, 0 FROM documents
+    WHERE doc_id % {_VF_COPY_MOD} = 0
+),
+frames AS (
+    SELECT v.media_id,
+           CASE WHEN v.mut = 1 AND k.k >= {_VF_NF - 2}
+                THEN (v.d + {_VF_SEED_GAP}) * {_VF_NF} + k.k
+                ELSE v.d * {_VF_NF} + k.k END AS sd
+    FROM vids v, range({_VF_NF}) k(k)
+),
+cells AS (
+    SELECT f.media_id, f.sd, r.r, c.cx,
+           SUM((3 * (c.cx*{_DH_BLK}+dx.dx) * (c.cx*{_DH_BLK}+dx.dx)
+                + 5 * (r.r*{_DH_BLK}+dy.dy) * (r.r*{_DH_BLK}+dy.dy)
+                + (c.cx*{_DH_BLK}+dx.dx) * (r.r*{_DH_BLK}+dy.dy) * (1 + f.sd % 13)
+                + (f.sd % 29) * (c.cx*{_DH_BLK}+dx.dx)
+                + (f.sd % 31) * (r.r*{_DH_BLK}+dy.dy)
+               ) % 251) AS s
+    FROM frames f,
+         range({_DH_GRID_H}) r(r), range({_DH_GRID_W}) c(cx),
+         range({_DH_BLK}) dy(dy), range({_DH_BLK}) dx(dx)
+    GROUP BY 1, 2, 3, 4
+),
+bits AS (
+    SELECT a.media_id, a.sd, a.r, a.cx,
+           CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+    FROM cells a
+    JOIN cells b ON b.media_id = a.media_id AND b.sd = a.sd
+                AND b.r = a.r AND b.cx = a.cx + 1
+    WHERE a.cx < {_DH_GRID_W - 1}
+),
+fpt AS (
+    SELECT DISTINCT media_id,
+           CAST(SUM(CAST(bit AS BIGINT) << (r * 8 + cx)) AS BIGINT) AS fp
+    FROM bits GROUP BY media_id, sd
+),
+dfreq AS (
+    SELECT fp FROM fpt GROUP BY fp HAVING COUNT(*) <= {_VF_DFCAP}
+),
+postings AS (SELECT f.media_id, f.fp FROM fpt f JOIN dfreq USING (fp))
+SELECT a.media_id AS video_a, b.media_id AS video_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+FROM postings a JOIN postings b
+  ON a.fp = b.fp AND a.media_id < b.media_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_VF_MIN_SHARED}
+"""
+
+
+QUERIES["video_frame_neardup"] = q_video_frame_neardup
+ORACLE_SQL["video_frame_neardup"] = _sql_video_frame_neardup()

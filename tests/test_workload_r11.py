@@ -276,3 +276,50 @@ def test_unpivot_is_rowlocal_long_form(spark):
         by_metric[r.metric] = by_metric.get(r.metric, 0) + 1
     assert set(by_metric) == {"n_orders", "total_cents", "max_cents", "n_customers"}
     assert all(v == len(prios) for v in by_metric.values())
+
+
+def test_video_twins_share_six_of_eight_frames(spark):
+    rows = w.q_video_frame_neardup(spark, SF_DIR).collect()
+    got = {(r.video_a, r.video_b): r.n_shared_frames for r in rows}
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    copies = [d for d in docs if d % w._VF_COPY_MOD == 0]
+    nears = [d for d in docs if d % w._VF_NEAR_MOD == 0]
+    assert copies and nears
+    for d in copies:
+        assert got.get((d, d + w._VF_COPY_OFF)) == w._VF_NF, d
+    for d in nears:
+        # twin re-seeds the last 2 frames -> exactly NF-2 shared (modular
+        # frame-seed collisions could only ADD shared fps, never remove)
+        assert got.get((d, d + w._VF_NEAR_OFF), 0) >= w._VF_NF - 2, d
+    for (a, b), n in got.items():
+        assert a < b and w._VF_MIN_SHARED <= n <= w._VF_NF
+
+
+def test_video_container_walk_decodes_every_frame(spark):
+    """The container is walked by each frame's DECLARED file size; every
+    fixture video must yield exactly NF frame fingerprints (before the
+    per-video distinct)."""
+    import struct
+
+    from lakeforge.llm.multimodal import decode_bmp_pixels
+
+    sample = (
+        w._vf_media(spark, SF_DIR)
+        .filter(F.col("media_id").isin([0, 11, 3000011]))
+        .collect()
+    )
+    assert sample
+    for r in sample:
+        buf, pos, n = bytes(r.content), 0, 0
+        while pos + 6 <= len(buf) and buf[pos : pos + 2] == b"BM":
+            (fsize,) = struct.unpack_from("<I", buf, pos + 2)
+            px = decode_bmp_pixels(buf[pos : pos + fsize])
+            assert px.shape == (w._DH_H, w._DH_W, 3)
+            pos += fsize
+            n += 1
+        assert n == w._VF_NF and pos == len(buf), r.media_id

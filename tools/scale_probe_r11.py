@@ -53,6 +53,12 @@ OPS = [
      "banding as the image leg — the probe corpus deliberately floods "
      "(377 distinct sample classes at any size), so the 100x cell IS the "
      "dup-flood stress."),
+    ("video_frame_neardup",
+     "video bytes never shuffle: container walk by declared frame sizes + "
+     "per-frame real BMP decode + dHash in one Arrow pass; pairing is a "
+     "df-capped frame-fingerprint inverted index (cap 64) — boilerplate "
+     "frames (intro cards, black frames) are dropped, so posting-list "
+     "self-joins stay bounded at any corpus size."),
     ("sql_udf_net_charge",
      "the SQL UDF is inlined by Catalyst before optimization — the plan "
      "is identical to the hand-inlined expression: one pushed-filter scan "
