@@ -219,6 +219,13 @@ def main() -> None:
         n for n in common if prev[n] > 0 and timings[n] > 2 * prev[n]
     )
     by_delta = sorted(common, key=lambda n: deltas[n])
+    big = [n for n in common if prev[n] >= 1.0]
+    small = [n for n in common if 0 < prev[n] < 1.0]
+
+    def _ratio(ns: list[str]) -> float | None:
+        pt = sum(prev[n] for n in ns)
+        return round(sum(timings[n] for n in ns) / pt, 3) if pt else None
+
     trend_summary = {
         "prev_file": prev_file,
         "runs": runs,
@@ -226,6 +233,12 @@ def main() -> None:
         "common_prev_total": prev_total,
         "common_cur_total": cur_total,
         "common_ratio": round(cur_total / prev_total, 3) if prev_total else None,
+        # Cost-band decomposition: a uniform overhead shift (e.g. the r11
+        # pass-separated methodology adding per-query cold cost) shows as
+        # small-query inflation with the >=1s band flat; a real engine
+        # regression moves the >=1s band.
+        "common_ratio_ge1s": _ratio(big),
+        "common_ratio_lt1s": _ratio(small),
         "regressed_2x": regressed,
         "top_regressions": {n: deltas[n] for n in by_delta[-3:] if deltas[n] > 0},
         "top_improvements": {n: deltas[n] for n in by_delta[:3] if deltas[n] < 0},
