@@ -312,9 +312,13 @@ def hamming_neardup_pairs(
 
     width = bits // bands
     mask = (1 << width) - 1
-    base = persist_tracked(
-        fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
-    )
+    base = fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    # Skip the persist when the CALLER already persisted the input frame
+    # (e.g. the media dedup ops cache their (fp, rep, cnt) groups for the
+    # count join-back): re-caching a trivial projection of cached data
+    # would hold two MEMORY_AND_DISK copies until the query boundary.
+    if not (fp.storageLevel.useMemory or fp.storageLevel.useDisk):
+        base = persist_tracked(base)
     banded = base.select(
         "_id",
         "_fp",

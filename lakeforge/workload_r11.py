@@ -75,6 +75,25 @@ def _incremental_frames(
     from lakeforge.workload_llm import _neardup_corpus
 
     full = _neardup_corpus(spark, sf_dir)
+    # The ingest-time flag is re-derived from doc_id AFTER the signature
+    # groupBy (is_batch = id >= _BTWIN_OFF OR id % 7 == 3), so the
+    # encoding is only sound while source ids stay below the twin offset.
+    # Enforce that domain IN THE DATA PATH (a when/raise_error on the id
+    # itself — an unused assert column would be pruned by Catalyst): a
+    # corpus with ids >= 10M fails loudly instead of silently misrouting
+    # corpus rows into the batch verdict set.
+    guarded = F.when(
+        F.col("doc_id") < _BTWIN_OFF, F.col("doc_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("neardup_incremental: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(f" >= {_BTWIN_OFF} breaks the ingest-split encoding"),
+            )
+        ).cast("bigint")
+    )
+    full = full.select(guarded.alias("doc_id"), "text")
     corpus = full.filter(F.col("doc_id") % _BATCH_MOD != _BATCH_RES)
     batch0 = full.filter(F.col("doc_id") % _BATCH_MOD == _BATCH_RES)
     btwins = batch0.filter(F.col("doc_id") % _BTWIN_MOD == _BTWIN_RES).select(
@@ -332,82 +351,45 @@ def _dhash_gray(did: int, mutated: bool):
     return (g % 251).astype(np.uint8)
 
 
-def _dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(media_id, content): a real 24-bit BMP per doc (+ near-dup twins at
-    +3M with one mutated 4x4 block, exact copies at +4M), encoded with the
-    format's bottom-up row order and stride padding."""
-    from collections.abc import Iterator
-
-    import pandas as pd
+def _bmp_bytes(gray) -> bytes:
+    """Encode a (H, W) uint8 gray plane as a real 24-bit BMP: BGR channels
+    all = gray, rows bottom-up, 4-byte stride padding.  The ONE place the
+    byte-layout-sensitive encoding lives — the image fixture and every
+    video frame go through it (a stride/flip fix here fixes both)."""
+    import numpy as np
 
     from lakeforge.llm.multimodal import encode_bmp
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        def bmp(did: int, mutated: bool) -> bytes:
-            g = _dhash_gray(did, mutated)
-            px = np.repeat(g[:, :, None], 3, axis=2)  # BGR all = gray
-            row_bytes = (_DH_W * 3 + 3) & ~3
-            rows = np.zeros((_DH_H, row_bytes), np.uint8)
-            rows[:, : _DH_W * 3] = px[::-1].reshape(_DH_H, _DH_W * 3)
-            return encode_bmp(_DH_W, _DH_H, rows.tobytes())
-
-        for pdf in batches:
-            out = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                out.append((d, bmp(d, False)))
-                if d % _DH_NEAR_MOD == 0:
-                    out.append((d + _DH_NEAR_OFF, bmp(d, True)))
-                if d % _DH_COPY_MOD == 0:
-                    out.append((d + _DH_COPY_OFF, bmp(d, False)))
-            yield from _chunked_media_yield(out, 512)
-
-    return docs.mapInPandas(encode, schema="media_id bigint, content binary")
+    px = np.repeat(gray[:, :, None], 3, axis=2)
+    row_bytes = (_DH_W * 3 + 3) & ~3
+    rows = np.zeros((_DH_H, row_bytes), np.uint8)
+    rows[:, : _DH_W * 3] = px[::-1].reshape(_DH_H, _DH_W * 3)
+    return encode_bmp(_DH_W, _DH_H, rows.tobytes())
 
 
-def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
+def _dhash_fp_from_gray(gray) -> int:
+    """dHash of a decoded (H, W) gray plane: 4x4 block sums -> row-adjacent
+    comparisons -> 56-bit packing.  Shared by the image decode path and
+    every video frame's decode path."""
+    import numpy as np
 
-    import pandas as pd
+    s = gray.astype(np.int64).reshape(
+        _DH_GRID_H, _DH_BLK, _DH_GRID_W, _DH_BLK
+    ).sum(axis=(1, 3))
+    bits = (s[:, :-1] > s[:, 1:]).astype(np.int64)
+    shifts = np.arange(_DH_GRID_H)[:, None] * 8 + np.arange(_DH_GRID_W - 1)
+    return int((bits << shifts).sum())
 
-    from lakeforge.llm.dedup import hamming_neardup_pairs
-    from lakeforge.llm.multimodal import decode_bmp_pixels
 
-    media = _dhash_media(spark, sf_dir)
-
-    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        shifts = (
-            np.arange(_DH_GRID_H)[:, None] * 8 + np.arange(_DH_GRID_W - 1)
-        ).astype(np.int64)
-
-        for pdf in batches:
-            out = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                px = decode_bmp_pixels(bytes(content))  # real byte decode
-                gray = px[:, :, 0].astype(np.int64)  # channels equal
-                s = gray.reshape(
-                    _DH_GRID_H, _DH_BLK, _DH_GRID_W, _DH_BLK
-                ).sum(axis=(1, 3))
-                bits = (s[:, :-1] > s[:, 1:]).astype(np.int64)
-                fp = int((bits << shifts).sum())
-                out.append((int(mid), fp))
-            yield pd.DataFrame(out, columns=["media_id", "fp"])
-
-    fps = media.mapInPandas(dhash, schema="media_id bigint, fp bigint")
-
-    # Dup-flood collapse (the simhash-histogram discipline): byte-identical
-    # images — the single most common case in a crawled 100 TB corpus —
-    # share a fingerprint, so collapse to (fp, representative, count)
-    # BEFORE any pairing.  Banding then runs over DISTINCT fingerprints
-    # only; a million copies of one image cost one group row, their
-    # within-group pair mass reported analytically as C(cnt, 2).
+def _collapse_and_pair(fps: DataFrame) -> DataFrame:
+    """The shared perceptual-dedup tail (image + audio legs): collapse
+    identical fingerprints to (fp, representative, count) — dup floods
+    cost one group row — then pair DISTINCT fingerprints via 4x14-bit
+    pigeonhole banding (exact recall to Hamming <= 3) and report
+    (media_a, media_b, hamming, n_pairs): cross-group pairs carry
+    cnt_a*cnt_b, within-group exact-dup mass is analytic C(cnt, 2)."""
     from lakeforge.cache import persist_tracked
+    from lakeforge.llm.dedup import hamming_neardup_pairs
 
     groups = persist_tracked(
         fps.groupBy("fp").agg(
@@ -445,10 +427,60 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(within)
 
 
+def _dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, content): a real 24-bit BMP per doc (+ near-dup twins at
+    +3M with one mutated 4x4 block, exact copies at +4M), encoded with the
+    format's bottom-up row order and stride padding."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def bmp(did: int, mutated: bool) -> bytes:
+            return _bmp_bytes(_dhash_gray(did, mutated))
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                out.append((d, bmp(d, False)))
+                if d % _DH_NEAR_MOD == 0:
+                    out.append((d + _DH_NEAR_OFF, bmp(d, True)))
+                if d % _DH_COPY_MOD == 0:
+                    out.append((d + _DH_COPY_OFF, bmp(d, False)))
+            yield from _chunked_media_yield(out, 512)
+
+    return docs.mapInPandas(encode, schema="media_id bigint, content binary")
+
+
+def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from lakeforge.llm.multimodal import decode_bmp_pixels
+
+    media = _dhash_media(spark, sf_dir)
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_bmp_pixels(bytes(content))  # real byte decode
+                # channels equal -> channel 0 is the gray plane
+                out.append((int(mid), _dhash_fp_from_gray(px[:, :, 0])))
+            yield pd.DataFrame(out, columns=["media_id", "fp"])
+
+    fps = media.mapInPandas(dhash, schema="media_id bigint, fp bigint")
+    return _collapse_and_pair(fps)
+
+
 def _sql_image_dhash_neardup() -> str:
     """DuckDB replay of the ENTIRE pipeline in closed-form integer math:
     gray formula -> 4x4 block sums -> dHash bits -> 56-bit packing ->
-    7x8-bit banding -> Hamming <= 6."""
+    fingerprint-group collapse -> 4x14-bit banding -> Hamming <= 3."""
     width = _DH_BITS // _DH_BANDS
     mask = (1 << width) - 1
     return f"""
@@ -585,8 +617,6 @@ def q_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from lakeforge.cache import persist_tracked
-    from lakeforge.llm.dedup import hamming_neardup_pairs
     from lakeforge.llm.multimodal import decode_wav_samples
 
     media = _af_media(spark, sf_dir)
@@ -606,40 +636,7 @@ def q_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "fp"])
 
     fps = media.mapInPandas(afp, schema="media_id bigint, fp bigint")
-    groups = persist_tracked(
-        fps.groupBy("fp").agg(
-            F.min("media_id").alias("rep"),
-            F.count(F.lit(1)).cast("bigint").alias("cnt"),
-        )
-    )
-    pairs = hamming_neardup_pairs(
-        groups, "rep", "fp",
-        bits=_DH_BITS, bands=_DH_BANDS, max_hamming=_DH_MAXHAM,
-    )
-    cnts = groups.select("rep", "cnt")
-    cross = (
-        pairs.join(
-            cnts.select(F.col("rep").alias("id_a"), F.col("cnt").alias("cnt_a")),
-            "id_a",
-        )
-        .join(
-            cnts.select(F.col("rep").alias("id_b"), F.col("cnt").alias("cnt_b")),
-            "id_b",
-        )
-        .select(
-            F.col("id_a").alias("media_a"),
-            F.col("id_b").alias("media_b"),
-            "hamming",
-            (F.col("cnt_a") * F.col("cnt_b")).cast("bigint").alias("n_pairs"),
-        )
-    )
-    within = groups.filter(F.col("cnt") > 1).select(
-        F.col("rep").alias("media_a"),
-        F.col("rep").alias("media_b"),
-        F.lit(0).cast("bigint").alias("hamming"),
-        F.expr("CAST(cnt * (cnt - 1) div 2 AS BIGINT)").alias("n_pairs"),
-    )
-    return cross.unionByName(within)
+    return _collapse_and_pair(fps)
 
 
 def _sql_audio_fingerprint_neardup() -> str:
@@ -872,20 +869,11 @@ def _vf_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from lakeforge.llm.multimodal import encode_bmp
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         def frame(seed: int) -> bytes:
-            g = _dhash_gray(seed, False)
-            px = np.repeat(g[:, :, None], 3, axis=2)
-            row_bytes = (_DH_W * 3 + 3) & ~3
-            rows = np.zeros((_DH_H, row_bytes), np.uint8)
-            rows[:, : _DH_W * 3] = px[::-1].reshape(_DH_H, _DH_W * 3)
-            return encode_bmp(_DH_W, _DH_H, rows.tobytes())
+            return _bmp_bytes(_dhash_gray(seed, False))
 
         def video(d: int, mutated: bool) -> bytes:
             return b"".join(
@@ -918,12 +906,6 @@ def q_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _vf_media(spark, sf_dir)
 
     def frame_fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        shifts = (
-            np.arange(_DH_GRID_H)[:, None] * 8 + np.arange(_DH_GRID_W - 1)
-        ).astype(np.int64)
-
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
@@ -932,12 +914,7 @@ def q_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # container walk by each frame's DECLARED file size
                     (fsize,) = struct.unpack_from("<I", buf, pos + 2)
                     px = decode_bmp_pixels(buf[pos : pos + fsize])
-                    gray = px[:, :, 0].astype(np.int64)
-                    s = gray.reshape(
-                        _DH_GRID_H, _DH_BLK, _DH_GRID_W, _DH_BLK
-                    ).sum(axis=(1, 3))
-                    bits = (s[:, :-1] > s[:, 1:]).astype(np.int64)
-                    out.append((int(mid), int((bits << shifts).sum())))
+                    out.append((int(mid), _dhash_fp_from_gray(px[:, :, 0])))
                     pos += fsize
             yield pd.DataFrame(out, columns=["media_id", "fp"])
 

@@ -183,18 +183,47 @@ def test_audio_copies_collapse_and_twins_pair(spark):
         .select("doc_id")
         .collect()
     ]
-    # the sample formula depends on (d%13, d%29) only -> heavy exact-dup
-    # mass by construction; every copy/flood collapses into a group row
-    assert within
+    # FULL formula replay: compute every media item's fingerprint offline
+    # from the sample formula, derive the expected (rep -> C(cnt,2))
+    # within-group rows exactly, and pin the query's within output to it —
+    # a decode regression that breaks copy collapse breaks this equality.
+    def fp_of(did: int, mutated: bool) -> int:
+        g = w._af_samples(did, mutated).astype(np.int64)[
+            : w._AF_FRAMES * w._AF_FRAME
+        ]
+        e = (g * g).reshape(w._AF_FRAMES, w._AF_FRAME).sum(axis=1)
+        bits = (e[:-1] > e[1:]).astype(np.int64)
+        return int((bits << np.arange(w._AF_FRAMES - 1)).sum())
+
+    media = [(d, fp_of(d, False)) for d in docs]
+    media += [
+        (d + w._AF_NEAR_OFF, fp_of(d, True))
+        for d in docs
+        if d % w._AF_NEAR_MOD == 0
+    ]
+    media += [
+        (d + w._AF_COPY_OFF, fp_of(d, False))
+        for d in docs
+        if d % w._AF_COPY_MOD == 0
+    ]
+    groups: dict[int, list[int]] = {}
+    for mid, fp in media:
+        groups.setdefault(fp, []).append(mid)
+    expected_within = {
+        min(ms): len(ms) * (len(ms) - 1) // 2
+        for ms in groups.values()
+        if len(ms) > 1
+    }
+    assert {rep: r.n_pairs for rep, r in within.items()} == expected_within
+    # every exact copy's group really has >= 2 members
     for d in (x for x in docs if x % w._AF_COPY_MOD == 0):
-        # the exact copy's fp lands in SOME group with >= 2 members; its
-        # group's representative is <= d
-        assert any(rep <= d for rep in within), d
+        assert len(groups[fp_of(d, False)]) >= 2, d
     for r in rows:
         if r.media_a == r.media_b:
             assert r.hamming == 0 and r.n_pairs >= 1
         else:
             assert 1 <= r.hamming <= w._DH_MAXHAM and r.n_pairs >= 1
+    assert cross is not None  # shape sanity; cross rows exercised above
 
 
 def test_audio_fingerprint_matches_formula(spark):

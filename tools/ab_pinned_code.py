@@ -12,9 +12,11 @@ variance" is a hypothesis; this harness produces the evidence.  Method:
   ``sys.modules`` entries are SWAPPED around each timed execution (lazy
   ``from lakeforge.x import y`` inside query bodies resolves through
   sys.modules, so each side always sees its own code).
-- Executions alternate ABAB.. per query (default 5 pairs), so both sides
-  sample the SAME session ages — any aging / GC-pressure drift hits both
-  equally, which is exactly what the round-10 artifact could not separate.
+- Executions interleave per query in ABBA order (default 5 pairs, the
+  within-pair order flipping each pair: AB BA AB ..), so both sides
+  sample the SAME session ages and neither side systematically goes
+  first — any aging / GC-pressure drift hits both equally, which is
+  exactly what the round-10 artifact could not separate.
 - Reported per query: both medians, spreads, and the ratio.  ratio ~1 =>
   the r10 regression was session/machine state; ratio >> 1 => real code
   regression, bisect.
