@@ -1792,7 +1792,7 @@ _PRIORITY_R10: list[str] = [
 #     doc_quotation_density / pipe_syntax_pricing also changed (ADVICE
 #     #1/#2) and are already in (a);
 # (d) three cross-round canaries;
-# (e) staleness rotation: the 31 longest-unattested driver-green names
+# (e) staleness rotation: the 29 longest-unattested driver-green names
 #     (last green r1-r3) — keeps cumulative evidence fresh instead of
 #     coasting on three-round-old rows.
 _PRIORITY_R11: list[str] = [
@@ -1811,6 +1811,8 @@ _PRIORITY_R11: list[str] = [
     "video_frame_neardup",
     "sql_udf_net_charge",
     "orders_unpivot_metrics",
+    "media_quality_gate",
+    "sql_table_udf_value_bands",
     # --- (c) changed implementations ---
     "simhash_hamming_histogram",
     "events_props_variant",
@@ -1841,10 +1843,8 @@ _PRIORITY_R11: list[str] = [
     "zorder_keys",
     "broadcast_enrich",
     "cube_order_stats",
-    "docs_mixture_sample",
     "docs_scrub_pii",
     "embedding_neardup",
-    "events_dedup_ingest",
     "full_outer_totals",
     "ivf_topk",
     "month_scoped_agg",

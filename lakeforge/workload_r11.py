@@ -1006,3 +1006,145 @@ HAVING COUNT(*) >= {_VF_MIN_SHARED}
 
 QUERIES["video_frame_neardup"] = q_video_frame_neardup
 ORACLE_SQL["video_frame_neardup"] = _sql_video_frame_neardup()
+
+
+# ---------------------------------------------------------------------------
+# media_quality_gate — the media CURATION step a 100 TB multimodal
+# pipeline runs before training (the media parallel of docs_gate_funnel):
+# every payload is REALLY decoded (llm/multimodal.py::decode_media_stats —
+# BMP pixel rows / PCM frames in numpy), then gated row-locally:
+#   corrupt    — header/payload decode failed (all-NULL stats row)
+#   too_small  — images under 64 px (n_values = 3*h*w < 192) or audio
+#                under 400 samples: too little signal to train on
+#   ok         — everything else
+# Output is the |fmt| x |verdict| bounded funnel with the ok-mass value
+# count (exact integers).  Scale: one Arrow decode pass, bytes never
+# shuffle, one map-side-combinable aggregate.  The oracle re-derives
+# every verdict in closed form from the fixture's doc_id formulas —
+# the same contract as media_pixels: a decode error shifts the funnel.
+# ---------------------------------------------------------------------------
+
+_MQ_MIN_PIXVALS, _MQ_MIN_SAMPLES = 192, 400  # 64 px * 3 channels; 400 smp
+
+
+def q_media_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.llm.multimodal import decode_media_stats
+    from lakeforge.workload_llm import _media_fixture
+
+    stats = decode_media_stats(_media_fixture(spark, sf_dir))
+    verdict = (
+        F.when(F.col("fmt").isNull(), "corrupt")
+        .when(
+            (F.col("fmt") == "bmp") & (F.col("n_values") < _MQ_MIN_PIXVALS),
+            "too_small",
+        )
+        .when(
+            (F.col("fmt") == "wav") & (F.col("n_values") < _MQ_MIN_SAMPLES),
+            "too_small",
+        )
+        .otherwise("ok")
+    )
+    return (
+        stats.select(
+            F.coalesce("fmt", F.lit("none")).alias("fmt"),
+            verdict.alias("verdict"),
+            "n_values",
+        )
+        .groupBy("fmt", "verdict")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.coalesce(F.sum("n_values"), F.lit(0))
+            .cast("bigint")
+            .alias("total_values"),
+        )
+    )
+
+
+SQL_MEDIA_QUALITY_GATE = f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 101 = 0 THEN NULL
+              WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS fmt,
+         CASE WHEN doc_id % 101 = 0 THEN NULL
+              WHEN doc_id % 2 = 0
+              THEN 3 * (doc_id % 48 + 1) * (doc_id % 64 + 1)
+              ELSE (doc_id * 37) % 4000 + 100 END AS n_values
+  FROM documents
+),
+v AS (
+  SELECT COALESCE(fmt, 'none') AS fmt,
+         CASE WHEN fmt IS NULL THEN 'corrupt'
+              WHEN fmt = 'bmp' AND n_values < {_MQ_MIN_PIXVALS} THEN 'too_small'
+              WHEN fmt = 'wav' AND n_values < {_MQ_MIN_SAMPLES} THEN 'too_small'
+              ELSE 'ok' END AS verdict,
+         n_values
+  FROM p
+)
+SELECT fmt, verdict, CAST(count(*) AS BIGINT) AS n_media,
+       CAST(COALESCE(SUM(n_values), 0) AS BIGINT) AS total_values
+FROM v GROUP BY fmt, verdict
+"""
+
+QUERIES["media_quality_gate"] = q_media_quality_gate
+ORACLE_SQL["media_quality_gate"] = SQL_MEDIA_QUALITY_GATE
+
+
+# ---------------------------------------------------------------------------
+# sql_table_udf_value_bands — the Spark 4 SQL TABLE function surface
+# (CREATE TEMPORARY FUNCTION ... RETURNS TABLE ... RETURN SELECT): a
+# parameterized banded-orders rollup invoked as a table in FROM.  Like
+# the scalar SQL UDF, a SQL table function is expanded by Catalyst into
+# its defining query (a parameterized view, not an opaque callable), so
+# the literal argument constant-folds into the band expression and the
+# plan is the same pushed-scan aggregate as the hand-written query —
+# free at 100 TB, unlike a Python UDTF.
+# ---------------------------------------------------------------------------
+
+_TUDF_BAND = 50_000  # cents per band
+
+
+def q_sql_table_udf_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    fn = f"__r11_value_bands_{tag}"
+    view = f"__r11_orders_{tag}"
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        view
+    )
+    spark.sql(f"""
+      CREATE OR REPLACE TEMPORARY FUNCTION {fn}(band_cents BIGINT)
+      RETURNS TABLE(o_orderpriority STRING, band BIGINT,
+                    n_orders BIGINT, band_cents_total BIGINT)
+      RETURN SELECT o_orderpriority,
+                    CAST(round(o_totalprice * 100) AS BIGINT)
+                        div band_cents AS band,
+                    CAST(count(*) AS BIGINT) AS n_orders,
+                    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS band_cents_total
+             FROM {view}
+             GROUP BY o_orderpriority,
+                      CAST(round(o_totalprice * 100) AS BIGINT)
+                          div band_cents
+    """)
+    try:
+        out = spark.sql(f"SELECT * FROM {fn}({_TUDF_BAND})")
+        out.schema  # force analysis before the function is dropped
+        return out
+    finally:
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fn}")
+        spark.catalog.dropTempView(view)
+
+
+SQL_TABLE_UDF_VALUE_BANDS = f"""
+SELECT o_orderpriority,
+       CAST(round(o_totalprice * 100) AS BIGINT) // {_TUDF_BAND} AS band,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS band_cents_total
+FROM orders
+GROUP BY 1, 2
+"""
+
+QUERIES["sql_table_udf_value_bands"] = q_sql_table_udf_value_bands
+ORACLE_SQL["sql_table_udf_value_bands"] = SQL_TABLE_UDF_VALUE_BANDS

@@ -352,3 +352,58 @@ def test_video_container_walk_decodes_every_frame(spark):
             pos += fsize
             n += 1
         assert n == w._VF_NF and pos == len(buf), r.media_id
+
+
+def test_media_quality_gate_funnel_closed_form(spark):
+    rows = {(r.fmt, r.verdict): r for r in w.q_media_quality_gate(spark, SF_DIR).collect()}
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    exp: dict[tuple, list] = {}
+    for d in docs:
+        if d % 101 == 0:
+            key, nv = ("none", "corrupt"), 0
+        elif d % 2 == 0:
+            nv = 3 * (d % 48 + 1) * (d % 64 + 1)
+            key = ("bmp", "too_small" if nv < w._MQ_MIN_PIXVALS else "ok")
+        else:
+            nv = (d * 37) % 4000 + 100
+            key = ("wav", "too_small" if nv < w._MQ_MIN_SAMPLES else "ok")
+        exp.setdefault(key, [0, 0])
+        exp[key][0] += 1
+        exp[key][1] += nv
+    assert {(k, (r.n_media, r.total_values)) for k, r in rows.items()} == {
+        (k, tuple(v)) for k, v in exp.items()
+    }
+    assert ("none", "corrupt") in rows  # the corrupt leg has mass
+
+
+def test_sql_table_udf_expands_to_pushed_scan(spark):
+    df = w.q_sql_table_udf_value_bands(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # table function expanded by Catalyst: plain scan+agg, no python eval
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = {(r.o_orderpriority, r.band): r for r in df.collect()}
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    want = {
+        (r.o_orderpriority, r.band): r
+        for r in o.groupBy(
+            "o_orderpriority",
+            F.expr(
+                f"CAST(round(o_totalprice * 100) AS BIGINT) div {w._TUDF_BAND}"
+            ).alias("band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("band_cents_total"),
+        )
+        .collect()
+    }
+    assert {k: (r.n_orders, r.band_cents_total) for k, r in rows.items()} == {
+        k: (r.n_orders, r.band_cents_total) for k, r in want.items()
+    }

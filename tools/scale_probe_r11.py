@@ -59,6 +59,13 @@ OPS = [
      "df-capped frame-fingerprint inverted index (cap 64) — boilerplate "
      "frames (intro cards, black frames) are dropped, so posting-list "
      "self-joins stay bounded at any corpus size."),
+    ("media_quality_gate",
+     "one Arrow decode pass (bytes never shuffle), row-local verdicts, "
+     "one |fmt| x |verdict| bounded map-side-combinable aggregate."),
+    ("sql_table_udf_value_bands",
+     "the SQL table function is expanded by Catalyst into its defining "
+     "query: one pushed-scan aggregate over orders, |priorities x bands| "
+     "bounded output."),
     ("sql_udf_net_charge",
      "the SQL UDF is inlined by Catalyst before optimization — the plan "
      "is identical to the hand-inlined expression: one pushed-filter scan "
@@ -86,6 +93,9 @@ def time_op(spark, name: str, sf_dir: str, runs: int) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--ops", nargs="*", default=None,
+                    help="probe only these ops; merge rows into the doc "
+                    "section (others keep their committed numbers)")
     args = ap.parse_args()
 
     spark = get_spark("lakeforge-scale-probe-r11")
@@ -105,11 +115,36 @@ def main() -> None:
             make_tpch(spark, li_sizes[label], d)
             enrich_tpch(spark, d)
             dirs[label] = d
-        for op, _ in OPS:
+        todo = [o for o, _ in OPS if args.ops is None or o in args.ops]
+        for op in todo:
             for label in order:
                 t = time_op(spark, op, dirs[label], args.runs)
                 results[op][label] = round(t, 3)
                 print(f"{op:32s} {label:>4s}: {t:7.3f}s", flush=True)
+    if args.ops is not None:
+        # carry forward committed rows for ops not re-probed this run
+        import re as _re
+
+        doc_path0 = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "docs", "SCALE_PROBE.md",
+        )
+        with open(doc_path0) as fh:
+            txt = fh.read()
+        for op, _ in OPS:
+            if op in (args.ops or []) or results[op]:
+                continue
+            m = _re.search(
+                rf"^\| {op} \| ([0-9.]+) \| ([0-9.]+) \| ([0-9.]+) ",
+                txt, _re.M,
+            )
+            if m:
+                results[op] = {"1x": float(m.group(1)),
+                               "10x": float(m.group(2)),
+                               "100x": float(m.group(3))}
+        for op, _ in list(OPS):
+            if not results[op]:
+                raise SystemExit(f"no prior row for {op}; run without --ops")
 
     lines = [
         DOC_HEADER,
