@@ -76,17 +76,24 @@ def gold(spark, tmp_path_factory):
     return build_gold(spark, silver)
 
 
-def test_gold_load_and_readback_row_exact(spark, gold):
+@pytest.fixture(scope="module")
+def ddl_applied(gold):
+    """Apply the GENERATED DDL verbatim on the live server, once per
+    module — so every test below stands alone (selectable with -k)
+    instead of depending on the readback test having run first."""
     from test_golden_medallion import STAR_DDL_KEYS
 
     from lakeforge.io.ddl import star_schema_ddl
-    from lakeforge.io.sinks import write_jdbc
 
-    # apply the GENERATED DDL verbatim on the live server
     for name in gold:
         _psql(f"DROP TABLE IF EXISTS {name} CASCADE")
     for stmt in star_schema_ddl(gold, STAR_DDL_KEYS).split("\n\n"):
         _psql(stmt)
+    return STAR_DDL_KEYS
+
+
+def test_gold_load_and_readback_row_exact(spark, gold, ddl_applied):
+    from lakeforge.io.sinks import write_jdbc
 
     for name, df in gold.items():
         write_jdbc(
@@ -108,14 +115,12 @@ def test_gold_load_and_readback_row_exact(spark, gold):
         assert int(_psql(f"SELECT count(*) FROM {name}")) == len(want)
 
 
-def test_overwrite_truncates_and_preserves_primary_keys(spark, gold):
+def test_overwrite_truncates_and_preserves_primary_keys(spark, gold, ddl_applied):
     """The reference's truncate=true knob exists precisely so reloads keep
     the DDL; assert the PKs are still there AFTER a second overwrite."""
-    from test_golden_medallion import STAR_DDL_KEYS
-
     from lakeforge.io.sinks import write_jdbc
 
-    for name, keys in STAR_DDL_KEYS.items():
+    for name, keys in ddl_applied.items():
         write_jdbc(
             gold[name], PG_URL, name, user=PG_USER, password="",
             num_partitions=2, mode="overwrite", truncate=True,
@@ -135,7 +140,7 @@ def test_overwrite_truncates_and_preserves_primary_keys(spark, gold):
         assert cols == keys, name
 
 
-def test_month_scoped_reload_matches_reference_knobs(spark, gold):
+def test_month_scoped_reload_matches_reference_knobs(spark, gold, ddl_applied):
     """The reference loads per-month slices (PROCESS_YM) with the same
     sink knobs; a scoped fact reload through the identical path must
     leave only that slice (full-table truncate semantics: the scope is
@@ -153,13 +158,17 @@ def test_month_scoped_reload_matches_reference_knobs(spark, gold):
     ]
     one = sorted(months)[0]
     scoped = fact.filter(F.date_format("snapshot_date", "yyyyMM") == one)
-    write_jdbc(
-        scoped, PG_URL, "fact_account_snapshot", user=PG_USER, password="",
-        num_partitions=2, mode="overwrite", truncate=True,
-    )
-    assert int(_psql("SELECT count(*) FROM fact_account_snapshot")) == scoped.count()
-    # restore the full fact for any later test
-    write_jdbc(
-        fact, PG_URL, "fact_account_snapshot", user=PG_USER, password="",
-        num_partitions=2, mode="overwrite", truncate=True,
-    )
+    try:
+        write_jdbc(
+            scoped, PG_URL, "fact_account_snapshot", user=PG_USER, password="",
+            num_partitions=2, mode="overwrite", truncate=True,
+        )
+        n = int(_psql("SELECT count(*) FROM fact_account_snapshot"))
+        assert n == scoped.count()
+    finally:
+        # restore the full fact even when the assertion fails, so a later
+        # run (or test) never sees a truncated table
+        write_jdbc(
+            fact, PG_URL, "fact_account_snapshot", user=PG_USER, password="",
+            num_partitions=2, mode="overwrite", truncate=True,
+        )
