@@ -23,6 +23,14 @@ per VERDICT r10 #2):
 - **run_spread field**: per-query (max-min)/median across passes, with
   distribution quantiles and the worst offenders in the artifact — the
   driver/judge can see agreement (or not) instead of trusting a median.
+- **Adaptive heavy-tail re-sampling** (VERDICT r11 #2: the committed
+  r11 median for minhash_calibration was a 1-in-3 pass artifact, ~2x its
+  cost in two full repro runs): any query with committed median >= 2s
+  whose independent sessions disagree by more than 50% gets extra
+  fresh-session passes (only the unstable queries re-run, <= 4 extra
+  sessions); once a query holds >= 5 samples, the committed median and
+  spread come from the symmetric-trimmed central samples, with ALL raw
+  samples kept in the artifact for audit.
 - **Caches released between runs** (lakeforge.cache.release_all +
   catalog.clearCache): round-2 never unpersisted, so MEMORY_AND_DISK
   frames accumulated across the 60-query session — a plausible driver of
@@ -122,20 +130,90 @@ def _prior_bench(cur_round: int, sf: float | None) -> tuple[str | None, dict[str
 
 
 def _pass_order(names: list[str], pass_no: int) -> list[str]:
-    """Deterministic per-pass ordering: canonical alphabetical, reverse,
-    then seeded-hash shuffles — every pass covers all queries, no two
-    consecutive passes share positional (session-age) structure."""
+    """Deterministic per-pass ordering: canonical alphabetical for pass 0
+    (stable round-over-round), then seeded-hash shuffles — ADVICE r11:
+    the old alphabetical/REVERSE pair kept mid-alphabet queries at
+    mid-session age in BOTH of the first two passes, so positional
+    (session-age) bias only cancelled at the ends of the ordering; a
+    seeded shuffle per subsequent pass spreads every query's positions."""
     import hashlib
 
     base = sorted(names)
     if pass_no == 0:
         return base
-    if pass_no == 1:
-        return base[::-1]
     return sorted(
         base,
         key=lambda n: hashlib.md5(f"{pass_no}:{n}".encode()).hexdigest(),
     )
+
+
+# Queries warmed (not measured) at the start of every pass session —
+# one per execution family (relational scan/agg, text explode+agg,
+# broadcast+array math).  One light query is NOT enough: whichever query
+# runs first also pays heap expansion, broadcast thread-pool spin-up, and
+# Arrow/Python worker start — round-5's rotation put minhash_calibration
+# first and it "regressed 2x" purely by position.
+_WARM = ("top_orders", "text_stats", "embedding_cosine_topk")
+
+
+def _run_session_pass(
+    order: list[str], sf_dir: str, samples: dict[str, list[float]]
+) -> int:
+    """One fresh-SparkSession pass over ``order`` (VERDICT r10 #2: bounds
+    session aging — no pass inherits another's heap history, code-cache,
+    shuffle dirs, or Python worker pool).  Appends one timing sample per
+    query; returns the max still-cached RDD count seen after releases."""
+    spark = get_spark("lakeforge-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    leaks = 0
+    for warm in _WARM:
+        QUERIES[warm](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        cache.release_all()
+        spark.catalog.clearCache()
+    for name in order:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        samples[name].append(time.time() - t0)
+        # Query boundary: release operator persists so no run benefits
+        # from (or pays cache pressure for) a previous run's caches.
+        cache.release_all()
+        spark.catalog.clearCache()
+        leaks = max(leaks, cache.n_cached_rdds(spark))
+    spark.stop()
+    return leaks
+
+
+def _central(s: list[float]) -> list[float]:
+    """The central samples used for the committed median/spread: with the
+    base 3 passes this is all of them; once adaptive re-sampling has
+    grown a query to n >= 5 independent sessions, symmetric trimming
+    drops floor((n-3)/2) from each end so ONE wild session (r11's
+    minhash_calibration pass read 17.97s against 4.57/10.05 siblings and
+    4.1-5.6s in two full repro runs) cannot own the committed number.
+    The untrimmed raw runs stay in the artifact for audit."""
+    s = sorted(s)
+    k = max(0, (len(s) - 3) // 2)
+    return s[k : len(s) - k] if k else s
+
+
+# Adaptive re-sampling knobs (VERDICT r11 #2): a query whose committed
+# median is >= HEAVY_SEC and whose central-sample spread exceeds
+# SPREAD_BAR gets additional fresh-session passes (up to MAX_EXTRA, each
+# covering only the still-unstable queries) until its committed number is
+# backed by agreeing independent sessions.
+HEAVY_SEC, SPREAD_BAR, MAX_EXTRA = 2.0, 0.5, 4
+
+
+def _spread_map(samples: dict[str, list[float]]) -> dict[str, float]:
+    out = {}
+    for n, s in samples.items():
+        c = _central(s)
+        out[n] = round((max(c) - min(c)) / max(statistics.median(c), 1e-9), 3)
+    return out
 
 
 def main() -> None:
@@ -145,49 +223,47 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     names = [n for n in HEADLINE if n in QUERIES]
+    # Optional subset for fast iteration (comma-separated names) — the
+    # committed artifact is always a full-registry run.
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        want = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in want]
     samples: dict[str, list[float]] = {n: [] for n in names}
     leaks = 0
     for pass_no in range(runs):
-        # Fresh session per pass (VERDICT r10 #2): bounds session aging —
-        # no pass inherits another's heap history, code-cache, shuffle
-        # dirs, or Python worker pool.
-        spark = get_spark("lakeforge-bench")
-        spark.sparkContext.setLogLevel("ERROR")
+        leaks = max(
+            leaks,
+            _run_session_pass(_pass_order(names, pass_no), sf_dir, samples),
+        )
 
-        # Warm the JVM/code paths so the measured numbers are steady-state
-        # throughput, not first-action noise.  One light query is NOT
-        # enough: whichever query runs first also pays heap expansion,
-        # broadcast thread-pool spin-up, and Arrow/Python worker start —
-        # round-5's rotation put minhash_calibration first and it
-        # "regressed 2x" purely by position.  Warm one query per
-        # execution family (relational scan/agg, text explode+agg,
-        # broadcast+array math) at the start of EVERY pass's session.
-        for warm in ("top_orders", "text_stats", "embedding_cosine_topk"):
-            QUERIES[warm](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            cache.release_all()
-            spark.catalog.clearCache()
+    # Adaptive heavy-tail re-sampling (VERDICT r11 #2): re-run ONLY the
+    # heavy queries whose independent sessions disagree, in fresh
+    # sessions, until the committed medians are cross-session stable.
+    resampled: list[str] = []
+    for extra in range(MAX_EXTRA):
+        med = {n: statistics.median(_central(s)) for n, s in samples.items()}
+        spr = _spread_map(samples)
+        unstable = sorted(
+            n for n in names if med[n] >= HEAVY_SEC and spr[n] > SPREAD_BAR
+        )
+        if not unstable:
+            break
+        resampled = sorted(set(resampled) | set(unstable))
+        leaks = max(
+            leaks,
+            _run_session_pass(
+                _pass_order(unstable, runs + extra), sf_dir, samples
+            ),
+        )
 
-        for name in _pass_order(names, pass_no):
-            t0 = time.time()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            samples[name].append(time.time() - t0)
-            # Query boundary: release operator persists so no run benefits
-            # from (or pays cache pressure for) a previous run's caches.
-            cache.release_all()
-            spark.catalog.clearCache()
-            leaks = max(leaks, cache.n_cached_rdds(spark))
-        spark.stop()
-
-    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
-    # Per-query agreement across the independent sessions: (max-min)/median.
-    spread = {
-        n: round((max(s) - min(s)) / max(statistics.median(s), 1e-9), 3)
+    timings = {
+        n: round(statistics.median(_central(s)), 3)
         for n, s in samples.items()
     }
+    # Per-query agreement across the independent sessions (central
+    # samples once re-sampled; see _central).
+    spread = _spread_map(samples)
     sp_sorted = sorted(spread.values())
 
     def _q(p: float) -> float:
@@ -198,6 +274,7 @@ def main() -> None:
         "spread_p50": _q(0.50),
         "spread_p90": _q(0.90),
         "spread_max": sp_sorted[-1],
+        "resampled": resampled,
         "heavy_tail": {
             n: {"median": timings[n], "runs": [round(x, 3) for x in samples[n]]}
             for n in heavy

@@ -312,6 +312,25 @@ _DH_NEAR_MOD, _DH_NEAR_OFF = 10, 3_000_000  # near twin: block(0,0) +40
 _DH_COPY_MOD, _DH_COPY_OFF = 15, 4_000_000  # exact copy
 
 
+# The media fixtures encode twins at source_id + 3_000_000 and exact
+# copies at source_id + 4_000_000, and the probe/test helpers recover the
+# source as media_id % 1_000_000 — so the encoding is only sound while
+# source doc_ids stay below this gap.  Each fixture enforces it IN the
+# encode loop (the mapInPandas function runs per row; a Python raise
+# there cannot be pruned the way an unused assert column can), mirroring
+# neardup_incremental's raise_error guard on its 10M ingest-split offset.
+_MEDIA_ID_GAP = 1_000_000
+
+
+def _guard_media_domain(did: int, op: str) -> int:
+    if not (0 <= did < _MEDIA_ID_GAP):
+        raise ValueError(
+            f"{op}: source doc_id {did} outside [0, {_MEDIA_ID_GAP}) — "
+            "the twin (+3M) / copy (+4M) id encoding would collide"
+        )
+    return did
+
+
 def _chunked_media_yield(rows: list, chunk: int):
     """Yield (media_id, content) rows as <= chunk-row pandas frames.
 
@@ -444,7 +463,7 @@ def _dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for d in pdf["doc_id"]:
-                d = int(d)
+                d = _guard_media_domain(int(d), "image_dhash_neardup")
                 out.append((d, bmp(d, False)))
                 if d % _DH_NEAR_MOD == 0:
                     out.append((d + _DH_NEAR_OFF, bmp(d, True)))
@@ -601,7 +620,7 @@ def _af_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for d in pdf["doc_id"]:
-                d = int(d)
+                d = _guard_media_domain(int(d), "audio_fingerprint_neardup")
                 out.append((d, wav(d, False)))
                 if d % _AF_NEAR_MOD == 0:
                     out.append((d + _AF_NEAR_OFF, wav(d, True)))
@@ -883,7 +902,7 @@ def _vf_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for d in pdf["doc_id"]:
-                d = int(d)
+                d = _guard_media_domain(int(d), "video_frame_neardup")
                 out.append((d, video(d, False)))
                 if d % _VF_NEAR_MOD == 0:
                     out.append((d + _VF_NEAR_OFF, video(d, True)))

@@ -407,3 +407,32 @@ def test_sql_table_udf_expands_to_pushed_scan(spark):
     assert {k: (r.n_orders, r.band_cents_total) for k, r in rows.items()} == {
         k: (r.n_orders, r.band_cents_total) for k, r in want.items()
     }
+
+
+def test_media_fixture_domain_guard_trips_in_data_path(spark):
+    """An out-of-domain source doc_id (>= the 1M twin/copy id gap) must
+    fail the encode loop loudly instead of silently colliding twin ids
+    across source docs (ADVICE r11: _dhash_media/_af_media/_vf_media had
+    no guard while neardup_incremental did)."""
+    import pytest
+
+    # in-domain passes through unchanged
+    assert w._guard_media_domain(42, "t") == 42
+    for bad in (w._MEDIA_ID_GAP, w._MEDIA_ID_GAP + 5, -1):
+        with pytest.raises(ValueError, match="twin"):
+            w._guard_media_domain(bad, "t")
+
+    # and the guard is wired into the actual mapInPandas encode path:
+    # feed a frame whose doc_id is out of domain through each fixture
+    bad_docs = spark.range(1).select(
+        (F.col("id") + w._MEDIA_ID_GAP + 7).alias("doc_id")
+    )
+    bad_dir = str(spark.conf.get("spark.sql.warehouse.dir")).removeprefix(
+        "file:"
+    )
+    path = f"{bad_dir}/_bad_media_docs/documents.parquet"
+    bad_docs.write.mode("overwrite").parquet(path)
+    for fixture in (w._dhash_media, w._af_media, w._vf_media):
+        df = fixture(spark, f"{bad_dir}/_bad_media_docs")
+        with pytest.raises(Exception, match="outside"):
+            df.limit(1).collect()
