@@ -95,6 +95,14 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or DEFAULT_QUERIES
 
+    if not os.path.isdir(R9_ROOT):
+        sys.exit(
+            "pinned worktree missing (removed after each A/B to keep the "
+            "tree clean) — recreate with:\n"
+            f"  git -C {R10_ROOT} worktree add .r9wt <boundary-commit>\n"
+            "and remove it afterwards with `git worktree remove .r9wt`."
+        )
+
     r10 = CodeSide("r10", R10_ROOT)
     r9 = CodeSide("r9", R9_ROOT)
     r10.load()
