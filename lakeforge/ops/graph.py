@@ -93,6 +93,93 @@ def connected_components(
     return labels.select(F.col("v").alias("vertex"), F.col("lbl").alias("component"))
 
 
+def connected_components_jump(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 20
+) -> DataFrame:
+    """``connected_components`` with POINTER JUMPING: each iteration takes
+    the min over neighbor labels AND then replaces the label with the
+    label's own current label (path compression), so convergence needs
+    O(log diameter) iterations instead of O(diameter).
+
+    Why it exists (round 12): plain min-propagation converges in
+    diameter iterations, which is fine for the short-chain components
+    near-dup TEXT graphs produce, but media dup graphs can contain long
+    arithmetic chains (video v near-dups v+k for a fixed stride k — e.g.
+    recurring stock footage re-cut into a series), and a 100x corpus
+    makes the chain 100x longer: at 500k videos a stride chain is ~340
+    hops, far past any fixed iteration budget.  With the jump step the
+    same chain needs ~9 iterations.  Same cache discipline, convergence
+    check, and output contract as ``connected_components``.
+    """
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    from lakeforge import cache
+
+    spark = edges.sparkSession
+    seen = cache.rdd_ids(spark)
+    und = und.localCheckpoint()
+    und_ids = cache.rdd_ids(spark) - seen
+    labels = und.select("a").distinct().select(
+        F.col("a").alias("v"), F.col("a").alias("lbl")
+    )
+    prev_ids: set[int] = set()
+
+    for _ in range(max_iter):
+        neighbor_lbl = (
+            und.join(labels, und.b == labels.v)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        stepped = (
+            labels.join(neighbor_lbl, labels.v == neighbor_lbl.a, "left")
+            .select(
+                "v",
+                "lbl",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl1"),
+            )
+        )
+        # Pointer jump: follow lbl1 to ITS current label.  lbl1 is always
+        # a vertex id present in labels (labels are initialized to vertex
+        # ids and only ever take neighbor-label values), so the lookup is
+        # a plain equi-join; min() keeps the result monotone.
+        ptr = labels.select(
+            F.col("v").alias("pv"), F.col("lbl").alias("plbl")
+        )
+        new_labels = (
+            stepped.join(ptr, stepped.lbl1 == ptr.pv, "left")
+            .select(
+                "v",
+                "lbl",
+                F.least(
+                    F.col("lbl1"),
+                    F.coalesce(F.col("plbl"), F.col("lbl1")),
+                ).alias("new_lbl"),
+            )
+        )
+        seen = cache.rdd_ids(spark)
+        mat = new_labels.localCheckpoint()
+        new_ids = cache.rdd_ids(spark) - seen
+        changed = mat.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = mat.select("v", F.col("new_lbl").alias("lbl"))
+        cache.unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
+        if changed == 0:
+            break
+    cache.unpersist_rdd_ids(spark, und_ids)
+    final_ids = prev_ids
+    cache.track_releaser(
+        lambda blocking=False: cache.unpersist_rdd_ids(spark, final_ids, blocking)
+    )
+    return labels.select(F.col("v").alias("vertex"), F.col("lbl").alias("component"))
+
+
 def pagerank_nano(
     edges: DataFrame,
     src: str = "src",

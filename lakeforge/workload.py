@@ -687,6 +687,7 @@ from lakeforge import (  # noqa: E402  (registered below)
     workload_r10,
     workload_r10b,
     workload_r11,
+    workload_r12,
     workload_rec,
     workload_rel,
     workload_stats,
@@ -772,6 +773,8 @@ ORACLE_SQL.update(workload_r11.ORACLE_SQL)
 # neardup_incremental's oracle IS the full-corpus LSH recompute (generated
 # from the same minhash constants the Spark path uses).
 ORACLE_SQL["neardup_incremental"] = workload_r11._sql_neardup_incremental()
+QUERIES.update(workload_r12.QUERIES)
+ORACLE_SQL.update(workload_r12.ORACLE_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -1853,7 +1856,67 @@ _PRIORITY_R11: list[str] = [
     "pricing_summary",
 ]
 
-PRIORITY: list[str] = _PRIORITY_R11
+_PRIORITY_R12: list[str] = [
+    # --- (a) new r12 ships ---
+    "docs_shared_substrings",
+    "docs_substring_coverage",
+    "crossmodal_image_video_match",
+    "crossmodal_asset_clusters",
+    # --- (b) changed implementations (796de93 moved the media fixtures'
+    # id-domain guard into the encode loop of these three queries) ---
+    "image_dhash_neardup",
+    "audio_fingerprint_neardup",
+    "video_frame_neardup",
+    # --- (c) cross-round canaries ---
+    "scd2_orders",
+    "pagerank_trade",
+    "docs_training_pipeline",
+    # --- (d) staleness rotation: all 12 names last driver-green in r3,
+    # then the alphabetically-first 28 of the 45 last green in r4 (the
+    # remaining 17 r4 names are the r13 rotation queue) ---
+    "docs_mixture_sample",
+    "events_dedup_ingest",
+    "percentile_ranks",
+    "pivot_priority_status",
+    "resample_daily_spend",
+    "rollup_revenue",
+    "rp_lsh_buckets",
+    "running_order_totals",
+    "scd2_orders_nullsafe",
+    "simhash_neardup",
+    "token_counts",
+    "top_orders",
+    "asof_purchase_view",
+    "bm25_search",
+    "cdc_merge_orders",
+    "cohort_retention",
+    "customer_golden_record",
+    "dim_date",
+    "docs_decontaminate",
+    "docs_domain_cap",
+    "docs_exact_dedup",
+    "docs_pack_sequences",
+    "docs_quality_score",
+    "embedding_cosine_topk",
+    "events_sessions_stateful",
+    "events_train_test",
+    "events_variant_stats",
+    "events_windowed_rollup",
+    "grouping_sets_revenue",
+    "heavy_hitter_customers",
+    "hll_union_regions",
+    "kmeans_embeddings",
+    "latest_order_per_customer",
+    "mad_order_price",
+    "market_share",
+    "media_decode",
+    "media_features",
+    "minhash_lsh_pairs",
+    "multi_format_dates",
+    "order_day_streaks",
+]
+
+PRIORITY: list[str] = _PRIORITY_R12
 
 
 
