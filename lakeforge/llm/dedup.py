@@ -283,6 +283,34 @@ def simhash_neardup_pairs(
     )
 
 
+def band_explode(
+    df: DataFrame, fp_col: str, bits: int, bands: int
+) -> DataFrame:
+    """Explode a fingerprint frame into (….., band, bh) rows with
+    ``bands`` contiguous pigeonhole bit-bands of width bits//bands.
+    The ONE place the band layout (shift, mask) lives on the Spark side
+    — hamming_neardup_pairs and the crossmodal two-sided band join both
+    bucket through it, so the layouts can never drift apart."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    return df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(fp_col), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select(*df.columns, "_bb.band", "_bb.bh")
+
+
 def hamming_neardup_pairs(
     fp: DataFrame,
     id_col: str,
@@ -310,8 +338,6 @@ def hamming_neardup_pairs(
         raise ValueError("exact recall needs max_hamming <= bands - 1")
     from lakeforge.cache import persist_tracked
 
-    width = bits // bands
-    mask = (1 << width) - 1
     base = fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
     # Skip the persist when the CALLER already persisted the input frame
     # (e.g. the media dedup ops cache their (fp, rep, cnt) groups for the
@@ -319,23 +345,7 @@ def hamming_neardup_pairs(
     # would hold two MEMORY_AND_DISK copies until the query boundary.
     if not (fp.storageLevel.useMemory or fp.storageLevel.useDisk):
         base = persist_tracked(base)
-    banded = base.select(
-        "_id",
-        "_fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("_fp"), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "_fp", "bb.band", "bb.bh")
+    banded = band_explode(base, "_fp", bits=bits, bands=bands)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp"))).cast(
         "bigint"

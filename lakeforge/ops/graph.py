@@ -109,7 +109,12 @@ def connected_components_jump(
     makes the chain 100x longer: at 500k videos a stride chain is ~340
     hops, far past any fixed iteration budget.  With the jump step the
     same chain needs ~9 iterations.  Same cache discipline, convergence
-    check, and output contract as ``connected_components``.
+    check, and output contract as ``connected_components`` — except that
+    exhausting ``max_iter`` without converging RAISES instead of
+    silently returning split components (a split component is a wrong
+    answer downstream aggregates cannot detect; with pointer jumping,
+    20 iterations cover ~2^20-hop diameters, so hitting the cap means
+    something is structurally wrong, not merely large).
     """
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
@@ -129,6 +134,7 @@ def connected_components_jump(
     )
     prev_ids: set[int] = set()
 
+    changed = 0
     for _ in range(max_iter):
         neighbor_lbl = (
             und.join(labels, und.b == labels.v)
@@ -173,6 +179,12 @@ def connected_components_jump(
         if changed == 0:
             break
     cache.unpersist_rdd_ids(spark, und_ids)
+    if changed != 0:
+        cache.unpersist_rdd_ids(spark, prev_ids)
+        raise RuntimeError(
+            f"connected_components_jump did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing)"
+        )
     final_ids = prev_ids
     cache.track_releaser(
         lambda blocking=False: cache.unpersist_rdd_ids(spark, final_ids, blocking)

@@ -474,25 +474,33 @@ def _dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(encode, schema="media_id bigint, content binary")
 
 
-def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dhash_decoder(out_col: str):
+    """mapInPandas fn: (media_id, content[BMP bytes]) -> (out_col, fp).
+    Real byte decode; channels equal -> channel 0 is the gray plane.
+    Module-level (round 12) so the image query and the crossmodal ops
+    fingerprint through the SAME decode loop."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     from lakeforge.llm.multimodal import decode_bmp_pixels
 
-    media = _dhash_media(spark, sf_dir)
-
     def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 px = decode_bmp_pixels(bytes(content))  # real byte decode
-                # channels equal -> channel 0 is the gray plane
                 out.append((int(mid), _dhash_fp_from_gray(px[:, :, 0])))
-            yield pd.DataFrame(out, columns=["media_id", "fp"])
+            yield pd.DataFrame(out, columns=[out_col, "fp"])
 
-    fps = media.mapInPandas(dhash, schema="media_id bigint, fp bigint")
+    return dhash
+
+
+def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _dhash_media(spark, sf_dir)
+    fps = media.mapInPandas(
+        _dhash_decoder("media_id"), schema="media_id bigint, fp bigint"
+    )
     return _collapse_and_pair(fps)
 
 
@@ -913,16 +921,18 @@ def _vf_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(encode, schema="media_id bigint, content binary")
 
 
-def q_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _frame_fp_decoder(out_col: str):
+    """mapInPandas fn: (media_id, content[concatenated BMPs]) ->
+    (out_col, fp) per frame.  Container walk by each frame's DECLARED
+    file size, then real per-frame decode.  Module-level (round 12) so
+    the video query and the crossmodal ops walk the SAME container
+    logic."""
     import struct
     from collections.abc import Iterator
 
     import pandas as pd
 
-    from lakeforge.cache import persist_tracked
     from lakeforge.llm.multimodal import decode_bmp_pixels
-
-    media = _vf_media(spark, sf_dir)
 
     def frame_fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -935,9 +945,19 @@ def q_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     px = decode_bmp_pixels(buf[pos : pos + fsize])
                     out.append((int(mid), _dhash_fp_from_gray(px[:, :, 0])))
                     pos += fsize
-            yield pd.DataFrame(out, columns=["media_id", "fp"])
+            yield pd.DataFrame(out, columns=[out_col, "fp"])
 
-    fps = media.mapInPandas(frame_fps, schema="media_id bigint, fp bigint")
+    return frame_fps
+
+
+def q_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeforge.cache import persist_tracked
+
+    media = _vf_media(spark, sf_dir)
+
+    fps = media.mapInPandas(
+        _frame_fp_decoder("media_id"), schema="media_id bigint, fp bigint"
+    )
     # distinct (video, frame-fp): repeated identical frames inside one
     # video count once for overlap purposes
     vfp = persist_tracked(fps.distinct())

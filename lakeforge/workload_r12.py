@@ -288,24 +288,28 @@ def q_docs_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("span").cast("bigint").alias("covered_tokens"))
     )
-    ntok = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select(
-            "doc_id",
+    # Tokenize AFTER the join: only covered docs (a small fraction of the
+    # corpus) pay the second tokenization pass — the pre-join variant
+    # re-tokenized every document just to count tokens.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return (
+        covered.join(docs, "doc_id")
+        .withColumn(
+            "n_tokens",
             F.size(
                 F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
-            )
-            .cast("bigint")
-            .alias("n_tokens"),
+            ).cast("bigint"),
         )
-    )
-    return covered.join(ntok, "doc_id").select(
-        "doc_id",
-        "covered_tokens",
-        "n_tokens",
-        F.expr("covered_tokens * 1000000 div n_tokens")
-        .cast("bigint")
-        .alias("coverage_ppm"),
+        .select(
+            "doc_id",
+            "covered_tokens",
+            "n_tokens",
+            F.expr("covered_tokens * 1000000 div n_tokens")
+            .cast("bigint")
+            .alias("coverage_ppm"),
+        )
     )
 
 
@@ -364,66 +368,36 @@ ORACLE_SQL["docs_substring_coverage"] = _sql_docs_substring_coverage()
 
 
 def _image_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(image_id, fp): real BMP byte decode -> dHash, one Arrow pass.
-    The decode loop mirrors q_image_dhash_neardup's inline body (kept
-    inline there so the attested plan stays untouched); the byte decode
-    and fingerprint math are the SAME functions."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from lakeforge.llm.multimodal import decode_bmp_pixels
-    from lakeforge.workload_r11 import _dhash_fp_from_gray, _dhash_media
+    """(image_id, fp): real BMP byte decode -> dHash, one Arrow pass —
+    the image leg's module-level decoder with this op's column name."""
+    from lakeforge.workload_r11 import _dhash_decoder, _dhash_media
 
     media = _dhash_media(spark, sf_dir)
-
-    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                px = decode_bmp_pixels(bytes(content))
-                out.append((int(mid), _dhash_fp_from_gray(px[:, :, 0])))
-            yield pd.DataFrame(out, columns=["image_id", "fp"])
-
-    return media.mapInPandas(dhash, schema="image_id bigint, fp bigint")
+    return media.mapInPandas(
+        _dhash_decoder("image_id"), schema="image_id bigint, fp bigint"
+    )
 
 
 def _video_frame_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT (video_id, fp) frame-fingerprint postings, df-capped at
-    workload_r11._VF_DFCAP (boilerplate frames dropped).  Container walk
-    and per-frame decode mirror q_video_frame_neardup's inline body."""
-    import struct
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from lakeforge.llm.multimodal import decode_bmp_pixels
+    workload_r11._VF_DFCAP (boilerplate frames dropped) — the video
+    leg's module-level container walk with this op's column name.  Only
+    the distinct frame set is persisted; the returned df-capped join is
+    a trivial projection of it (recompute-from-cache beats holding two
+    MEMORY_AND_DISK copies — the hamming_neardup_pairs discipline)."""
+    from lakeforge.cache import persist_tracked
     from lakeforge.workload_r11 import (
         _VF_DFCAP,
-        _dhash_fp_from_gray,
+        _frame_fp_decoder,
         _vf_media,
     )
 
     media = _vf_media(spark, sf_dir)
-
-    def frame_fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                buf, pos = bytes(content), 0
-                while pos + 6 <= len(buf) and buf[pos : pos + 2] == b"BM":
-                    (fsize,) = struct.unpack_from("<I", buf, pos + 2)
-                    px = decode_bmp_pixels(buf[pos : pos + fsize])
-                    out.append((int(mid), _dhash_fp_from_gray(px[:, :, 0])))
-                    pos += fsize
-            yield pd.DataFrame(out, columns=["video_id", "fp"])
-
-    vfp = media.mapInPandas(
-        frame_fps, schema="video_id bigint, fp bigint"
-    ).distinct()
-    from lakeforge.cache import persist_tracked
-
-    vfp = persist_tracked(vfp)
+    vfp = persist_tracked(
+        media.mapInPandas(
+            _frame_fp_decoder("video_id"), schema="video_id bigint, fp bigint"
+        ).distinct()
+    )
     df_ok = (
         vfp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -434,28 +408,15 @@ def _video_frame_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _banded(fps: DataFrame, fp_col: str) -> DataFrame:
-    """Explode a distinct-fingerprint frame into (fp, band, bh) rows with
-    workload_r11's 4x14-bit pigeonhole bands."""
+    """(fp, band, bh) with workload_r11's 4x14-bit pigeonhole bands —
+    the shared llm/dedup.py band layout, never a local copy."""
+    from lakeforge.llm.dedup import band_explode
     from lakeforge.workload_r11 import _DH_BANDS, _DH_BITS
 
-    width = _DH_BITS // _DH_BANDS
-    mask = (1 << width) - 1
-    return fps.select(
-        F.col(fp_col).alias("fp"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col(fp_col), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bh"),
-                    )
-                    for b in range(_DH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("fp", "bb.band", "bb.bh")
+    return band_explode(
+        fps.select(F.col(fp_col).alias("fp")), "fp",
+        bits=_DH_BITS, bands=_DH_BANDS,
+    )
 
 
 def _crossmodal_matches(spark: SparkSession, sf_dir: str) -> tuple:
@@ -469,7 +430,10 @@ def _crossmodal_matches(spark: SparkSession, sf_dir: str) -> tuple:
     from lakeforge.workload_r11 import _DH_MAXHAM
 
     ifps = persist_tracked(_image_fps(spark, sf_dir))
-    postings = persist_tracked(_video_frame_postings(spark, sf_dir))
+    # NOT re-persisted: a trivial join of the frame set _video_frame_
+    # postings already caches (two MEMORY_AND_DISK copies of the largest
+    # intermediate is the anti-pattern hamming_neardup_pairs documents).
+    postings = _video_frame_postings(spark, sf_dir)
     iband = _banded(ifps.select("fp").distinct(), "fp").alias("i")
     fband = _banded(postings.select("fp").distinct(), "fp").alias("v")
     hamming = F.bit_count(
