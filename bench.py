@@ -320,7 +320,11 @@ def main() -> None:
         "top_regressions": {n: deltas[n] for n in by_delta[-3:] if deltas[n] > 0},
         "top_improvements": {n: deltas[n] for n in by_delta[:3] if deltas[n] < 0},
     }
-    detail_file = f"BENCH_LOCAL_r{cur_round:02d}.json"
+    # Subset runs (SPARK_GRAFT_BENCH_QUERIES, fast iteration) must not
+    # clobber the committed full-registry artifact.
+    detail_file = (
+        "BENCH_SUBSET.json" if only else f"BENCH_LOCAL_r{cur_round:02d}.json"
+    )
     headline = {
         "metric": "headline_queries_total_sec",
         "value": total,

@@ -22,6 +22,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _undirected_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set (a, b) with both directions of every edge,
+    deduplicated — built in ONE scan of the ``edges`` plan.
+
+    The previous ``union(select(src, dst), select(dst, src))`` form
+    scanned the edges plan twice before the caller's localCheckpoint
+    could materialize it; for CC/BFS callers the edge list is the OUTPUT
+    of an expensive candidate pipeline (banded LSH self-join, media
+    fingerprint joins, a 600k-row distinct), so the double scan doubled
+    the whole upstream cost (r12 opt: guide §2.4, duplicated subtrees).
+    Exploding each row into both orientations reads the input once and
+    feeds the same distinct."""
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str, dst: str, max_iter: int = 25
 ) -> DataFrame:
@@ -31,11 +57,7 @@ def connected_components(
         # >=1 iteration guarantees the returned frame is checkpointed
         # (self-contained) before und's blocks are released below.
         raise ValueError("max_iter must be >= 1")
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-    )
+    und = _undirected_edges(edges, src, dst)
     from lakeforge import cache
 
     spark = edges.sparkSession
@@ -118,11 +140,7 @@ def connected_components_jump(
     """
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-    )
+    und = _undirected_edges(edges, src, dst)
     from lakeforge import cache
 
     spark = edges.sparkSession
@@ -453,11 +471,7 @@ def bfs_depths(
     from lakeforge import cache
 
     spark = edges.sparkSession
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-    )
+    und = _undirected_edges(edges, src, dst)
     seen = cache.rdd_ids(spark)
     und = und.localCheckpoint()
     und_ids = cache.rdd_ids(spark) - seen

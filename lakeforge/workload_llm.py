@@ -2258,7 +2258,12 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 3.6s -> ~2.5s at sf0.1).
     sh = persist_tracked(_doc_shingles(corpus, "text", "doc_id", 3))
     sig = minhash_signatures(corpus, "text", "doc_id", k=_K, shingle_n=3, shingles=sh)
-    cand = lsh_candidate_pairs(sig, k=_K, bands=_BANDS, min_match=_MIN_MATCH)
+    # cand feeds BOTH the estimated side and (broadcast) the exact side —
+    # unpersisted, the banded self-join pipeline above executed twice
+    # (r12 opt: once to build exact's broadcast pair list, once for est).
+    cand = persist_tracked(
+        lsh_candidate_pairs(sig, k=_K, bands=_BANDS, min_match=_MIN_MATCH)
+    )
     exact = exact_jaccard_for_pairs(
         corpus, "text", "doc_id", cand, shingle_n=3, shingles=sh
     )
