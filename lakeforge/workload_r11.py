@@ -496,11 +496,59 @@ def _dhash_decoder(out_col: str):
     return dhash
 
 
-def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = _dhash_media(spark, sf_dir)
-    fps = media.mapInPandas(
-        _dhash_decoder("media_id"), schema="media_id bigint, fp bigint"
+def _dhash_fps_fused(spark: SparkSession, sf_dir: str, out_col: str) -> DataFrame:
+    """(out_col, fp): the image fixture's encode -> BMP bytes -> decode ->
+    dHash roundtrip fused into ONE Arrow pass (r12 opt, guide §4.1/§8).
+
+    The split form (``_dhash_media`` then ``_dhash_decoder``) shipped
+    every synthesized BMP across the Python->JVM->Python boundary as an
+    Arrow binary column just to decode it in the next operator — ~30 MB
+    of payload serialized twice per query at sf0.1, pure boundary cost.
+    The fused pass runs the SAME ``_bmp_bytes`` encoder and the SAME
+    ``decode_bmp_pixels`` byte decode per image (the real-format
+    roundtrip is preserved verbatim); the bytes simply stay inside one
+    Python worker.  At 100 TB the encode stage is where the parquet
+    binary column is read, and this shape is the same one-decode-pass
+    design.  ``_dhash_media``/``_dhash_decoder`` remain the two-stage
+    surface (media_decode and schema tests exercise them)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from lakeforge.llm.multimodal import decode_bmp_pixels
+
+    # Spread the doc ids across the cluster BEFORE the decode pass: the
+    # testdata parquet is one row group, so the scan is one task and the
+    # whole Python decode would run serially (guide §2.5, unsplittable
+    # input).  Only the 8-byte ids ride the exchange; count is the
+    # cluster's parallelism, not a constant (4.4s -> 1.5s at sf0.1).
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fp(did: int, mutated: bool) -> int:
+            px = decode_bmp_pixels(_bmp_bytes(_dhash_gray(did, mutated)))
+            return _dhash_fp_from_gray(px[:, :, 0])
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = _guard_media_domain(int(d), "image_dhash_neardup")
+                out.append((d, fp(d, False)))
+                if d % _DH_NEAR_MOD == 0:
+                    out.append((d + _DH_NEAR_OFF, fp(d, True)))
+                if d % _DH_COPY_MOD == 0:
+                    out.append((d + _DH_COPY_OFF, fp(d, False)))
+            yield pd.DataFrame(out, columns=[out_col, "fp"])
+
+    return docs.mapInPandas(fused, schema=f"{out_col} bigint, fp bigint")
+
+
+def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = _dhash_fps_fused(spark, sf_dir, "media_id")
     return _collapse_and_pair(fps)
 
 
@@ -644,25 +692,50 @@ def q_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from lakeforge.llm.multimodal import decode_wav_samples
+    from lakeforge.llm.multimodal import decode_wav_samples, encode_wav
 
-    media = _af_media(spark, sf_dir)
+    # Same id-only pre-decode spread as _dhash_fps_fused (guide §2.5).
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
+    # Encode -> WAV bytes -> decode -> frame-energy fingerprint fused
+    # into ONE Arrow pass (r12 opt, guide §4.1/§8 — same rationale as
+    # _dhash_fps_fused: the split _af_media + decoder form serialized
+    # every synthesized WAV across the Python->JVM->Python boundary
+    # twice).  The real-format roundtrip (encode_wav header/layout,
+    # decode_wav_samples byte parse) is preserved verbatim.
     def afp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         shifts = np.arange(_AF_FRAMES - 1, dtype=np.int64)
+
+        def fp(did: int, mutated: bool) -> int:
+            wav = encode_wav(
+                n_samples=_AF_N,
+                sample_rate=16_000,
+                data_prefix=_af_samples(did, mutated).tobytes(),
+            )
+            samples, _hdr = decode_wav_samples(wav)
+            s = samples[: _AF_FRAMES * _AF_FRAME, 0].astype(np.int64)
+            e = (s * s).reshape(_AF_FRAMES, _AF_FRAME).sum(axis=1)
+            bits = (e[:-1] > e[1:]).astype(np.int64)
+            return int((bits << shifts).sum())
+
         for pdf in batches:
             out = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                samples, _hdr = decode_wav_samples(bytes(content))
-                s = samples[: _AF_FRAMES * _AF_FRAME, 0].astype(np.int64)
-                e = (s * s).reshape(_AF_FRAMES, _AF_FRAME).sum(axis=1)
-                bits = (e[:-1] > e[1:]).astype(np.int64)
-                out.append((int(mid), int((bits << shifts).sum())))
+            for d in pdf["doc_id"]:
+                d = _guard_media_domain(int(d), "audio_fingerprint_neardup")
+                out.append((d, fp(d, False)))
+                if d % _AF_NEAR_MOD == 0:
+                    out.append((d + _AF_NEAR_OFF, fp(d, True)))
+                if d % _AF_COPY_MOD == 0:
+                    out.append((d + _AF_COPY_OFF, fp(d, False)))
             yield pd.DataFrame(out, columns=["media_id", "fp"])
 
-    fps = media.mapInPandas(afp, schema="media_id bigint, fp bigint")
+    fps = docs.mapInPandas(afp, schema="media_id bigint, fp bigint")
     return _collapse_and_pair(fps)
 
 
@@ -950,14 +1023,68 @@ def _frame_fp_decoder(out_col: str):
     return frame_fps
 
 
+def _vf_fps_fused(spark: SparkSession, sf_dir: str, out_col: str) -> DataFrame:
+    """(out_col, fp) per frame: the video fixture's encode -> container
+    bytes -> container-walk decode -> per-frame dHash fused into ONE
+    Arrow pass (r12 opt, guide §4.1/§8 — same rationale as
+    ``_dhash_fps_fused``, but the payload here is ~12x larger: ~340 MB
+    of container bytes per query crossed the Python->JVM->Python
+    boundary twice at sf0.1).  The container is still really assembled
+    (concatenated BMP frames) and really WALKED by each frame's declared
+    file size through the same struct/decode code as
+    ``_frame_fp_decoder``; only the JVM hop is gone."""
+    import struct
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from lakeforge.llm.multimodal import decode_bmp_pixels
+
+    # Same id-only pre-decode spread as _dhash_fps_fused (guide §2.5).
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def frame(seed: int) -> bytes:
+            return _bmp_bytes(_dhash_gray(seed, False))
+
+        def video_fps(d: int, mutated: bool) -> list[int]:
+            buf = b"".join(
+                frame(_vf_frame_seed(d, k, mutated)) for k in range(_VF_NF)
+            )
+            fps, pos = [], 0
+            while pos + 6 <= len(buf) and buf[pos : pos + 2] == b"BM":
+                (fsize,) = struct.unpack_from("<I", buf, pos + 2)
+                px = decode_bmp_pixels(buf[pos : pos + fsize])
+                fps.append(_dhash_fp_from_gray(px[:, :, 0]))
+                pos += fsize
+            return fps
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = _guard_media_domain(int(d), "video_frame_neardup")
+                out.extend((d, f) for f in video_fps(d, False))
+                if d % _VF_NEAR_MOD == 0:
+                    out.extend(
+                        (d + _VF_NEAR_OFF, f) for f in video_fps(d, True)
+                    )
+                if d % _VF_COPY_MOD == 0:
+                    out.extend(
+                        (d + _VF_COPY_OFF, f) for f in video_fps(d, False)
+                    )
+            yield pd.DataFrame(out, columns=[out_col, "fp"])
+
+    return docs.mapInPandas(fused, schema=f"{out_col} bigint, fp bigint")
+
+
 def q_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeforge.cache import persist_tracked
 
-    media = _vf_media(spark, sf_dir)
-
-    fps = media.mapInPandas(
-        _frame_fp_decoder("media_id"), schema="media_id bigint, fp bigint"
-    )
+    fps = _vf_fps_fused(spark, sf_dir, "media_id")
     # distinct (video, frame-fp): repeated identical frames inside one
     # video count once for overlap purposes
     vfp = persist_tracked(fps.distinct())

@@ -368,14 +368,13 @@ ORACLE_SQL["docs_substring_coverage"] = _sql_docs_substring_coverage()
 
 
 def _image_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(image_id, fp): real BMP byte decode -> dHash, one Arrow pass —
-    the image leg's module-level decoder with this op's column name."""
-    from lakeforge.workload_r11 import _dhash_decoder, _dhash_media
+    """(image_id, fp): real BMP encode->decode->dHash roundtrip, one
+    FUSED Arrow pass (workload_r11._dhash_fps_fused — r12 opt: the bytes
+    no longer cross the Python<->JVM boundary between fixture and
+    decoder)."""
+    from lakeforge.workload_r11 import _dhash_fps_fused
 
-    media = _dhash_media(spark, sf_dir)
-    return media.mapInPandas(
-        _dhash_decoder("image_id"), schema="image_id bigint, fp bigint"
-    )
+    return _dhash_fps_fused(spark, sf_dir, "image_id")
 
 
 def _video_frame_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,17 +385,10 @@ def _video_frame_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     a trivial projection of it (recompute-from-cache beats holding two
     MEMORY_AND_DISK copies — the hamming_neardup_pairs discipline)."""
     from lakeforge.cache import persist_tracked
-    from lakeforge.workload_r11 import (
-        _VF_DFCAP,
-        _frame_fp_decoder,
-        _vf_media,
-    )
+    from lakeforge.workload_r11 import _VF_DFCAP, _vf_fps_fused
 
-    media = _vf_media(spark, sf_dir)
     vfp = persist_tracked(
-        media.mapInPandas(
-            _frame_fp_decoder("video_id"), schema="video_id bigint, fp bigint"
-        ).distinct()
+        _vf_fps_fused(spark, sf_dir, "video_id").distinct()
     )
     df_ok = (
         vfp.groupBy("fp")
