@@ -63,6 +63,103 @@ def _d2(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def kmeans_assign_grouped(
+    base: DataFrame, centroids: DataFrame, grp_col: str, id_col: str
+) -> DataFrame:
+    """One assignment pass over SEVERAL disjoint datasets at once: nearest
+    centroid per (group, vector).  ``base``: (grp_col, id_col, vec);
+    ``centroids``: (grp_col, cluster, cvec) — broadcast (k*|groups| rows).
+
+    Per-group math is identical to :func:`kmeans_assign` (exact integer
+    d2, min over (d2, cluster) structs), so results are bit-identical to
+    running the groups one by one — the point (r12 opt) is that all
+    groups share ONE job instead of |groups| sequential driver actions
+    (PQ trains 4 subspace codebooks; the sequential form cost 4x the
+    scheduler round-trips and 4x the plan compiles).
+    """
+    scored = base.join(F.broadcast(centroids), grp_col).select(
+        grp_col,
+        id_col,
+        F.struct(_d2("vec", "cvec").alias("d2"), F.col("cluster")).alias("sc"),
+    )
+    return scored.groupBy(grp_col, id_col).agg(F.min("sc").alias("sc")).select(
+        grp_col,
+        id_col,
+        F.col("sc.cluster").alias("cluster"),
+        F.col("sc.d2").alias("d2"),
+    )
+
+
+def kmeans_fit_grouped(
+    base: DataFrame,
+    k: int,
+    iters: int,
+    grp_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Lloyd's k-means over SEVERAL disjoint datasets in one driver loop.
+
+    ``base``: (grp_col, id_col, vec array<bigint>) — already quantized.
+    Returns centroids (grp_col, cluster, cvec).  Init, assignment,
+    update, and rounding are the per-group twins of :func:`kmeans_fit`
+    (init = the k vectors with lowest ids per group, exact integer d2,
+    one double division per dimension), so each group's centroids are
+    bit-identical to a per-group ``kmeans_fit`` — verified by the PQ
+    oracles, whose DuckDB replay states the per-subspace training.  The
+    win is operational: one localCheckpoint per ITERATION instead of one
+    per (group, iteration), so the driver-side action count no longer
+    scales with the group count.
+    """
+    from lakeforge import cache
+
+    spark = base.sparkSession
+    seen = cache.rdd_ids(spark)
+    base = base.localCheckpoint(eager=True)
+    base_ids = cache.rdd_ids(spark) - seen
+    cache.track_releaser(
+        lambda blocking, ids=base_ids: cache.unpersist_rdd_ids(
+            spark, ids, blocking
+        )
+    )
+    centroids = base.filter(F.col(id_col) < k).select(
+        grp_col,
+        F.col(id_col).cast("bigint").alias("cluster"),
+        F.col("vec").alias("cvec"),
+    )
+    prev_ids: set[int] = set()
+    for _ in range(iters):
+        assign = kmeans_assign_grouped(base, centroids, grp_col, id_col).select(
+            grp_col, id_col, "cluster"
+        )
+        members = base.join(assign, [grp_col, id_col]).select(
+            grp_col, "cluster", F.posexplode("vec").alias("pos", "x")
+        )
+        dims = members.groupBy(grp_col, "cluster", "pos").agg(
+            F.round(
+                F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")
+            )
+            .cast("bigint")
+            .alias("c")
+        )
+        centroids = dims.groupBy(grp_col, "cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+        seen = cache.rdd_ids(spark)
+        centroids = centroids.localCheckpoint(eager=True)
+        new_ids = cache.rdd_ids(spark) - seen
+        cache.unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
+    cache.track_releaser(
+        lambda blocking, ids=prev_ids: cache.unpersist_rdd_ids(
+            spark, ids, blocking
+        )
+    )
+    return centroids
+
+
 def kmeans_assign(
     base: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
 ) -> DataFrame:

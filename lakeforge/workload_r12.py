@@ -256,17 +256,29 @@ def q_docs_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Both sides contribute token intervals: doc_a covers [s, e + n - 1],
     # doc_b the diagonal-shifted twin [s - diag, e - diag + n - 1].
-    side_a = runs.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("s").alias("lo"),
-        (F.col("e") + F.lit(n - 1)).alias("hi"),
+    # One scan of the runs plan (r12 opt, guide §2.4): the previous
+    # union(select_a, select_b) executed the whole anchor/self-join/island
+    # pipeline twice — explode emits both interval rows per run instead.
+    iv = (
+        runs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("doc_id"),
+                        F.col("s").alias("lo"),
+                        (F.col("e") + F.lit(n - 1)).alias("hi"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("doc_id"),
+                        (F.col("s") - F.col("diag")).alias("lo"),
+                        (F.col("e") - F.col("diag") + F.lit(n - 1)).alias("hi"),
+                    ),
+                )
+            ).alias("_iv")
+        )
+        .select("_iv.doc_id", "_iv.lo", "_iv.hi")
+        .distinct()
     )
-    side_b = runs.select(
-        F.col("doc_b").alias("doc_id"),
-        (F.col("s") - F.col("diag")).alias("lo"),
-        (F.col("e") - F.col("diag") + F.lit(n - 1)).alias("hi"),
-    )
-    iv = side_a.unionByName(side_b).distinct()
     # Interval union via running-max islands: a new island starts when
     # this interval begins past everything seen so far.  (lo, hi) is
     # unique per doc after the distinct, so the window order is total.

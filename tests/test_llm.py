@@ -1017,3 +1017,59 @@ def test_pq_codebook_retrains_after_corpus_rewrite(spark, tmp_path):
     wl._pq_codebooks(spark, sf)
     keys2 = set(wl._PQ_CODEBOOKS) - before - keys1
     assert len(keys2) == 1, "rewritten corpus must train a fresh codebook"
+
+
+def test_kmeans_fit_grouped_matches_per_group_fit(spark):
+    """The grouped Lloyd's loop (r12 opt: all PQ subspaces train in one
+    driver loop) must produce bit-identical centroids to running
+    kmeans_fit per group — init, exact-integer d2, tie-breaks, and the
+    one-double-division rounding all have per-group twins."""
+    from pyspark.sql import functions as F
+
+    from lakeforge import cache
+    from lakeforge.llm.clustering import kmeans_fit, kmeans_fit_grouped
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from lakeforge.llm.clustering import micro_embedding
+
+    sub_len, n_groups, k, iters = 16, 4, 8, 2
+    micro = micro_embedding("embedding")
+    base_m = emb.select(
+        F.col("vec_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(micro, m * sub_len + 1, sub_len).alias("vec"),
+                    )
+                    for m in range(n_groups)
+                ]
+            )
+        ).alias("_s"),
+    ).select(F.col("_s.m").alias("m"), "vec_id", F.col("_s.vec").alias("vec"))
+
+    grouped = {
+        (int(r["m"]), int(r["cluster"])): [int(x) for x in r["cvec"]]
+        for r in kmeans_fit_grouped(
+            base_m, k=k, iters=iters, grp_col="m", id_col="vec_id"
+        ).collect()
+    }
+    cache.release_all()
+
+    for m in range(n_groups):
+        sub = emb.select(
+            "vec_id", F.slice(micro, m * sub_len + 1, sub_len).alias("vec")
+        )
+        _, cents = kmeans_fit(
+            sub, k=k, iters=iters, id_col="vec_id",
+            vec_col="vec", pre_quantized=True,
+        )
+        per_group = {
+            int(r["cluster"]): [int(x) for x in r["cvec"]]
+            for r in cents.collect()
+        }
+        cache.release_all()
+        assert {
+            c: v for (g, c), v in grouped.items() if g == m
+        } == per_group, f"subspace {m} centroids diverge"
