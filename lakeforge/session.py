@@ -71,6 +71,16 @@ def get_spark(
         # Arrow for every pandas<->Spark boundary (LLM ops use pandas UDFs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
+        # Headless engine: the UI server + per-job UI state cost driver
+        # CPU on every one of the bench's thousands of jobs and nothing
+        # reads it here; production monitoring uses the event log /
+        # history server instead (set spark.ui.enabled=true to debug).
+        .config("spark.ui.enabled", "false")
+        # MIN/MAX/COUNT over parquet without filters answer from footer
+        # statistics instead of scanning rows — exact semantics, and at
+        # 100 TB it is the difference between a metadata read and a full
+        # scan for the quality-summary family.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():
