@@ -391,7 +391,10 @@ def jaccard_pairs(
     """
     from lakeforge.cache import persist_tracked
 
-    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    # r12 opt (guide §2.4): sh feeds the df aggregate AND the rare join,
+    # so unpersisted the tokenize -> shingle-explode pipeline executed
+    # twice (once inside rare's materialization, once for dfreq).
+    sh = persist_tracked(_doc_shingles(df, text_col, id_col, shingle_n))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = persist_tracked(sh.join(dfreq.filter(F.col("df") <= df_cap), "shingle"))
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -582,6 +585,10 @@ def jaccard_prefix_pairs(
 
     from lakeforge.cache import persist_tracked
 
+    # r12 note: persisting sh here (as jaccard_pairs now does) was tried
+    # and REVERTED — measured 5.0 -> 7.7s, because AQE's runtime exchange
+    # reuse already dedupes this symmetric subtree and the forced
+    # materialization only adds a pass.
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
     dfreq = (
         sh.groupBy("shingle")

@@ -348,6 +348,93 @@ def ivf_topk(
     )
 
 
+def ivf_topk_curve(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nprobes: tuple,
+    n_cells: int = 16,
+    n_queries: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """``ivf_topk`` evaluated at SEVERAL nprobe settings from ONE shared
+    candidate pass (r12 opt, guide §2.4): the nprobe-p candidate set is
+    exactly the max-nprobe candidate set restricted to probe_rank <= p
+    (each corpus vector lives in one cell; probe_rank is that cell's rank
+    in the query's deterministic cell ordering), and the cosine score of
+    a candidate does not depend on nprobe — so assignment, probing and
+    scoring run once and each curve point is a filter + top-k window.
+    Emits (nprobe, query_id, neighbor_id); per-point equality with
+    ``ivf_topk(nprobe=p)`` is asserted by tests/test_llm.py.
+    """
+    from lakeforge.cache import persist_tracked
+
+    max_np = max(nprobes)
+    e = _nano_with_norm(corpus, vec_col, id_col, "vec_id", "vec", "n2")
+    cents = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("n2").alias("c_n2"),
+    )
+    csim = F.round(
+        _dot("vec", "c_vec").cast("double")
+        / F.sqrt(F.col("n2").cast("double") * F.col("c_n2").cast("double")),
+        6,
+    )
+    scored_cells = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "vec", "n2", "cell_id", csim.alias("csim")
+    )
+    by_sim = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cell_id").asc()
+    )
+    ranked_cells = scored_cells.withColumn("crank", F.row_number().over(by_sim))
+    assign = ranked_cells.filter(F.col("crank") == 1).select(
+        "vec_id", "vec", "n2", "cell_id"
+    )
+    probe = ranked_cells.filter(
+        (F.col("vec_id") < n_queries) & (F.col("crank") <= max_np)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("n2").alias("q_n2"),
+        "cell_id",
+        F.col("crank").alias("probe_rank"),
+    )
+    cand = assign.join(F.broadcast(probe), "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = F.round(
+        _dot("q_vec", "vec").cast("double")
+        / F.sqrt(F.col("q_n2").cast("double") * F.col("n2").cast("double")),
+        6,
+    )
+    scored = persist_tracked(
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+            "probe_rank",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    out = None
+    for np_ in nprobes:
+        topk = (
+            scored.filter(F.col("probe_rank") <= np_)
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "query_id",
+                "neighbor_id",
+            )
+        )
+        out = topk if out is None else out.unionByName(topk)
+    return out
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     vec_col: str,
@@ -483,6 +570,65 @@ def l2_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def l2_topk_prefixes(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: tuple,
+    k: int = 10,
+    max_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """``l2_topk`` over PREFIX-truncated vectors at SEVERAL truncation
+    dims from ONE broadcast join (r12 opt, guide §2.4): micro-unit
+    quantization is elementwise, so ``slice(micro(v), 1, d) ==
+    micro(slice(v, 1, d))`` and each dim's exact integer d2 is an
+    independent column over the same Q x N pair frame — one corpus scan
+    and one join instead of one per dim.  Emits (trunc_dim, query_id,
+    neighbor_id, rank); per-dim equality with ``l2_topk`` on pre-sliced
+    input is asserted by tests/test_llm.py."""
+    from lakeforge.llm.clustering import _d2, micro_embedding
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        micro_embedding(vec_col).alias("qvec"),
+    )
+    q = cache.persist_tracked(q)
+    if q.count() > max_queries:
+        raise ValueError(f"l2_topk_prefixes broadcasts queries; > {max_queries}")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        micro_embedding(vec_col).alias("cvec"),
+    )
+    scored = cache.persist_tracked(
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+            "query_id",
+            "neighbor_id",
+            *[
+                _d2(F.slice("qvec", 1, d), F.slice("cvec", 1, d)).alias(f"d2_{d}")
+                for d in dims
+            ],
+        )
+    )
+    out = None
+    for d in dims:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(f"d2_{d}").asc(), F.col("neighbor_id").asc()
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.lit(d).cast("int").alias("trunc_dim"),
+                "query_id",
+                "neighbor_id",
+                "rank",
+            )
+        )
+        out = topk if out is None else out.unionByName(topk)
+    return out
 
 
 def train_pq_codebooks(

@@ -601,6 +601,12 @@ def q_docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos0", "gram"),
     ).select("doc_id", (F.col("pos0") + 1).alias("i"), md5_int("gram").alias("gram_h"))
+    # r12 opt (guide §2.4): grams feeds the df aggregate AND the semi
+    # join — unpersisted, the tokenize -> posexplode -> md5 pipeline ran
+    # twice.  Persisted, released at the query boundary.
+    from lakeforge.cache import persist_tracked
+
+    grams = persist_tracked(grams)
     rep = (
         grams.groupBy("gram_h")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -807,26 +813,18 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to the standard 20-probe set — the truncated scans touch
     the SAME corpus pass shape with shorter arrays, which is precisely
     the cost model MRL exploits at scale."""
-    from lakeforge.llm.similarity import l2_topk
+    from lakeforge.llm.similarity import l2_topk_prefixes
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < _MRL_QUERIES)
     exact = _aux_l2_truth(spark, sf_dir)
-    parts = []
-    for d in _MRL_DIMS:
-        trunc = emb.select(
-            "vec_id", F.slice("embedding", 1, d).alias("embedding")
-        )
-        tq = queries.select(
-            "vec_id", F.slice("embedding", 1, d).alias("embedding")
-        )
-        approx = l2_topk(tq, trunc, "embedding", "vec_id", k=_MRL_TOPK).select(
-            F.lit(d).cast("int").alias("trunc_dim"),
-            "query_id",
-            F.col("neighbor_id").alias("a_nb"),
-        )
-        parts.append(approx)
-    approx_all = parts[0].unionByName(parts[1])
+    # r12 opt (guide §2.4): both truncation dims previously ran their own
+    # l2_topk (corpus scan + broadcast join each); l2_topk_prefixes
+    # computes every prefix d2 over ONE shared pair frame — provably
+    # identical because micro-quantization commutes with slice.
+    approx_all = l2_topk_prefixes(
+        queries, emb, "embedding", "vec_id", dims=_MRL_DIMS, k=_MRL_TOPK
+    ).select("trunc_dim", "query_id", F.col("neighbor_id").alias("a_nb"))
     # approx_all is |dims| x |probes| x k rows (400) — broadcast it as the
     # BUILD side.  The preserved (left) side of a left join cannot be
     # broadcast (ADVICE r06 #4: the earlier F.broadcast(exact) hint was
@@ -1212,6 +1210,13 @@ def q_docs_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode("toks").alias("pos0", "tok"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    # r12 opt (guide §2.4): tok_pos feeds the anti-join AND the before
+    # count, grams feeds the df aggregate AND the semi join — the full
+    # tokenize pipeline ran 4x per query.  Persist both; released at the
+    # query boundary.
+    from lakeforge.cache import persist_tracked
+
+    tok_pos = persist_tracked(tok_pos)
     grams = toks.select(
         "doc_id",
         F.posexplode(
@@ -1223,6 +1228,7 @@ def q_docs_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos0", "gram"),
     ).select("doc_id", (F.col("pos0") + 1).alias("i"), md5_int("gram").alias("gram_h"))
+    grams = persist_tracked(grams)
     rep = (
         grams.groupBy("gram_h")
         .agg(F.countDistinct("doc_id").alias("df"))

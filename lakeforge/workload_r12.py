@@ -133,6 +133,14 @@ def _shared_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).alias("i"),
         md5_int("gram").alias("gram_h"),
     )
+    # r12 opt (guide §2.4): grams feeds the anchor df-aggregate AND the
+    # occurrence cap, and occ feeds BOTH self-join sides — unpersisted,
+    # the tokenize -> posexplode -> md5 pipeline executed 4x per query
+    # (plan nodes (1)/(7)/(31)/(37) in the before plan).  Persist both;
+    # released at the query boundary like every operator persist.
+    from lakeforge.cache import persist_tracked
+
+    grams = persist_tracked(grams)
     anchors = (
         grams.groupBy("gram_h")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -140,7 +148,7 @@ def _shared_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram_h")
     )
     w_occ = Window.partitionBy("gram_h", "doc_id").orderBy("i")
-    occ = (
+    occ = persist_tracked(
         grams.join(anchors, "gram_h", "left_semi")
         .withColumn("rn", F.row_number().over(w_occ))
         .filter(F.col("rn") <= _SS_OCC_CAP)

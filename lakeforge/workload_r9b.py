@@ -1858,7 +1858,7 @@ _CURVE_NPROBES = (1, 2, 4)
 
 
 def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakeforge.llm.similarity import ivf_topk
+    from lakeforge.llm.similarity import ivf_topk_curve
     from lakeforge.workload_llm import (
         _IVF_CELLS,
         _N_QUERIES,
@@ -1875,12 +1875,20 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", F.col("neighbor_id").alias("e_nb")
         )
     )
+    # r12 opt (guide §2.4): the three nprobe branches previously rebuilt
+    # the whole IVF pipeline (assign + probe + score) each — ivf_topk_curve
+    # runs it ONCE and derives every curve point by probe_rank filter +
+    # top-k window (provably identical per point; see similarity.py).
+    curve = ivf_topk_curve(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        nprobes=_CURVE_NPROBES,
+        n_cells=_IVF_CELLS, n_queries=_N_QUERIES, k=_TOPK,
+    )
     out = None
     for np_ in _CURVE_NPROBES:
-        approx = ivf_topk(
-            _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
-            n_cells=_IVF_CELLS, nprobe=np_, n_queries=_N_QUERIES, k=_TOPK,
-        ).select("query_id", F.col("neighbor_id").alias("a_nb"))
+        approx = curve.filter(F.col("nprobe") == np_).select(
+            "query_id", F.col("neighbor_id").alias("a_nb")
+        )
         hits = (
             exact.join(
                 approx,

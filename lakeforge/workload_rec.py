@@ -244,6 +244,9 @@ def q_copurchase_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order, so the LIMIT is deterministic on both engines.
     """
     li = _t(spark, sf_dir, "lineitem")
+    # r12 note: persisting items was tried and REVERTED (ABBA A/B ratio
+    # 1.17x WORSE) — AQE's runtime exchange reuse already dedupes the
+    # symmetric distinct subtree; the persist only adds a materialization.
     items = li.select("l_orderkey", "l_partkey").distinct()
     cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))

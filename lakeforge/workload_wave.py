@@ -249,6 +249,10 @@ def q_supplier_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list (per-part supplier degree is schema-bounded).  At 100 TB
     candidates grow with ORDERS, not with degree²."""
     li = _t(spark, sf_dir, "lineitem")
+    # r12 note: persisting lp/edges here was tried and REVERTED (ABBA
+    # A/B ratio 1.42x WORSE) — AQE's runtime exchange reuse already
+    # dedupes these symmetric distinct subtrees at execution, so the
+    # static plan's six scans overstate the real work.
     lp = li.select("l_orderkey", "l_partkey").distinct()
     a = lp.alias("a")
     b = lp.alias("b")

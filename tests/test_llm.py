@@ -1073,3 +1073,66 @@ def test_kmeans_fit_grouped_matches_per_group_fit(spark):
         assert {
             c: v for (g, c), v in grouped.items() if g == m
         } == per_group, f"subspace {m} centroids diverge"
+
+
+def test_ivf_topk_curve_matches_per_nprobe(spark):
+    """Each curve point of ivf_topk_curve (r12 opt: one shared
+    assign/probe/score pass) must equal ivf_topk run at that nprobe —
+    the probe_rank-filter derivation is only valid if candidate sets,
+    scores, and top-k tie-breaks all coincide."""
+    from lakeforge import cache
+    from lakeforge.llm.similarity import ivf_topk, ivf_topk_curve
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    nprobes = (1, 2, 4)
+    curve = {
+        (int(r["nprobe"]), int(r["query_id"]), int(r["neighbor_id"]))
+        for r in ivf_topk_curve(
+            emb, "embedding", "vec_id", nprobes=nprobes,
+            n_cells=16, n_queries=20, k=10,
+        ).collect()
+    }
+    cache.release_all()
+    for np_ in nprobes:
+        single = {
+            (np_, int(r["query_id"]), int(r["neighbor_id"]))
+            for r in ivf_topk(
+                emb, "embedding", "vec_id",
+                n_cells=16, nprobe=np_, n_queries=20, k=10,
+            ).collect()
+        }
+        assert {t for t in curve if t[0] == np_} == single, (
+            f"nprobe={np_} diverges"
+        )
+
+
+def test_l2_topk_prefixes_matches_per_dim(spark):
+    """Each truncation point of l2_topk_prefixes (r12 opt: one shared
+    Q x N pair frame) must equal l2_topk run on pre-sliced embeddings —
+    valid only because micro-quantization commutes with slice and the
+    (d2, neighbor_id) tie-breaks coincide."""
+    from pyspark.sql import functions as F
+
+    from lakeforge import cache
+    from lakeforge.llm.similarity import l2_topk, l2_topk_prefixes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    dims = (16, 32)
+    fused = {
+        (int(r["trunc_dim"]), int(r["query_id"]), int(r["neighbor_id"]),
+         int(r["rank"]))
+        for r in l2_topk_prefixes(
+            queries, emb, "embedding", "vec_id", dims=dims, k=10
+        ).collect()
+    }
+    cache.release_all()
+    for d in dims:
+        tq = queries.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        tc = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        single = {
+            (d, int(r["query_id"]), int(r["neighbor_id"]), int(r["rank"]))
+            for r in l2_topk(tq, tc, "embedding", "vec_id", k=10).collect()
+        }
+        cache.release_all()
+        assert {t for t in fused if t[0] == d} == single, f"dim={d} diverges"
