@@ -370,6 +370,19 @@ def main() -> None:
     detail_file = (
         "BENCH_SUBSET.json" if only else f"BENCH_LOCAL_r{cur_round:02d}.json"
     )
+    here = os.path.dirname(os.path.abspath(__file__))
+    # Printed per-query map: the slowest N, UNIONED with every name the
+    # previous round's DRIVER artifact printed (r13 fix, VERDICT r12 #2):
+    # the driver diffs printed maps round-over-round, so a query that
+    # merely fell out of the top-N must not look "dropped from bench".
+    # Values are the same medians the detail file carries.
+    prev_driver = _load_queries_map(
+        os.path.join(here, f"BENCH_r{cur_round - 1:02d}.json"), sf
+    )
+    by_time = sorted(timings, key=lambda n: -timings[n])
+    printed_names = set(by_time[:N_PRINTED]) | (
+        set(prev_driver or ()) & set(timings)
+    )
     headline = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -380,21 +393,22 @@ def main() -> None:
         "n_queries": len(timings),
         "mean_sec_per_query": round(total / max(len(timings), 1), 3),
         "cache_leaks": leaks,
-        # stdout stays compact (the driver's capture truncates long lines;
-        # r03 lost its artifact that way): slowest N only, full map in
-        # the committed detail file.
+        # stdout stays compact (the driver's capture keeps only the LAST
+        # 2000 chars; r03 lost its artifact to overflow and r12's line
+        # survived by 10 chars): compact separators, slim trend, and a
+        # size guard below — the full map/trend go to the detail file.
         "detail_file": detail_file,
-        "queries": dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[:N_PRINTED]
-        ),
-        # stdout carries the spread summary only; per-query runs go to
-        # the detail file.
+        "queries": {n: timings[n] for n in by_time if n in printed_names},
         "run_spread": {
             k: run_spread[k] for k in ("spread_p50", "spread_p90", "spread_max")
         },
-        "trend": trend_summary,
+        # stdout trend is the 4-field summary; the full block (bands,
+        # top movers, per-query deltas) lives in the detail file.
+        "trend": {
+            k: trend_summary[k]
+            for k in ("prev_file", "common_n", "common_ratio", "regressed_2x")
+        },
     }
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, detail_file), "w") as f:
         json.dump(
             {
@@ -406,7 +420,27 @@ def main() -> None:
             f,
             indent=1,
         )
-    print(json.dumps(headline))
+    line = json.dumps(headline, separators=(",", ":"))
+    # Hard guard: the line must fit the driver's 2000-char tail capture.
+    # Shed optional payload first (trend, spread), then extra query
+    # entries beyond the prev-printed contract set (never those: a name
+    # printed last round must stay printed).
+    if len(line) > 1900:
+        headline.pop("trend", None)
+        line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:
+        headline.pop("run_spread", None)
+        line = json.dumps(headline, separators=(",", ":"))
+    while len(line) > 1900:
+        extras = [
+            n for n in reversed(by_time)
+            if n in headline["queries"] and n not in (prev_driver or ())
+        ]
+        if not extras:
+            break
+        del headline["queries"][extras[0]]
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -127,7 +127,7 @@ def kmeans_fit_grouped(
         F.col("vec").alias("cvec"),
     )
     prev_ids: set[int] = set()
-    for _ in range(iters):
+    for i in range(iters):
         assign = kmeans_assign_grouped(base, centroids, grp_col, id_col).select(
             grp_col, id_col, "cluster"
         )
@@ -147,11 +147,18 @@ def kmeans_fit_grouped(
                 lambda s: s["c"],
             ).alias("cvec")
         )
-        seen = cache.rdd_ids(spark)
-        centroids = centroids.localCheckpoint(eager=True)
-        new_ids = cache.rdd_ids(spark) - seen
-        cache.unpersist_rdd_ids(spark, prev_ids)
-        prev_ids = new_ids
+        # Lineage cut every OTHER iteration plus always after the last
+        # (r13 opt, guide §2 driver round-trips): centroids_{i+1}
+        # references centroids_i exactly once (assign's broadcast side),
+        # so the unrolled plan is LINEAR in iterations — nothing re-
+        # executes without a per-iteration checkpoint; chunking only
+        # bounds plan depth while halving the trainer's driver actions.
+        if i % 2 == 1 or i == iters - 1:
+            seen = cache.rdd_ids(spark)
+            centroids = centroids.localCheckpoint(eager=True)
+            new_ids = cache.rdd_ids(spark) - seen
+            cache.unpersist_rdd_ids(spark, prev_ids)
+            prev_ids = new_ids
     cache.track_releaser(
         lambda blocking, ids=prev_ids: cache.unpersist_rdd_ids(
             spark, ids, blocking
@@ -236,7 +243,7 @@ def kmeans_fit(
         F.col(id_col).cast("bigint").alias("cluster"), F.col("vec").alias("cvec")
     )
     prev_ids: set[int] = set()
-    for _ in range(iters):
+    for i in range(iters):
         assign = kmeans_assign(base, centroids, id_col).select(id_col, "cluster")
         # Update: long-form partial sums — the only shuffle, k*d-bounded.
         members = base.join(assign, id_col).select(
@@ -258,15 +265,19 @@ def kmeans_fit(
                 lambda s: s["c"],
             ).alias("cvec")
         )
-        # k rows: truncating lineage here keeps iteration i+1's plan
-        # shallow instead of replaying iterations 1..i (the same pattern
-        # as ops/graph.py connected_components); the PREVIOUS iteration's
-        # blocks are dead once this one materializes — release them now.
-        seen = cache.rdd_ids(spark)
-        centroids = centroids.localCheckpoint(eager=True)
-        new_ids = cache.rdd_ids(spark) - seen
-        cache.unpersist_rdd_ids(spark, prev_ids)
-        prev_ids = new_ids
+        # Lineage cut every OTHER iteration plus always after the last
+        # (r13 opt, guide §2): each centroids_i feeds exactly one place
+        # in centroids_{i+1} (the assign broadcast), so the unrolled plan
+        # is LINEAR — no re-execution without a per-iteration checkpoint.
+        # The final checkpoint stays unconditional because callers consume
+        # centroids TWICE (the returned frame + the final assign below).
+        # The PREVIOUS chunk's blocks are dead once this one materializes.
+        if i % 2 == 1 or i == iters - 1:
+            seen = cache.rdd_ids(spark)
+            centroids = centroids.localCheckpoint(eager=True)
+            new_ids = cache.rdd_ids(spark) - seen
+            cache.unpersist_rdd_ids(spark, prev_ids)
+            prev_ids = new_ids
     cache.track_releaser(
         lambda blocking, ids=prev_ids: cache.unpersist_rdd_ids(
             spark, ids, blocking

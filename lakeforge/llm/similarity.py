@@ -290,86 +290,30 @@ def ivf_topk(
     query.  Hot cells (skewed clusters) are the known hazard; raise
     n_cells or salt the probe join if one cell dominates.
     """
-    e = _nano_with_norm(corpus, vec_col, id_col, "vec_id", "vec", "n2")
-    cents = (
-        e.filter(F.col("vec_id") < n_cells)
-        .select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("vec").alias("c_vec"),
-            F.col("n2").alias("c_n2"),
-        )
-    )
-    csim = F.round(
-        _dot("vec", "c_vec").cast("double")
-        / F.sqrt(F.col("n2").cast("double") * F.col("c_n2").cast("double")),
-        6,
-    )
-    scored_cells = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "vec", "n2", "cell_id", csim.alias("csim")
-    )
-    by_sim = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cell_id").asc()
-    )
-    ranked_cells = scored_cells.withColumn("crank", F.row_number().over(by_sim))
-    assign = ranked_cells.filter(F.col("crank") == 1).select(
-        "vec_id", "vec", "n2", "cell_id"
-    )
-    probe = (
-        ranked_cells.filter(
-            (F.col("vec_id") < n_queries) & (F.col("crank") <= nprobe)
-        )
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("vec").alias("q_vec"),
-            F.col("n2").alias("q_n2"),
-            "cell_id",
-        )
-    )
-    # Broadcast the probe side (queries x nprobe rows — tiny): joining BY
-    # cell_id would shuffle the whole corpus onto <= n_cells reducers (low
-    # cardinality => capped parallelism + skew).  Broadcasting keeps the
-    # corpus scan shuffle-free end-to-end.
-    cand = assign.join(F.broadcast(probe), "cell_id").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    sim = F.round(
-        _dot("q_vec", "vec").cast("double")
-        / F.sqrt(F.col("q_n2").cast("double") * F.col("n2").cast("double")),
-        6,
-    )
-    scored = cand.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
-    )
+    scored = _ivf_scored(corpus, vec_col, id_col, n_cells, nprobe, n_queries)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
-        F.col("rank") <= k
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
     )
 
 
-def ivf_topk_curve(
+def _ivf_scored(
     corpus: DataFrame,
     vec_col: str,
     id_col: str,
-    nprobes: tuple,
-    n_cells: int = 16,
-    n_queries: int = 20,
-    k: int = 10,
+    n_cells: int,
+    max_np: int,
+    n_queries: int,
 ) -> DataFrame:
-    """``ivf_topk`` evaluated at SEVERAL nprobe settings from ONE shared
-    candidate pass (r12 opt, guide §2.4): the nprobe-p candidate set is
-    exactly the max-nprobe candidate set restricted to probe_rank <= p
-    (each corpus vector lives in one cell; probe_rank is that cell's rank
-    in the query's deterministic cell ordering), and the cosine score of
-    a candidate does not depend on nprobe — so assignment, probing and
-    scoring run once and each curve point is a filter + top-k window.
-    Emits (nprobe, query_id, neighbor_id); per-point equality with
-    ``ivf_topk(nprobe=p)`` is asserted by tests/test_llm.py.
-    """
-    from lakeforge.cache import persist_tracked
-
-    max_np = max(nprobes)
+    """Shared IVF assign/probe/score kernel (ADVICE r12: ``ivf_topk`` and
+    ``ivf_topk_curve`` carried verbatim copies that could silently drift).
+    Returns the scored candidate frame (query_id, neighbor_id, sim,
+    probe_rank) for probes up to cell rank ``max_np``; callers window it
+    to top-k (and, for the curve, filter probe_rank per point)."""
     e = _nano_with_norm(corpus, vec_col, id_col, "vec_id", "vec", "n2")
     cents = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell_id"),
@@ -400,6 +344,10 @@ def ivf_topk_curve(
         "cell_id",
         F.col("crank").alias("probe_rank"),
     )
+    # Broadcast the probe side (queries x nprobe rows — tiny): joining BY
+    # cell_id would shuffle the whole corpus onto <= n_cells reducers (low
+    # cardinality => capped parallelism + skew).  Broadcasting keeps the
+    # corpus scan shuffle-free end-to-end.
     cand = assign.join(F.broadcast(probe), "cell_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -408,13 +356,42 @@ def ivf_topk_curve(
         / F.sqrt(F.col("q_n2").cast("double") * F.col("n2").cast("double")),
         6,
     )
-    scored = persist_tracked(
-        cand.select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            sim.alias("sim"),
-            "probe_rank",
+    return cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        sim.alias("sim"),
+        "probe_rank",
+    )
+
+
+def ivf_topk_curve(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nprobes: tuple,
+    n_cells: int = 16,
+    n_queries: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """``ivf_topk`` evaluated at SEVERAL nprobe settings from ONE shared
+    candidate pass (r12 opt, guide §2.4): the nprobe-p candidate set is
+    exactly the max-nprobe candidate set restricted to probe_rank <= p
+    (each corpus vector lives in one cell; probe_rank is that cell's rank
+    in the query's deterministic cell ordering), and the cosine score of
+    a candidate does not depend on nprobe — so assignment, probing and
+    scoring run once and each curve point is a filter + top-k window.
+    Emits (nprobe, query_id, neighbor_id); per-point equality with
+    ``ivf_topk(nprobe=p)`` is asserted by tests/test_llm.py.
+    """
+    from lakeforge.cache import persist_tracked
+
+    if not nprobes or len(set(nprobes)) != len(nprobes):
+        raise ValueError(
+            "ivf_topk_curve: nprobes must be non-empty and duplicate-free, "
+            f"got {nprobes!r}"
         )
+    scored = persist_tracked(
+        _ivf_scored(corpus, vec_col, id_col, n_cells, max(nprobes), n_queries)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -588,9 +565,22 @@ def l2_topk_prefixes(
     independent column over the same Q x N pair frame — one corpus scan
     and one join instead of one per dim.  Emits (trunc_dim, query_id,
     neighbor_id, rank); per-dim equality with ``l2_topk`` on pre-sliced
-    input is asserted by tests/test_llm.py."""
+    input is asserted by tests/test_llm.py.
+
+    MEMORY CONTRACT (ADVICE r12): unlike ``l2_topk``, which streams the
+    scored pairs straight into the window, this variant PERSISTS the full
+    Q x N pair frame so every dim reuses one join — so it is for SMALL
+    query sets (the callers pass ~20).  At ``max_queries`` = the broadcast
+    guard limit the persisted frame would be 100k x |corpus| rows; pass an
+    explicitly smaller ``max_queries`` (or use per-dim ``l2_topk``) if the
+    query set grows beyond what storage memory can hold."""
     from lakeforge.llm.clustering import _d2, micro_embedding
 
+    if not dims or len(set(dims)) != len(dims):
+        raise ValueError(
+            "l2_topk_prefixes: dims must be non-empty and duplicate-free, "
+            f"got {dims!r}"
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         micro_embedding(vec_col).alias("qvec"),

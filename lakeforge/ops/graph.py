@@ -90,11 +90,16 @@ def connected_components(
                 "lbl",
             )
         )
-        # Checkpoint BEFORE the convergence count: the count then scans the
-        # materialized blocks instead of re-running the iteration's joins
-        # (counting first ran every join twice — measured ~2x per iter).
+        # Checkpoint and convergence count FUSED into one action (r13 opt,
+        # guide §2 driver round-trips): localCheckpoint(eager=False) marks
+        # the RDD persistent at call time (so the id diff below still
+        # captures it), and the convergence count's scan is what
+        # materializes the blocks — one job per iteration instead of a
+        # materialization job plus a count job over the same blocks.
+        # (r12 shape: checkpoint eagerly, then count the blocks; the count
+        # job re-scanned every cached partition each iteration.)
         seen = cache.rdd_ids(spark)
-        mat = new_labels.localCheckpoint()
+        mat = new_labels.localCheckpoint(eager=False)
         new_ids = cache.rdd_ids(spark) - seen
         changed = mat.filter(F.col("new_lbl") != F.col("lbl")).count()
         labels = mat.select("v", F.col("new_lbl").alias("lbl"))
@@ -176,6 +181,11 @@ def connected_components_jump(
         ptr = labels.select(
             F.col("v").alias("pv"), F.col("lbl").alias("plbl")
         )
+        # r13 note: a SECOND jump per round (halving rounds on long
+        # chains) was implemented and measured — the sf0.1 media graph
+        # converges in TWO rounds (changed: 5213 -> 0), so it bought
+        # nothing and was reverted; the loop cost lives in the edge
+        # pipeline materialization, not the iterations.
         new_labels = (
             stepped.join(ptr, stepped.lbl1 == ptr.pv, "left")
             .select(
@@ -187,8 +197,9 @@ def connected_components_jump(
                 ).alias("new_lbl"),
             )
         )
+        # Same one-action checkpoint+count fusion as connected_components.
         seen = cache.rdd_ids(spark)
-        mat = new_labels.localCheckpoint()
+        mat = new_labels.localCheckpoint(eager=False)
         new_ids = cache.rdd_ids(spark) - seen
         changed = mat.filter(F.col("new_lbl") != F.col("lbl")).count()
         labels = mat.select("v", F.col("new_lbl").alias("lbl"))
@@ -489,12 +500,12 @@ def bfs_depths(
             .join(visited, "node", "left_anti")
             .withColumn("depth", F.lit(d).cast("bigint"))
         )
+        # Lazy checkpoint + frontier count fused into one action (r13 opt,
+        # same pattern as connected_components): the count's scan
+        # materializes the checkpoint blocks, so each level pays one job.
         seen = cache.rdd_ids(spark)
-        mat = visited.unionByName(nxt).localCheckpoint()
+        mat = visited.unionByName(nxt).localCheckpoint(eager=False)
         new_ids = cache.rdd_ids(spark) - seen
-        # Count the new level off the materialized blocks (not nxt, which
-        # would re-run the level's joins), then drop the previous level's
-        # checkpoint — it is folded into mat.
         frontier = mat.filter(F.col("depth") == d).select("node")
         n_new = frontier.count()
         cache.unpersist_rdd_ids(spark, prev_ids)
@@ -604,8 +615,10 @@ def kcore_nodes(
 
     spark = edges.sparkSession
     cur = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # The initial edge count is the materializing action for the lazy
+    # checkpoint (one job; the count is the only consumer before the loop).
     seen = cache.rdd_ids(spark)
-    cur = cur.localCheckpoint()
+    cur = cur.localCheckpoint(eager=False)
     prev_ids = cache.rdd_ids(spark) - seen
     n_edges = cur.count()
     for _ in range(rounds):
@@ -616,8 +629,9 @@ def kcore_nodes(
             .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
             .select("a", "b")
         )
+        # Lazy checkpoint + convergence count in one action (r13 opt).
         seen = cache.rdd_ids(spark)
-        nxt = nxt.localCheckpoint()
+        nxt = nxt.localCheckpoint(eager=False)
         new_ids = cache.rdd_ids(spark) - seen
         n_next = nxt.count()
         cache.unpersist_rdd_ids(spark, prev_ids)

@@ -501,15 +501,22 @@ def q_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     e0 = li.select("l_partkey", "l_suppkey").distinct()
+    # Both orientations from ONE scan of the distinct pipeline (r13 opt,
+    # guide §2.4): the unionAll branches differed in projection order, so
+    # AQE exchange reuse could not dedupe them and the 600k-row distinct
+    # executed twice.  explode emits the identical edge MULTISET (k-core
+    # degrees depend on multiplicity, so multiset equality is the
+    # contract; the oracle's g0 is the same UNION ALL).
+    p2 = F.col("l_partkey") * 2
+    s2 = F.col("l_suppkey") * 2 + 1
     edges = e0.select(
-        (F.col("l_partkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
-    ).unionAll(
-        e0.select(
-            (F.col("l_suppkey") * 2 + 1).alias("src"),
-            (F.col("l_partkey") * 2).alias("dst"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(p2.alias("src"), s2.alias("dst")),
+                F.struct(s2.alias("src"), p2.alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     core = kcore_nodes(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
     return core.select(
         F.when(F.col("node") % 2 == 0, "part").otherwise("supplier")

@@ -3970,9 +3970,16 @@ def q_trade_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     larger scale factors."""
     li = _t(spark, sf_dir, "lineitem")
     e0 = li.select("l_partkey", "l_suppkey").distinct()
+    # Both endpoint node ids from ONE scan of the distinct pipeline (r13
+    # opt, guide §2.4): the unionAll branches differ in projection, which
+    # defeats AQE exchange reuse, so the 600k-row distinct ran twice.
+    # explode emits the identical node multiset.
     deg = (
-        e0.select((F.col("l_partkey") * 2).alias("node"))
-        .unionAll(e0.select((F.col("l_suppkey") * 2 + 1).alias("node")))
+        e0.select(
+            F.explode(
+                F.array(F.col("l_partkey") * 2, F.col("l_suppkey") * 2 + 1)
+            ).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     )
@@ -4340,8 +4347,24 @@ def q_trade_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("s"),
         ((F.col("l_partkey") + F.col("l_suppkey")) % 7 + 1).alias("w"),
     )
-    edges = e0.select(F.col("p").alias("src"), F.col("s").alias("dst"), "w") \
-        .unionByName(e0.select(F.col("s").alias("src"), F.col("p").alias("dst"), "w"))
+    # Both edge orientations from ONE scan of the distinct pipeline (r13
+    # opt, guide §2.4): the previous union(select, select) executed the
+    # 600k-row distinct twice — its branches differ in projection order,
+    # which defeats AQE exchange reuse.  Exploding each row into both
+    # directions feeds sssp_hops the identical multiset (the oracle's
+    # ``ed`` is the same UNION ALL of both orientations).
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p").alias("src"), F.col("s").alias("dst"), F.col("w")
+                ),
+                F.struct(
+                    F.col("s").alias("src"), F.col("p").alias("dst"), F.col("w")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst", "_e.w")
     src = 2 * li.agg(F.min("l_partkey")).collect()[0][0]
     dist = sssp_hops(edges, "src", "dst", "w", sources=[src], max_hops=4)
     return dist.groupBy("dist").agg(

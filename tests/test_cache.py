@@ -50,6 +50,25 @@ def test_connected_components_releases_iteration_checkpoints(spark):
     assert cache.n_cached_rdds(spark) == 0
 
 
+def test_cc_jump_fused_checkpoint_converges_and_releases(spark):
+    """r13: the per-iteration localCheckpoint is lazy and materialized BY
+    the convergence count (one action per iteration).  A 40-node path
+    forces ~6 pointer-jump iterations through that fused path; labels,
+    early exit, and the release discipline must be unchanged."""
+    from lakeforge.ops.graph import connected_components_jump
+
+    cache.release_all(blocking=True)
+    rows = [(i, i + 1) for i in range(1, 40)] + [(100, 101)]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    comp = connected_components_jump(edges, "src", "dst")
+    got = {(r.vertex, r.component) for r in comp.collect()}
+    assert got == {(v, 1) for v in range(1, 41)} | {(100, 100), (101, 100)}
+    # Only the tracked final-labels checkpoint may remain live.
+    assert cache.n_cached_rdds(spark) <= 1
+    cache.release_all(blocking=True)
+    assert cache.n_cached_rdds(spark) == 0
+
+
 def test_release_all_keeps_results_recomputable(spark):
     """A persisted (lineage-intact) operator output stays correct after
     release — re-materialization recomputes instead of failing."""

@@ -1136,3 +1136,18 @@ def test_l2_topk_prefixes_matches_per_dim(spark):
         }
         cache.release_all()
         assert {t for t in fused if t[0] == d} == single, f"dim={d} diverges"
+
+
+def test_curve_and_prefix_input_validation():
+    """ADVICE r12: empty or duplicated nprobes/dims must raise up front
+    (the union-building loop would return None / duplicate output rows).
+    Validation fires before any DataFrame is touched."""
+    import pytest
+
+    from lakeforge.llm.similarity import ivf_topk_curve, l2_topk_prefixes
+
+    for bad in ((), (2, 2)):
+        with pytest.raises(ValueError, match="nprobes"):
+            ivf_topk_curve(None, "embedding", "vec_id", nprobes=bad)
+        with pytest.raises(ValueError, match="dims"):
+            l2_topk_prefixes(None, None, "embedding", "vec_id", dims=bad)

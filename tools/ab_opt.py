@@ -1,5 +1,5 @@
-"""Interleaved A/B for the r12 OPTIMIZATION round: baseline commit vs the
-current working tree, one SparkSession, ABBA alternation.
+"""Interleaved A/B for the optimization rounds (r12, r13): baseline commit
+vs the current working tree, one SparkSession, ABBA alternation.
 
 Same mechanism as tools/ab_pinned_code.py (which attributed the r10/r11
 bench scares): two lakeforge package instances swapped through
@@ -15,7 +15,8 @@ Usage:
   git worktree remove .optbase                    # when the round closes
 
 Output per query: base/cur medians, ratio cur/base (<1 = optimization
-wins), all raw runs.  Appends artifacts to docs/AB_OPT_R12.json.
+wins), all raw runs.  Appends artifacts to docs/AB_OPT_R13.json
+(override with $AB_OUT).
 """
 
 from __future__ import annotations
@@ -136,7 +137,9 @@ def main() -> None:
         }
         print(json.dumps({name: results[name]}), flush=True)
 
-    out = os.path.join(CUR_ROOT, "docs", "AB_OPT_R12.json")
+    out = os.path.join(
+        CUR_ROOT, "docs", os.environ.get("AB_OUT", "AB_OPT_R13.json")
+    )
     prev = {}
     if os.path.exists(out):
         try:

@@ -11,7 +11,7 @@ does.  Reports every sample and the median — the steady-state cost that
 guide §1 says to iterate on (bench.py's pass-separated fresh-session
 medians remain the committed artifact; this tool is the inner loop).
 
-With --explain SUFFIX also writes ``plans/r12/<name>_<SUFFIX>.txt``
+With --explain SUFFIX also writes ``plans/r13/<name>_<SUFFIX>.txt``
 containing the query's ``explain('formatted')`` output (the judge-facing
 before/after plan evidence).
 """
@@ -38,7 +38,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--explain", default=None, metavar="SUFFIX",
-                    help="write plans/r12/<name>_<SUFFIX>.txt")
+                    help="write plans/r13/<name>_<SUFFIX>.txt")
     args = ap.parse_args()
 
     names = args.names
@@ -55,7 +55,7 @@ def main() -> None:
 
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r12",
+        "plans", "r13",
     )
     import statistics
     for name in names:
