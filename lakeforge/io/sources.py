@@ -81,6 +81,41 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Session-scoped memo of ANALYZED base scans of the IMMUTABLE testdata
+# tables: (applicationId, {path: DataFrame}).  One entry pair — the
+# engine runs one session at a time; a fresh session (new applicationId,
+# e.g. each bench pass) drops the previous session's plans wholesale.
+_BASE_SCANS: list = [None, {}]
+
+
+def base_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with a per-session memo of the analyzed
+    base DataFrame — a catalog, not a cache (r13 opt, sub-second floor).
+
+    Every ``spark.read.parquet(path)`` call re-runs driver-side file
+    listing + footer schema inference plus a handful of py4j round trips
+    (~50-100 ms); a bench pass makes ~900 such calls for the same ten
+    immutable files.  Reusing the (immutable) analyzed plan is what a
+    registered catalog table would give: NO data, NO results and NO
+    intermediates are held — execution still scans parquet every time,
+    which is why this is floor-latency work, not result caching.
+
+    ONLY for immutable inputs (the ``{sf_dir}/{table}.parquet`` testdata):
+    a memoized plan pins its file list, so paths that are rewritten
+    between queries (silver/merge targets) must keep using
+    :func:`read_parquet` / ``spark.read.parquet`` directly.
+    """
+    app_id = spark.sparkContext.applicationId
+    if _BASE_SCANS[0] != app_id:
+        _BASE_SCANS[0] = app_id
+        _BASE_SCANS[1] = {}
+    df = _BASE_SCANS[1].get(path)
+    if df is None:
+        df = spark.read.parquet(path)
+        _BASE_SCANS[1][path] = df
+    return df
+
+
 def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     """Object-store-safe existence probe (reference S3, fixed).
 
@@ -120,7 +155,9 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # every call site passes the immutable testdata dir, so the memoized
+    # base scan applies (r13 floor opt)
+    df = base_parquet(spark, f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] == "bigint":  # legacy nanos-as-long testdata
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     # TIMESTAMP, not TIMESTAMP_NTZ: downstream ops use unix_micros()/window()

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakeforge.functions.dates import parse_date_multi
-from lakeforge.io.sources import read_events
+from lakeforge.io.sources import base_parquet, read_events
 from lakeforge.ops.dedup import dedup_keep_first, latest_per_key
 from lakeforge.ops.joins import broadcast_left_join, full_outer_coalesce
 from lakeforge.ops.quality import table_summary
@@ -65,11 +65,11 @@ WITH base AS (
 
 
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return base_parquet(spark, f"{sf_dir}/orders.parquet")
 
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return base_parquet(spark, f"{sf_dir}/lineitem.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -217,8 +217,8 @@ SELECT o_custkey, o_orderkey, order_date, total_price FROM ranked WHERE rn = 1
 
 def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _orders(spark, sf_dir)
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = base_parquet(spark, f"{sf_dir}/customer.parquet")
+    nation = base_parquet(spark, f"{sf_dir}/nation.parquet")
     cust = broadcast_left_join(
         orders.select(
             "o_orderkey",
@@ -1160,7 +1160,7 @@ def q_orders_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts + an exact total over the surviving prices."""
     from lakeforge.ops.merge import merge_on_read_view
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    o = base_parquet(spark, f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_orderstatus",
         F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
     )

@@ -39,7 +39,11 @@ ORACLE_SQL: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Memoized analyzed base scan of the immutable testdata table (r13
+    # floor opt — see io.sources.base_parquet: plan reuse, not a cache).
+    from lakeforge.io.sources import base_parquet
+
+    return base_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 # ---------------------------------------------------------------------------

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakeforge.io.sources import base_parquet
 from lakeforge.llm.dedup import (
     MINHASH_P,
     exact_dedup,
@@ -81,7 +82,7 @@ sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingl
 # --------------------------------------------------------------------------
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return base_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,7 +103,7 @@ def _exactdup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return base_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
 # --------------------------------------------------------------------------
@@ -1531,7 +1532,7 @@ _KMEANS_ITERS = 3
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeforge.llm.clustering import kmeans_assignments
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = base_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return kmeans_assignments(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
 
 

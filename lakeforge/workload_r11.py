@@ -53,6 +53,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakeforge.io.sources import base_parquet
+
 QUERIES: dict = {}
 ORACLE_SQL: dict[str, str] = {}
 
@@ -454,7 +456,7 @@ def _dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = base_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def bmp(did: int, mutated: bool) -> bytes:
@@ -523,7 +525,7 @@ def _dhash_fps_fused(spark: SparkSession, sf_dir: str, out_col: str) -> DataFram
     # input).  Only the 8-byte ids ride the exchange; count is the
     # cluster's parallelism, not a constant (4.4s -> 1.5s at sf0.1).
     docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base_parquet(spark, f"{sf_dir}/documents.parquet")
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
@@ -663,7 +665,7 @@ def _af_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lakeforge.llm.multimodal import encode_wav
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = base_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def wav(did: int, mutated: bool) -> bytes:
@@ -696,7 +698,7 @@ def q_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Same id-only pre-decode spread as _dhash_fps_fused (guide §2.5).
     docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base_parquet(spark, f"{sf_dir}/documents.parquet")
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
@@ -825,7 +827,7 @@ def q_sql_udf_net_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     fn = f"__r11_net_charge_{tag}"
     view = f"__r11_lineitem_{tag}"
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+    base_parquet(spark, f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
         view
     )
     spark.sql(f"""
@@ -886,7 +888,7 @@ ORACLE_SQL["sql_udf_net_charge"] = SQL_SQL_UDF_NET_CHARGE
 
 
 def q_orders_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = base_parquet(spark, f"{sf_dir}/orders.parquet")
     wide = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
@@ -969,7 +971,7 @@ def _vf_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = base_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def frame(seed: int) -> bytes:
@@ -1042,7 +1044,7 @@ def _vf_fps_fused(spark: SparkSession, sf_dir: str, out_col: str) -> DataFrame:
 
     # Same id-only pre-decode spread as _dhash_fps_fused (guide §2.5).
     docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base_parquet(spark, f"{sf_dir}/documents.parquet")
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
@@ -1275,7 +1277,7 @@ def q_sql_table_udf_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     fn = f"__r11_value_bands_{tag}"
     view = f"__r11_orders_{tag}"
-    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+    base_parquet(spark, f"{sf_dir}/orders.parquet").createOrReplaceTempView(
         view
     )
     spark.sql(f"""

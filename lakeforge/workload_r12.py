@@ -84,6 +84,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakeforge.functions.keys import duckdb_md5_int_sql, md5_int
+from lakeforge.io.sources import base_parquet
 
 QUERIES: dict = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -109,7 +110,7 @@ def _shared_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_tokens) with doc_a < doc_b, s/e the first/last matched anchor
     position IN doc_a, run_tokens the verbatim run length in tokens."""
     n = _SS_N
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = base_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     toks = docs.select(
@@ -311,7 +312,7 @@ def q_docs_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokenize AFTER the join: only covered docs (a small fraction of the
     # corpus) pay the second tokenization pass — the pre-join variant
     # re-tokenized every document just to count tokens.
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = base_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     return (

@@ -94,3 +94,22 @@ def test_docgen_embeddings_and_edges_kinds(spark):
     import pytest
     with pytest.raises(Exception):
         load("bogus", 2).collect()
+
+
+def test_base_parquet_memoizes_plan_not_data(spark):
+    """r13 floor opt: base_parquet returns the SAME analyzed DataFrame for
+    repeated reads of an immutable testdata path within one session (a
+    catalog, not a cache — no persisted blocks), and its rows equal a
+    direct read."""
+    from lakeforge import cache
+    from lakeforge.io.sources import base_parquet
+
+    path = "/root/testdata/sf0.001/nation.parquet"
+    a = base_parquet(spark, path)
+    b = base_parquet(spark, path)
+    assert a is b  # one analyzed plan per (session, path)
+    direct = spark.read.parquet(path)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, direct.collect()))
+    # no storage blocks were created by the memo
+    cache.release_all(blocking=True)
+    assert cache.n_cached_rdds(spark) == 0
