@@ -16,6 +16,8 @@ engine surface).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -493,23 +495,35 @@ def q_embedding_signlsh_neardup(
             f"aggregate({xi}, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
         ).alias("nn"),
     )
-    proj_cols = []
-    for p in range(_SLSH_PLANES):
-        sgns = ", ".join(
-            str(_sgn(p, pos)) for pos in range(1, _SLSH_DIM + 1)
-        )
-        proj_cols.append(
-            f"aggregate(zip_with(v, array({sgns}), (x, s) -> x * s),"
-            f" CAST(0 AS BIGINT), (acc, x) -> acc + x) >= 0"
-        )
-    band_keys = []
-    for b in range(_SLSH_PLANES // _SLSH_BAND_BITS):
-        bits = " + ".join(
-            f"(CASE WHEN ({proj_cols[b * _SLSH_BAND_BITS + i]})"
-            f" THEN {1 << i} ELSE 0 END)"
-            for i in range(_SLSH_BAND_BITS)
-        )
-        band_keys.append(f"CAST({bits} AS BIGINT)")
+    # All 16 projections + band keys in ONE exact int64 matmul per Arrow
+    # batch (r13 opt, guide §4.2; same house pattern as similarity.py's
+    # rp_lsh ``bucket_of``).  The previous form was 16 interpreted
+    # ``aggregate(zip_with(...))`` expressions per row — no codegen for
+    # higher-order lambdas, ~16x64 closure invocations per vector, and it
+    # was the query's measured cost center (steady 3.57s for 2k rows).
+    # Math is unchanged and exact: v entries are micro-unit bigints
+    # (|v_i| ~ 1e6), so proj_p = sum(v_i * sgn_{p,i}) stays far inside
+    # int64, ``>= 0`` gives the same sign bit, and the band keys pack the
+    # same bits with the same weights the SQL twin derives.
+    from pyspark.sql.types import ArrayType, LongType
+
+    sgn_t = np.array(
+        [
+            [_sgn(p, pos) for p in range(_SLSH_PLANES)]
+            for pos in range(1, _SLSH_DIM + 1)
+        ],
+        dtype=np.int64,
+    )  # (dim, planes)
+    n_bands = _SLSH_PLANES // _SLSH_BAND_BITS
+    bit_w = 1 << np.arange(_SLSH_BAND_BITS, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def band_keys_of(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.int64)  # (n, dim)
+        bits = (mat @ sgn_t >= 0).astype(np.int64)  # (n, planes)
+        keys = bits.reshape(len(mat), n_bands, _SLSH_BAND_BITS) @ bit_w
+        return pd.Series(keys.tolist())
+
     from lakeforge.cache import persist_tracked
 
     # base feeds the signature pass AND the two verify joins
@@ -519,9 +533,7 @@ def q_embedding_signlsh_neardup(
     # so payload never rides the x4-band bucket fan-out.
     sig = base.select(
         "vec_id",
-        F.posexplode(
-            F.expr("array(" + ", ".join(band_keys) + ")")
-        ).alias("band", "bkey"),
+        F.posexplode(band_keys_of("v")).alias("band", "bkey"),
     )
     # bucket-size cap (round 8, probe-driven): a (band, signature) bucket
     # holding more than _SLSH_BUCKET_CAP vectors carries NO near-dup
@@ -558,16 +570,19 @@ def q_embedding_signlsh_neardup(
         F.col("vec_id").alias("b"), F.col("v").alias("vb"),
         F.col("nn").alias("nb"),
     )
+    # Verify-side dot products batched through the same exact int64
+    # numpy path (one einsum per Arrow batch instead of an interpreted
+    # 64-element fold per candidate pair).
+    @F.pandas_udf(LongType())
+    def dot_of(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        ma = np.stack(xa.to_numpy()).astype(np.int64)
+        mb = np.stack(xb.to_numpy()).astype(np.int64)
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
     pairs = (
         cand.join(va, "a")
         .join(vb, "b")
-        .withColumn(
-            "dot",
-            F.expr(
-                "aggregate(zip_with(va, vb, (x, y) -> x * y),"
-                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-            ),
-        )
+        .withColumn("dot", dot_of("va", "vb"))
     )
     return pairs.filter(
         (F.col("dot") > 0)

@@ -9,8 +9,8 @@ per replica preserved, no cross-replica near-dup collisions — see
 _build_corpus) and times the top-of-board queries at 32 vs 8 cores in
 fresh per-setting subprocesses.
 
-- documents: doc_id += r * 100_000 (stays far inside the media fixture's
-  [0, 3M) id guard); every word of replica r>0's text gets an ``_r{r}``
+- documents: doc_id += r * 10_000 (stays inside the media fixture's
+  [0, 1M) id guard); every word of replica r>0's text gets an ``_r{r}``
   suffix, so replica vocabularies are DISJOINT — shingle/minhash
   structure is exactly M independent copies (no M^2 cross-replica pair
   blowup), i.e. honest weak scaling for the text/media family.  Media
@@ -83,7 +83,9 @@ def _build_corpus(mult: int, dst: str) -> None:
     src = "/root/testdata/sf0.1"
     os.makedirs(dst, exist_ok=True)
     plans = {
-        "documents": {"doc_id": 100_000},
+        # doc_id offset must keep every replica id inside the media
+        # fixture's [0, 1M) guard: 10k spacing covers mult <= ~99.
+        "documents": {"doc_id": 10_000},
         "embeddings": {"vec_id": 10_000},
         "lineitem": {"l_partkey": 300_000, "l_orderkey": 10_000_000},
     }
