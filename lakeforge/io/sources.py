@@ -13,6 +13,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -100,19 +102,27 @@ def base_parquet(spark: SparkSession, path: str) -> DataFrame:
     intermediates are held — execution still scans parquet every time,
     which is why this is floor-latency work, not result caching.
 
-    ONLY for immutable inputs (the ``{sf_dir}/{table}.parquet`` testdata):
-    a memoized plan pins its file list, so paths that are rewritten
-    between queries (silver/merge targets) must keep using
+    Meant for effectively-immutable inputs (the ``{sf_dir}/{table}``
+    testdata): a memoized plan pins its file list.  As a stale-plan
+    guard the memo key includes the path's stat identity (mtime_ns,
+    size) — an in-place rewrite gets a fresh plan, the same fingerprint
+    rule the PQ codebook store uses.  Paths that are rewritten between
+    queries (silver/merge targets) still belong on
     :func:`read_parquet` / ``spark.read.parquet`` directly.
     """
     app_id = spark.sparkContext.applicationId
     if _BASE_SCANS[0] != app_id:
         _BASE_SCANS[0] = app_id
         _BASE_SCANS[1] = {}
-    df = _BASE_SCANS[1].get(path)
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)  # let Spark surface the error
+    df = _BASE_SCANS[1].get(key)
     if df is None:
         df = spark.read.parquet(path)
-        _BASE_SCANS[1][path] = df
+        _BASE_SCANS[1][key] = df
     return df
 
 

@@ -113,3 +113,29 @@ def test_base_parquet_memoizes_plan_not_data(spark):
     # no storage blocks were created by the memo
     cache.release_all(blocking=True)
     assert cache.n_cached_rdds(spark) == 0
+
+
+def test_base_parquet_refreshes_on_rewrite(spark, tmp_path):
+    """The memo key includes the file's stat identity: an in-place
+    rewrite must produce a FRESH analyzed plan, not a pinned file list
+    (the stale-plan hazard the PQ codebook fingerprint also guards)."""
+    import shutil
+    import time
+
+    from lakeforge.io.sources import base_parquet
+
+    p = str(tmp_path / "nation.parquet")
+    shutil.copy("/root/testdata/sf0.001/nation.parquet", p)
+    a = base_parquet(spark, p)
+    n1 = a.count()
+    time.sleep(0.05)
+    spark.read.parquet(p).limit(1).write.mode("overwrite").parquet(
+        str(tmp_path / "new.parquet")
+    )
+    import os
+
+    os.remove(p)
+    shutil.move(str(tmp_path / "new.parquet"), p)
+    b = base_parquet(spark, p)
+    assert b is not a
+    assert b.count() == 1 and n1 > 1
